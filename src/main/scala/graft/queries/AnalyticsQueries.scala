@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General analytics breadth over the TPC-H-ish fixture tables: hash
+  * aggregation, broadcast joins, window functions, semi/anti joins and
+  * sessionization. The reference engine has none of these (SURVEY.md
+  * §2F) — they exist so a reference user gets a full analytics surface
+  * when switching to the Spark engine.
+  *
+  * Scale notes (100 TB design):
+  *   - dimension joins (region/nation/supplier/part/customer) are
+  *     explicitly `broadcast()` — no shuffle of the fact table;
+  *   - double sums go through DECIMAL(18,4) so partial aggregation is
+  *     associative and the plan keeps map-side combine;
+  *   - window queries partition by their natural key and would rely on
+  *     range-partitioned shuffle; skewed users would need salting.
+  */
+object AnalyticsQueries {
+  import Tables.t
+
+  private val dec = DecimalType(18, 4)
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+            sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+              .cast("double").as("sum_disc_price"),
+            (sum(col("l_quantity").cast(dec)).cast("double") / count("*")).as("avg_qty"),
+            (sum(col("l_discount").cast(dec)).cast("double") / count("*")).as("avg_disc"),
+            count("*").as("count_order")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          |CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          |COUNT(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "TPC-H Q1-style pricing summary (exact decimal partial aggregation)."),
+
+    QueryDef(
+      "q_revenue_by_nation",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val customer = t(s, dir, "customer")
+        val nation = t(s, dir, "nation")
+        orders
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+            count("*").as("n_orders"))
+      },
+      Some(
+        """SELECT n_name AS nation,
+          |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |COUNT(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin),
+      "Broadcast dimension joins: fact table never shuffles."),
+
+    QueryDef(
+      "q_brand_volume",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").where(col("p_size") > 25)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            count("*").as("n_lines")),
+      Some(
+        """SELECT p_brand AS brand,
+          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |COUNT(*) AS n_lines
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size > 25 GROUP BY p_brand""".stripMargin),
+      "Filter pushed below a broadcast join, then hash aggregation."),
+
+    QueryDef(
+      "q_top_orders_per_customer",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+          |SELECT o_custkey, o_orderkey, o_totalprice,
+          |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |FROM orders) WHERE rk <= 3""".stripMargin),
+      "Window top-N with deterministic tie-break on the key."),
+
+    QueryDef(
+      "q_order_priority",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count("*").as("n")),
+      Some(
+        "SELECT o_orderpriority AS priority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority"),
+      "Plain hash aggregation on a low-cardinality key."),
+
+    QueryDef(
+      "q_orders_with_lineitems",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey")
+        t(s, dir, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count("*").as("n"))
+      },
+      Some(
+        """SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+          |GROUP BY o_orderstatus""".stripMargin),
+      "Left-semi join (EXISTS)."),
+
+    QueryDef(
+      "q_orders_without_lineitems",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey")
+        t(s, dir, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .select("o_orderkey", "o_orderstatus")
+      },
+      Some(
+        """SELECT o_orderkey, o_orderstatus FROM orders o
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin),
+      "Left-anti join (NOT EXISTS)."),
+
+    QueryDef(
+      "q_user_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+          .withColumn("prev_us", lag("ts_us", 1).over(w))
+          .groupBy("user_id")
+          .agg(
+            count("*").as("n_events"),
+            count(when(col("prev_us").isNull ||
+              col("ts_us") - col("prev_us") > 1800L * 1000000L, 1)).as("n_sessions"))
+      },
+      Some(
+        """SELECT user_id, COUNT(*) AS n_events,
+          |COUNT(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 END) AS n_sessions
+          |FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+          |LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+          |FROM events) GROUP BY user_id""".stripMargin),
+      "Sessionization via lag window: 30-minute inactivity gap."))
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` corpus: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash banding, and SimHash.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup shuffles only (hash, doc_id) — 48 bytes/row, not the
+  *     document bodies;
+  *   - the pairwise Jaccard join is the *verification* stage only; at
+  *     scale candidate generation comes from the MinHash band buckets
+  *     (shuffle key = band signature), so the quadratic blowup is
+  *     bounded per-bucket, and hot buckets (boilerplate shingles) would
+  *     be salted or capped;
+  *   - SimHash is one map + one 16-column partial aggregation (fully
+  *     map-side combinable), then a 16-bit-prefix bucket join.
+  *
+  * MinHash here is md5-based: h_i(s) = md5(salt_i || s), signature =
+  * lexicographic MIN over the doc's shingles — deterministic and
+  * reproducible in any engine (the oracle recomputes it in DuckDB).
+  */
+object DedupQueries {
+  import Tables.t
+
+  /** Distinct (doc_id, 3-shingle) pairs. */
+  private def shingleDF(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .distinct()
+
+  private val ShingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w))""".stripMargin
+
+  private val MinhashSalts = Seq("" -> "mh0", "s1" -> "mh1", "s2" -> "mh2", "s3" -> "mh3")
+
+  private def minhashAggs =
+    MinhashSalts.map { case (salt, name) =>
+      min(md5(concat(lit(salt), col("s")))).as(name)
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keeper"), count("*").as("n_copies")),
+      Some(
+        """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+          |COUNT(*) AS n_copies FROM documents GROUP BY md5(text)""".stripMargin),
+      "Exact dedup: hash-groupBy, keep lowest doc_id per content hash."),
+
+    QueryDef(
+      "dedup_exact_summary",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .agg(
+            count("*").as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique"),
+            (count("*") - countDistinct(md5(col("text")))).as("n_dupes")),
+      Some(
+        """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+          |COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes FROM documents""".stripMargin),
+      "Corpus-level duplication rate."),
+
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingleDF(s, dir)
+        val cnt = sh.groupBy("doc_id").agg(count("*").as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count("*").as("shared"))
+        pairs
+          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            (col("shared").cast("double") /
+              (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
+          .where(col("jaccard") >= 0.3)
+      },
+      Some(
+        s"""$ShingleCte,
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, shared,
+           |  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+           |FROM p JOIN cnt ca ON p.doc_a = ca.doc_id
+           |JOIN cnt cb ON p.doc_b = cb.doc_id
+           |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3""".stripMargin),
+      "N-gram Jaccard near-dup pairs (shared-shingle join + set overlap)."),
+
+    QueryDef(
+      "dedup_minhash_sig",
+      (s, dir) =>
+        shingleDF(s, dir)
+          .groupBy("doc_id")
+          .agg(
+            minhashAggs.head,
+            minhashAggs.tail: _*),
+      Some(
+        s"""$ShingleCte
+           |SELECT doc_id, ${MinhashSalts.map { case (salt, name) =>
+          s"MIN(md5('$salt' || s)) AS $name" }.mkString(", ")}
+           |FROM sh GROUP BY doc_id""".stripMargin),
+      "MinHash signatures: 4 salted-md5 min-hashes over 3-shingles."),
+
+    QueryDef(
+      "dedup_minhash_buckets",
+      (s, dir) => {
+        val sig = shingleDF(s, dir)
+          .groupBy("doc_id")
+          .agg(minhashAggs.head, minhashAggs.tail: _*)
+        MinhashSalts.zipWithIndex
+          .map { case ((_, name), band) =>
+            sig.groupBy(col(name).as("sig"))
+              .agg(count("*").as("n_docs"))
+              .select(lit(band).as("band"), col("sig"), col("n_docs"))
+          }
+          .reduce(_.unionAll(_))
+          .where(col("n_docs") > 1)
+      },
+      Some(
+        s"""$ShingleCte,
+           |sig AS (SELECT doc_id, ${MinhashSalts.map { case (salt, name) =>
+          s"MIN(md5('$salt' || s)) AS $name" }.mkString(", ")} FROM sh GROUP BY doc_id)
+           |${MinhashSalts.zipWithIndex.map { case ((_, name), band) =>
+          s"SELECT $band AS band, $name AS sig, COUNT(*) AS n_docs FROM sig GROUP BY $name HAVING COUNT(*) > 1" }
+          .mkString("\n UNION ALL \n")}""".stripMargin),
+      "MinHash LSH band buckets with collisions (near-dup candidates)."),
+
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val h = md5(col("w"))
+        val votes = (1 to 16).map(b =>
+          sum(when(substring(h, b, 1) >= "8", 1).otherwise(-1)).as(s"v$b"))
+        words
+          .groupBy("doc_id")
+          .agg(votes.head, votes.tail: _*)
+          .select(
+            col("doc_id"),
+            concat((1 to 16).map(b =>
+              when(col(s"v$b") > 0, lit("1")).otherwise(lit("0"))): _*)
+              .as("simhash16"))
+      },
+      Some {
+        val bits = (1 to 16)
+          .map(b =>
+            s"CASE WHEN SUM(CASE WHEN substr(md5(w), $b, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""SELECT doc_id, $bits AS simhash16 FROM (
+           |SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |GROUP BY doc_id""".stripMargin
+      },
+      "SimHash-16: per-bit term-frequency votes from word hashes."))
+}

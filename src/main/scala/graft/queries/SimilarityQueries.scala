@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design (100 TB):
+  *   - brute-force cosine top-k broadcasts the (small) query set and
+  *     streams the corpus once — the correctness baseline;
+  *   - the scale path is LSH/IVF: sign-bit bucket signatures (zero
+  *     float math, pure map) and per-label centroids (exact decimal
+  *     partial aggregation) bound the candidate set so the pairwise
+  *     join is per-bucket, not corpus²;
+  *   - threshold pairs (embedding near-dup) would run per-bucket at
+  *     scale; here the corpus is small enough to verify exhaustively.
+  */
+object SimilarityQueries {
+  import Tables.t
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+
+  private val CosSql =
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+
+  private val EmbCte =
+    "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sim_knn_bruteforce",
+      (s, dir) => {
+        val corpus = emb(s, dir)
+        val q = corpus
+          .where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val scored = corpus
+          .join(broadcast(q), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("e")).as("cos"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(
+        s"""$EmbCte,
+           |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosSql AS cos
+           |  FROM (SELECT * FROM v WHERE vec_id < 20) a JOIN v b ON a.vec_id <> b.vec_id)
+           |SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM p) WHERE rk <= 5""".stripMargin),
+      "Brute-force cosine top-5 for 20 query vectors (broadcast queries)."),
+
+    QueryDef(
+      "sim_threshold_pairs",
+      (s, dir) => {
+        val a = emb(s, dir).select(col("vec_id").as("id_a"), col("e").as("ea"))
+        val b = emb(s, dir).select(col("vec_id").as("id_b"), col("e").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+          .where(col("cos") >= 0.35)
+      },
+      Some(
+        s"""$EmbCte
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosSql AS cos
+           |FROM v a JOIN v b ON a.vec_id < b.vec_id
+           |WHERE $CosSql >= 0.35""".stripMargin),
+      "Embedding-cosine near-duplicate pairs (cos >= 0.35)."),
+
+    QueryDef(
+      "sim_signbit_lsh",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            signBits(col("embedding")).as("sig"))
+          .select(col("vec_id"), col("sig"),
+            substring(col("sig"), 1, 16).as("bucket")),
+      Some(
+        """SELECT vec_id,
+          |array_to_string(list_transform(embedding, x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sig,
+          |substr(array_to_string(list_transform(embedding, x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, 16) AS bucket
+          |FROM embeddings""".stripMargin),
+      "Sign-bit LSH signatures + 16-bit bucket keys (ANN scale path)."),
+
+    QueryDef(
+      "sim_lsh_bucket_sizes",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(substring(signBits(col("embedding")), 1, 8).as("bucket"))
+          .groupBy("bucket")
+          .agg(count("*").as("n_vecs")),
+      Some(
+        """SELECT substr(array_to_string(list_transform(embedding,
+          |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, 8) AS bucket,
+          |COUNT(*) AS n_vecs FROM embeddings GROUP BY 1""".stripMargin),
+      "LSH bucket occupancy (8-bit prefix) — skew check for the ANN path."),
+
+    QueryDef(
+      "sim_label_centroid",
+      (s, dir) =>
+        emb(s, dir)
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).as("dim"))
+          .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") / count("*"))
+            .as("centroid")),
+      Some(
+        """SELECT label, CAST(dim AS INT) AS dim,
+          |CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+          |FROM (SELECT label, unnest(range(1, 65)) AS dim,
+          |      unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings)
+          |GROUP BY label, dim""".stripMargin),
+      "IVF centroids per label (exact decimal mean per dimension)."))
+}
