@@ -1,0 +1,112 @@
+package graft.api
+
+import java.sql.Timestamp
+import java.util.UUID
+
+import graft.model.{GraftEvent, Schemas}
+import graft.store.QueueStore
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+/** One job to enqueue: worker class, function, raw-JSON args. */
+case class JobSpec(
+    workerClass: String,
+    function: String = "perform",
+    args: String = "[]",
+    context: Map[String, String] = Map.empty)
+
+/** The enqueue-side API surface (reference: lib/flume.ex:11-102), with a
+  * swappable implementation for tests (config.ex:98-116's mock layer →
+  * a RecordingQueueApi that buffers instead of writing). */
+trait QueueApi {
+  def enqueue(queue: String, job: JobSpec): String
+  def bulkEnqueue(queue: String, jobs: Seq[JobSpec]): Seq[String]
+  def enqueueIn(queue: String, delayMs: Long, job: JobSpec): String
+  def jobCounts(queues: Seq[String]): Map[String, Long]
+  def pendingJobsCount(): Long
+}
+
+object QueueApi {
+  def newJid(): String = UUID.randomUUID().toString
+  def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
+  def toEvent(queue: String, job: JobSpec, jid: String, at: Timestamp): GraftEvent =
+    GraftEvent(
+      clazz = job.workerClass, function = job.function, queue = queue,
+      jid = jid, args = job.args, retry_count = 0, enqueued_at = at,
+      context = job.context)
+}
+
+/** Real implementation over the parquet state store.
+  *
+  * A1/A2: enqueue = one parquet file appended to the queue directory per
+  * call (bulk = N rows in that one file — the natural Spark write unit;
+  * reference: single RPUSH with N values, redis/client.ex:183-185).
+  * FIFO comes from file-stream source ordering; a single append commits
+  * atomically.
+  *
+  * A3: enqueue_in = append to the scheduled table with
+  * not_before = now + delay (score in ns:scheduled, manager.ex:54-67).
+  *
+  * D2: job_counts = enqueued rows minus claim rows (LLEN analog — the
+  * count still in the "list" is everything written minus everything
+  * moved to processing; requeues append on both sides so the arithmetic
+  * stays consistent).
+  */
+class DefaultQueueApi(store: QueueStore) extends QueueApi {
+  import QueueApi._
+  private val spark = store.spark
+
+  def enqueue(queue: String, job: JobSpec): String =
+    bulkEnqueue(queue, Seq(job)).head
+
+  def bulkEnqueue(queue: String, jobs: Seq[JobSpec]): Seq[String] = {
+    import spark.implicits._
+    val at = now()
+    val events = jobs.map(j => toEvent(queue, j, newJid(), at))
+    store.append(store.queueDir(queue), events.toDF(), Schemas.event)
+    events.map(_.jid)
+  }
+
+  def enqueueIn(queue: String, delayMs: Long, job: JobSpec): String = {
+    import spark.implicits._
+    val at = now()
+    val e = toEvent(queue, job, newJid(), at)
+    val df = Seq(e).toDF()
+      .withColumn("sched_id", org.apache.spark.sql.functions.concat_ws(":",
+        org.apache.spark.sql.functions.col("jid"),
+        org.apache.spark.sql.functions.lit("0")))
+      .withColumn("not_before",
+        org.apache.spark.sql.functions.lit(new Timestamp(at.getTime + delayMs)))
+      .withColumn("kind", org.apache.spark.sql.functions.lit("scheduled"))
+    store.append(store.scheduledDir, df, store.scheduledSchema)
+    e.jid
+  }
+
+  def jobCounts(queues: Seq[String]): Map[String, Long] =
+    queues.map(q => q -> (store.queueRows(q).count() - store.rawProcessingCount(q))).toMap
+
+  def pendingJobsCount(): Long = store.liveProcessing.count()
+}
+
+/** Test double: records instead of writing (mock_api.ex:1-111 analog). */
+class RecordingQueueApi extends QueueApi {
+  import QueueApi._
+  val recorded: ArrayBuffer[(String, JobSpec, Long)] = ArrayBuffer.empty
+  private val counts = TrieMap.empty[String, Long]
+
+  def enqueue(queue: String, job: JobSpec): String = {
+    recorded.synchronized { recorded += ((queue, job, 0L)) }
+    counts.updateWith(queue) { c => Some(c.getOrElse(0L) + 1) }
+    newJid()
+  }
+  def bulkEnqueue(queue: String, jobs: Seq[JobSpec]): Seq[String] =
+    jobs.map(enqueue(queue, _))
+  def enqueueIn(queue: String, delayMs: Long, job: JobSpec): String = {
+    recorded.synchronized { recorded += ((queue, job, delayMs)) }
+    newJid()
+  }
+  def jobCounts(queues: Seq[String]): Map[String, Long] =
+    queues.map(q => q -> counts.getOrElse(q, 0L)).toMap
+  def pendingJobsCount(): Long = 0L
+}

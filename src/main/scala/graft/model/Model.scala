@@ -1,0 +1,80 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.types.StructType
+
+/** The job envelope — one queued job. Mirrors the reference Event
+  * (lib/flume/event.ex:24-54): fixed 13-field envelope, `args` kept as an
+  * opaque raw-JSON string (the engine never interprets it), `context`
+  * propagated to workers. Identity is `jid` (replaces the reference's
+  * exact-original_json matching, event.ex:57 — jid keying is strictly
+  * safer, see SURVEY.md §7 hard parts).
+  */
+case class GraftEvent(
+    clazz: String,
+    function: String,
+    queue: String,
+    jid: String,
+    args: String,
+    retry_count: Int,
+    enqueued_at: Timestamp,
+    finished_at: Option[Timestamp] = None,
+    failed_at: Option[Timestamp] = None,
+    retried_at: Option[Timestamp] = None,
+    error_message: Option[String] = None,
+    error_backtrace: Option[String] = None,
+    context: Map[String, String] = Map.empty)
+
+/** Result of dispatching one job to its worker. Carries the envelope
+  * forward so the outcome writer can build retry/dead rows without a
+  * join back to the batch. */
+case class Outcome(
+    clazz: String,
+    function: String,
+    queue: String,
+    jid: String,
+    args: String,
+    retry_count: Int,
+    enqueued_at: Timestamp,
+    context: Map[String, String],
+    claim_id: String,
+    success: Boolean,
+    error_message: Option[String])
+
+/** One pipeline = one streaming query (reference: lib/flume/pipeline.ex:7-18).
+  * maxDemand maps to maxFilesPerTrigger (each enqueue batch is one file);
+  * pollIntervalMs maps to Trigger.ProcessingTime (producer.ex:17's 2 s). */
+case class PipelineConfig(
+    name: String,
+    queue: String,
+    maxDemand: Int = 500,
+    batchSize: Option[Int] = None,
+    rateLimitCount: Option[Long] = None,
+    rateLimitScaleMs: Option[Long] = None,
+    rateLimitKey: Option[String] = None,
+    pollIntervalMs: Long = 2000) {
+  /** Shared window key: explicit key, else per-queue (manager.ex:285-287). */
+  def limitKey: String = rateLimitKey.getOrElse(s"queue:$queue")
+}
+
+/** Engine-wide knobs (reference defaults: lib/flume/config.ex:2-29). */
+case class EngineConfig(
+    maxRetries: Int = 5,
+    backoffInitialMs: Long = 500,
+    backoffMaxMs: Long = 10000,
+    visibilityTimeoutMs: Long = 600000,
+    schedulerIntervalMs: Long = 10000)
+
+/** Exponential backoff: min(round(initial * count * 1.5), max)
+  * (lib/flume/queue/backoff.ex:6-16). */
+object Backoff {
+  def nextDelayMs(retryCount: Int, initialMs: Long = 500, maxMs: Long = 10000): Long =
+    math.min(math.round(initialMs.toDouble * retryCount * 1.5), maxMs)
+}
+
+object Schemas {
+  val event: StructType = Encoders.product[GraftEvent].schema
+  val outcome: StructType = Encoders.product[Outcome].schema
+}

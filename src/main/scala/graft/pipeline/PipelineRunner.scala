@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import graft.model._
+import graft.store.QueueStore
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** One pipeline = one Structured Streaming query over the queue
+  * directory (SURVEY.md §3.2): the file-stream source replaces the
+  * GenStage demand loop, `Trigger.ProcessingTime` replaces the 2 s poll
+  * (producer.ex:17), `maxFilesPerTrigger` bounds demand like max_demand
+  * (pipeline.ex:5), and each micro-batch runs the reference's
+  * claim → dispatch → ack dataflow inside `foreachBatch`:
+  *
+  *   1. rate-limit admission (B2, bulk_dequeue.ex:79-163): admit
+  *      min(batch, count - consumed-in-window); deferred rows are
+  *      re-appended to the queue tail (at-least-once, order deviation
+  *      documented — the reference leaves them at the head);
+  *   2. claim (B1, bulk_dequeue.ex:273-295): append admitted rows to
+  *      `processing` with claimed_at — the durability backup that the
+  *      visibility-timeout scheduler (C2) sweeps;
+  *   3. dispatch (B5/B6, event/worker.ex:25-46): executor-side
+  *      `mapPartitions` applies the registered worker per event — or
+  *      per BulkEvent after groupByKey(class) + grouped(batchSize)
+  *      (B3, producer_consumer.ex:51-61);
+  *   4. outcomes (B7/B8, manager.ex:121-169): success → tombstone the
+  *      processing row; failure → retry table (not_before = now +
+  *      backoff) until maxRetries, then dead-letter; either way the
+  *      claim is tombstoned. All writes are idempotent on deterministic
+  *      ids (claim_id = jid:batchId, sched_id = jid:retry_count), so a
+  *      replayed batch cannot double-apply — Spark's exactly-once file
+  *      offsets + idempotent writes give the reference's at-least-once
+  *      contract.
+  *
+  * Pause (D1, pipeline/event.ex:41-55): durable flag; `pause()` stops
+  * the query after the in-flight micro-batch drains — exactly the
+  * reference's "stop fetching, let in-flight work finish". `start()`
+  * honors a persisted flag across restarts (event.ex:32-39).
+  */
+class PipelineRunner(
+    store: QueueStore,
+    cfg: PipelineConfig,
+    engine: EngineConfig = EngineConfig()) {
+
+  private val spark: SparkSession = store.spark
+  @volatile private var query: Option[StreamingQuery] = None
+
+  def start(): Option[StreamingQuery] = synchronized {
+    if (store.isPaused(cfg.name)) None
+    else {
+      store.ensureDir(store.queueDir(cfg.queue))
+      val src = spark.readStream
+        .schema(Schemas.event)
+        .option("maxFilesPerTrigger", cfg.maxDemand)
+        .parquet(store.queueDir(cfg.queue))
+      val q = src.writeStream
+        .queryName(s"graft-pipeline-${cfg.name}")
+        .option("checkpointLocation", store.checkpointDir(cfg.name))
+        .trigger(Trigger.ProcessingTime(cfg.pollIntervalMs))
+        .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          processBatch(df, batchId)
+        }
+        .start()
+      query = Some(q)
+      query
+    }
+  }
+
+  def pause(): Unit = synchronized {
+    store.setPaused(cfg.name, true)
+    query.foreach(_.stop()) // drains the running micro-batch, then stops
+    query = None
+  }
+
+  def resume(): Unit = synchronized {
+    store.setPaused(cfg.name, false)
+    if (query.isEmpty) start()
+  }
+
+  def stop(): Unit = synchronized { query.foreach(_.stop()); query = None }
+  def activeQuery: Option[StreamingQuery] = query
+
+  /** Visible for tests: run one micro-batch worth of the dataflow. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val nowMs = System.currentTimeMillis()
+    val admitted = admit(batch, nowMs)
+    val claimed = claim(admitted, batchId, nowMs)
+    val outcomes = dispatch(claimed)
+    writeOutcomes(outcomes, nowMs)
+  }
+
+  /** B2: sliding-window admission. Deterministic split (sort by
+    * enqueued_at, jid) so replays admit the same rows. */
+  private def admit(batch: DataFrame, nowMs: Long): DataFrame =
+    (cfg.rateLimitCount, cfg.rateLimitScaleMs) match {
+      case (Some(limit), Some(scale)) =>
+        val consumed = store.limitCountSince(cfg.limitKey, nowMs - scale)
+        val allowed = math.max(0L, limit - consumed)
+        val total = batch.count()
+        if (allowed >= total) {
+          store.limitLogAppend(cfg.limitKey, total, new Timestamp(nowMs))
+          batch
+        } else {
+          val adm = batch.orderBy(col("enqueued_at"), col("jid")).limit(allowed.toInt).cache()
+          val admN = adm.count()
+          val deferred = batch.join(broadcast(adm.select("jid")), Seq("jid"), "left_anti")
+          // deferred rows go back to the queue tail (fresh file, re-read
+          // on a later trigger once the window frees up)
+          store.append(store.queueDir(cfg.queue), deferred, Schemas.event)
+          store.limitLogAppend(cfg.limitKey, admN, new Timestamp(nowMs))
+          adm
+        }
+      case _ => batch
+    }
+
+  /** B1: move the batch into the processing (in-flight) set. */
+  private def claim(admitted: DataFrame, batchId: Long, nowMs: Long): DataFrame = {
+    val claimed = admitted
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(batchId)))
+      .withColumn("claimed_at", lit(new Timestamp(nowMs)))
+    store.append(store.processingDir, claimed, store.processingSchema)
+    claimed
+  }
+
+  /** B5/B6 worker dispatch on executors; B3 grouping when batchSize set. */
+  private def dispatch(claimed: DataFrame): Dataset[Outcome] = {
+    import spark.implicits._
+    val events = claimed.select(
+      (Schemas.event.fieldNames :+ "claim_id").map(col).toSeq: _*)
+    cfg.batchSize match {
+      case Some(bs) =>
+        events.as[ClaimedEvent]
+          .groupByKey(e => (e.clazz, e.function))
+          .flatMapGroups((_: (String, String), it: Iterator[ClaimedEvent]) =>
+            it.grouped(bs).flatMap(c => PipelineRunner.dispatchBulk(c.toSeq)))
+      case None =>
+        events.as[ClaimedEvent].mapPartitions(_.map(PipelineRunner.dispatchOne))
+    }
+  }
+
+  /** B7/B8: acks, retries, dead letters — one shot of table writes. */
+  private def writeOutcomes(outcomes: Dataset[Outcome], nowMs: Long): Unit = {
+    val out = outcomes.toDF().cache()
+    try {
+      val now = new Timestamp(nowMs)
+      // every dispatched job leaves the in-flight set
+      store.tombstone("processing", out.select(col("claim_id")))
+
+      val failures = out.where(!col("success"))
+      val retries = failures.where(col("retry_count") < engine.maxRetries)
+      val dead = failures.where(col("retry_count") >= engine.maxRetries)
+
+      val retryRows = retries
+        .withColumn("retry_count", col("retry_count") + 1)
+        .withColumn("failed_at", lit(now))
+        .withColumn("retried_at", lit(now))
+        .withColumn("error_message", col("error_message"))
+        .withColumn("finished_at", lit(null).cast("timestamp"))
+        .withColumn("error_backtrace", lit(null).cast("string"))
+        .withColumn("sched_id", concat_ws(":", col("jid"), col("retry_count")))
+        .withColumn("not_before", timestamp_millis(
+          lit(nowMs) + least(
+            round(lit(engine.backoffInitialMs) * col("retry_count") * 1.5),
+            lit(engine.backoffMaxMs)).cast("long")))
+        .withColumn("kind", lit("retry"))
+      if (!retries.isEmpty)
+        store.append(store.scheduledDir, retryRows, store.scheduledSchema)
+
+      val deadRows = dead
+        .withColumn("failed_at", lit(now))
+        .withColumn("finished_at", lit(null).cast("timestamp"))
+        .withColumn("retried_at", lit(null).cast("timestamp"))
+        .withColumn("error_backtrace", lit(null).cast("string"))
+      if (!dead.isEmpty) store.append(store.deadDir, deadRows, store.deadSchema)
+    } finally out.unpersist()
+  }
+}
+
+/** Executor-side dispatch functions — kept on the companion object so
+  * task closures capture nothing but the registry lookup. */
+object PipelineRunner extends Serializable {
+
+  private[pipeline] def dispatchOne(e: ClaimedEvent): Outcome =
+    try {
+      WorkerRegistry.resolve(e.clazz, e.function)(e.args, e.context)
+      e.toOutcome(success = true, None)
+    } catch {
+      case t: Throwable => e.toOutcome(success = false, Some(t.toString))
+    }
+
+  /** One worker call per chunk; all members succeed or fail together
+    * (bulk_event/worker.ex:33-64). */
+  private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent]): Seq[Outcome] =
+    try {
+      WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function)(
+        chunk.map(_.args))
+      chunk.map(_.toOutcome(success = true, None))
+    } catch {
+      case t: Throwable =>
+        chunk.map(_.toOutcome(success = false, Some(t.toString)))
+    }
+}
+
+/** GraftEvent + its claim id, as dispatched. */
+case class ClaimedEvent(
+    clazz: String, function: String, queue: String, jid: String,
+    args: String, retry_count: Int, enqueued_at: Timestamp,
+    finished_at: Option[Timestamp], failed_at: Option[Timestamp],
+    retried_at: Option[Timestamp], error_message: Option[String],
+    error_backtrace: Option[String], context: Map[String, String],
+    claim_id: String) {
+  def toOutcome(success: Boolean, error: Option[String]): Outcome =
+    Outcome(clazz, function, queue, jid, args, retry_count, enqueued_at,
+      context, claim_id, success, error)
+}

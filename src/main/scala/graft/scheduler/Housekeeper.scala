@@ -1,0 +1,88 @@
+package graft.scheduler
+
+import java.sql.Timestamp
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+import graft.model.Schemas
+import graft.store.QueueStore
+import org.apache.spark.sql.functions._
+
+/** Background housekeeping — the reference's two schedulers
+  * (SURVEY.md §2 C1/C2) as periodic table-to-table moves:
+  *
+  *   - C1 (queue/scheduler.ex:38-53): promote due scheduled/retry rows
+  *     (not_before <= now) back into their destination queue dirs and
+  *     tombstone them;
+  *   - C2 (queue/processing_scheduler.ex:39-67): requeue in-flight rows
+  *     whose claim is older than the visibility timeout.
+  *
+  * Both moves are enqueue-then-tombstone — at-least-once on a crash in
+  * between, identical to the reference's non-atomic two-phase promotion
+  * (manager.ex:218-220). Deterministic ids keep replays idempotent.
+  *
+  * `tick()` is the unit of work (tests call it directly); `start()`
+  * runs it on the reference's 10 s cadence. At scale this is a tiny
+  * job: the scheduled table is partition-pruned on not_before and the
+  * moves touch only due rows.
+  */
+class Housekeeper(
+    store: QueueStore,
+    visibilityTimeoutMs: Long = 600000,
+    requeueBatchLimit: Int = 1000) {
+
+  private var exec: Option[ScheduledExecutorService] = None
+
+  def tick(nowMs: Long = System.currentTimeMillis()): (Long, Long) =
+    (promoteDue(nowMs), requeueStuck(nowMs))
+
+  /** C1: scheduled/retry rows with not_before <= now → queue dirs. */
+  def promoteDue(nowMs: Long): Long = {
+    val due = store.liveScheduled
+      .where(col("not_before") <= lit(new Timestamp(nowMs)))
+      .cache()
+    try {
+      val queues = due.select("queue").distinct().collect().map(_.getString(0))
+      // grouped RPUSH per destination queue (redis/job.ex:70-87)
+      queues.foreach { q =>
+        store.append(store.queueDir(q), due.where(col("queue") === q), Schemas.event)
+      }
+      val n = due.count()
+      if (n > 0) store.tombstone("scheduled", due.select(col("sched_id")))
+      n
+    } finally due.unpersist()
+  }
+
+  /** C2: claims older than the visibility timeout → back to the queue
+    * (batch-capped like the reference's Lua LIMIT 1000). */
+  def requeueStuck(nowMs: Long): Long = {
+    val cutoff = new Timestamp(nowMs - visibilityTimeoutMs)
+    val stuck = store.liveProcessing
+      .where(col("claimed_at") < lit(cutoff))
+      .orderBy(col("claimed_at"))
+      .limit(requeueBatchLimit)
+      .cache()
+    try {
+      val queues = stuck.select("queue").distinct().collect().map(_.getString(0))
+      queues.foreach { q =>
+        store.append(store.queueDir(q), stuck.where(col("queue") === q), Schemas.event)
+      }
+      val n = stuck.count()
+      if (n > 0) store.tombstone("processing", stuck.select(col("claim_id")))
+      n
+    } finally stuck.unpersist()
+  }
+
+  def start(intervalMs: Long = 10000): Unit = synchronized {
+    if (exec.isEmpty) {
+      val e = Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-housekeeper"); t.setDaemon(true); t
+      })
+      e.scheduleWithFixedDelay(() => {
+        try tick() catch { case _: Throwable => () } // keep the loop alive
+      }, intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+      exec = Some(e)
+    }
+  }
+
+  def stop(): Unit = synchronized { exec.foreach(_.shutdownNow()); exec = None }
+}

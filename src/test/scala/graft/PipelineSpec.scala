@@ -1,0 +1,164 @@
+package graft
+
+import graft.api.{DefaultQueueApi, JobSpec}
+import graft.metrics.{InMemoryEventHandler, Instrumentation}
+import graft.model.{EngineConfig, PipelineConfig}
+import graft.pipeline.{PipelineRunner, WorkerRegistry}
+import graft.scheduler.Housekeeper
+import graft.store.QueueStore
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The minimum end-to-end slice from SURVEY.md §7 plus the retry, rate
+  * limit, batching and pause paths — each asserting the state tables
+  * like the reference's manager tests assert Redis keys. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private lazy val spark = TestSpark.spark
+
+  override def beforeEach(): Unit = { Buffers.clear(); WorkerRegistry.clear() }
+
+  test("minimum e2e slice: enqueue 100 → streaming pipeline → all acked (A1,B1,B4,B5,B7,D2,D5)") {
+    WorkerRegistry.register("EchoWorker", (args, ctx) => {
+      Buffers.echo.add(args); Buffers.ctx.add(ctx)
+    })
+    val handler = new InMemoryEventHandler
+    val listener = Instrumentation.attach(spark, handler)
+    val store = new QueueStore(spark, TestSpark.tmpRoot("e2e"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("default",
+      (1 to 100).map(i => JobSpec("EchoWorker", args = s"[$i]",
+        context = Map("request_id" -> i.toString))))
+
+    val runner = new PipelineRunner(store,
+      PipelineConfig("default_pipeline", "default", maxDemand = 10, pollIntervalMs = 100))
+    val q = runner.start().get
+    try q.processAllAvailable() finally runner.stop()
+    spark.streams.removeListener(listener)
+
+    assert(Buffers.echo.size === 100)
+    assert(Buffers.ctx.toArray.map(_.asInstanceOf[Map[String, String]]("request_id")).toSet.size === 100)
+    assert(api.pendingJobsCount() === 0) // B7: acks cleared processing
+    assert(api.jobCounts(Seq("default"))("default") === 0)
+    assert(store.deadRows.count() === 0)
+    // D5: listener surfaced batch telemetry
+    val deadline = System.currentTimeMillis() + 10000
+    while (!handler.gauges.keys.exists(_._2 == "batch") && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(handler.gauges.keys.exists(_._2 == "batch"))
+  }
+
+  test("failure → retry with backoff → dead letter after max_retries (B8,B9,C1)") {
+    WorkerRegistry.register("FailWorker", (_, _) => throw new RuntimeException("boom"))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("retry"))
+    val api = new DefaultQueueApi(store)
+    val engine = EngineConfig(maxRetries = 2, backoffInitialMs = 1, backoffMaxMs = 2)
+    val runner = new PipelineRunner(store, PipelineConfig("rp", "rq"), engine)
+    val hk = new Housekeeper(store)
+    api.bulkEnqueue("rq", (1 to 3).map(i => JobSpec("FailWorker", args = s"[$i]")))
+
+    runner.processBatch(store.queueRows("rq"), 0)
+    val retry1 = store.liveScheduled
+    assert(retry1.count() === 3)
+    assert(retry1.where(col("kind") === "retry").count() === 3)
+    assert(retry1.where(col("retry_count") === 1).count() === 3)
+    assert(retry1.where(col("error_message").contains("boom")).count() === 3)
+    assert(store.liveProcessing.count() === 0) // claims tombstoned
+    assert(store.deadRows.count() === 0)
+
+    // C1: promote due retries (backoff is 1-2ms; move clock forward)
+    assert(hk.promoteDue(System.currentTimeMillis() + 1000) === 3)
+    assert(store.liveScheduled.count() === 0)
+    runner.processBatch(store.queueRows("rq").where(col("retry_count") === 1), 1)
+    assert(store.liveScheduled.where(col("retry_count") === 2).count() === 3)
+
+    assert(hk.promoteDue(System.currentTimeMillis() + 2000) === 3)
+    runner.processBatch(store.queueRows("rq").where(col("retry_count") === 2), 2)
+    // retry_count 2 >= maxRetries 2 → dead letter
+    assert(store.deadRows.count() === 3)
+    assert(store.liveScheduled.count() === 0)
+    assert(store.liveProcessing.count() === 0)
+  }
+
+  test("rate-limited admission defers overflow and rebuilds window from disk (B2)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => Buffers.echo.add(args))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("rate"))
+    val api = new DefaultQueueApi(store)
+    val cfg = PipelineConfig("lp", "lim", rateLimitCount = Some(10),
+      rateLimitScaleMs = Some(60000), rateLimitKey = Some("shared"))
+    val runner = new PipelineRunner(store, cfg)
+    api.bulkEnqueue("lim", (1 to 25).map(i => JobSpec("EchoWorker", args = s"[$i]")))
+
+    runner.processBatch(store.queueRows("lim"), 0)
+    assert(Buffers.echo.size === 10) // admitted = limit
+    // deferred 15 re-appended to the queue tail
+    assert(store.queueRows("lim").count() === 40)
+    // durable window state: a fresh store (≈ restart) counts the same
+    val fresh = new QueueStore(spark, store.root)
+    assert(fresh.limitCountSince("shared", System.currentTimeMillis() - 60000) === 10)
+    // window exhausted → second batch admits nothing
+    val remaining = store.queueRows("lim")
+      .join(store.liveProcessing.select("jid"), Seq("jid"), "left_anti")
+    runner.processBatch(remaining, 1)
+    assert(Buffers.echo.size === 10)
+  }
+
+  test("group-by-class batching dispatches BulkEvents of batch_size (B3,B6)") {
+    WorkerRegistry.registerBulk("BulkWorker", argsList => { Buffers.bulk.add(argsList); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("bulk"))
+    val api = new DefaultQueueApi(store)
+    val runner = new PipelineRunner(store,
+      PipelineConfig("bp", "bq", batchSize = Some(2)))
+    api.bulkEnqueue("bq", (1 to 4).map(i => JobSpec("BulkWorker", args = s"[$i]")))
+
+    runner.processBatch(store.queueRows("bq"), 0)
+    val chunks = Buffers.bulk.toArray.map(_.asInstanceOf[Seq[String]])
+    assert(chunks.length === 2) // producer_consumer_test.exs:57-61 shape
+    assert(chunks.forall(_.size === 2))
+    assert(chunks.flatten.toSet === Set("[1]", "[2]", "[3]", "[4]"))
+    assert(store.liveProcessing.count() === 0)
+  }
+
+  test("bulk failure fails all members of the chunk together (B6)") {
+    WorkerRegistry.registerBulk("BadBulk", _ => throw new RuntimeException("bulk boom"))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("bulkfail"))
+    val api = new DefaultQueueApi(store)
+    val runner = new PipelineRunner(store,
+      PipelineConfig("bp2", "bq2", batchSize = Some(3)))
+    api.bulkEnqueue("bq2", (1 to 3).map(i => JobSpec("BadBulk", args = s"[$i]")))
+    runner.processBatch(store.queueRows("bq2"), 0)
+    assert(store.liveScheduled.where(col("kind") === "retry").count() === 3)
+  }
+
+  test("pause is durable and blocks start; resume restarts (D1)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("pause"))
+    val runner = new PipelineRunner(store, PipelineConfig("pp", "pq", pollIntervalMs = 100))
+    runner.pause()
+    assert(store.isPaused("pp"))
+    assert(runner.start().isEmpty) // paused-state restore on boot
+    runner.resume()
+    assert(!store.isPaused("pp"))
+    assert(runner.activeQuery.nonEmpty)
+    runner.stop()
+  }
+
+  test("visibility timeout requeues stuck claims (C2)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("vis"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("vq", (1 to 5).map(i => JobSpec("W", args = s"[$i]")))
+    // claim all 5, 700s in the past (visibility_timeout default 600s)
+    val past = new java.sql.Timestamp(System.currentTimeMillis() - 700000)
+    val claimed = store.queueRows("vq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", lit(past))
+    store.append(store.processingDir, claimed, store.processingSchema)
+
+    val hk = new Housekeeper(store, visibilityTimeoutMs = 600000)
+    val (_, requeued) = hk.tick()
+    assert(requeued === 5)
+    assert(store.queueRows("vq").count() === 10) // 5 original + 5 requeued
+    assert(store.liveProcessing.count() === 0)
+    // D2 arithmetic stays consistent: 10 enqueued - 5 claims = 5 pending
+    assert(api.jobCounts(Seq("vq"))("vq") === 5)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.api.{DefaultQueueApi, JobSpec, RecordingQueueApi}
+import graft.store.QueueStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StoreApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("enqueue + bulk_enqueue append FIFO rows; job_counts sees them (A1/A2/D2)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("store"))
+    val api = new DefaultQueueApi(store)
+    val jid = api.enqueue("default", JobSpec("EchoWorker", args = "[1]"))
+    val jids = api.bulkEnqueue("default", (1 to 9).map(i => JobSpec("EchoWorker", args = s"[$i]")))
+    assert(jid.nonEmpty && jids.size === 9)
+    assert((jids :+ jid).distinct.size === 10)
+    assert(api.jobCounts(Seq("default", "empty")) === Map("default" -> 10L, "empty" -> 0L))
+    val rows = store.queueRows("default")
+    assert(rows.count() === 10)
+    assert(rows.where(col("retry_count") === 0).count() === 10)
+    assert(rows.select("function").distinct().collect().map(_.getString(0)).toSeq === Seq("perform"))
+  }
+
+  test("enqueue_in lands in scheduled with not_before = now + delay (A3)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("store"))
+    val api = new DefaultQueueApi(store)
+    val t0 = System.currentTimeMillis()
+    api.enqueueIn("later", 60000, JobSpec("EchoWorker"))
+    val row = store.liveScheduled.collect().head
+    assert(row.getAs[String]("queue") === "later")
+    assert(row.getAs[String]("kind") === "scheduled")
+    val nb = row.getAs[java.sql.Timestamp]("not_before").getTime
+    assert(nb >= t0 + 60000 && nb <= t0 + 70000)
+  }
+
+  test("tombstone + live + compact roundtrip") {
+    import spark.implicits._
+    val store = new QueueStore(spark, TestSpark.tmpRoot("store"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("q", (1 to 4).map(i => JobSpec("W", args = s"[$i]")))
+    // claim two rows into processing, then ack one via tombstone
+    val two = store.queueRows("q").orderBy("jid").limit(2)
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+    store.append(store.processingDir, two, store.processingSchema)
+    assert(store.liveProcessing.count() === 2)
+    val victim = store.liveProcessing.select("claim_id").orderBy("claim_id").limit(1)
+    store.tombstone("processing", victim)
+    assert(store.liveProcessing.count() === 1)
+    // idempotent re-apply: same tombstone again changes nothing
+    store.tombstone("processing", victim)
+    assert(store.liveProcessing.count() === 1)
+    store.compact(store.processingDir, "processing", store.processingSchema, "claim_id")
+    assert(store.liveProcessing.count() === 1)
+    assert(spark.read.parquet(store.processingDir).count() === 1)
+  }
+
+  test("durable pause flag (D1)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("store"))
+    assert(!store.isPaused("p1"))
+    store.setPaused("p1", true)
+    assert(store.isPaused("p1"))
+    // a fresh store instance (≈ restart) still sees it
+    assert(new QueueStore(spark, store.root).isPaused("p1"))
+    store.setPaused("p1", false)
+    assert(!store.isPaused("p1"))
+  }
+
+  test("recording api buffers instead of writing (D6)") {
+    val api = new RecordingQueueApi
+    api.enqueue("q", JobSpec("W", args = "[1]"))
+    api.bulkEnqueue("q", Seq(JobSpec("W"), JobSpec("W")))
+    api.enqueueIn("q", 5000, JobSpec("W"))
+    assert(api.recorded.size === 4)
+    assert(api.recorded.last._3 === 5000)
+    assert(api.jobCounts(Seq("q"))("q") === 3) // enqueueIn not counted as queued
+  }
+}
