@@ -3,20 +3,32 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector primitives as pure Column compositions (codegen'd
-  * higher-order functions, no UDFs).
+/** Embedding-vector primitives.
   *
-  * Determinism: all arithmetic is IEEE double, and `aggregate` folds
-  * left-to-right — the same sequential order DuckDB's list_dot_product
-  * uses — so cosine scores are reproducible bit-for-bit across engines.
+  * Determinism: all arithmetic is IEEE double with an ascending-index
+  * fold — the same sequential order DuckDB's list_dot_product uses —
+  * so cosine scores are reproducible bit-for-bit across engines.
+  *
+  * The hot path (`dot`) is a custom codegen'd Catalyst expression
+  * (expr.DotProduct): Spark's higher-order functions are
+  * CodegenFallback (interpreted, boxing per element), which dominates
+  * O(n²) similarity stages. Call `VectorFunctions.register(spark)` (or
+  * expr.VectorExpressions.register) once per session before using it.
   */
 object VectorFunctions {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.expr.VectorExpressions.register(spark)
 
   /** Cast float embeddings up-front so every product is computed in
     * double (float*float would round differently). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Pure-builtin fallback form (no registration needed); same fold
+    * order, interpreted. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

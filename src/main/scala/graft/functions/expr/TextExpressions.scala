@@ -1,0 +1,117 @@
+package graft.functions.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-pipeline expressions.
+  *
+  * Spark's higher-order functions interpret their lambda per element
+  * (CodegenFallback + boxing); for shingling and MinHash that means
+  * ~10 interpreted expression evals per shingle. These expressions do
+  * the whole loop in one JVM call per row — CodegenFallback at the row
+  * level is fine because the per-row work (dozens of md5s) dwarfs one
+  * virtual call.
+  */
+
+/** Word 3-gram shingles: ["a","b","c","d"] → ["a b c", "b c d"].
+  * Matches TextFunctions.shingles3 and the DuckDB oracle CTE exactly
+  * (empty array for <3 words). */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles3 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    if (n < 3) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 2)
+      var i = 0
+      while (i < n - 2) {
+        out(i) = UTF8String.concatWs(UTF8String.fromString(" "),
+          words.getUTF8String(i), words.getUTF8String(i + 1), words.getUTF8String(i + 2))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** MinHash band signatures from a shingle array: one md5 per shingle,
+  * k bands carved from the hex digest as substrings (1-based offsets,
+  * fixed width), lexicographic min per band. Returns array<string> of
+  * length offsets.size; null when the shingle array is empty (callers
+  * filter those rows, mirroring the oracle's GROUP BY over no rows).
+  *
+  * Hex is lowercase and min is byte-wise — identical to DuckDB's
+  * MIN(substr(md5(s), off, w)). */
+case class MinHashBands(child: Expression, offsets: Seq[Int], width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val hexChars = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val mins = new Array[String](offsets.size)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val digest = md.digest(shingles.getUTF8String(i).getBytes)
+      md.reset()
+      val hex = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = hexChars((digest(j) >> 4) & 0xf)
+        hex(2 * j + 1) = hexChars(digest(j) & 0xf)
+        j += 1
+      }
+      val full = new String(hex)
+      var b = 0
+      while (b < offsets.size) {
+        val sub = full.substring(offsets(b) - 1, offsets(b) - 1 + width)
+        if (mins(b) == null || sub.compareTo(mins(b)) < 0) mins(b) = sub
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExpressions {
+  /** Register SQL-callable forms once per session; idempotent.
+    * graft_minhash4 = 4 bands of 8 hex chars at offsets 1/9/17/25. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles3", exprs => Shingles3(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash4", exprs => MinHashBands(exprs.head, Seq(1, 9, 17, 25), 8), "built-in")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` corpus: exact
@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *   - exact dedup shuffles only (hash, doc_id) — 48 bytes/row, not the
   *     document bodies;
+  *   - MinHash signatures are computed WITHOUT any shuffle: the shingle
+  *     array stays row-local and each signature is
+  *     array_min(transform(shingles, salted-md5)) — pure map, fused
+  *     into the parquet scan by whole-stage codegen. (An explode +
+  *     groupBy(doc_id) formulation shuffles every shingle — ~50× the
+  *     document bytes — and is exactly what does not survive 100×
+  *     scale-up.);
   *   - the pairwise Jaccard join is the *verification* stage only; at
   *     scale candidate generation comes from the MinHash band buckets
   *     (shuffle key = band signature), so the quadratic blowup is
@@ -20,16 +27,24 @@ import org.apache.spark.sql.functions._
   *
   * MinHash here is md5-based: h_i(s) = md5(salt_i || s), signature =
   * lexicographic MIN over the doc's shingles — deterministic and
-  * reproducible in any engine (the oracle recomputes it in DuckDB).
+  * reproducible in any engine (the oracle recomputes it in DuckDB;
+  * duplicates in the shingle array don't affect the min, so the
+  * map-only form matches the oracle's DISTINCT formulation exactly).
   */
 object DedupQueries {
   import Tables.t
 
-  /** Distinct (doc_id, 3-shingle) pairs. */
-  private def shingleDF(s: SparkSession, dir: String): DataFrame =
+  /** Distinct (doc_id, 3-shingle) pairs — only for ops that genuinely
+    * need the exploded form (Jaccard set overlap). Uses the native
+    * Shingles3 expression (one call per row, loop inside) instead of
+    * the interpreted higher-order-function composition. */
+  private def shingleDF(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.expr.TextExpressions.register(s)
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles3", split(col("text"), " "))).as("s"))
       .distinct()
+  }
 
   private val ShingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -37,12 +52,34 @@ object DedupQueries {
       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w))""".stripMargin
 
-  private val MinhashSalts = Seq("" -> "mh0", "s1" -> "mh1", "s2" -> "mh2", "s3" -> "mh3")
+  /** 4 bands carved from ONE md5 per shingle (8 hex chars = 32 bits
+    * each) — the standard way to get k hash functions for the price of
+    * one digest. (name, 1-based hex offset). */
+  private val MinhashBands =
+    Seq("mh0" -> 1, "mh1" -> 9, "mh2" -> 17, "mh3" -> 25)
 
-  private def minhashAggs =
-    MinhashSalts.map { case (salt, name) =>
-      min(md5(concat(lit(salt), col("s")))).as(name)
-    }
+  /** Shuffle-free signatures via the native MinHashBands expression:
+    * shingle + digest + band minima in one pass per row — pure map,
+    * no explode, no shuffle. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.expr.TextExpressions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_minhash4",
+          call_function("graft_shingles3", split(col("text"), " "))).as("mh"))
+      .where(col("mh").isNotNull)
+      .select(col("doc_id") +: MinhashBands.map(_._1).zipWithIndex.map {
+        case (name, idx) => col("mh").getItem(idx).as(name)
+      }: _*)
+  }
+
+  private def bandMinSql: Seq[String] =
+    MinhashBands.map { case (name, off) => s"MIN(substr(md5(s), $off, 8)) AS $name" }
+
+  private val MinhashSigSql =
+    s"""$ShingleCte
+       |SELECT doc_id, ${bandMinSql.mkString(", ")}
+       |FROM sh GROUP BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -72,7 +109,7 @@ object DedupQueries {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleDF(s, dir)
+        val sh = shingleDF(s, dir).cache() // reused by cnt + both join sides
         val cnt = sh.groupBy("doc_id").agg(count("*").as("n"))
         val pairs = sh.as("a")
           .join(sh.as("b"),
@@ -80,8 +117,8 @@ object DedupQueries {
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count("*").as("shared"))
         pairs
-          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+          .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
+          .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
           .select(col("doc_a"), col("doc_b"), col("shared"),
             (col("shared").cast("double") /
               (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
@@ -101,27 +138,16 @@ object DedupQueries {
 
     QueryDef(
       "dedup_minhash_sig",
-      (s, dir) =>
-        shingleDF(s, dir)
-          .groupBy("doc_id")
-          .agg(
-            minhashAggs.head,
-            minhashAggs.tail: _*),
-      Some(
-        s"""$ShingleCte
-           |SELECT doc_id, ${MinhashSalts.map { case (salt, name) =>
-          s"MIN(md5('$salt' || s)) AS $name" }.mkString(", ")}
-           |FROM sh GROUP BY doc_id""".stripMargin),
-      "MinHash signatures: 4 salted-md5 min-hashes over 3-shingles."),
+      (s, dir) => minhashSig(s, dir),
+      Some(MinhashSigSql),
+      "MinHash signatures: 4 salted-md5 min-hashes, zero-shuffle map."),
 
     QueryDef(
       "dedup_minhash_buckets",
       (s, dir) => {
-        val sig = shingleDF(s, dir)
-          .groupBy("doc_id")
-          .agg(minhashAggs.head, minhashAggs.tail: _*)
-        MinhashSalts.zipWithIndex
-          .map { case ((_, name), band) =>
+        val sig = minhashSig(s, dir).cache() // one scan feeds all 4 bands
+        MinhashBands.map(_._1).zipWithIndex
+          .map { case (name, band) =>
             sig.groupBy(col(name).as("sig"))
               .agg(count("*").as("n_docs"))
               .select(lit(band).as("band"), col("sig"), col("n_docs"))
@@ -131,9 +157,8 @@ object DedupQueries {
       },
       Some(
         s"""$ShingleCte,
-           |sig AS (SELECT doc_id, ${MinhashSalts.map { case (salt, name) =>
-          s"MIN(md5('$salt' || s)) AS $name" }.mkString(", ")} FROM sh GROUP BY doc_id)
-           |${MinhashSalts.zipWithIndex.map { case ((_, name), band) =>
+           |sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id)
+           |${MinhashBands.map(_._1).zipWithIndex.map { case (name, band) =>
           s"SELECT $band AS band, $name AS sig, COUNT(*) AS n_docs FROM sig GROUP BY $name HAVING COUNT(*) > 1" }
           .mkString("\n UNION ALL \n")}""".stripMargin),
       "MinHash LSH band buckets with collisions (near-dup candidates)."),
@@ -141,6 +166,8 @@ object DedupQueries {
     QueryDef(
       "dedup_simhash",
       (s, dir) => {
+        // one md5 prefix per word, then 16 row-local fold columns —
+        // map + a single map-side-combinable aggregation
         val words = t(s, dir, "documents")
           .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         val h = md5(col("w"))

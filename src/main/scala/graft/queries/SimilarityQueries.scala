@@ -9,40 +9,53 @@ import org.apache.spark.sql.types.DecimalType
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * Scale design (100 TB):
-  *   - brute-force cosine top-k broadcasts the (small) query set and
-  *     streams the corpus once — the correctness baseline;
+  *   - vectors are L2-normalized ONCE in a prior projection (norm from
+  *     one pass, then x/n per element), so every pairwise score is a
+  *     single dot product instead of dot + two norms — 3× less float
+  *     work on the O(n²) stage, and the normalize stage itself is pure
+  *     map (whole-stage codegen, no shuffle);
+  *   - brute-force top-k broadcasts the (small) query set and streams
+  *     the corpus once — the correctness baseline;
   *   - the scale path is LSH/IVF: sign-bit bucket signatures (zero
-  *     float math, pure map) and per-label centroids (exact decimal
-  *     partial aggregation) bound the candidate set so the pairwise
-  *     join is per-bucket, not corpus²;
-  *   - threshold pairs (embedding near-dup) would run per-bucket at
-  *     scale; here the corpus is small enough to verify exhaustively.
+  *     float math) and per-label centroids bound the candidate set so
+  *     the pairwise join is per-bucket, not corpus²; threshold pairs
+  *     would run per-bucket at scale, and the pair join broadcasts the
+  *     normalized corpus (MBs — ids + 64 doubles travel, never raw
+  *     text/media).
+  *
+  * Determinism: both engines normalize then fold products sequentially
+  * left-to-right, so scores are reproducible bit-for-bit.
   */
 object SimilarityQueries {
   import Tables.t
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  /** L2-normalized embeddings: one scan, norm computed once per row. */
+  private def unitEmb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .select(col("vec_id"), col("label"),
+        transform(col("e"), x => x / col("nrm")).as("u"))
+  }
 
-  private val CosSql =
-    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
-
-  private val EmbCte =
-    "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+  private val UnitCte =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |un AS (SELECT vec_id, label,
+      |  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM v)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "sim_knn_bruteforce",
       (s, dir) => {
-        val corpus = emb(s, dir)
+        val corpus = unitEmb(s, dir)
         val q = corpus
           .where(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .select(col("vec_id").as("query_id"), col("u").as("qu"))
         val scored = corpus
           .join(broadcast(q), col("query_id") =!= col("vec_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosine(col("qe"), col("e")).as("cos"))
+            dot(col("qu"), col("u")).as("cos"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("neighbor_id").asc)
         scored
@@ -52,9 +65,10 @@ object SimilarityQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(
-        s"""$EmbCte,
-           |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosSql AS cos
-           |  FROM (SELECT * FROM v WHERE vec_id < 20) a JOIN v b ON a.vec_id <> b.vec_id)
+        s"""$UnitCte,
+           |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  list_dot_product(a.u, b.u) AS cos
+           |  FROM (SELECT * FROM un WHERE vec_id < 20) a JOIN un b ON a.vec_id <> b.vec_id)
            |SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
            |  FROM p) WHERE rk <= 5""".stripMargin),
@@ -63,17 +77,19 @@ object SimilarityQueries {
     QueryDef(
       "sim_threshold_pairs",
       (s, dir) => {
-        val a = emb(s, dir).select(col("vec_id").as("id_a"), col("e").as("ea"))
-        val b = emb(s, dir).select(col("vec_id").as("id_b"), col("e").as("eb"))
-        a.join(b, col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+        val u = unitEmb(s, dir)
+        val a = u.select(col("vec_id").as("id_a"), col("u").as("ua"))
+        val b = u.select(col("vec_id").as("id_b"), col("u").as("ub"))
+        broadcast(a).join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), dot(col("ua"), col("ub")).as("cos"))
           .where(col("cos") >= 0.35)
       },
       Some(
-        s"""$EmbCte
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosSql AS cos
-           |FROM v a JOIN v b ON a.vec_id < b.vec_id
-           |WHERE $CosSql >= 0.35""".stripMargin),
+        s"""$UnitCte
+           |SELECT id_a, id_b, cos FROM (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.u, b.u) AS cos
+           |  FROM un a JOIN un b ON a.vec_id < b.vec_id)
+           |WHERE cos >= 0.35""".stripMargin),
       "Embedding-cosine near-duplicate pairs (cos >= 0.35)."),
 
     QueryDef(
@@ -108,8 +124,9 @@ object SimilarityQueries {
     QueryDef(
       "sim_label_centroid",
       (s, dir) =>
-        emb(s, dir)
-          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        t(s, dir, "embeddings")
+          .select(col("label"),
+            posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
           .groupBy(col("label"), (col("pos") + 1).as("dim"))
           .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") / count("*"))
             .as("centroid")),

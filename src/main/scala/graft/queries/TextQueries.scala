@@ -92,10 +92,8 @@ object TextQueries {
       "t_fingerprint",
       (s, dir) =>
         t(s, dir, "documents")
-          .select(
-            col("doc_id"),
-            fingerprint(col("text")).as("fp"),
-            substring(fingerprint(col("text")), 1, 8).as("fp_prefix")),
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .withColumn("fp_prefix", substring(col("fp"), 1, 8)),
       Some(
         """SELECT doc_id, md5(lower(text)) AS fp,
           |substr(md5(lower(text)), 1, 8) AS fp_prefix FROM documents""".stripMargin),
