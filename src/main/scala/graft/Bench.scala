@@ -34,7 +34,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Queue-engine throughput (BASELINE.md harness shape): enqueue /
+    // round-trip / interleaved jobs/s + e2e latency on the real
+    // streaming pipeline.
+    val qb = try QueueBench.run(spark) catch { case _: Throwable => Map.empty[String, Double] }
+    val qbJson = qb.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.api.{DefaultQueueApi, JobSpec}
+import graft.model.PipelineConfig
+import graft.pipeline.{PipelineRunner, WorkerRegistry}
+import graft.store.QueueStore
+import org.apache.spark.sql.SparkSession
+
+/** Queue-engine throughput benchmarks mirroring the reference's Benchee
+  * harness shape (BASELINE.md: 10k jobs, 20 queues, payloads 0.5/1/2.5
+  * kB, dequeue batch 50): enqueue jobs/s, dequeue→dispatch→ack
+  * round-trip jobs/s, interleaved enqueue+consume, and single-job e2e
+  * latency at the streaming trigger. */
+object QueueBench {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  def run(spark: SparkSession, jobs: Int = 10000, queues: Int = 20): Map[String, Double] = {
+    WorkerRegistry.register("BenchWorker", (_, _) => { counter.incrementAndGet(); () })
+
+    def payload(bytes: Int): String = "[\"" + ("x" * bytes) + "\"]"
+
+    // warm the write path once so the first measured size isn't paying
+    // JVM/committer classloading
+    locally {
+      val ws = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+      new DefaultQueueApi(ws).bulkEnqueue("warm", Seq.fill(50)(JobSpec("BenchWorker")))
+    }
+
+    // -- enqueue jobs/s per payload size (concurrent clients, like the
+    // reference's enqueue_concurrency=500 task fan-out) ----------------
+    val enqueueRates = Seq(512, 1024, 2560).map { bytes =>
+      val store = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+      val api = new DefaultQueueApi(store)
+      val spec = JobSpec("BenchWorker", args = payload(bytes))
+      val perQueue = jobs / queues
+      val t0 = System.nanoTime()
+      val threads = (0 until queues).map { q =>
+        new Thread(() => { api.bulkEnqueue(s"q$q", Seq.fill(perQueue)(spec)); () })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      s"enqueue_jobs_per_sec_${bytes}b" -> jobs / dt
+    }
+
+    // -- dequeue → dispatch → ack round-trip ----------------------------
+    val store = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("bench", Seq.fill(jobs)(JobSpec("BenchWorker", args = payload(512))))
+    counter.set(0)
+    val runner = new PipelineRunner(store,
+      PipelineConfig("bench", "bench", maxDemand = 500, pollIntervalMs = 100))
+    val t1 = System.nanoTime()
+    val q = runner.start().get
+    q.processAllAvailable()
+    val dtPipe = (System.nanoTime() - t1) / 1e9
+    val processed = counter.get()
+
+    // -- interleaved enqueue + consume ----------------------------------
+    counter.set(0)
+    val t2 = System.nanoTime()
+    val enqueuer = new Thread(() =>
+      (0 until 10).foreach { _ =>
+        api.bulkEnqueue("bench", Seq.fill(jobs / 10)(JobSpec("BenchWorker", args = payload(512))))
+      })
+    enqueuer.start()
+    enqueuer.join()
+    q.processAllAvailable()
+    val dtInter = (System.nanoTime() - t2) / 1e9
+    val interleaved = counter.get()
+
+    // -- single-job end-to-end latency at the running trigger -----------
+    counter.set(0)
+    val t3 = System.nanoTime()
+    api.enqueue("bench", JobSpec("BenchWorker", args = "[1]"))
+    while (counter.get() < 1 && (System.nanoTime() - t3) < 30e9) Thread.sleep(5)
+    val latencyMs = (System.nanoTime() - t3) / 1e6
+    runner.stop()
+
+    (enqueueRates ++ Seq(
+      "pipeline_jobs_per_sec" -> processed / dtPipe,
+      "interleaved_jobs_per_sec" -> interleaved / dtInter,
+      "e2e_latency_ms" -> latencyMs)).toMap
+  }
+}

@@ -64,7 +64,9 @@ class DefaultQueueApi(store: QueueStore) extends QueueApi {
     import spark.implicits._
     val at = now()
     val events = jobs.map(j => toEvent(queue, j, newJid(), at))
-    store.append(store.queueDir(queue), events.toDF(), Schemas.event)
+    // one file per enqueue batch: preserves FIFO-by-file ordering and
+    // keeps the write a single-task job (driver-local rows)
+    store.append(store.queueDir(queue), events.toDF().coalesce(1), Schemas.event)
     events.map(_.jid)
   }
 

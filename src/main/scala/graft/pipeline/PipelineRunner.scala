@@ -147,8 +147,14 @@ class PipelineRunner(
     val out = outcomes.toDF().cache()
     try {
       val now = new Timestamp(nowMs)
-      // every dispatched job leaves the in-flight set
+      // every dispatched job leaves the in-flight set (this write also
+      // materializes the dispatch into the cache)
       store.tombstone("processing", out.select(col("claim_id")))
+
+      // one action decides the failure path; the happy path does no
+      // further Spark jobs per micro-batch
+      val nFail = out.where(!col("success")).count()
+      if (nFail == 0) return
 
       val failures = out.where(!col("success"))
       val retries = failures.where(col("retry_count") < engine.maxRetries)
@@ -167,15 +173,14 @@ class PipelineRunner(
             round(lit(engine.backoffInitialMs) * col("retry_count") * 1.5),
             lit(engine.backoffMaxMs)).cast("long")))
         .withColumn("kind", lit("retry"))
-      if (!retries.isEmpty)
-        store.append(store.scheduledDir, retryRows, store.scheduledSchema)
+      store.append(store.scheduledDir, retryRows, store.scheduledSchema)
 
       val deadRows = dead
         .withColumn("failed_at", lit(now))
         .withColumn("finished_at", lit(null).cast("timestamp"))
         .withColumn("retried_at", lit(null).cast("timestamp"))
         .withColumn("error_backtrace", lit(null).cast("string"))
-      if (!dead.isEmpty) store.append(store.deadDir, deadRows, store.deadSchema)
+      store.append(store.deadDir, deadRows, store.deadSchema)
     } finally out.unpersist()
   }
 }
