@@ -60,7 +60,7 @@ object ParityQueries {
       "p_due_scan",
       (s, dir) =>
         t(s, dir, "events")
-          .where(expr("ts div 1000") <= lit(DueUs))
+          .where(col("ts") <= lit(DueUs * 1000L + 999L)) // pushable: raw-ns predicate
           .select(
             col("event_id").as("jid"),
             col("event_type").as("queue"),
@@ -74,7 +74,7 @@ object ParityQueries {
       "p_scheduled_promotion",
       (s, dir) =>
         t(s, dir, "events")
-          .where(expr("ts div 1000") <= lit(DueUs))
+          .where(col("ts") <= lit(DueUs * 1000L + 999L)) // pushable: raw-ns predicate
           .groupBy(col("event_type").as("queue"))
           .agg(count("*").as("promoted")),
       Some(
@@ -86,8 +86,8 @@ object ParityQueries {
       "p_window_admission",
       (s, dir) =>
         t(s, dir, "events")
-          .where(expr("ts div 1000") > lit(WinStartUs) &&
-            expr("ts div 1000") <= lit(WinEndUs))
+          .where(col("ts") >= lit((WinStartUs + 1) * 1000L) &&
+            col("ts") <= lit(WinEndUs * 1000L + 999L)) // pushable: raw-ns predicates
           .groupBy(col("event_type").as("queue"))
           .agg(
             count("*").as("in_window"),
@@ -103,8 +103,8 @@ object ParityQueries {
       "p_rate_key_window",
       (s, dir) =>
         t(s, dir, "events")
-          .where(expr("ts div 1000") > lit(WinStartUs) &&
-            expr("ts div 1000") <= lit(WinEndUs))
+          .where(col("ts") >= lit((WinStartUs + 1) * 1000L) &&
+            col("ts") <= lit(WinEndUs * 1000L + 999L)) // pushable: raw-ns predicates
           .groupBy(col("user_id"))
           .agg(count("*").as("n_in_window")),
       Some(
@@ -117,8 +117,8 @@ object ParityQueries {
       "p_visibility_requeue",
       (s, dir) =>
         t(s, dir, "events")
-          .where(expr("ts div 1000") >= lit(VisStartUs) &&
-            expr("ts div 1000") < lit(VisCutUs))
+          .where(col("ts") >= lit(VisStartUs * 1000L) &&
+            col("ts") < lit(VisCutUs * 1000L)) // pushable: raw-ns predicates
           .select(
             col("event_id").as("jid"),
             col("event_type").as("queue"),

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.model.GraftEvent
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over event streams — the Structured Streaming
+  * surface a training-data pipeline needs beyond the queue engine:
+  * watermarked windowed aggregation and cross-batch stateful dedup.
+  *
+  * At 100 TB these are the standard scale paths: windowed aggregation
+  * state is bounded by the watermark (late data beyond it is dropped,
+  * state evicted), and dedup state is per-key (jid), sharded across
+  * executors by the groupByKey shuffle, with a processing-time timeout
+  * bounding state growth.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked sliding-window counts/sums per event_type. Input needs
+    * (ts: timestamp, event_type: string, value: double); works on both
+    * batch and streaming DataFrames. */
+  def windowedCounts(
+      events: DataFrame,
+      window_ : String = "5 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count("*").as("n"), sum(col("value")).as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Cross-micro-batch exact dedup by jid: keeps the first occurrence
+    * ever seen, drops replays (at-least-once delivery → effectively-once
+    * processing). State is one boolean per jid; pass a processing-time
+    * timeout to bound state growth on unbounded streams (a timeout
+    * keeps the query ticking between data batches, so leave it None
+    * for drain-and-stop usage). */
+  def dedupByJid(
+      events: Dataset[GraftEvent],
+      stateTimeout: Option[String] = None): Dataset[GraftEvent] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (stateTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.jid)
+      .flatMapGroupsWithState[Boolean, GraftEvent](OutputMode.Append(), timeoutConf) {
+        (_: String, it: Iterator[GraftEvent], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // replay — drop
+          else {
+            state.update(true)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            it.take(1) // first occurrence wins; duplicates within the batch drop too
+          }
+      }
+  }
+}
