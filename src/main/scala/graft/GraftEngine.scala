@@ -1,0 +1,77 @@
+package graft
+
+import graft.api.{DefaultQueueApi, QueueApi}
+import graft.metrics.{EventHandler, InMemoryEventHandler, Instrumentation, PipelineListener}
+import graft.model.{EngineConfig, PipelineConfig}
+import graft.pipeline.PipelineRunner
+import graft.scheduler.Housekeeper
+import graft.store.QueueStore
+import org.apache.spark.sql.SparkSession
+
+/** The supervision-tree analog (reference: lib/flume/supervisor.ex:17-40
+  * boots Redis pool → scheduler → per-pipeline stages): one engine owns
+  * the state store, the enqueue API, one streaming query per configured
+  * pipeline, the housekeeping scheduler, and telemetry.
+  *
+  * {{{
+  * val engine = GraftEngine(spark, "/data/graft",
+  *   Seq(PipelineConfig("default_pipeline", "default")))
+  * engine.start()
+  * engine.api.enqueue("default", JobSpec("EchoWorker", args = "[1]"))
+  * engine.pauseAll(); engine.resumeAll()   // D1, flume.ex:62-76
+  * engine.stop()
+  * }}}
+  */
+class GraftEngine(
+    val spark: SparkSession,
+    root: String,
+    pipelines: Seq[PipelineConfig],
+    engineConfig: EngineConfig = EngineConfig(),
+    handler: EventHandler = new InMemoryEventHandler) {
+
+  val store = new QueueStore(spark, root)
+  val api: QueueApi = new DefaultQueueApi(store)
+  val housekeeper = new Housekeeper(store,
+    engineConfig.visibilityTimeoutMs)
+  private val runners: Map[String, PipelineRunner] =
+    pipelines.map(c => c.name -> new PipelineRunner(store, c, engineConfig)).toMap
+  private var listener: Option[PipelineListener] = None
+
+  /** Boot: telemetry, housekeeping loop, then every non-paused
+    * pipeline (paused-state restore, pipeline/event.ex:32-39). */
+  def start(): Unit = synchronized {
+    listener = Some(Instrumentation.attach(spark, handler))
+    housekeeper.start(engineConfig.schedulerIntervalMs)
+    runners.values.foreach(_.start())
+  }
+
+  def pause(name: String): Unit = runner(name).pause()
+  def resume(name: String): Unit = runner(name).resume()
+  def pauseAll(): Unit = runners.values.foreach(_.pause())
+  def resumeAll(): Unit = runners.values.foreach(_.resume())
+
+  def jobCounts(): Map[String, Long] =
+    api.jobCounts(pipelines.map(_.queue).distinct)
+  def pendingJobsCount(): Long = api.pendingJobsCount()
+
+  /** Drain-friendly: wait for everything currently enqueued. */
+  def processAllAvailable(): Unit =
+    runners.values.foreach(_.activeQuery.foreach(_.processAllAvailable()))
+
+  def stop(): Unit = synchronized {
+    runners.values.foreach(_.stop())
+    housekeeper.stop()
+    listener.foreach(spark.streams.removeListener)
+    listener = None
+  }
+
+  private def runner(name: String): PipelineRunner =
+    runners.getOrElse(name,
+      throw new NoSuchElementException(s"no pipeline named $name"))
+}
+
+object GraftEngine {
+  def apply(spark: SparkSession, root: String, pipelines: Seq[PipelineConfig],
+      engineConfig: EngineConfig = EngineConfig()): GraftEngine =
+    new GraftEngine(spark, root, pipelines, engineConfig)
+}

@@ -146,6 +146,39 @@ object AnalyticsQueries {
       "Left-anti join (NOT EXISTS)."),
 
     QueryDef(
+      "q_distinct_users",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type").as("queue"))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            count("*").as("n_events")),
+      Some(
+        """SELECT event_type AS queue, COUNT(DISTINCT user_id) AS n_users,
+          |COUNT(*) AS n_events FROM events GROUP BY event_type""".stripMargin),
+      "Distinct aggregation (expand + two-phase hash agg in Spark)."),
+
+    QueryDef(
+      "t_word_counts_salted",
+      (s, dir) => {
+        // two-phase salted aggregation: hot keys (stopwords) are spread
+        // over 16 salt buckets for the first combine, then merged —
+        // identical result to a plain groupBy, skew-proof at 100 TB
+        val words = t(s, dir, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+          .withColumn("salt", (crc32(col("word")) + spark_partition_id()) % 16)
+        words
+          .groupBy("word", "salt").agg(count("*").as("c"))
+          .groupBy("word").agg(sum("c").as("n"))
+          .where(col("n") >= 10)
+      },
+      Some(
+        """SELECT word, COUNT(*) AS n FROM (
+          |SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |GROUP BY word HAVING COUNT(*) >= 10""".stripMargin),
+      "Salted two-phase word count — skew-resistant aggregation pattern."),
+
+    QueryDef(
       "q_user_sessions",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))

@@ -1,0 +1,39 @@
+package graft
+
+import graft.api.JobSpec
+import graft.model.PipelineConfig
+import graft.pipeline.WorkerRegistry
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("engine supervises multiple pipelines: boot, drain, pause_all, resume_all") {
+    Buffers.clear(); WorkerRegistry.clear()
+    WorkerRegistry.register("EchoWorker", (args, _) => { Buffers.echo.add(args); () })
+    val engine = GraftEngine(spark, TestSpark.tmpRoot("engine"),
+      Seq(
+        PipelineConfig("p_high", "high", pollIntervalMs = 100),
+        PipelineConfig("p_low", "low", pollIntervalMs = 100)))
+    engine.start()
+    try {
+      engine.api.bulkEnqueue("high", (1 to 20).map(i => JobSpec("EchoWorker", args = s"[$i]")))
+      engine.api.bulkEnqueue("low", (1 to 5).map(i => JobSpec("EchoWorker", args = s"[l$i]")))
+      engine.processAllAvailable()
+      assert(Buffers.echo.size === 25)
+      assert(engine.jobCounts() === Map("high" -> 0L, "low" -> 0L))
+      assert(engine.pendingJobsCount() === 0)
+
+      engine.pauseAll()
+      engine.api.enqueue("high", JobSpec("EchoWorker", args = "[x]"))
+      Thread.sleep(400) // a few trigger intervals — nothing must consume
+      assert(engine.jobCounts()("high") === 1)
+      assert(Buffers.echo.size === 25)
+
+      engine.resumeAll()
+      engine.processAllAvailable()
+      assert(engine.jobCounts()("high") === 0)
+      assert(Buffers.echo.size === 26)
+    } finally engine.stop()
+  }
+}
