@@ -67,12 +67,33 @@ class QueueStore(val spark: SparkSession, val root: String) {
     if (hasData(dir)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  def append(dir: String, df: DataFrame, schema: StructType): Unit =
-    df.select(schema.fieldNames.map(col).toSeq: _*).write.mode("append").parquet(dir)
+  /** Collision-free append: write to a private staging dir, then move
+    * the part files into the target under fresh unique names (rename is
+    * atomic per file). A direct `mode("append")` is UNSAFE here — the
+    * engine has concurrent writers per directory (multiple pipelines
+    * claiming into `processing/`, enqueuers + housekeeper on a queue
+    * dir) and they would share one `_temporary/0` committer dir, where
+    * one job's cleanup deletes the other's in-flight task files. */
+  def append(dir: String, df: DataFrame, schema: StructType): Unit = {
+    val id = java.util.UUID.randomUUID().toString
+    val staging = s"$root/.staging/$id"
+    df.select(schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(staging)
+    val target = new Path(dir)
+    fs.mkdirs(target)
+    val parts = fs.listStatus(new Path(staging))
+      .filter(f => f.getPath.getName.startsWith("part-"))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f.getPath, new Path(target, s"part-$id-$i.parquet"))
+    }
+    fs.delete(new Path(staging), true)
+  }
 
   /** Append tombstones for the given single-column id DataFrame. */
-  def tombstone(table: String, ids: DataFrame): Unit =
-    ids.toDF("id").write.mode("append").parquet(tombDir(table))
+  def tombstone(table: String, ids: DataFrame): Unit = {
+    val tomb = ids.toDF("id")
+    append(tombDir(table), tomb, tomb.schema.asInstanceOf[StructType])
+  }
 
   /** rows minus tombstones; idCol names the row's tombstone key. */
   def live(dir: String, table: String, schema: StructType, idCol: String): DataFrame = {

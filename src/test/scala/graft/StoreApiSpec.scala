@@ -56,6 +56,23 @@ class StoreApiSpec extends AnyFunSuite {
     assert(spark.read.parquet(store.processingDir).count() === 1)
   }
 
+  test("concurrent writers to one directory never clobber each other") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("conc"))
+    val api = new DefaultQueueApi(store)
+    // 8 threads × 200 rows into the SAME queue dir: a naive
+    // mode(append) shares _temporary/0 and silently loses files
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        (0 until 4).foreach { b =>
+          api.bulkEnqueue("shared", (1 to 50).map(i => JobSpec("W", args = s"[$t,$b,$i]")))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(store.queueRows("shared").count() === 1600)
+    assert(store.queueRows("shared").select("jid").distinct().count() === 1600)
+  }
+
   test("durable pause flag (D1)") {
     val store = new QueueStore(spark, TestSpark.tmpRoot("store"))
     assert(!store.isPaused("p1"))
