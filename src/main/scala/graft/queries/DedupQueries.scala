@@ -164,6 +164,54 @@ object DedupQueries {
       "MinHash LSH band buckets with collisions (near-dup candidates)."),
 
     QueryDef(
+      "dedup_lsh_verified",
+      (s, dir) => {
+        // THE scale pattern end-to-end: MinHash band buckets generate
+        // candidate pairs (4 equi-joins on 32-bit band keys — ids only
+        // shuffle), then exact Jaccard verification touches shingles of
+        // candidate docs ONLY. The corpus² pairwise join never happens.
+        val sig = minhashSig(s, dir).cache()
+        val cand = MinhashBands.map(_._1).map { name =>
+          sig.as("a").join(sig.as("b"),
+            col(s"a.$name") === col(s"b.$name") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        }.reduce(_.unionAll(_)).distinct()
+        val sh = shingleDF(s, dir).cache()
+        val cnt = sh.groupBy("doc_id").agg(count("*").as("n"))
+        val shared = cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count("*").as("shared"))
+        shared
+          .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
+          .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            (col("shared").cast("double") /
+              (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
+          .where(col("jaccard") >= 0.3)
+      },
+      Some(
+        s"""$ShingleCte,
+           |sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id),
+           |cand AS (${MinhashBands.map(_._1).map(name =>
+          s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.$name = b.$name AND a.doc_id < b.doc_id")
+          .mkString("\n UNION \n")}),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |shr AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+           |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+           |  GROUP BY c.doc_a, c.doc_b)
+           |SELECT doc_a, doc_b, shared,
+           |  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+           |FROM shr JOIN cnt ca ON shr.doc_a = ca.doc_id
+           |JOIN cnt cb ON shr.doc_b = cb.doc_id
+           |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3""".stripMargin),
+      "MinHash-LSH candidates + exact Jaccard verification (the scale path)."),
+
+    QueryDef(
       "dedup_simhash",
       (s, dir) => {
         // one md5 prefix per word, then 16 row-local fold columns —
