@@ -122,6 +122,50 @@ object SimilarityQueries {
       "LSH bucket occupancy (8-bit prefix) — skew check for the ANN path."),
 
     QueryDef(
+      "sim_ivf_assign",
+      (s, dir) => {
+        // IVF coarse quantization: assign every vector to its nearest
+        // centroid. Distance via the dot identity |x-c|² = x·x - 2x·c
+        // + c·c so the whole thing runs on the codegen'd graft_dot —
+        // and the oracle can reproduce it term for term. Centroids are
+        // decimal-exact means (same as sim_label_centroid), collected
+        // into dim-ordered arrays and broadcast.
+        graft.functions.VectorFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+        val cents = e
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("label").as("c_label"), (col("pos") + 1).as("dim"))
+          .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") / count("*"))
+            .as("cv"))
+          .groupBy("c_label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("c"))
+        val scored = e.join(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("c_label"),
+            (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
+              dot(col("c"), col("c"))).as("dist2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_label").asc)
+        scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("c_label").as("assigned"), col("dist2"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |cd AS (SELECT label AS c_label, CAST(dim AS INT) AS dim,
+          |  CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cv
+          |  FROM (SELECT label, unnest(range(1, 65)) AS dim,
+          |        unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+          |  GROUP BY label, dim),
+          |cent AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM cd GROUP BY c_label),
+          |scored AS (SELECT vec_id, label, c_label,
+          |  list_dot_product(e, e) - 2.0 * list_dot_product(e, c) + list_dot_product(c, c) AS dist2
+          |  FROM v CROSS JOIN cent)
+          |SELECT vec_id, label, c_label AS assigned, dist2 FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
+          |  FROM scored) WHERE rk = 1""".stripMargin),
+      "IVF coarse assignment: nearest exact-mean centroid per vector."),
+
+    QueryDef(
       "sim_label_centroid",
       (s, dir) =>
         t(s, dir, "embeddings")

@@ -142,6 +142,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     runner.stop()
   }
 
+  test("FIFO: enqueue batches are consumed in file order (E1)") {
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    WorkerRegistry.register("OrderWorker", (args, _) => { order.add(args); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("fifo"))
+    val api = new DefaultQueueApi(store)
+    // three sequential enqueue batches = three files with increasing mtime
+    (1 to 3).foreach { b =>
+      api.bulkEnqueue("fq", Seq(JobSpec("OrderWorker", args = s"[$b]")))
+      Thread.sleep(20) // distinct mtimes
+    }
+    val runner = new PipelineRunner(store,
+      PipelineConfig("fifo_p", "fq", maxDemand = 1, pollIntervalMs = 50))
+    val q = runner.start().get
+    try q.processAllAvailable() finally runner.stop()
+    assert(order.toArray.map(_.toString).toSeq === Seq("[1]", "[2]", "[3]"))
+  }
+
   test("visibility timeout requeues stuck claims (C2)") {
     val store = new QueueStore(spark, TestSpark.tmpRoot("vis"))
     val api = new DefaultQueueApi(store)
