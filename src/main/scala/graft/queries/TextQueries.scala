@@ -30,6 +30,20 @@ object TextQueries {
       "Token counting (whitespace tokenizer) + char-length audit."),
 
     QueryDef(
+      "t_token_bpe",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(filter(split(col("text"), "[^a-z0-9]+"), w => length(w) > 0))
+              .cast("int").as("n_subword_tokens")),
+      Some(
+        """SELECT doc_id,
+          |CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+          |  w -> len(w) > 0)) AS INT) AS n_subword_tokens FROM documents""".stripMargin),
+      "BPE-ish token counting: alphanumeric-run segmentation."),
+
+    QueryDef(
       "t_quality_score",
       (s, dir) =>
         t(s, dir, "documents")
