@@ -41,7 +41,8 @@ case class Outcome(
     context: Map[String, String],
     claim_id: String,
     success: Boolean,
-    error_message: Option[String])
+    error_message: Option[String],
+    error_backtrace: Option[String])
 
 /** One pipeline = one streaming query (reference: lib/flume/pipeline.ex:7-18).
   * maxDemand maps to maxFilesPerTrigger (each enqueue batch is one file);

@@ -166,7 +166,6 @@ class PipelineRunner(
         .withColumn("retried_at", lit(now))
         .withColumn("error_message", col("error_message"))
         .withColumn("finished_at", lit(null).cast("timestamp"))
-        .withColumn("error_backtrace", lit(null).cast("string"))
         .withColumn("sched_id", concat_ws(":", col("jid"), col("retry_count")))
         .withColumn("not_before", timestamp_millis(
           lit(nowMs) + least(
@@ -179,7 +178,6 @@ class PipelineRunner(
         .withColumn("failed_at", lit(now))
         .withColumn("finished_at", lit(null).cast("timestamp"))
         .withColumn("retried_at", lit(null).cast("timestamp"))
-        .withColumn("error_backtrace", lit(null).cast("string"))
       store.append(store.deadDir, deadRows, store.deadSchema)
     } finally out.unpersist()
   }
@@ -194,8 +192,14 @@ object PipelineRunner extends Serializable {
       WorkerRegistry.resolve(e.clazz, e.function)(e.args, e.context)
       e.toOutcome(success = true, None)
     } catch {
-      case t: Throwable => e.toOutcome(success = false, Some(t.toString))
+      case t: Throwable =>
+        e.toOutcome(success = false, Some(t.toString), Some(backtrace(t)))
     }
+
+  /** First frames of the worker failure, like the reference's
+    * error_backtrace field (event.ex:36). */
+  private[pipeline] def backtrace(t: Throwable): String =
+    t.getStackTrace.take(10).mkString("\n")
 
   /** One worker call per chunk; all members succeed or fail together
     * (bulk_event/worker.ex:33-64). */
@@ -206,7 +210,7 @@ object PipelineRunner extends Serializable {
       chunk.map(_.toOutcome(success = true, None))
     } catch {
       case t: Throwable =>
-        chunk.map(_.toOutcome(success = false, Some(t.toString)))
+        chunk.map(_.toOutcome(success = false, Some(t.toString), Some(backtrace(t))))
     }
 }
 
@@ -218,7 +222,8 @@ case class ClaimedEvent(
     retried_at: Option[Timestamp], error_message: Option[String],
     error_backtrace: Option[String], context: Map[String, String],
     claim_id: String) {
-  def toOutcome(success: Boolean, error: Option[String]): Outcome =
+  def toOutcome(success: Boolean, error: Option[String],
+      backtrace: Option[String] = None): Outcome =
     Outcome(clazz, function, queue, jid, args, retry_count, enqueued_at,
-      context, claim_id, success, error)
+      context, claim_id, success, error, backtrace)
 }

@@ -107,8 +107,12 @@ class QueueStore(val spark: SparkSession, val root: String) {
   def liveScheduled: DataFrame = live(scheduledDir, "scheduled", scheduledSchema, "sched_id")
   def liveProcessing: DataFrame = live(processingDir, "processing", processingSchema, "claim_id")
   def deadRows: DataFrame = readOrEmpty(deadDir, deadSchema)
+  /** Distinct claims for a queue — distinct because a replayed micro-
+    * batch re-appends the same deterministic claim_id, which must not
+    * skew the job_counts arithmetic. */
   def rawProcessingCount(q: String): Long =
-    readOrEmpty(processingDir, processingSchema).where(col("queue") === q).count()
+    readOrEmpty(processingDir, processingSchema)
+      .where(col("queue") === q).select("claim_id").distinct().count()
 
   /** Jobs admitted through a rate-limit window (B2's ns:limit ZSET): the
     * window state is durable, rebuilt from processed_at on restart —

@@ -142,6 +142,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     runner.stop()
   }
 
+  test("restart recovery: checkpoint resumes mid-stream without loss or double-count") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    WorkerRegistry.register("RecWorker", (args, _) => { seen.add(args); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("recover"))
+    val api = new DefaultQueueApi(store)
+    // 4 separate enqueue batches = 4 files
+    (1 to 4).foreach(b => api.bulkEnqueue("rcq",
+      (1 to 5).map(i => JobSpec("RecWorker", args = s"[$b,$i]"))))
+
+    // phase 1: consume ONE file, then stop (simulated crash/restart point)
+    val r1 = new PipelineRunner(store,
+      PipelineConfig("rec_p", "rcq", maxDemand = 1, pollIntervalMs = 50))
+    val q1 = r1.start().get
+    val deadline = System.currentTimeMillis() + 30000
+    while (seen.size < 5 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    r1.stop()
+    val afterPhase1 = seen.size
+
+    // phase 2: a NEW runner over the same store + checkpoint finishes
+    val r2 = new PipelineRunner(store,
+      PipelineConfig("rec_p", "rcq", maxDemand = 10, pollIntervalMs = 50))
+    val q2 = r2.start().get
+    try q2.processAllAvailable() finally r2.stop()
+
+    assert(afterPhase1 >= 5 && afterPhase1 < 20) // genuinely mid-stream
+    // at-least-once: every job delivered; a batch interrupted between
+    // dispatch and offset-commit may replay (same as the reference's
+    // two-phase promotion), but state tables stay consistent because
+    // claim ids are deterministic
+    val distinctSeen = seen.toArray.map(_.toString).toSet
+    assert(distinctSeen.size === 20) // no loss
+    assert(seen.size >= 20) // replays allowed, loss is not
+    assert(api.jobCounts(Seq("rcq"))("rcq") === 0) // distinct-claim arithmetic
+    assert(store.liveProcessing.count() === 0)
+    assert(store.deadRows.count() === 0)
+  }
+
+  test("failed jobs carry error backtrace into the retry table (B8)") {
+    WorkerRegistry.register("TraceWorker", (_, _) => throw new IllegalStateException("trace me"))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("trace"))
+    val api = new DefaultQueueApi(store)
+    val runner = new PipelineRunner(store, PipelineConfig("tp", "tq"))
+    api.enqueue("tq", JobSpec("TraceWorker"))
+    runner.processBatch(store.queueRows("tq"), 0)
+    val row = store.liveScheduled.collect().head
+    assert(row.getAs[String]("error_message").contains("trace me"))
+    assert(row.getAs[String]("error_backtrace") != null)
+    assert(row.getAs[String]("error_backtrace").contains("graft"))
+  }
+
   test("FIFO: enqueue batches are consumed in file order (E1)") {
     val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     WorkerRegistry.register("OrderWorker", (args, _) => { order.add(args); () })
