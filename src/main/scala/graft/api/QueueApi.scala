@@ -89,6 +89,32 @@ class DefaultQueueApi(store: QueueStore) extends QueueApi {
     queues.map(q => q -> (store.queueRows(q).count() - store.rawProcessingCount(q))).toMap
 
   def pendingJobsCount(): Long = store.liveProcessing.count()
+
+  /** Interop with the reference's wire format: enqueue raw JSON job
+    * strings (one per element). Lenient decode (EventJson); rows whose
+    * JSON is invalid (null jid) go straight to the dead table instead
+    * of poisoning the queue (worker.ex:43-45 analog). Returns
+    * (queued, dead) counts. */
+  def enqueueRawJson(queue: String, jsons: Seq[String]): (Long, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val decoded = graft.model.EventJson
+      .decode(jsons.toDF("value"), col("value"))
+      .withColumn("queue", coalesce(col("queue"), lit(queue)))
+      .cache()
+    try {
+      val good = decoded.where(col("jid").isNotNull)
+      val bad = decoded.where(col("jid").isNull)
+        .withColumn("jid", org.apache.spark.sql.functions.expr("uuid()"))
+        .withColumn("error_message", lit("invalid job JSON"))
+      val nGood = good.count()
+      val nBad = bad.count()
+      if (nGood > 0)
+        store.append(store.queueDir(queue), good.coalesce(1), Schemas.event)
+      if (nBad > 0) store.append(store.deadDir, bad.coalesce(1), store.deadSchema)
+      (nGood, nBad)
+    } finally { decoded.unpersist(); () }
+  }
 }
 
 /** Test double: records instead of writing (mock_api.ex:1-111 analog). */

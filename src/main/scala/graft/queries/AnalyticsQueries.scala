@@ -146,6 +146,25 @@ object AnalyticsQueries {
       "Left-anti join (NOT EXISTS)."),
 
     QueryDef(
+      "q_value_quantiles",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type").as("queue"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            expr("percentile(value, 0.99)").as("p99"),
+            min("value").as("v_min"),
+            max("value").as("v_max")),
+      Some(
+        """SELECT event_type AS queue,
+          |quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
+          |quantile_cont(value, 0.99) AS p99,
+          |MIN(value) AS v_min, MAX(value) AS v_max
+          |FROM events GROUP BY event_type""".stripMargin),
+      "Exact quantiles (identical linear interpolation in both engines)."),
+
+    QueryDef(
       "q_distinct_users",
       (s, dir) =>
         t(s, dir, "events")

@@ -85,4 +85,20 @@ class Housekeeper(
   }
 
   def stop(): Unit = synchronized { exec.foreach(_.shutdownNow()); exec = None }
+
+  /** Fold tombstones into the processing/scheduled tables when they
+    * outnumber `minTombstones` — keeps the anti-join side broadcastable
+    * over long runs. Call from a quiet period (compaction swaps the
+    * directory out from under concurrent batch readers; the streaming
+    * queue dirs are never compacted). */
+  def compactStateTables(minTombstones: Long = 10000): Unit = {
+    import graft.model.Schemas
+    def tombCount(table: String): Long =
+      store.readOrEmpty(store.tombDir(table),
+        new org.apache.spark.sql.types.StructType().add("id", "string")).count()
+    if (tombCount("processing") >= minTombstones)
+      store.compact(store.processingDir, "processing", store.processingSchema, "claim_id")
+    if (tombCount("scheduled") >= minTombstones)
+      store.compact(store.scheduledDir, "scheduled", store.scheduledSchema, "sched_id")
+  }
 }

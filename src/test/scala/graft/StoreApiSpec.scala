@@ -84,6 +84,43 @@ class StoreApiSpec extends AnyFunSuite {
     assert(!store.isPaused("p1"))
   }
 
+  test("raw JSON enqueue: lenient decode, poison rows go to dead (wire-format interop)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("json"))
+    val api = new DefaultQueueApi(store)
+    val (queued, dead) = api.enqueueRawJson("jq", Seq(
+      """{"class":"W","queue":"jq","jid":"j1","args":[1],"enqueued_at":1514367662}""",
+      """{"class":"W","jid":"j2","args":{"m":1},"enqueued_at":1514367662}""",
+      """garbage"""))
+    assert((queued, dead) === (2L, 1L))
+    assert(store.queueRows("jq").count() === 2)
+    val q = store.queueRows("jq").orderBy("jid").collect()
+    assert(q(1).getAs[String]("queue") === "jq") // missing queue defaulted
+    assert(q(1).getAs[String]("args") === "[]") // map-args coerced
+    val d = store.deadRows.collect()
+    assert(d.length === 1 && d.head.getAs[String]("error_message") === "invalid job JSON")
+  }
+
+  test("housekeeper compaction folds tombstones past the threshold") {
+    import spark.implicits._
+    val store = new QueueStore(spark, TestSpark.tmpRoot("compact2"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("cq", (1 to 20).map(i => JobSpec("W", args = s"[$i]")))
+    val claimed = store.queueRows("cq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+    store.append(store.processingDir, claimed, store.processingSchema)
+    // ack 15 of 20
+    store.tombstone("processing",
+      store.liveProcessing.select("claim_id").orderBy("claim_id").limit(15))
+    assert(store.liveProcessing.count() === 5)
+    val hk = new graft.scheduler.Housekeeper(store)
+    hk.compactStateTables(minTombstones = 100) // below threshold: no-op
+    assert(spark.read.parquet(store.processingDir).count() === 20)
+    hk.compactStateTables(minTombstones = 10) // above: folds
+    assert(spark.read.parquet(store.processingDir).count() === 5)
+    assert(store.liveProcessing.count() === 5)
+  }
+
   test("recording api buffers instead of writing (D6)") {
     val api = new RecordingQueueApi
     api.enqueue("q", JobSpec("W", args = "[1]"))
