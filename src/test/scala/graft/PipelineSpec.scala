@@ -209,6 +209,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(order.toArray.map(_.toString).toSeq === Seq("[1]", "[2]", "[3]"))
   }
 
+  test("housekeeper periodic loop promotes due jobs while running (C1 cadence)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => { Buffers.echo.add(args); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("hkloop"))
+    val api = new DefaultQueueApi(store)
+    api.enqueueIn("hq", 1, graft.api.JobSpec("EchoWorker", args = "[42]")) // due ~now
+    val hk = new Housekeeper(store)
+    hk.start(intervalMs = 200)
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      // promotion is enqueue-then-tombstone (two writes): wait for both
+      while ((store.queueRows("hq").count() == 0 || store.liveScheduled.count() > 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(store.queueRows("hq").count() === 1)
+      assert(store.liveScheduled.count() === 0)
+    } finally hk.stop()
+  }
+
   test("visibility timeout requeues stuck claims (C2)") {
     val store = new QueueStore(spark, TestSpark.tmpRoot("vis"))
     val api = new DefaultQueueApi(store)
