@@ -65,6 +65,11 @@ case class MinHashBands(child: Expression, offsets: Seq[Int], width: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // an EMPTY shingle array yields null even when the input is
+  // non-nullable; without this the optimizer would prune the callers'
+  // isNotNull filters
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

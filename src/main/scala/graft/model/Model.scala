@@ -73,6 +73,14 @@ case class EngineConfig(
 object Backoff {
   def nextDelayMs(retryCount: Int, initialMs: Long = 500, maxMs: Long = 10000): Long =
     math.min(math.round(initialMs.toDouble * retryCount * 1.5), maxMs)
+
+  /** The same formula as a Column, so the pipeline's retry path and the
+    * tested scalar helper cannot drift (ROUND is HALF_UP in both). */
+  def delayMsCol(retryCount: org.apache.spark.sql.Column,
+      initialMs: Long, maxMs: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    least(round(lit(initialMs) * retryCount * 1.5), lit(maxMs)).cast("long")
+  }
 }
 
 object Schemas {

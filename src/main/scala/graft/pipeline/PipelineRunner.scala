@@ -87,31 +87,45 @@ class PipelineRunner(
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val nowMs = System.currentTimeMillis()
-    val admitted = admit(batch, nowMs)
-    val claimed = claim(admitted, batchId, nowMs)
-    val outcomes = dispatch(claimed)
-    writeOutcomes(outcomes, nowMs)
+    val admitted = admit(batch, batchId, nowMs)
+    try {
+      val claimed = claim(admitted, batchId, nowMs)
+      val outcomes = dispatch(claimed)
+      writeOutcomes(outcomes, nowMs)
+    } finally admitted.unpersist() // no-op when admit didn't cache
   }
 
   /** B2: sliding-window admission. Deterministic split (sort by
-    * enqueued_at, jid) so replays admit the same rows. */
-  private def admit(batch: DataFrame, nowMs: Long): DataFrame =
+    * enqueued_at, jid) and deterministic admission ids (jid:batchId) so
+    * a replayed micro-batch re-logs the same window entries instead of
+    * double-counting them. Deferred rows are accounted as
+    * claim-and-instant-requeue — the same move C2 uses — so the
+    * job_counts arithmetic (queue rows minus claims) stays exact. */
+  private def admit(batch: DataFrame, batchId: Long, nowMs: Long): DataFrame =
     (cfg.rateLimitCount, cfg.rateLimitScaleMs) match {
       case (Some(limit), Some(scale)) =>
         val consumed = store.limitCountSince(cfg.limitKey, nowMs - scale)
         val allowed = math.max(0L, limit - consumed)
         val total = batch.count()
+        def admissionIds(df: DataFrame) =
+          df.select(concat_ws(":", col("jid"), lit(batchId)).as("id"))
         if (allowed >= total) {
-          store.limitLogAppend(cfg.limitKey, total, new Timestamp(nowMs))
+          store.limitLogAppend(cfg.limitKey, admissionIds(batch), new Timestamp(nowMs))
           batch
         } else {
           val adm = batch.orderBy(col("enqueued_at"), col("jid")).limit(allowed.toInt).cache()
-          val admN = adm.count()
           val deferred = batch.join(broadcast(adm.select("jid")), Seq("jid"), "left_anti")
-          // deferred rows go back to the queue tail (fresh file, re-read
-          // on a later trigger once the window frees up)
+          // deferral = claim + instant requeue: the consumed source rows
+          // get (already-acked) claim markers and fresh queue-tail
+          // copies, keeping backlog arithmetic exact while the rows wait
+          // for the window to free up
+          val marker = deferred
+            .withColumn("claim_id", concat_ws(":", col("jid"), lit(batchId), lit("d")))
+            .withColumn("claimed_at", lit(new Timestamp(nowMs)))
+          store.append(store.processingDir, marker, store.processingSchema)
+          store.tombstone("processing", marker.select(col("claim_id")))
           store.append(store.queueDir(cfg.queue), deferred, Schemas.event)
-          store.limitLogAppend(cfg.limitKey, admN, new Timestamp(nowMs))
+          store.limitLogAppend(cfg.limitKey, admissionIds(adm), new Timestamp(nowMs))
           adm
         }
       case _ => batch
@@ -167,10 +181,8 @@ class PipelineRunner(
         .withColumn("error_message", col("error_message"))
         .withColumn("finished_at", lit(null).cast("timestamp"))
         .withColumn("sched_id", concat_ws(":", col("jid"), col("retry_count")))
-        .withColumn("not_before", timestamp_millis(
-          lit(nowMs) + least(
-            round(lit(engine.backoffInitialMs) * col("retry_count") * 1.5),
-            lit(engine.backoffMaxMs)).cast("long")))
+        .withColumn("not_before", timestamp_millis(lit(nowMs) +
+          Backoff.delayMsCol(col("retry_count"), engine.backoffInitialMs, engine.backoffMaxMs)))
         .withColumn("kind", lit("retry"))
       store.append(store.scheduledDir, retryRows, store.scheduledSchema)
 

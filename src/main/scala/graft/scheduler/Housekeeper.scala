@@ -78,7 +78,11 @@ class Housekeeper(
         val t = new Thread(r, "graft-housekeeper"); t.setDaemon(true); t
       })
       e.scheduleWithFixedDelay(() => {
-        try tick() catch { case _: Throwable => () } // keep the loop alive
+        // keep the loop alive on transient failures, but never hide them
+        try tick() catch {
+          case scala.util.control.NonFatal(t) =>
+            System.err.println(s"[graft-housekeeper] tick failed: $t")
+        }
       }, intervalMs, intervalMs, TimeUnit.MILLISECONDS)
       exec = Some(e)
     }
@@ -90,14 +94,15 @@ class Housekeeper(
     * outnumber `minTombstones` — keeps the anti-join side broadcastable
     * over long runs. Call from a quiet period (compaction swaps the
     * directory out from under concurrent batch readers; the streaming
-    * queue dirs are never compacted). */
+    * queue dirs are never compacted). The processing table goes through
+    * compactProcessing, which preserves the folded-claim counters that
+    * job_counts depends on. */
   def compactStateTables(minTombstones: Long = 10000): Unit = {
-    import graft.model.Schemas
     def tombCount(table: String): Long =
       store.readOrEmpty(store.tombDir(table),
         new org.apache.spark.sql.types.StructType().add("id", "string")).count()
     if (tombCount("processing") >= minTombstones)
-      store.compact(store.processingDir, "processing", store.processingSchema, "claim_id")
+      store.compactProcessing()
     if (tombCount("scheduled") >= minTombstones)
       store.compact(store.scheduledDir, "scheduled", store.scheduledSchema, "sched_id")
   }

@@ -43,7 +43,8 @@ class QueueStore(val spark: SparkSession, val root: String) {
     .add("claim_id", StringType).add("claimed_at", "timestamp")
   val deadSchema: StructType = Schemas.event
   private val tombSchema = new StructType().add("id", StringType)
-  private val limitSchema = new StructType().add("processed_at", "timestamp")
+  private val limitSchema =
+    new StructType().add("id", StringType).add("processed_at", "timestamp")
 
   def queueDir(q: String): String = s"$root/queue/$q"
   def scheduledDir: String = s"$root/scheduled"
@@ -109,23 +110,36 @@ class QueueStore(val spark: SparkSession, val root: String) {
   def deadRows: DataFrame = readOrEmpty(deadDir, deadSchema)
   /** Distinct claims for a queue — distinct because a replayed micro-
     * batch re-appends the same deterministic claim_id, which must not
-    * skew the job_counts arithmetic. */
-  def rawProcessingCount(q: String): Long =
-    readOrEmpty(processingDir, processingSchema)
+    * skew the job_counts arithmetic. Includes the per-queue folded-claim
+    * counters that compaction leaves behind (see compactProcessing), so
+    * job_counts survives compaction. */
+  def rawProcessingCount(q: String): Long = {
+    val liveClaims = readOrEmpty(processingDir, processingSchema)
       .where(col("queue") === q).select("claim_id").distinct().count()
+    val folded = readOrEmpty(consumedDir, consumedSchema)
+      .where(col("queue") === q)
+      .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+    liveClaims + folded
+  }
 
-  /** Jobs admitted through a rate-limit window (B2's ns:limit ZSET): the
-    * window state is durable, rebuilt from processed_at on restart —
+  private val consumedSchema =
+    new StructType().add("queue", StringType).add("n", "long")
+  def consumedDir: String = s"$root/consumed"
+
+  /** Jobs admitted through a rate-limit window (B2's ns:limit ZSET).
+    * Rows carry the deterministic claim id of the admission, so a
+    * REPLAYED micro-batch re-appends the same ids and the distinct
+    * count — the window state — is unchanged (replay-idempotent,
+    * unlike a bare row count). Durable: rebuilt from disk on restart
     * exactly as the reference rebuilds from the limit ZSET. */
-  def limitLogAppend(key: String, n: Long, at: Timestamp): Unit = {
-    if (n > 0) {
-      import spark.implicits._
-      append(limitDir(key), Seq.fill(n.toInt)(at).toDF("processed_at"), limitSchema)
-    }
+  def limitLogAppend(key: String, admissionIds: DataFrame, at: Timestamp): Unit = {
+    val rows = admissionIds.toDF("id").withColumn("processed_at", lit(at))
+    append(limitDir(key), rows, limitSchema)
   }
   def limitCountSince(key: String, sinceMs: Long): Long =
     readOrEmpty(limitDir(key), limitSchema)
-      .where(col("processed_at") > new Timestamp(sinceMs)).count()
+      .where(col("processed_at") > new Timestamp(sinceMs))
+      .select("id").distinct().count()
 
   // -- durable pause flag (pipeline/event.ex:41-55) -----------------------
   def setPaused(name: String, paused: Boolean): Unit =
@@ -133,14 +147,50 @@ class QueueStore(val spark: SparkSession, val root: String) {
     else fs.delete(pausedFlag(name), false)
   def isPaused(name: String): Boolean = fs.exists(pausedFlag(name))
 
-  /** Fold tombstones into the row files: rewrite live rows to a fresh
-    * directory and atomically swap it in, then drop the tombstones. */
+  /** Fold tombstones into the row files. Crash-safe swap: the old dir
+    * is renamed ASIDE (never deleted before the new data is in place),
+    * so every crash point leaves a readable table — `recoverCompaction`
+    * (run on entry) rolls an interrupted swap back/forward. */
   def compact(dir: String, table: String, schema: StructType, idCol: String): Unit = {
+    recoverCompaction(dir)
     val tmp = s"$dir.compact.tmp"
+    val old = s"$dir.compact.old"
     fs.delete(new Path(tmp), true)
     live(dir, table, schema, idCol).write.mode("overwrite").parquet(tmp)
-    fs.delete(new Path(dir), true)
+    fs.rename(new Path(dir), new Path(old)) // aside, not deleted
     fs.rename(new Path(tmp), new Path(dir))
     fs.delete(new Path(tombDir(table)), true)
+    fs.delete(new Path(old), true)
+  }
+
+  /** Heal an interrupted compact(): if the table dir is missing, the
+    * aside copy (old state + its tombstones, still on disk) is moved
+    * back; a finished-but-uncleaned swap just drops the leftovers. */
+  def recoverCompaction(dir: String): Unit = {
+    val d = new Path(dir)
+    val old = new Path(s"$dir.compact.old")
+    if (!fs.exists(d) && fs.exists(old)) fs.rename(old, d)
+    fs.delete(new Path(s"$dir.compact.tmp"), true)
+    if (fs.exists(d)) fs.delete(old, true)
+  }
+
+  /** Compact the processing table WITHOUT losing the claim history that
+    * job_counts arithmetically depends on: folded (acked) claim counts
+    * are preserved per queue in a tiny counter table before the rows
+    * are dropped. */
+  def compactProcessing(): Unit = {
+    recoverCompaction(processingDir)
+    val raw = readOrEmpty(processingDir, processingSchema)
+      .select("queue", "claim_id").distinct()
+      .groupBy("queue").agg(count("*").as("n_raw"))
+    val liveC = liveProcessing
+      .select("queue", "claim_id").distinct()
+      .groupBy("queue").agg(count("*").as("n_live"))
+    val folded = raw.join(liveC, Seq("queue"), "left")
+      .select(col("queue"),
+        (col("n_raw") - coalesce(col("n_live"), lit(0L))).as("n"))
+      .where(col("n") > 0)
+    append(consumedDir, folded, consumedSchema)
+    compact(processingDir, "processing", processingSchema, "claim_id")
   }
 }

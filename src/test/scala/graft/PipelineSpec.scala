@@ -93,6 +93,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(Buffers.echo.size === 10) // admitted = limit
     // deferred 15 re-appended to the queue tail
     assert(store.queueRows("lim").count() === 40)
+    // deferral is claim+instant-requeue, so backlog arithmetic is exact:
+    // 15 deferred jobs genuinely pending
+    assert(api.jobCounts(Seq("lim"))("lim") === 15)
     // durable window state: a fresh store (≈ restart) counts the same
     val fresh = new QueueStore(spark, store.root)
     assert(fresh.limitCountSince("shared", System.currentTimeMillis() - 60000) === 10)

@@ -113,12 +113,33 @@ class StoreApiSpec extends AnyFunSuite {
     store.tombstone("processing",
       store.liveProcessing.select("claim_id").orderBy("claim_id").limit(15))
     assert(store.liveProcessing.count() === 5)
+    assert(api.jobCounts(Seq("cq"))("cq") === 0) // all 20 claimed
     val hk = new graft.scheduler.Housekeeper(store)
     hk.compactStateTables(minTombstones = 100) // below threshold: no-op
     assert(spark.read.parquet(store.processingDir).count() === 20)
     hk.compactStateTables(minTombstones = 10) // above: folds
     assert(spark.read.parquet(store.processingDir).count() === 5)
     assert(store.liveProcessing.count() === 5)
+    // the folded claim history must survive compaction: backlog stays 0
+    assert(api.jobCounts(Seq("cq"))("cq") === 0)
+  }
+
+  test("interrupted compaction is recoverable (crash-safe swap)") {
+    import spark.implicits._
+    val store = new QueueStore(spark, TestSpark.tmpRoot("crash"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("xq", (1 to 5).map(i => JobSpec("W", args = s"[$i]")))
+    val claimed = store.queueRows("xq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+    store.append(store.processingDir, claimed, store.processingSchema)
+    // simulate a crash mid-swap: table dir renamed aside, new dir absent
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(store.processingDir),
+      new org.apache.hadoop.fs.Path(store.processingDir + ".compact.old"))
+    assert(store.liveProcessing.count() === 0) // table looks gone...
+    store.recoverCompaction(store.processingDir)
+    assert(store.liveProcessing.count() === 5) // ...but nothing was lost
   }
 
   test("recording api buffers instead of writing (D6)") {
