@@ -129,6 +129,29 @@ object ParityQueries {
       "C2 visibility-timeout scan: in-flight jobs claimed > 600s ago."),
 
     QueryDef(
+      "p_queue_head",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("pos", row_number().over(w))
+          .where(col("pos") <= 10)
+          .select(
+            col("event_type").as("queue"),
+            col("pos").cast("int").as("pos"),
+            col("event_id").as("jid"),
+            expr("ts div 1000").as("enqueued_us"))
+      },
+      Some(
+        """SELECT event_type AS queue, CAST(pos AS INT) AS pos, event_id AS jid,
+          |epoch_us(ts) AS enqueued_us FROM (
+          |SELECT event_type, event_id, ts,
+          |ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+          |FROM events) WHERE pos <= 10""".stripMargin),
+      "E1 queue peek: LRANGE 0 n-1 — the next jobs each queue will serve."),
+
+    QueryDef(
       "p_retry_histogram",
       (s, dir) =>
         t(s, dir, "events")
