@@ -40,7 +40,7 @@ object Bench {
     val qb = try QueueBench.run(spark) catch { case _: Throwable => Map.empty[String, Double] }
     val qbJson = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val hw = s""""hardware":{"cpus":$cpus,"maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
+    val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,$hw,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -88,7 +88,10 @@ class DefaultQueueApi(store: QueueStore) extends QueueApi {
   def jobCounts(queues: Seq[String]): Map[String, Long] =
     queues.map(q => q -> (store.queueRows(q).count() - store.rawProcessingCount(q))).toMap
 
-  def pendingJobsCount(): Long = store.liveProcessing.count()
+  // distinct: merge-style compaction recovery may leave duplicate rows
+  // for the same claim, which must not inflate the in-flight gauge
+  def pendingJobsCount(): Long =
+    store.liveProcessing.select("claim_id").distinct().count()
 
   /** Interop with the reference's wire format: enqueue raw JSON job
     * strings (one per element). Lenient decode (EventJson); rows whose

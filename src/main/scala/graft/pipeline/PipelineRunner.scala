@@ -95,37 +95,54 @@ class PipelineRunner(
     } finally admitted.unpersist() // no-op when admit didn't cache
   }
 
-  /** B2: sliding-window admission. Deterministic split (sort by
-    * enqueued_at, jid) and deterministic admission ids (jid:batchId) so
-    * a replayed micro-batch re-logs the same window entries instead of
-    * double-counting them. Deferred rows are accounted as
-    * claim-and-instant-requeue — the same move C2 uses — so the
-    * job_counts arithmetic (queue rows minus claims) stays exact. */
+  /** B2: sliding-window admission.
+    *
+    *  - Replay-aware: the window count EXCLUDES ids from this batch's
+    *    own earlier attempt (ids are jid:batchId), so a replayed
+    *    micro-batch recomputes the same split instead of counting its
+    *    crashed attempt as foreign consumption; re-logging the same
+    *    ids is a distinct-count no-op.
+    *  - Back-pressure, not churn: a closed window BLOCKS (bounded by
+    *    one scale period — entries must expire by then) instead of
+    *    rewriting the whole batch every trigger; this is the analog of
+    *    the reference's locked-queue re-poll (producer.ex:174-178).
+    *  - Whatever still overflows is deferred as claim-and-instant-
+    *    requeue — the same move C2 uses — so the job_counts arithmetic
+    *    (queue rows minus claims) stays exact.
+    *  - Deterministic split (sort by enqueued_at, jid). */
   private def admit(batch: DataFrame, batchId: Long, nowMs: Long): DataFrame =
     (cfg.rateLimitCount, cfg.rateLimitScaleMs) match {
       case (Some(limit), Some(scale)) =>
-        val consumed = store.limitCountSince(cfg.limitKey, nowMs - scale)
-        val allowed = math.max(0L, limit - consumed)
+        val ownSuffix = Some(s":$batchId")
+        def allowedNow(): Long = math.max(0L,
+          limit - store.limitCountSince(cfg.limitKey,
+            System.currentTimeMillis() - scale, ownSuffix))
+        var allowed = allowedNow()
         val total = batch.count()
+        val waitDeadline = nowMs + scale
+        while (allowed <= 0 && System.currentTimeMillis() < waitDeadline) {
+          Thread.sleep(math.min(100L, scale))
+          allowed = allowedNow()
+        }
+        val at = new Timestamp(System.currentTimeMillis())
         def admissionIds(df: DataFrame) =
           df.select(concat_ws(":", col("jid"), lit(batchId)).as("id"))
         if (allowed >= total) {
-          store.limitLogAppend(cfg.limitKey, admissionIds(batch), new Timestamp(nowMs))
+          store.limitLogAppend(cfg.limitKey, admissionIds(batch), at)
           batch
         } else {
-          val adm = batch.orderBy(col("enqueued_at"), col("jid")).limit(allowed.toInt).cache()
+          val adm = batch.orderBy(col("enqueued_at"), col("jid"))
+            .limit(allowed.toInt).cache()
           val deferred = batch.join(broadcast(adm.select("jid")), Seq("jid"), "left_anti")
-          // deferral = claim + instant requeue: the consumed source rows
-          // get (already-acked) claim markers and fresh queue-tail
-          // copies, keeping backlog arithmetic exact while the rows wait
-          // for the window to free up
           val marker = deferred
             .withColumn("claim_id", concat_ws(":", col("jid"), lit(batchId), lit("d")))
-            .withColumn("claimed_at", lit(new Timestamp(nowMs)))
+            .withColumn("claimed_at", lit(at))
           store.append(store.processingDir, marker, store.processingSchema)
-          store.tombstone("processing", marker.select(col("claim_id")))
+          store.tombstone("processing",
+            marker.select(col("claim_id").as("id"), col("queue")))
           store.append(store.queueDir(cfg.queue), deferred, Schemas.event)
-          store.limitLogAppend(cfg.limitKey, admissionIds(adm), new Timestamp(nowMs))
+          if (allowed > 0)
+            store.limitLogAppend(cfg.limitKey, admissionIds(adm), at)
           adm
         }
       case _ => batch
@@ -162,8 +179,10 @@ class PipelineRunner(
     try {
       val now = new Timestamp(nowMs)
       // every dispatched job leaves the in-flight set (this write also
-      // materializes the dispatch into the cache)
-      store.tombstone("processing", out.select(col("claim_id")))
+      // materializes the dispatch into the cache); the (id, queue)
+      // tombstone is the durable acked-claim record for job_counts
+      store.tombstone("processing",
+        out.select(col("claim_id").as("id"), col("queue")))
 
       // one action decides the failure path; the happy path does no
       // further Spark jobs per micro-batch

@@ -67,7 +67,8 @@ class Housekeeper(
         store.append(store.queueDir(q), stuck.where(col("queue") === q), Schemas.event)
       }
       val n = stuck.count()
-      if (n > 0) store.tombstone("processing", stuck.select(col("claim_id")))
+      if (n > 0) store.tombstone("processing",
+        stuck.select(col("claim_id").as("id"), col("queue")))
       n
     } finally stuck.unpersist()
   }
@@ -78,10 +79,14 @@ class Housekeeper(
         val t = new Thread(r, "graft-housekeeper"); t.setDaemon(true); t
       })
       e.scheduleWithFixedDelay(() => {
-        // keep the loop alive on transient failures, but never hide them
+        // keep the loop alive and never hide failures: anything that
+        // escapes would make scheduleWithFixedDelay silently cancel all
+        // future ticks. InterruptedException means shutdownNow — exit.
         try tick() catch {
-          case scala.util.control.NonFatal(t) =>
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case t: Throwable =>
             System.err.println(s"[graft-housekeeper] tick failed: $t")
+            t.printStackTrace()
         }
       }, intervalMs, intervalMs, TimeUnit.MILLISECONDS)
       exec = Some(e)

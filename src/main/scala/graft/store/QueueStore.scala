@@ -42,7 +42,11 @@ class QueueStore(val spark: SparkSession, val root: String) {
   val processingSchema: StructType = Schemas.event
     .add("claim_id", StringType).add("claimed_at", "timestamp")
   val deadSchema: StructType = Schemas.event
-  private val tombSchema = new StructType().add("id", StringType)
+  // tombstones carry the queue so acked-claim history stays queryable
+  // per queue even after the row files are compacted away (null for
+  // tables that don't need it)
+  private val tombSchema =
+    new StructType().add("id", StringType).add("queue", StringType)
   private val limitSchema =
     new StructType().add("id", StringType).add("processed_at", "timestamp")
 
@@ -90,10 +94,13 @@ class QueueStore(val spark: SparkSession, val root: String) {
     fs.delete(new Path(staging), true)
   }
 
-  /** Append tombstones for the given single-column id DataFrame. */
+  /** Append tombstones: first column is the id; an optional `queue`
+    * column is preserved (processing claims), else stored null. */
   def tombstone(table: String, ids: DataFrame): Unit = {
-    val tomb = ids.toDF("id")
-    append(tombDir(table), tomb, tomb.schema.asInstanceOf[StructType])
+    val base =
+      if (ids.columns.contains("queue")) ids.select(col(ids.columns.head).as("id"), col("queue"))
+      else ids.select(col(ids.columns.head).as("id"), lit(null).cast(StringType).as("queue"))
+    append(tombDir(table), base, tombSchema)
   }
 
   /** rows minus tombstones; idCol names the row's tombstone key. */
@@ -108,23 +115,19 @@ class QueueStore(val spark: SparkSession, val root: String) {
   def liveScheduled: DataFrame = live(scheduledDir, "scheduled", scheduledSchema, "sched_id")
   def liveProcessing: DataFrame = live(processingDir, "processing", processingSchema, "claim_id")
   def deadRows: DataFrame = readOrEmpty(deadDir, deadSchema)
-  /** Distinct claims for a queue — distinct because a replayed micro-
-    * batch re-appends the same deterministic claim_id, which must not
-    * skew the job_counts arithmetic. Includes the per-queue folded-claim
-    * counters that compaction leaves behind (see compactProcessing), so
-    * job_counts survives compaction. */
+  /** Distinct claims ever made for a queue. Distinct, because a
+    * replayed micro-batch re-appends the same deterministic claim_id;
+    * and a UNION of row claims with tombstoned claim ids, because
+    * compaction drops acked rows but KEEPS the processing tombstones
+    * (compactProcessing) — the id+queue tombstone is the durable record
+    * of the ack, so job_counts survives compaction idempotently. */
   def rawProcessingCount(q: String): Long = {
-    val liveClaims = readOrEmpty(processingDir, processingSchema)
-      .where(col("queue") === q).select("claim_id").distinct().count()
-    val folded = readOrEmpty(consumedDir, consumedSchema)
-      .where(col("queue") === q)
-      .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
-    liveClaims + folded
+    val rowClaims = readOrEmpty(processingDir, processingSchema)
+      .where(col("queue") === q).select(col("claim_id").as("id"))
+    val tombClaims = readOrEmpty(tombDir("processing"), tombSchema)
+      .where(col("queue") === q).select(col("id"))
+    rowClaims.unionAll(tombClaims).distinct().count()
   }
-
-  private val consumedSchema =
-    new StructType().add("queue", StringType).add("n", "long")
-  def consumedDir: String = s"$root/consumed"
 
   /** Jobs admitted through a rate-limit window (B2's ns:limit ZSET).
     * Rows carry the deterministic claim id of the admission, so a
@@ -136,10 +139,20 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val rows = admissionIds.toDF("id").withColumn("processed_at", lit(at))
     append(limitDir(key), rows, limitSchema)
   }
-  def limitCountSince(key: String, sinceMs: Long): Long =
-    readOrEmpty(limitDir(key), limitSchema)
+  /** Window consumption since `sinceMs`. `excludeIdSuffix` lets a
+    * replayed micro-batch ignore its OWN previous attempt's entries
+    * (ids end in :batchId), so replays recompute the same admission
+    * split instead of counting themselves as foreign consumption. */
+  def limitCountSince(key: String, sinceMs: Long,
+      excludeIdSuffix: Option[String] = None): Long = {
+    val base = readOrEmpty(limitDir(key), limitSchema)
       .where(col("processed_at") > new Timestamp(sinceMs))
-      .select("id").distinct().count()
+    val scoped = excludeIdSuffix match {
+      case Some(sfx) => base.where(!col("id").endsWith(sfx))
+      case None => base
+    }
+    scoped.select("id").distinct().count()
+  }
 
   // -- durable pause flag (pipeline/event.ex:41-55) -----------------------
   def setPaused(name: String, paused: Boolean): Unit =
@@ -149,9 +162,13 @@ class QueueStore(val spark: SparkSession, val root: String) {
 
   /** Fold tombstones into the row files. Crash-safe swap: the old dir
     * is renamed ASIDE (never deleted before the new data is in place),
-    * so every crash point leaves a readable table — `recoverCompaction`
-    * (run on entry) rolls an interrupted swap back/forward. */
-  def compact(dir: String, table: String, schema: StructType, idCol: String): Unit = {
+    * so every crash point leaves a recoverable table — see
+    * `recoverCompaction`, which runs on store construction and on
+    * entry here. Order matters: the aside copy is removed BEFORE the
+    * tombstones, so a merge-recovery always still has the tombstones
+    * it needs to re-suppress resurrected rows. */
+  def compact(dir: String, table: String, schema: StructType, idCol: String,
+      keepTombstones: Boolean = false): Unit = {
     recoverCompaction(dir)
     val tmp = s"$dir.compact.tmp"
     val old = s"$dir.compact.old"
@@ -159,38 +176,46 @@ class QueueStore(val spark: SparkSession, val root: String) {
     live(dir, table, schema, idCol).write.mode("overwrite").parquet(tmp)
     fs.rename(new Path(dir), new Path(old)) // aside, not deleted
     fs.rename(new Path(tmp), new Path(dir))
-    fs.delete(new Path(tombDir(table)), true)
     fs.delete(new Path(old), true)
+    if (!keepTombstones) fs.delete(new Path(tombDir(table)), true)
   }
 
-  /** Heal an interrupted compact(): if the table dir is missing, the
-    * aside copy (old state + its tombstones, still on disk) is moved
-    * back; a finished-but-uncleaned swap just drops the leftovers. */
+  /** Heal an interrupted compact():
+    *  - table dir missing, aside present → swap never completed: move
+    *    the aside copy back (nothing was lost);
+    *  - both present → crash between swap and cleanup: MERGE the aside
+    *    part files back in (duplicates are harmless — ids are
+    *    deterministic, consumers are distinct/anti-join based, and the
+    *    tombstones still exist at this crash point);
+    *  - leftover tmp is always discarded.
+    * Never deletes the aside copy while the table dir might have been
+    * recreated empty by a later append. */
   def recoverCompaction(dir: String): Unit = {
     val d = new Path(dir)
     val old = new Path(s"$dir.compact.old")
-    if (!fs.exists(d) && fs.exists(old)) fs.rename(old, d)
+    if (fs.exists(old)) {
+      if (!fs.exists(d)) fs.rename(old, d)
+      else {
+        fs.listStatus(old).filter(_.getPath.getName.startsWith("part-"))
+          .foreach { f =>
+            fs.rename(f.getPath, new Path(d, s"part-recovered-${f.getPath.getName}"))
+          }
+        fs.delete(old, true)
+      }
+    }
     fs.delete(new Path(s"$dir.compact.tmp"), true)
-    if (fs.exists(d)) fs.delete(old, true)
   }
 
-  /** Compact the processing table WITHOUT losing the claim history that
-    * job_counts arithmetically depends on: folded (acked) claim counts
-    * are preserved per queue in a tiny counter table before the rows
-    * are dropped. */
-  def compactProcessing(): Unit = {
-    recoverCompaction(processingDir)
-    val raw = readOrEmpty(processingDir, processingSchema)
-      .select("queue", "claim_id").distinct()
-      .groupBy("queue").agg(count("*").as("n_raw"))
-    val liveC = liveProcessing
-      .select("queue", "claim_id").distinct()
-      .groupBy("queue").agg(count("*").as("n_live"))
-    val folded = raw.join(liveC, Seq("queue"), "left")
-      .select(col("queue"),
-        (col("n_raw") - coalesce(col("n_live"), lit(0L))).as("n"))
-      .where(col("n") > 0)
-    append(consumedDir, folded, consumedSchema)
-    compact(processingDir, "processing", processingSchema, "claim_id")
-  }
+  /** Compact the processing table, KEEPING its tombstones: the
+    * (claim_id, queue) tombstone is the durable acked-claim record that
+    * rawProcessingCount/job_counts rely on after the rows are gone.
+    * Correct only when processing tombstones carry their queue — all
+    * engine write paths do; ad-hoc callers must too. */
+  def compactProcessing(): Unit =
+    compact(processingDir, "processing", processingSchema, "claim_id",
+      keepTombstones = true)
+
+  // heal any compaction interrupted by a crash in a previous process
+  recoverCompaction(processingDir)
+  recoverCompaction(scheduledDir)
 }

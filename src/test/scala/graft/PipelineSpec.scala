@@ -99,11 +99,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     // durable window state: a fresh store (≈ restart) counts the same
     val fresh = new QueueStore(spark, store.root)
     assert(fresh.limitCountSince("shared", System.currentTimeMillis() - 60000) === 10)
-    // window exhausted → second batch admits nothing
-    val remaining = store.queueRows("lim")
-      .join(store.liveProcessing.select("jid"), Seq("jid"), "left_anti")
-    runner.processBatch(remaining, 1)
-    assert(Buffers.echo.size === 10)
+    // replay-awareness: from batch 0's own perspective the window is
+    // still open (its own entries are excluded)
+    assert(fresh.limitCountSince("shared",
+      System.currentTimeMillis() - 60000, Some(":0")) === 0)
+  }
+
+  test("closed rate window applies back-pressure, then drains to exactly-once per job (B2 pacing)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => Buffers.echo.add(args))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("pace"))
+    val api = new DefaultQueueApi(store)
+    // 10 jobs per 1.5s window; 25 jobs need ~3 windows via the real
+    // streaming query (the closed window blocks the trigger — flume's
+    // locked-queue re-poll analog)
+    val runner = new PipelineRunner(store,
+      PipelineConfig("pp2", "pace", rateLimitCount = Some(10),
+        rateLimitScaleMs = Some(1500), pollIntervalMs = 100))
+    api.bulkEnqueue("pace", (1 to 25).map(i => JobSpec("EchoWorker", args = s"[p$i]")))
+    val q = runner.start().get
+    val t0 = System.currentTimeMillis()
+    val deadline = t0 + 60000
+    while (Buffers.echo.size < 25 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    Thread.sleep(300)
+    runner.stop()
+    val all = Buffers.echo.toArray.map(_.toString)
+    assert(all.length === 25) // every job exactly once — no double dispatch
+    assert(all.toSet.size === 25)
+    assert(System.currentTimeMillis() - t0 >= 2000) // genuinely paced (>= 2 windows)
+    assert(api.jobCounts(Seq("pace"))("pace") === 0) // arithmetic exact after churn
+    assert(api.pendingJobsCount() === 0)
   }
 
   test("group-by-class batching dispatches BulkEvents of batch_size (B3,B6)") {

@@ -109,9 +109,11 @@ class StoreApiSpec extends AnyFunSuite {
       .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
       .withColumn("claimed_at", current_timestamp())
     store.append(store.processingDir, claimed, store.processingSchema)
-    // ack 15 of 20
+    // ack 15 of 20 — processing tombstones must carry the queue (they
+    // are the durable acked-claim record job_counts reads post-compaction)
     store.tombstone("processing",
-      store.liveProcessing.select("claim_id").orderBy("claim_id").limit(15))
+      store.liveProcessing.select(col("claim_id"), col("queue"))
+        .orderBy("claim_id").limit(15))
     assert(store.liveProcessing.count() === 5)
     assert(api.jobCounts(Seq("cq"))("cq") === 0) // all 20 claimed
     val hk = new graft.scheduler.Housekeeper(store)
