@@ -21,32 +21,50 @@ import org.apache.spark.sql.types.DecimalType
 object AnalyticsQueries {
   import Tables.t
 
-  private val dec = DecimalType(18, 4)
+  private val sumDec = DecimalType(38, 0)
+
+  /** Quantize a double at 10^s via ROUND: both engines perform the
+    * identical IEEE multiply and round-half-away-from-zero on the same
+    * double, so the resulting integer agrees bit-for-bit — unlike a
+    * direct double→DECIMAL cast, where DuckDB's multiply-based cast and
+    * Spark's exact BigDecimal conversion can land one ulp apart on
+    * rounding boundaries (observed ~1 in 10^5 values at sf0.1). The
+    * exact integers then sum associatively (decimal in Spark, hugeint
+    * in DuckDB). */
+  private def quant(c: org.apache.spark.sql.Column, scale: Double) =
+    round(c * scale)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q1_pricing_summary",
-      (s, dir) =>
+      (s, dir) => {
+        val qQty = quant(col("l_quantity"), 10000).cast(sumDec)
+        val qExt = quant(col("l_extendedprice"), 10000).cast(sumDec)
+        val qDisc = quant(col("l_discount"), 10000).cast(sumDec)
+        // product of two quantized ints stays exact in double (< 2^53)
+        val qDiscPrice =
+          (quant(col("l_extendedprice"), 10000) * quant(lit(1) - col("l_discount"), 10000))
+            .cast(sumDec)
         t(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-            sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
-              .cast("double").as("sum_disc_price"),
-            (sum(col("l_quantity").cast(dec)).cast("double") / count("*")).as("avg_qty"),
-            (sum(col("l_discount").cast(dec)).cast("double") / count("*")).as("avg_disc"),
-            count("*").as("count_order")),
+            (sum(qQty).cast("double") / 10000).as("sum_qty"),
+            (sum(qExt).cast("double") / 10000).as("sum_base_price"),
+            (sum(qDiscPrice).cast("double") / 100000000).as("sum_disc_price"),
+            (sum(qQty).cast("double") / 10000 / count("*")).as("avg_qty"),
+            (sum(qDisc).cast("double") / 10000 / count("*")).as("avg_disc"),
+            count("*").as("count_order"))
+      },
       Some(
         """SELECT l_returnflag, l_linestatus,
-          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-          |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-          |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-          |CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          |CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_qty,
+          |CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_base_price,
+          |CAST(SUM(CAST(ROUND(l_extendedprice * 10000) * ROUND((1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 100000000 AS sum_disc_price,
+          |CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000 / COUNT(*) AS avg_qty,
+          |CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000 / COUNT(*) AS avg_disc,
           |COUNT(*) AS count_order
           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
-      "TPC-H Q1-style pricing summary (exact decimal partial aggregation)."),
+      "TPC-H Q1-style pricing summary (quantized exact aggregation)."),
 
     QueryDef(
       "q_revenue_by_nation",
@@ -59,12 +77,13 @@ object AnalyticsQueries {
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("nation"))
           .agg(
-            sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+            (sum(quant(col("o_totalprice"), 10000).cast(sumDec)).cast("double") / 10000)
+              .as("revenue"),
             count("*").as("n_orders"))
       },
       Some(
         """SELECT n_name AS nation,
-          |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
           |COUNT(*) AS n_orders
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
@@ -79,11 +98,12 @@ object AnalyticsQueries {
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand").as("brand"))
           .agg(
-            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            (sum(quant(col("l_quantity"), 10000).cast(sumDec)).cast("double") / 10000)
+              .as("sum_qty"),
             count("*").as("n_lines")),
       Some(
         """SELECT p_brand AS brand,
-          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_qty,
           |COUNT(*) AS n_lines
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE p_size > 25 GROUP BY p_brand""".stripMargin),

@@ -136,8 +136,8 @@ object SimilarityQueries {
         val cents = e
           .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
           .groupBy(col("label").as("c_label"), (col("pos") + 1).as("dim"))
-          .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") / count("*"))
-            .as("cv"))
+          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
+            .cast("double") / 1000000000 / count("*")).as("cv"))
           .groupBy("c_label")
           .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
           .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("c"))
@@ -152,7 +152,7 @@ object SimilarityQueries {
       Some(
         """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           |cd AS (SELECT label AS c_label, CAST(dim AS INT) AS dim,
-          |  CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cv
+          |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS cv
           |  FROM (SELECT label, unnest(range(1, 65)) AS dim,
           |        unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
           |  GROUP BY label, dim),
@@ -172,13 +172,13 @@ object SimilarityQueries {
           .select(col("label"),
             posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
           .groupBy(col("label"), (col("pos") + 1).as("dim"))
-          .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") / count("*"))
-            .as("centroid")),
+          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
+            .cast("double") / 1000000000 / count("*")).as("centroid")),
       Some(
         """SELECT label, CAST(dim AS INT) AS dim,
-          |CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+          |CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS centroid
           |FROM (SELECT label, unnest(range(1, 65)) AS dim,
           |      unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings)
           |GROUP BY label, dim""".stripMargin),
-      "IVF centroids per label (exact decimal mean per dimension)."))
+      "IVF centroids per label (ROUND-quantized exact mean per dimension)."))
 }
