@@ -41,7 +41,20 @@ object Bench {
     val qbJson = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,$hw,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,$hw,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser (round-1 failure mode:
+    // async executor ERROR lines landed after the JSON): (1) persist the
+    // metrics to BENCH.json, (2) fully stop Spark so no log line can
+    // follow, (3) print the JSON as the absolute last stdout line.
+    try {
+      val w = new java.io.PrintWriter("BENCH.json")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    Thread.sleep(500) // let any late async log lines flush first
+    System.out.flush(); System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }

@@ -78,7 +78,13 @@ object QueueBench {
     api.enqueue("bench", JobSpec("BenchWorker", args = "[1]"))
     while (counter.get() < 1 && (System.nanoTime() - t3) < 30e9) Thread.sleep(5)
     val latencyMs = (System.nanoTime() - t3) / 1e6
+    // Drain fully before stopping: a stop() that lands mid-micro-batch
+    // aborts an in-flight store.append staging write and spews
+    // `ERROR FileFormatWriter` lines into stdout AFTER the bench JSON,
+    // which broke the driver's parse in round 1 (BENCH_r01 parsed:null).
+    q.processAllAvailable()
     runner.stop()
+    q.awaitTermination(30000)
 
     (enqueueRates ++ Seq(
       "pipeline_jobs_per_sec" -> processed / dtPipe,

@@ -113,7 +113,11 @@ class PipelineRunner(
   private def admit(batch: DataFrame, batchId: Long, nowMs: Long): DataFrame =
     (cfg.rateLimitCount, cfg.rateLimitScaleMs) match {
       case (Some(limit), Some(scale)) =>
-        val ownSuffix = Some(s":$batchId")
+        // own-attempt ids are namespaced per PIPELINE (jid:name:batchId):
+        // batch ids restart at 0 for every pipeline, so a bare :batchId
+        // suffix would make pipelines sharing a rateLimitKey ignore each
+        // other's admissions and over-admit N× the configured rate
+        val ownSuffix = Some(s":${cfg.name}:$batchId")
         def allowedNow(): Long = math.max(0L,
           limit - store.limitCountSince(cfg.limitKey,
             System.currentTimeMillis() - scale, ownSuffix))
@@ -126,7 +130,7 @@ class PipelineRunner(
         }
         val at = new Timestamp(System.currentTimeMillis())
         def admissionIds(df: DataFrame) =
-          df.select(concat_ws(":", col("jid"), lit(batchId)).as("id"))
+          df.select(concat_ws(":", col("jid"), lit(cfg.name), lit(batchId)).as("id"))
         if (allowed >= total) {
           store.limitLogAppend(cfg.limitKey, admissionIds(batch), at)
           batch

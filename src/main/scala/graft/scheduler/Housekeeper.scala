@@ -53,24 +53,33 @@ class Housekeeper(
   }
 
   /** C2: claims older than the visibility timeout → back to the queue
-    * (batch-capped like the reference's Lua LIMIT 1000). */
+    * (batch-capped like the reference's Lua LIMIT 1000).
+    *
+    * The capped selection is MATERIALIZED (collect — bounded by
+    * requeueBatchLimit, the same 1000-row cap the reference's Lua
+    * script uses) with a claim_id tie-break: all claims from one
+    * micro-batch share an identical claimed_at, so without both, a
+    * recomputed plan between the queue append and the claim tombstone
+    * could pick a different subset — a claim tombstoned without being
+    * requeued is a lost job. */
   def requeueStuck(nowMs: Long): Long = {
     val cutoff = new Timestamp(nowMs - visibilityTimeoutMs)
-    val stuck = store.liveProcessing
+    val selected = store.liveProcessing
       .where(col("claimed_at") < lit(cutoff))
-      .orderBy(col("claimed_at"))
+      .orderBy(col("claimed_at"), col("claim_id"))
       .limit(requeueBatchLimit)
-      .cache()
-    try {
-      val queues = stuck.select("queue").distinct().collect().map(_.getString(0))
-      queues.foreach { q =>
-        store.append(store.queueDir(q), stuck.where(col("queue") === q), Schemas.event)
-      }
-      val n = stuck.count()
-      if (n > 0) store.tombstone("processing",
-        stuck.select(col("claim_id").as("id"), col("queue")))
-      n
-    } finally stuck.unpersist()
+      .collect()
+    if (selected.isEmpty) return 0L
+    val spark = store.spark
+    val stuck = spark.createDataFrame(
+      java.util.Arrays.asList(selected: _*), store.processingSchema)
+    val queues = selected.map(_.getAs[String]("queue")).distinct
+    queues.foreach { q =>
+      store.append(store.queueDir(q), stuck.where(col("queue") === q), Schemas.event)
+    }
+    store.tombstone("processing",
+      stuck.select(col("claim_id").as("id"), col("queue")))
+    selected.length.toLong
   }
 
   def start(intervalMs: Long = 10000): Unit = synchronized {

@@ -89,7 +89,11 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val parts = fs.listStatus(new Path(staging))
       .filter(f => f.getPath.getName.startsWith("part-"))
     parts.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new Path(target, s"part-$id-$i.parquet"))
+      val dest = new Path(target, s"part-$id-$i.parquet")
+      // a silently failed rename (quota, concurrent delete, cross-FS)
+      // would drop this file's rows from the table — surface it
+      if (!fs.rename(f.getPath, dest))
+        throw new java.io.IOException(s"append: rename ${f.getPath} -> $dest failed")
     }
     fs.delete(new Path(staging), true)
   }
@@ -112,9 +116,17 @@ class QueueStore(val spark: SparkSession, val root: String) {
 
   // -- typed views of the state tables ------------------------------------
   def queueRows(q: String): DataFrame = readOrEmpty(queueDir(q), Schemas.event)
-  def liveScheduled: DataFrame = live(scheduledDir, "scheduled", scheduledSchema, "sched_id")
+  /** Deduped on sched_id: a micro-batch that crashes after the
+    * scheduled-table append replays and re-appends the same
+    * deterministic sched_id; without the dedupe, promoteDue would
+    * enqueue both copies — double execution of the retry. */
+  def liveScheduled: DataFrame =
+    live(scheduledDir, "scheduled", scheduledSchema, "sched_id")
+      .dropDuplicates("sched_id")
   def liveProcessing: DataFrame = live(processingDir, "processing", processingSchema, "claim_id")
-  def deadRows: DataFrame = readOrEmpty(deadDir, deadSchema)
+  /** Deduped on jid for the same replayed-append reason as
+    * liveScheduled (jid is the dead row's natural identity). */
+  def deadRows: DataFrame = readOrEmpty(deadDir, deadSchema).dropDuplicates("jid")
   /** Distinct claims ever made for a queue. Distinct, because a
     * replayed micro-batch re-appends the same deterministic claim_id;
     * and a UNION of row claims with tombstoned claim ids, because
@@ -173,11 +185,28 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val tmp = s"$dir.compact.tmp"
     val old = s"$dir.compact.old"
     fs.delete(new Path(tmp), true)
-    live(dir, table, schema, idCol).write.mode("overwrite").parquet(tmp)
+    // Snapshot the tombstone FILE LIST up front: tombstones appended
+    // concurrently (e.g. promoteDue tombstoning while compaction runs)
+    // must survive — a blanket dir delete would destroy them while
+    // their rows survive in the compacted output, resurrecting
+    // already-consumed jobs. We read exactly the snapshotted files and
+    // later delete exactly those files.
+    val tombPath = new Path(tombDir(table))
+    val tombFiles: Array[Path] =
+      if (fs.exists(tombPath))
+        fs.listStatus(tombPath).map(_.getPath).filter(!_.getName.startsWith("_"))
+      else Array.empty
+    val tombs =
+      if (tombFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+      else spark.read.schema(tombSchema).parquet(tombFiles.map(_.toString).toSeq: _*)
+    val rows = readOrEmpty(dir, schema)
+    rows.join(broadcast(tombs), rows(idCol) === tombs("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp)
     fs.rename(new Path(dir), new Path(old)) // aside, not deleted
     fs.rename(new Path(tmp), new Path(dir))
     fs.delete(new Path(old), true)
-    if (!keepTombstones) fs.delete(new Path(tombDir(table)), true)
+    if (!keepTombstones) tombFiles.foreach(f => fs.delete(f, false))
   }
 
   /** Heal an interrupted compact():
