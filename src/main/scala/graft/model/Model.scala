@@ -60,13 +60,17 @@ case class PipelineConfig(
   def limitKey: String = rateLimitKey.getOrElse(s"queue:$queue")
 }
 
-/** Engine-wide knobs (reference defaults: lib/flume/config.ex:2-29). */
+/** Engine-wide knobs (reference defaults: lib/flume/config.ex:2-29).
+  * dispatchTimeoutMs bounds each worker call, like the reference's
+  * 10 s dequeue_process_timeout (config.ex:19) and the Task shutdown
+  * that kills hung workers (utils.ex:6-14); <= 0 disables. */
 case class EngineConfig(
     maxRetries: Int = 5,
     backoffInitialMs: Long = 500,
     backoffMaxMs: Long = 10000,
     visibilityTimeoutMs: Long = 600000,
-    schedulerIntervalMs: Long = 10000)
+    schedulerIntervalMs: Long = 10000,
+    dispatchTimeoutMs: Long = 10000)
 
 /** Exponential backoff: min(round(initial * count * 1.5), max)
   * (lib/flume/queue/backoff.ex:6-16). */

@@ -164,6 +164,7 @@ class PipelineRunner(
   /** B5/B6 worker dispatch on executors; B3 grouping when batchSize set. */
   private def dispatch(claimed: DataFrame): Dataset[Outcome] = {
     import spark.implicits._
+    val timeoutMs = engine.dispatchTimeoutMs
     val events = claimed.select(
       (Schemas.event.fieldNames :+ "claim_id").map(col).toSeq: _*)
     cfg.batchSize match {
@@ -171,9 +172,9 @@ class PipelineRunner(
         events.as[ClaimedEvent]
           .groupByKey(e => (e.clazz, e.function))
           .flatMapGroups((_: (String, String), it: Iterator[ClaimedEvent]) =>
-            it.grouped(bs).flatMap(c => PipelineRunner.dispatchBulk(c.toSeq)))
+            it.grouped(bs).flatMap(c => PipelineRunner.dispatchBulk(c.toSeq, timeoutMs)))
       case None =>
-        events.as[ClaimedEvent].mapPartitions(_.map(PipelineRunner.dispatchOne))
+        events.as[ClaimedEvent].mapPartitions(_.map(PipelineRunner.dispatchOne(_, timeoutMs)))
     }
   }
 
@@ -222,12 +223,41 @@ class PipelineRunner(
   * task closures capture nothing but the registry lookup. */
 object PipelineRunner extends Serializable {
 
-  private[pipeline] def dispatchOne(e: ClaimedEvent): Outcome =
-    try {
-      WorkerRegistry.resolve(e.clazz, e.function)(e.args, e.context)
-      e.toOutcome(success = true, None)
-    } catch {
-      case t: Throwable =>
+  /** Per-executor-JVM pool for timeout-guarded worker calls. Cached:
+    * a hung (uninterruptible) worker strands its thread, but the next
+    * dispatch just gets a fresh one — the pipeline keeps draining,
+    * exactly like the reference's ConsumerSupervisor killing stuck
+    * worker Tasks (utils.ex:6-14). */
+  @transient private lazy val dispatchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-worker-dispatch"); t.setDaemon(true); t
+    })
+
+  /** Run `body` bounded by timeoutMs (<= 0 ⇒ unbounded). Timeout ⇒
+    * interrupt the worker thread and surface a failure outcome — a
+    * worker that blocks forever must not wedge the micro-batch. */
+  private[pipeline] def timed(timeoutMs: Long)(body: => Unit): Option[Throwable] =
+    if (timeoutMs <= 0) {
+      try { body; None } catch { case t: Throwable => Some(t) }
+    } else {
+      val fut = dispatchPool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = body
+      })
+      try { fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS); None }
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          Some(new java.util.concurrent.TimeoutException(
+            s"worker timed out after $timeoutMs ms"))
+        case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+        case t: Throwable => Some(t)
+      }
+    }
+
+  private[pipeline] def dispatchOne(e: ClaimedEvent, timeoutMs: Long = 0): Outcome =
+    timed(timeoutMs)(WorkerRegistry.resolve(e.clazz, e.function)(e.args, e.context)) match {
+      case None => e.toOutcome(success = true, None)
+      case Some(t) =>
         e.toOutcome(success = false, Some(t.toString), Some(backtrace(t)))
     }
 
@@ -238,13 +268,11 @@ object PipelineRunner extends Serializable {
 
   /** One worker call per chunk; all members succeed or fail together
     * (bulk_event/worker.ex:33-64). */
-  private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent]): Seq[Outcome] =
-    try {
-      WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function)(
-        chunk.map(_.args))
-      chunk.map(_.toOutcome(success = true, None))
-    } catch {
-      case t: Throwable =>
+  private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent], timeoutMs: Long = 0): Seq[Outcome] =
+    timed(timeoutMs)(WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function)(
+      chunk.map(_.args))) match {
+      case None => chunk.map(_.toOutcome(success = true, None))
+      case Some(t) =>
         chunk.map(_.toOutcome(success = false, Some(t.toString), Some(backtrace(t))))
     }
 }

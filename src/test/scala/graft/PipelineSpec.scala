@@ -207,6 +207,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.deadRows.count() === 0)
   }
 
+  test("hung worker is timed out into the retry path; batch keeps draining (B5 timeout)") {
+    WorkerRegistry.register("HangWorker", (_, _) => {
+      // responds to interrupt; an UNinterruptible worker would strand
+      // its pool thread but the batch still completes (cached pool)
+      try Thread.sleep(3600000) catch { case _: InterruptedException => () }
+    })
+    WorkerRegistry.register("EchoWorker", (args, _) => { Buffers.echo.add(args); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("hang"))
+    val api = new DefaultQueueApi(store)
+    val engine = EngineConfig(dispatchTimeoutMs = 500, backoffInitialMs = 1, backoffMaxMs = 2)
+    val runner = new PipelineRunner(store, PipelineConfig("hp", "hq2"), engine)
+    api.enqueue("hq2", JobSpec("HangWorker"))
+    api.bulkEnqueue("hq2", (1 to 3).map(i => JobSpec("EchoWorker", args = s"[$i]")))
+    runner.processBatch(store.queueRows("hq2"), 0)
+    // the live jobs all ran — the hung one did not wedge the batch
+    assert(Buffers.echo.size === 3)
+    val retry = store.liveScheduled
+    assert(retry.count() === 1)
+    assert(retry.collect().head.getAs[String]("error_message").contains("timed out"))
+    assert(store.liveProcessing.count() === 0) // every claim tombstoned
+  }
+
   test("failed jobs carry error backtrace into the retry table (B8)") {
     WorkerRegistry.register("TraceWorker", (_, _) => throw new IllegalStateException("trace me"))
     val store = new QueueStore(spark, TestSpark.tmpRoot("trace"))
