@@ -44,6 +44,48 @@ object SimilarityQueries {
       |un AS (SELECT vec_id, label,
       |  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM v)""".stripMargin
 
+  /** IVF coarse assignment (shared by sim_ivf_assign / sim_ivf_knn):
+    * nearest exact-mean centroid per vector via the dot identity
+    * |x-c|² = x·x - 2x·c + c·c on the codegen'd graft_dot. */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+    val cents = e
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label").as("c_label"), (col("pos") + 1).as("dim"))
+      .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
+        .cast("double") / 1000000000 / count("*")).as("cv"))
+      .groupBy("c_label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("c"))
+    val scored = e.join(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
+          dot(col("c"), col("c"))).as("dist2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_label").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"), col("dist2"))
+  }
+
+  /** The sim_ivf_assign oracle, reusable as a CTE prefix. */
+  private val IvfAssignCte =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |un AS (SELECT vec_id, label,
+      |  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM v),
+      |cd AS (SELECT label AS c_label, CAST(dim AS INT) AS dim,
+      |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS cv
+      |  FROM (SELECT label, unnest(range(1, 65)) AS dim,
+      |        unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+      |  GROUP BY label, dim),
+      |cent AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM cd GROUP BY c_label),
+      |iscore AS (SELECT vec_id, label, c_label,
+      |  list_dot_product(e, e) - 2.0 * list_dot_product(e, c) + list_dot_product(c, c) AS dist2
+      |  FROM v CROSS JOIN cent),
+      |assign AS (SELECT vec_id, label, c_label AS assigned, dist2 FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
+      |  FROM iscore) WHERE rk = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "sim_knn_bruteforce",
@@ -123,47 +165,86 @@ object SimilarityQueries {
 
     QueryDef(
       "sim_ivf_assign",
+      (s, dir) => ivfAssigned(s, dir),
+      Some(s"""$IvfAssignCte
+           |SELECT vec_id, label, assigned, dist2 FROM assign""".stripMargin),
+      "IVF coarse assignment: nearest exact-mean centroid per vector."),
+
+    QueryDef(
+      "sim_bucketed_pairs",
       (s, dir) => {
-        // IVF coarse quantization: assign every vector to its nearest
-        // centroid. Distance via the dot identity |x-c|² = x·x - 2x·c
-        // + c·c so the whole thing runs on the codegen'd graft_dot —
-        // and the oracle can reproduce it term for term. Centroids are
-        // decimal-exact means (same as sim_label_centroid), collected
-        // into dim-ordered arrays and broadcast.
-        graft.functions.VectorFunctions.register(s)
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-        val cents = e
-          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-          .groupBy(col("label").as("c_label"), (col("pos") + 1).as("dim"))
-          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
-            .cast("double") / 1000000000 / count("*")).as("cv"))
-          .groupBy("c_label")
-          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-          .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("c"))
-        val scored = e.join(broadcast(cents))
-          .select(col("vec_id"), col("label"), col("c_label"),
-            (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
-              dot(col("c"), col("c"))).as("dist2"))
-        val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_label").asc)
-        scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-          .select(col("vec_id"), col("label"), col("c_label").as("assigned"), col("dist2"))
+        // The scale path for threshold similarity: multi-band sign-bit
+        // LSH (8 bands × 8 bits, OR across bands for recall) generates
+        // candidates with a per-(band,bucket) equi-join — shuffle keyed
+        // on the bucket, never corpus² — then exact cosine re-ranks
+        // only the candidates (~3% of all pairs on this fixture). Band
+        // width tunes the trade-off: wider bands prune harder but lose
+        // recall at moderate thresholds. sim_threshold_pairs stays as
+        // the documented small-n exact baseline.
+        val u = unitEmb(s, dir)
+        val bands = t(s, dir, "embeddings")
+          .select(col("vec_id"), signBits(col("embedding")).as("sig"))
+          .select(col("vec_id"), posexplode(
+            array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
+            .as(Seq("band", "bkey")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+        cand
+          .join(u.select(col("vec_id").as("id_a"), col("u").as("ua")), "id_a")
+          .join(u.select(col("vec_id").as("id_b"), col("u").as("ub")), "id_b")
+          .select(col("id_a"), col("id_b"), dot(col("ua"), col("ub")).as("cos"))
+          .where(col("cos") >= 0.35)
       },
       Some(
-        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-          |cd AS (SELECT label AS c_label, CAST(dim AS INT) AS dim,
-          |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS cv
-          |  FROM (SELECT label, unnest(range(1, 65)) AS dim,
-          |        unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
-          |  GROUP BY label, dim),
-          |cent AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM cd GROUP BY c_label),
-          |scored AS (SELECT vec_id, label, c_label,
-          |  list_dot_product(e, e) - 2.0 * list_dot_product(e, c) + list_dot_product(c, c) AS dist2
-          |  FROM v CROSS JOIN cent)
-          |SELECT vec_id, label, c_label AS assigned, dist2 FROM (
-          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
-          |  FROM scored) WHERE rk = 1""".stripMargin),
-      "IVF coarse assignment: nearest exact-mean centroid per vector."),
+        s"""$UnitCte,
+           |sig AS (SELECT vec_id, array_to_string(list_transform(embedding,
+           |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sig FROM embeddings),
+           |bands AS (SELECT vec_id, b AS band, substr(sig, CAST(b*8+1 AS INT), 8) AS bkey
+           |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+           |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+           |SELECT id_a, id_b, cos FROM (
+           |  SELECT id_a, id_b, list_dot_product(a.u, b.u) AS cos
+           |  FROM cand JOIN un a ON cand.id_a = a.vec_id JOIN un b ON cand.id_b = b.vec_id)
+           |WHERE cos >= 0.35""".stripMargin),
+      "Bucketed near-dup pairs: multi-band sign-bit LSH candidates + exact cosine re-rank."),
+
+    QueryDef(
+      "sim_ivf_knn",
+      (s, dir) => {
+        // The scale path for kNN: search only the query's IVF cell
+        // (nprobe=1) — candidate set bounded by cell size, join keyed
+        // on the cell, no corpus scan per query.
+        val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
+        val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned")).join(u, "vec_id")
+        val q = au.where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("assigned").as("cell"), col("u").as("qu"))
+        val cands = au.select(
+          col("vec_id").as("neighbor_id"), col("assigned").as("cell"), col("u").as("nu"))
+        val scored = cands.join(broadcast(q), "cell")
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |au AS (SELECT a.vec_id, a.assigned, un.u FROM assign a JOIN un ON a.vec_id = un.vec_id),
+           |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |  list_dot_product(q.u, c.u) AS cos
+           |  FROM au q JOIN au c ON q.assigned = c.assigned AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 20)
+           |SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM p) WHERE rk <= 5""".stripMargin),
+      "IVF-cell kNN (nprobe=1): top-5 cosine within the query's coarse cell."),
 
     QueryDef(
       "sim_label_centroid",
