@@ -168,16 +168,29 @@ object DedupQueries {
       (s, dir) => {
         // THE scale pattern end-to-end: MinHash band buckets generate
         // candidate pairs (4 equi-joins on 32-bit band keys — ids only
-        // shuffle), then exact Jaccard verification touches shingles of
-        // candidate docs ONLY. The corpus² pairwise join never happens.
+        // shuffle), HOT buckets are capped (boilerplate shingle sets
+        // collapse to one signature and would explode quadratically),
+        // and exact Jaccard verification touches shingles of candidate
+        // docs ONLY (broadcast semi-join prunes the shingle table
+        // map-side). The corpus² pairwise join never happens.
+        val capN = 100
         val sig = minhashSig(s, dir).cache()
         val cand = MinhashBands.map(_._1).map { name =>
-          sig.as("a").join(sig.as("b"),
+          val okBuckets = sig.groupBy(col(name))
+            .agg(count("*").as("n_docs")).where(col("n_docs") <= capN)
+            .select(col(name))
+          val inOk = sig.join(broadcast(okBuckets), Seq(name), "left_semi")
+          inOk.as("a").join(inOk.as("b"),
             col(s"a.$name") === col(s"b.$name") &&
               col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        }.reduce(_.unionAll(_)).distinct()
-        val sh = shingleDF(s, dir).cache()
+        }.reduce(_.unionAll(_)).distinct().cache()
+        val candIds = cand.select(col("doc_a").as("doc_id"))
+          .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+        // candidates' shingles only — map-side broadcast semi-join, so
+        // the full shingle table is never shuffled
+        val sh = shingleDF(s, dir)
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
         val cnt = sh.groupBy("doc_id").agg(count("*").as("n"))
         val shared = cand
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -197,19 +210,22 @@ object DedupQueries {
         s"""$ShingleCte,
            |sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id),
            |cand AS (${MinhashBands.map(_._1).map(name =>
-          s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.$name = b.$name AND a.doc_id < b.doc_id")
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.$name = b.$name AND a.doc_id < b.doc_id
+             |  WHERE a.$name IN (SELECT $name FROM sig GROUP BY $name HAVING COUNT(*) <= 100)""".stripMargin)
           .mkString("\n UNION \n")}),
-           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |cids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+           |shc AS (SELECT sh.* FROM sh JOIN cids ON sh.doc_id = cids.doc_id),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
            |shr AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
-           |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-           |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+           |  FROM cand c JOIN shc sa ON sa.doc_id = c.doc_a
+           |  JOIN shc sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
            |  GROUP BY c.doc_a, c.doc_b)
            |SELECT doc_a, doc_b, shared,
            |  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
            |FROM shr JOIN cnt ca ON shr.doc_a = ca.doc_id
            |JOIN cnt cb ON shr.doc_b = cb.doc_id
            |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3""".stripMargin),
-      "MinHash-LSH candidates + exact Jaccard verification (the scale path)."),
+      "MinHash-LSH candidates (hot buckets capped) + exact Jaccard verification of candidates' shingles only (the scale path)."),
 
     QueryDef(
       "dedup_simhash",
