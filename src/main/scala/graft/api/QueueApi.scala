@@ -81,7 +81,7 @@ class DefaultQueueApi(store: QueueStore) extends QueueApi {
       .withColumn("not_before",
         org.apache.spark.sql.functions.lit(new Timestamp(at.getTime + delayMs)))
       .withColumn("kind", org.apache.spark.sql.functions.lit("scheduled"))
-    store.append(store.scheduledDir, df, store.scheduledSchema)
+    store.appendScheduled(df)
     e.jid
   }
 

@@ -208,7 +208,7 @@ class PipelineRunner(
         .withColumn("not_before", timestamp_millis(lit(nowMs) +
           Backoff.delayMsCol(col("retry_count"), engine.backoffInitialMs, engine.backoffMaxMs)))
         .withColumn("kind", lit("retry"))
-      store.append(store.scheduledDir, retryRows, store.scheduledSchema)
+      store.appendScheduled(retryRows)
 
       val deadRows = dead
         .withColumn("failed_at", lit(now))

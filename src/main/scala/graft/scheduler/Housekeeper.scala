@@ -35,21 +35,30 @@ class Housekeeper(
   def tick(nowMs: Long = System.currentTimeMillis()): (Long, Long) =
     (promoteDue(nowMs), requeueStuck(nowMs))
 
-  /** C1: scheduled/retry rows with not_before <= now → queue dirs. */
+  /** C1: scheduled/retry rows with not_before <= now → queue dirs.
+    *
+    * Scale shape: the due scan partition-prunes on nb_day (far-future
+    * days never touched — the directory-level ZRANGEBYSCORE analog),
+    * the selection is snapshotted so the enqueue and the tombstone act
+    * on ONE set, and the enqueue is a SINGLE dynamic-partition job
+    * fanning out to all destination queues (grouped RPUSH,
+    * redis/job.ex:70-87) instead of one Spark job per queue. */
   def promoteDue(nowMs: Long): Long = {
+    val tz = java.time.ZoneId.of(store.spark.sessionState.conf.sessionLocalTimeZone)
+    val dayCutoff = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(tz).format(java.time.Instant.ofEpochMilli(nowMs))
     val due = store.liveScheduled
-      .where(col("not_before") <= lit(new Timestamp(nowMs)))
-      .cache()
+      .where(col("nb_day") <= dayCutoff && // partition pruning
+        col("not_before") <= lit(new Timestamp(nowMs)))
+    val (snap, cleanup) = store.snapshot(due)
     try {
-      val queues = due.select("queue").distinct().collect().map(_.getString(0))
-      // grouped RPUSH per destination queue (redis/job.ex:70-87)
-      queues.foreach { q =>
-        store.append(store.queueDir(q), due.where(col("queue") === q), Schemas.event)
+      val n = snap.count()
+      if (n > 0) {
+        store.appendToQueues(snap)
+        store.tombstone("scheduled", snap.select(col("sched_id")))
       }
-      val n = due.count()
-      if (n > 0) store.tombstone("scheduled", due.select(col("sched_id")))
       n
-    } finally due.unpersist()
+    } finally cleanup()
   }
 
   /** C2: claims older than the visibility timeout → back to the queue
@@ -73,10 +82,7 @@ class Housekeeper(
     val spark = store.spark
     val stuck = spark.createDataFrame(
       java.util.Arrays.asList(selected: _*), store.processingSchema)
-    val queues = selected.map(_.getAs[String]("queue")).distinct
-    queues.foreach { q =>
-      store.append(store.queueDir(q), stuck.where(col("queue") === q), Schemas.event)
-    }
+    store.appendToQueues(stuck) // one job for all destination queues
     store.tombstone("processing",
       stuck.select(col("claim_id").as("id"), col("queue")))
     selected.length.toLong
@@ -118,6 +124,6 @@ class Housekeeper(
     if (tombCount("processing") >= minTombstones)
       store.compactProcessing()
     if (tombCount("scheduled") >= minTombstones)
-      store.compact(store.scheduledDir, "scheduled", store.scheduledSchema, "sched_id")
+      store.compactScheduled()
   }
 }

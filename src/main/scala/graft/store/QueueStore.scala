@@ -98,6 +98,90 @@ class QueueStore(val spark: SparkSession, val root: String) {
     fs.delete(new Path(staging), true)
   }
 
+  /** Hive-escaped partition dir values → raw (e.g. "a%3Ab" → "a:b").
+    * Local implementation to avoid Spark-internal APIs. */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Move every part file of a dynamic-partition staging write into
+    * per-partition-value target dirs resolved by `targetFor`. One
+    * Spark job total; same atomic-rename protocol as append(). */
+  private def movePartitioned(staging: String, prefix: String,
+      targetFor: String => Path): Unit = {
+    val id = java.util.UUID.randomUUID().toString
+    fs.listStatus(new Path(staging))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$prefix="))
+      .foreach { d =>
+        val value = unescapePath(d.getPath.getName.stripPrefix(s"$prefix="))
+        val target = targetFor(value)
+        fs.mkdirs(target)
+        fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (f, i) =>
+            val dest = new Path(target, s"part-$id-$i.parquet")
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(s"append: rename ${f.getPath} -> $dest failed")
+          }
+      }
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Append rows to every destination queue dir in ONE Spark job
+    * (dynamic-partition staging write keyed on `queue`, then file
+    * moves). Replaces per-queue job loops — at thousands of queues a
+    * loop is thousands of Spark jobs per housekeeping tick. */
+  def appendToQueues(df: DataFrame): Unit = {
+    val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
+    df.select(Schemas.event.fieldNames.map(col).toSeq: _*)
+      .withColumn("__q", col("queue"))
+      .write.mode("overwrite").partitionBy("__q").parquet(staging)
+    movePartitioned(staging, "__q", q => new Path(queueDir(q)))
+  }
+
+  /** The scheduled table is hive-partitioned on nb_day (the UTC date of
+    * not_before), so the housekeeper's due scan partition-prunes away
+    * far-future days — the ZRANGEBYSCORE analog at the directory level. */
+  def appendScheduled(df: DataFrame): Unit = {
+    val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
+    df.select(scheduledSchema.fieldNames.map(col).toSeq: _*)
+      .withColumn("nb_day", date_format(col("not_before"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("nb_day").parquet(staging)
+    movePartitioned(staging, "nb_day",
+      d => new Path(s"$scheduledDir/nb_day=$d"))
+  }
+
+  private val scheduledSchemaP: StructType = scheduledSchema.add("nb_day", StringType)
+
+  /** Partition-discovering read of the scheduled table (nb_day comes
+    * from the dir names; filters on it show as PartitionFilters). */
+  def readScheduled: DataFrame =
+    if (hasData(scheduledDir))
+      spark.read.option("basePath", scheduledDir)
+        .schema(scheduledSchemaP).parquet(scheduledDir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scheduledSchemaP)
+
+  /** Materialize df into a private staging dir and read it back: a
+    * stable snapshot decoupled from live-table recomputation, so
+    * two-phase moves (append then tombstone) act on ONE set even if
+    * the source tables change in between. Caller runs the cleanup. */
+  def snapshot(df: DataFrame): (DataFrame, () => Unit) = {
+    val dir = s"$root/.staging/snap-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(dir)
+    (spark.read.schema(df.schema).parquet(dir),
+      () => { fs.delete(new Path(dir), true); () })
+  }
+
   /** Append tombstones: first column is the id; an optional `queue`
     * column is preserved (processing claims), else stored null. */
   def tombstone(table: String, ids: DataFrame): Unit = {
@@ -119,10 +203,14 @@ class QueueStore(val spark: SparkSession, val root: String) {
   /** Deduped on sched_id: a micro-batch that crashes after the
     * scheduled-table append replays and re-appends the same
     * deterministic sched_id; without the dedupe, promoteDue would
-    * enqueue both copies — double execution of the retry. */
-  def liveScheduled: DataFrame =
-    live(scheduledDir, "scheduled", scheduledSchema, "sched_id")
+    * enqueue both copies — double execution of the retry. Carries the
+    * nb_day partition column so callers' date predicates prune. */
+  def liveScheduled: DataFrame = {
+    val rows = readScheduled
+    val tombs = readOrEmpty(tombDir("scheduled"), tombSchema)
+    rows.join(broadcast(tombs), rows("sched_id") === tombs("id"), "left_anti")
       .dropDuplicates("sched_id")
+  }
   def liveProcessing: DataFrame = live(processingDir, "processing", processingSchema, "claim_id")
   /** Deduped on jid for the same replayed-append reason as
     * liveScheduled (jid is the dead row's natural identity). */
@@ -215,7 +303,9 @@ class QueueStore(val spark: SparkSession, val root: String) {
     *  - both present → crash between swap and cleanup: MERGE the aside
     *    part files back in (duplicates are harmless — ids are
     *    deterministic, consumers are distinct/anti-join based, and the
-    *    tombstones still exist at this crash point);
+    *    tombstones still exist at this crash point); the merge walks
+    *    partition subdirs recursively so partitioned tables (scheduled)
+    *    recover into the matching partition;
     *  - leftover tmp is always discarded.
     * Never deletes the aside copy while the table dir might have been
     * recreated empty by a later append. */
@@ -225,14 +315,45 @@ class QueueStore(val spark: SparkSession, val root: String) {
     if (fs.exists(old)) {
       if (!fs.exists(d)) fs.rename(old, d)
       else {
-        fs.listStatus(old).filter(_.getPath.getName.startsWith("part-"))
-          .foreach { f =>
-            fs.rename(f.getPath, new Path(d, s"part-recovered-${f.getPath.getName}"))
+        def merge(from: Path, to: Path): Unit =
+          fs.listStatus(from).foreach { f =>
+            if (f.isDirectory) merge(f.getPath, new Path(to, f.getPath.getName))
+            else if (f.getPath.getName.startsWith("part-")) {
+              fs.mkdirs(to)
+              fs.rename(f.getPath, new Path(to, s"part-recovered-${f.getPath.getName}"))
+            }
           }
+        merge(old, d)
         fs.delete(old, true)
       }
     }
     fs.delete(new Path(s"$dir.compact.tmp"), true)
+  }
+
+  /** compact() for the partitioned scheduled table: same snapshot +
+    * aside-swap protocol, but the rewrite preserves the nb_day
+    * partition layout. */
+  def compactScheduled(): Unit = {
+    recoverCompaction(scheduledDir)
+    val tmp = s"$scheduledDir.compact.tmp"
+    val old = s"$scheduledDir.compact.old"
+    fs.delete(new Path(tmp), true)
+    val tombPath = new Path(tombDir("scheduled"))
+    val tombFiles: Array[Path] =
+      if (fs.exists(tombPath))
+        fs.listStatus(tombPath).map(_.getPath).filter(!_.getName.startsWith("_"))
+      else Array.empty
+    val tombs =
+      if (tombFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+      else spark.read.schema(tombSchema).parquet(tombFiles.map(_.toString).toSeq: _*)
+    val rows = readScheduled
+    rows.join(broadcast(tombs), rows("sched_id") === tombs("id"), "left_anti")
+      .write.mode("overwrite").partitionBy("nb_day").parquet(tmp)
+    fs.rename(new Path(scheduledDir), new Path(old))
+    fs.rename(new Path(tmp), new Path(scheduledDir))
+    fs.delete(new Path(old), true)
+    tombFiles.foreach(f => fs.delete(f, false))
   }
 
   /** Compact the processing table, KEEPING its tombstones: the

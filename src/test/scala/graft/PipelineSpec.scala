@@ -276,6 +276,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally hk.stop()
   }
 
+  test("scheduled table is nb_day-partitioned and the due scan partition-prunes (C1 at scale)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("sched_part"))
+    val api = new DefaultQueueApi(store)
+    api.enqueueIn("spq", 30L * 86400 * 1000, JobSpec("W")) // due in 30 days
+    api.enqueueIn("spq", 10, JobSpec("W")) // due ~now
+    // hive layout on disk: one nb_day=... dir per day
+    val dirs = new java.io.File(store.scheduledDir.stripPrefix("file:"))
+      .listFiles.map(_.getName).filter(_.startsWith("nb_day="))
+    assert(dirs.length === 2)
+    // physical plan of the due scan prunes on the partition column
+    val now = System.currentTimeMillis()
+    val tz = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val day = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(tz).format(java.time.Instant.ofEpochMilli(now))
+    val due = store.liveScheduled.where(col("nb_day") <= day &&
+      col("not_before") <= lit(new java.sql.Timestamp(now)))
+    val plan = due.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("nb_day"))
+    // behavior: only the due row is promoted, in ONE dynamic-partition job
+    Thread.sleep(20)
+    val hk = new Housekeeper(store)
+    assert(hk.promoteDue(System.currentTimeMillis()) === 1)
+    assert(store.queueRows("spq").count() === 1)
+    assert(store.liveScheduled.count() === 1) // far-future row untouched
+  }
+
   test("visibility timeout requeues stuck claims (C2)") {
     val store = new QueueStore(spark, TestSpark.tmpRoot("vis"))
     val api = new DefaultQueueApi(store)
