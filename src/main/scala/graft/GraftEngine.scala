@@ -3,7 +3,7 @@ package graft
 import graft.api.{DefaultQueueApi, QueueApi}
 import graft.metrics.{EventHandler, InMemoryEventHandler, Instrumentation, PipelineListener}
 import graft.model.{EngineConfig, PipelineConfig}
-import graft.pipeline.PipelineRunner
+import graft.pipeline.{ControlOptions, PipelineRunner}
 import graft.scheduler.Housekeeper
 import graft.store.QueueStore
 import org.apache.spark.sql.SparkSession
@@ -45,10 +45,14 @@ class GraftEngine(
     runners.values.foreach(_.start())
   }
 
-  def pause(name: String): Unit = runner(name).pause()
-  def resume(name: String): Unit = runner(name).resume()
-  def pauseAll(): Unit = runners.values.foreach(_.pause())
-  def resumeAll(): Unit = runners.values.foreach(_.resume())
+  def pause(name: String, opts: ControlOptions = ControlOptions()): Unit =
+    runner(name).pause(opts)
+  def resume(name: String, opts: ControlOptions = ControlOptions()): Unit =
+    runner(name).resume(opts)
+  def pauseAll(opts: ControlOptions = ControlOptions()): Unit =
+    runners.values.foreach(_.pause(opts))
+  def resumeAll(opts: ControlOptions = ControlOptions()): Unit =
+    runners.values.foreach(_.resume(opts))
 
   def jobCounts(): Map[String, Long] =
     api.jobCounts(pipelines.map(_.queue).distinct)

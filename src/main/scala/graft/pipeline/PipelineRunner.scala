@@ -47,9 +47,17 @@ class PipelineRunner(
 
   private val spark: SparkSession = store.spark
   @volatile private var query: Option[StreamingQuery] = None
+  /** Node-local pause override: Some(true)=paused here regardless of
+    * the durable flag, Some(false)=running here regardless, None=follow
+    * the durable flag. Mirrors the reference's producer state machine
+    * vs the Redis flag (producer.ex:25-43 vs event.ex:41-55). */
+  @volatile private var localOverride: Option[Boolean] = None
+
+  private def effectivelyPaused: Boolean =
+    localOverride.getOrElse(store.isPaused(cfg.name))
 
   def start(): Option[StreamingQuery] = synchronized {
-    if (store.isPaused(cfg.name)) None
+    if (effectivelyPaused) None
     else {
       store.ensureDir(store.queueDir(cfg.queue))
       val src = spark.readStream
@@ -69,16 +77,39 @@ class PipelineRunner(
     }
   }
 
-  def pause(): Unit = synchronized {
-    store.setPaused(cfg.name, true)
-    query.foreach(_.stop()) // drains the running micro-batch, then stops
-    query = None
+  /** D1 with option parity (control/options.ex:33-59): temporary
+    * (default) pauses this runner only; durable persists the flag.
+    * async returns while the drain completes in the background; sync
+    * waits up to timeoutMs. In-flight work always drains —
+    * StreamingQuery.stop lets the running micro-batch finish. */
+  def pause(opts: ControlOptions = ControlOptions()): Unit = {
+    if (opts.temporary) localOverride = Some(true)
+    else { store.setPaused(cfg.name, true); localOverride = None }
+    val stopper = new Thread(() => synchronized {
+      query.foreach(_.stop()); query = None
+    }, s"graft-pause-${cfg.name}")
+    stopper.setDaemon(true)
+    stopper.start()
+    if (!opts.async) stopper.join(opts.timeoutMs)
   }
 
-  def resume(): Unit = synchronized {
-    store.setPaused(cfg.name, false)
-    if (query.isEmpty) start()
+  /** Temporary resume restarts this runner even under a durable flag
+    * (the reference's local producer cast); durable resume clears the
+    * flag for every future boot. */
+  def resume(opts: ControlOptions = ControlOptions()): Unit = {
+    if (opts.temporary) localOverride = Some(false)
+    else { store.setPaused(cfg.name, false); localOverride = None }
+    synchronized { if (query.isEmpty) start() }
   }
+
+  /** Validating variants — reject malformed option maps like the
+    * reference's sanitized_options doctest cases. */
+  def pause(opts: Map[String, Any]): Unit =
+    ControlOptions.sanitize(opts).fold(
+      e => throw new IllegalArgumentException(e), pause)
+  def resume(opts: Map[String, Any]): Unit =
+    ControlOptions.sanitize(opts).fold(
+      e => throw new IllegalArgumentException(e), resume)
 
   def stop(): Unit = synchronized { query.foreach(_.stop()); query = None }
   def activeQuery: Option[StreamingQuery] = query

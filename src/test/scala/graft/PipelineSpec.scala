@@ -158,16 +158,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.liveScheduled.where(col("kind") === "retry").count() === 3)
   }
 
-  test("pause is durable and blocks start; resume restarts (D1)") {
+  test("durable pause persists and blocks start; resume restarts (D1)") {
     val store = new QueueStore(spark, TestSpark.tmpRoot("pause"))
     val runner = new PipelineRunner(store, PipelineConfig("pp", "pq", pollIntervalMs = 100))
-    runner.pause()
+    runner.pause(graft.pipeline.ControlOptions(temporary = false))
     assert(store.isPaused("pp"))
     assert(runner.start().isEmpty) // paused-state restore on boot
-    runner.resume()
+    runner.resume(graft.pipeline.ControlOptions(temporary = false))
     assert(!store.isPaused("pp"))
     assert(runner.activeQuery.nonEmpty)
     runner.stop()
+  }
+
+  test("temporary pause is node-local: not durable, survives as running on a fresh runner (D1 options)") {
+    import graft.pipeline.ControlOptions
+    val store = new QueueStore(spark, TestSpark.tmpRoot("pause_tmp"))
+    val runner = new PipelineRunner(store, PipelineConfig("tpp", "tpq", pollIntervalMs = 100))
+    runner.pause() // default: temporary
+    assert(!store.isPaused("tpp")) // nothing persisted
+    assert(runner.start().isEmpty) // paused on THIS runner
+    // a fresh runner (≈ restart) boots running — the flag was never set
+    val rebooted = new PipelineRunner(store, PipelineConfig("tpp", "tpq", pollIntervalMs = 100))
+    assert(rebooted.start().nonEmpty)
+    rebooted.stop()
+    // temporary resume restarts locally even under a durable flag
+    store.setPaused("tpp", true)
+    runner.resume() // default: temporary
+    assert(runner.activeQuery.nonEmpty)
+    assert(store.isPaused("tpp")) // durable flag untouched
+    runner.stop()
+    store.setPaused("tpp", false)
+  }
+
+  test("pause option validation rejects malformed maps, drops unknown keys (control/options parity)") {
+    import graft.pipeline.ControlOptions
+    assert(ControlOptions.sanitize(Map.empty) ===
+      Right(ControlOptions(temporary = true, async = false, timeoutMs = 5000)))
+    assert(ControlOptions.sanitize(Map("unwanted" -> "option", "timeout" -> 1000)) ===
+      Right(ControlOptions(temporary = true, async = false, timeoutMs = 1000)))
+    assert(ControlOptions.sanitize(Map("timeout" -> "infinity", "async" -> true)) ===
+      Right(ControlOptions(temporary = true, async = true, timeoutMs = ControlOptions.Infinity)))
+    assert(ControlOptions.sanitize(Map("temporary" -> 1)).isLeft)
+    assert(ControlOptions.sanitize(Map("async" -> 0)).isLeft)
+    assert(ControlOptions.sanitize(Map("timeout" -> -1)).isLeft)
+    val store = new QueueStore(spark, TestSpark.tmpRoot("pause_bad"))
+    val runner = new PipelineRunner(store, PipelineConfig("vp", "vq"))
+    intercept[IllegalArgumentException] { runner.pause(Map("temporary" -> 1)) }
   }
 
   test("restart recovery: checkpoint resumes mid-stream without loss or double-count") {
