@@ -30,11 +30,12 @@ class GraftEngine(
     handler: EventHandler = new InMemoryEventHandler) {
 
   val store = new QueueStore(spark, root)
-  val api: QueueApi = new DefaultQueueApi(store)
+  val api: QueueApi = new DefaultQueueApi(store, handler)
   val housekeeper = new Housekeeper(store,
     engineConfig.visibilityTimeoutMs)
   private val runners: Map[String, PipelineRunner] =
-    pipelines.map(c => c.name -> new PipelineRunner(store, c, engineConfig)).toMap
+    pipelines.map(c =>
+      c.name -> new PipelineRunner(store, c, engineConfig, handler)).toMap
   private var listener: Option[PipelineListener] = None
 
   /** Boot: telemetry, housekeeping loop, then every non-paused

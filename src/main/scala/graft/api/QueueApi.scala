@@ -53,7 +53,9 @@ object QueueApi {
   * moved to processing; requeues append on both sides so the arithmetic
   * stays consistent).
   */
-class DefaultQueueApi(store: QueueStore) extends QueueApi {
+class DefaultQueueApi(
+    store: QueueStore,
+    handler: graft.metrics.EventHandler = graft.metrics.NoopEventHandler) extends QueueApi {
   import QueueApi._
   private val spark = store.spark
 
@@ -67,6 +69,10 @@ class DefaultQueueApi(store: QueueStore) extends QueueApi {
     // one file per enqueue batch: preserves FIFO-by-file ordering and
     // keeps the write a single-task job (driver-local rows)
     store.append(store.queueDir(queue), events.toDF().coalesce(1), Schemas.event)
+    // [queue, :enqueue] payload-size telemetry (manager.ex:23-27,45-49)
+    handler.handle("enqueue", queue, Map(
+      "count" -> jobs.size.toDouble,
+      "payloadBytes" -> jobs.map(_.args.length.toLong).sum.toDouble))
     events.map(_.jid)
   }
 

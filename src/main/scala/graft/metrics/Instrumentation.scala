@@ -12,14 +12,26 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 trait EventHandler extends Serializable {
   def handle(event: String, pipeline: String, measurements: Map[String, Double]): Unit
+  /** Per-job worker duration — the [pipeline, :worker, :job] event
+    * (event/worker.ex:57-67). Default no-op so batch-level handlers
+    * stay source-compatible. */
+  def handleJob(pipeline: String, jid: String, durationMs: Double, success: Boolean): Unit = ()
+}
+
+object NoopEventHandler extends EventHandler {
+  def handle(event: String, pipeline: String, m: Map[String, Double]): Unit = ()
 }
 
 /** Default handler: keeps last-seen gauges queryable in-process (the
   * reference's logger-backed DefaultEventHandler analog). */
 class InMemoryEventHandler extends EventHandler {
   val gauges: TrieMap[(String, String), Map[String, Double]] = TrieMap.empty
+  /** (pipeline, jid) → (durationMs, success) for every dispatched job. */
+  val jobs: TrieMap[(String, String), (Double, Boolean)] = TrieMap.empty
   def handle(event: String, pipeline: String, m: Map[String, Double]): Unit =
     gauges.put((pipeline, event), m)
+  override def handleJob(pipeline: String, jid: String, durationMs: Double, success: Boolean): Unit =
+    jobs.put((pipeline, jid), (durationMs, success))
 }
 
 class PipelineListener(handler: EventHandler) extends StreamingQueryListener {

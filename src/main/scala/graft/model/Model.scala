@@ -42,7 +42,8 @@ case class Outcome(
     claim_id: String,
     success: Boolean,
     error_message: Option[String],
-    error_backtrace: Option[String])
+    error_backtrace: Option[String],
+    duration_ms: Double = 0.0)
 
 /** One pipeline = one streaming query (reference: lib/flume/pipeline.ex:7-18).
   * maxDemand maps to maxFilesPerTrigger (each enqueue batch is one file);

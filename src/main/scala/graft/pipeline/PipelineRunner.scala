@@ -43,7 +43,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 class PipelineRunner(
     store: QueueStore,
     cfg: PipelineConfig,
-    engine: EngineConfig = EngineConfig()) {
+    engine: EngineConfig = EngineConfig(),
+    handler: graft.metrics.EventHandler = graft.metrics.NoopEventHandler) {
 
   private val spark: SparkSession = store.spark
   @volatile private var query: Option[StreamingQuery] = None
@@ -60,9 +61,13 @@ class PipelineRunner(
     if (effectivelyPaused) None
     else {
       store.ensureDir(store.queueDir(cfg.queue))
+      // batch_size demand multiplier (producer.ex:131-146): demand
+      // counts BulkEvents when batching, so the fetch asks for
+      // demand * batch_size raw jobs
+      val fetchDemand = cfg.maxDemand * cfg.batchSize.getOrElse(1)
       val src = spark.readStream
         .schema(Schemas.event)
-        .option("maxFilesPerTrigger", cfg.maxDemand)
+        .option("maxFilesPerTrigger", fetchDemand)
         .parquet(store.queueDir(cfg.queue))
       val q = src.writeStream
         .queryName(s"graft-pipeline-${cfg.name}")
@@ -220,6 +225,14 @@ class PipelineRunner(
       store.tombstone("processing",
         out.select(col("claim_id").as("id"), col("queue")))
 
+      // per-job worker telemetry ([pipeline,:worker,:job],
+      // event/worker.ex:57-67): the collect is metadata only — (jid,
+      // duration, success) bounded by maxDemand per micro-batch
+      if (handler ne graft.metrics.NoopEventHandler)
+        out.select("jid", "duration_ms", "success").collect().foreach { r =>
+          handler.handleJob(cfg.name, r.getString(0), r.getDouble(1), r.getBoolean(2))
+        }
+
       // one action decides the failure path; the happy path does no
       // further Spark jobs per micro-batch
       val nFail = out.where(!col("success")).count()
@@ -285,12 +298,17 @@ object PipelineRunner extends Serializable {
       }
     }
 
-  private[pipeline] def dispatchOne(e: ClaimedEvent, timeoutMs: Long = 0): Outcome =
-    timed(timeoutMs)(WorkerRegistry.resolve(e.clazz, e.function)(e.args, e.context)) match {
-      case None => e.toOutcome(success = true, None)
+  private[pipeline] def dispatchOne(e: ClaimedEvent, timeoutMs: Long = 0): Outcome = {
+    val t0 = System.nanoTime()
+    val result =
+      timed(timeoutMs)(WorkerRegistry.resolve(e.clazz, e.function)(e.args, e.context))
+    val durMs = (System.nanoTime() - t0) / 1e6
+    result match {
+      case None => e.toOutcome(success = true, None, durationMs = durMs)
       case Some(t) =>
-        e.toOutcome(success = false, Some(t.toString), Some(backtrace(t)))
+        e.toOutcome(success = false, Some(t.toString), Some(backtrace(t)), durMs)
     }
+  }
 
   /** First frames of the worker failure, like the reference's
     * error_backtrace field (event.ex:36). */
@@ -299,13 +317,18 @@ object PipelineRunner extends Serializable {
 
   /** One worker call per chunk; all members succeed or fail together
     * (bulk_event/worker.ex:33-64). */
-  private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent], timeoutMs: Long = 0): Seq[Outcome] =
-    timed(timeoutMs)(WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function)(
-      chunk.map(_.args))) match {
-      case None => chunk.map(_.toOutcome(success = true, None))
+  private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent], timeoutMs: Long = 0): Seq[Outcome] = {
+    val t0 = System.nanoTime()
+    val result = timed(timeoutMs)(
+      WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function)(chunk.map(_.args)))
+    // one worker call per chunk → each member carries the call's duration
+    val durMs = (System.nanoTime() - t0) / 1e6
+    result match {
+      case None => chunk.map(_.toOutcome(success = true, None, durationMs = durMs))
       case Some(t) =>
-        chunk.map(_.toOutcome(success = false, Some(t.toString), Some(backtrace(t))))
+        chunk.map(_.toOutcome(success = false, Some(t.toString), Some(backtrace(t)), durMs))
     }
+  }
 }
 
 /** GraftEvent + its claim id, as dispatched. */
@@ -317,7 +340,7 @@ case class ClaimedEvent(
     error_backtrace: Option[String], context: Map[String, String],
     claim_id: String) {
   def toOutcome(success: Boolean, error: Option[String],
-      backtrace: Option[String] = None): Outcome =
+      backtrace: Option[String] = None, durationMs: Double = 0.0): Outcome =
     Outcome(clazz, function, queue, jid, args, retry_count, enqueued_at,
-      context, claim_id, success, error, backtrace)
+      context, claim_id, success, error, backtrace, durationMs)
 }

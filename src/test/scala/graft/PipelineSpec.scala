@@ -147,6 +147,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.liveProcessing.count() === 0)
   }
 
+  test("batch_size multiplies fetch demand: demand counts BulkEvents (B4 multiplier)") {
+    WorkerRegistry.registerBulk("MulWorker", argsList => { Buffers.bulk.add(argsList); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("mul"))
+    val api = new DefaultQueueApi(store)
+    // 6 enqueue batches = 6 files, one job each
+    (1 to 6).foreach(i => api.enqueue("mq", JobSpec("MulWorker", args = s"[$i]")))
+    // maxDemand=2 × batchSize=3 ⇒ fetch 6 files per trigger: ONE batch
+    val runner = new PipelineRunner(store,
+      PipelineConfig("mul_p", "mq", maxDemand = 2, batchSize = Some(3), pollIntervalMs = 50))
+    val q = runner.start().get
+    try q.processAllAvailable() finally runner.stop()
+    assert(Buffers.bulk.toArray.flatMap(_.asInstanceOf[Seq[String]]).length === 6)
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmpty === 1) // without the multiplier this takes 3 micro-batches
+  }
+
   test("bulk failure fails all members of the chunk together (B6)") {
     WorkerRegistry.registerBulk("BadBulk", _ => throw new RuntimeException("bulk boom"))
     val store = new QueueStore(spark, TestSpark.tmpRoot("bulkfail"))
@@ -310,6 +326,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
       assert(store.queueRows("hq").count() === 1)
       assert(store.liveScheduled.count() === 0)
     } finally hk.stop()
+  }
+
+  test("per-job telemetry: worker durations and enqueue payload sizes reach the handler (D5)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => { Buffers.echo.add(args); () })
+    val handler = new InMemoryEventHandler
+    val store = new QueueStore(spark, TestSpark.tmpRoot("jobtel"))
+    val api = new DefaultQueueApi(store, handler)
+    api.bulkEnqueue("jt", (1 to 10).map(i => JobSpec("EchoWorker", args = s"[$i]")))
+    // [queue,:enqueue] with payload size (manager.ex:23-27)
+    val enq = handler.gauges(("jt", "enqueue"))
+    assert(enq("count") === 10.0)
+    assert(enq("payloadBytes") >= 30.0)
+    // [pipeline,:worker,:job] per-job durations (event/worker.ex:57-67)
+    val runner = new PipelineRunner(store, PipelineConfig("jt_p", "jt"), EngineConfig(), handler)
+    runner.processBatch(store.queueRows("jt"), 0)
+    val jobs = handler.jobs.filter(_._1._1 == "jt_p")
+    assert(jobs.size === 10)
+    assert(jobs.values.forall { case (d, ok) => d >= 0.0 && ok })
   }
 
   test("scheduled table is nb_day-partitioned and the due scan partition-prunes (C1 at scale)") {
