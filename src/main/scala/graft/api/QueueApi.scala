@@ -91,8 +91,15 @@ class DefaultQueueApi(
     e.jid
   }
 
-  def jobCounts(queues: Seq[String]): Map[String, Long] =
-    queues.map(q => q -> (store.queueRows(q).count() - store.rawProcessingCount(q))).toMap
+  /** D2 without full scans: enqueued counts come from parquet footer
+    * metadata (driver-side, zero Spark jobs), claim counts from ONE
+    * column-pruned job across all queues — previously 2 full-table
+    * jobs per queue per call. */
+  def jobCounts(queues: Seq[String]): Map[String, Long] = {
+    val claims = store.rawProcessingCounts(queues)
+    queues.map(q =>
+      q -> (store.footerRowCount(store.queueDir(q)) - claims.getOrElse(q, 0L))).toMap
+  }
 
   // distinct: merge-style compaction recovery may leave duplicate rows
   // for the same claim, which must not inflate the in-flight gauge

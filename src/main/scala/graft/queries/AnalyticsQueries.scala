@@ -236,5 +236,40 @@ object AnalyticsQueries {
           |FROM (SELECT user_id, epoch_us(ts) AS ts_us,
           |LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
           |FROM events) GROUP BY user_id""".stripMargin),
-      "Sessionization via lag window: 30-minute inactivity gap."))
+      "Sessionization via lag window: 30-minute inactivity gap."),
+
+    QueryDef(
+      "q5_region_revenue",
+      (s, dir) => {
+        // TPC-H Q5 shape over the full star: lineitem⋈orders shuffles
+        // on the order key; customer/supplier/nation/region are all
+        // broadcast dimensions, with the Q5 local-supplier condition
+        // (c_nationkey = s_nationkey) folded into the supplier join.
+        val qRev = (quant(col("l_extendedprice"), 10000) *
+          quant(lit(1) - col("l_discount"), 10000)).cast(sumDec)
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"))
+          .agg(
+            (sum(qRev).cast("double") / 100000000).as("revenue"),
+            count("*").as("n_items"))
+      },
+      Some(
+        """SELECT r_name AS region,
+          |CAST(SUM(CAST(ROUND(l_extendedprice * 10000) * ROUND((1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 100000000 AS revenue,
+          |COUNT(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin),
+      "TPC-H Q5-shaped revenue by region (local-supplier star join)."))
 }

@@ -221,12 +221,36 @@ class QueueStore(val spark: SparkSession, val root: String) {
     * compaction drops acked rows but KEEPS the processing tombstones
     * (compactProcessing) — the id+queue tombstone is the durable record
     * of the ack, so job_counts survives compaction idempotently. */
-  def rawProcessingCount(q: String): Long = {
+  def rawProcessingCount(q: String): Long =
+    rawProcessingCounts(Seq(q)).getOrElse(q, 0L)
+
+  /** Distinct claims for MANY queues in ONE column-pruned Spark job
+    * (ids + queue only — the claim tables are id-sized, and acked
+    * rows compact away), instead of a scan per queue per call. */
+  def rawProcessingCounts(qs: Seq[String]): Map[String, Long] = {
     val rowClaims = readOrEmpty(processingDir, processingSchema)
-      .where(col("queue") === q).select(col("claim_id").as("id"))
+      .select(col("claim_id").as("id"), col("queue"))
     val tombClaims = readOrEmpty(tombDir("processing"), tombSchema)
-      .where(col("queue") === q).select(col("id"))
-    rowClaims.unionAll(tombClaims).distinct().count()
+      .select(col("id"), col("queue"))
+    rowClaims.unionAll(tombClaims)
+      .where(col("queue").isin(qs: _*))
+      .groupBy("queue").agg(countDistinct("id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Row count of an append-only table from parquet FOOTERS only —
+    * driver-side metadata reads, no Spark job, no data scan. Exact for
+    * queue dirs (append-only, never deduped). O(files) footer reads;
+    * at scale the compactor keeps file counts bounded. */
+  def footerRowCount(dir: String): Long = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(f => f.getPath.getName.startsWith("part-")).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Jobs admitted through a rate-limit window (B2's ns:limit ZSET).

@@ -328,6 +328,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally hk.stop()
   }
 
+  test("footer row counts equal full-scan counts (D2 metadata-only path)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("footer"))
+    val api = new DefaultQueueApi(store)
+    (1 to 3).foreach(b => api.bulkEnqueue("fc", (1 to 7).map(i => JobSpec("W", args = s"[$b$i]"))))
+    assert(store.footerRowCount(store.queueDir("fc")) === 21)
+    assert(store.footerRowCount(store.queueDir("fc")) === store.queueRows("fc").count())
+    assert(store.footerRowCount(store.queueDir("missing")) === 0)
+  }
+
   test("per-job telemetry: worker durations and enqueue payload sizes reach the handler (D5)") {
     WorkerRegistry.register("EchoWorker", (args, _) => { Buffers.echo.add(args); () })
     val handler = new InMemoryEventHandler
