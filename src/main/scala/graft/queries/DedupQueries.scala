@@ -37,13 +37,28 @@ object DedupQueries {
   /** Distinct (doc_id, 3-shingle) pairs — only for ops that genuinely
     * need the exploded form (Jaccard set overlap). Uses the native
     * Shingles3 expression (one call per row, loop inside) instead of
-    * the interpreted higher-order-function composition. */
+    * the interpreted higher-order-function composition.
+    *
+    * ZERO-shuffle distinct: all shingles of a doc live in one row's
+    * array, so (doc_id, s) duplicates can only be within-row —
+    * array_distinct before the explode is exactly a global DISTINCT on
+    * the pairs, without shuffling every shingle across the cluster. */
   private def shingleDF(s: SparkSession, dir: String): DataFrame = {
     graft.functions.expr.TextExpressions.register(s)
     t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(call_function("graft_shingles3", split(col("text"), " "))).as("s"))
-      .distinct()
+        explode(array_distinct(
+          call_function("graft_shingles3", split(col("text"), " ")))).as("s"))
+  }
+
+  /** Per-doc distinct-shingle counts, computed row-locally (pure map —
+    * the |A| and |B| of the Jaccard union never need an aggregation). */
+  private def shingleCounts(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.expr.TextExpressions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(array_distinct(
+        call_function("graft_shingles3", split(col("text"), " ")))).as("n"))
+      .where(col("n") > 0)
   }
 
   private val ShingleCte =
@@ -109,8 +124,8 @@ object DedupQueries {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleDF(s, dir).cache() // reused by cnt + both join sides
-        val cnt = sh.groupBy("doc_id").agg(count("*").as("n"))
+        val sh = shingleDF(s, dir).cache() // map-only; reused by both join sides
+        val cnt = shingleCounts(s, dir) // row-local |A|,|B| — no aggregation
         val pairs = sh.as("a")
           .join(sh.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -144,17 +159,15 @@ object DedupQueries {
 
     QueryDef(
       "dedup_minhash_buckets",
-      (s, dir) => {
-        val sig = minhashSig(s, dir).cache() // one scan feeds all 4 bands
-        MinhashBands.map(_._1).zipWithIndex
-          .map { case (name, band) =>
-            sig.groupBy(col(name).as("sig"))
-              .agg(count("*").as("n_docs"))
-              .select(lit(band).as("band"), col("sig"), col("n_docs"))
-          }
-          .reduce(_.unionAll(_))
-          .where(col("n_docs") > 1)
-      },
+      (s, dir) =>
+        // one scan + ONE aggregation for all 4 bands: explode each
+        // signature into (band, sig) rows and count per bucket —
+        // replaces 4 per-band groupBy passes over the same data
+        minhashSig(s, dir)
+          .select(posexplode(
+            array(MinhashBands.map(b => col(b._1)): _*)).as(Seq("band", "sig")))
+          .groupBy("band", "sig").agg(count("*").as("n_docs"))
+          .where(col("n_docs") > 1),
       Some(
         s"""$ShingleCte,
            |sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id)
@@ -167,31 +180,34 @@ object DedupQueries {
       "dedup_lsh_verified",
       (s, dir) => {
         // THE scale pattern end-to-end: MinHash band buckets generate
-        // candidate pairs (4 equi-joins on 32-bit band keys — ids only
-        // shuffle), HOT buckets are capped (boilerplate shingle sets
-        // collapse to one signature and would explode quadratically),
-        // and exact Jaccard verification touches shingles of candidate
-        // docs ONLY (broadcast semi-join prunes the shingle table
-        // map-side). The corpus² pairwise join never happens.
+        // candidate pairs with ONE equi-join keyed on (band, bucket) —
+        // ids only shuffle — HOT buckets are dropped first (boilerplate
+        // shingle sets collapse to one signature and would explode
+        // quadratically; the hot list is tiny, so the filter is a
+        // broadcast anti-join), and exact Jaccard verification touches
+        // shingles of candidate docs ONLY (broadcast semi-join prunes
+        // the map-local shingle explode before any shuffle). The
+        // corpus² pairwise join never happens.
         val capN = 100
-        val sig = minhashSig(s, dir).cache()
-        val cand = MinhashBands.map(_._1).map { name =>
-          val okBuckets = sig.groupBy(col(name))
-            .agg(count("*").as("n_docs")).where(col("n_docs") <= capN)
-            .select(col(name))
-          val inOk = sig.join(broadcast(okBuckets), Seq(name), "left_semi")
-          inOk.as("a").join(inOk.as("b"),
-            col(s"a.$name") === col(s"b.$name") &&
+        val bands = minhashSig(s, dir)
+          .select(col("doc_id"), posexplode(
+            array(MinhashBands.map(b => col(b._1)): _*)).as(Seq("band", "bkey")))
+          .cache()
+        val hot = bands.groupBy("band", "bkey")
+          .agg(count("*").as("n_docs")).where(col("n_docs") > capN)
+        val ok = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+        val cand = ok.as("a").join(ok.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        }.reduce(_.unionAll(_)).distinct().cache()
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct().cache()
+        // no distinct: the semi-join dedupes on the build side anyway,
+        // so skipping it saves a shuffle
         val candIds = cand.select(col("doc_a").as("doc_id"))
-          .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
-        // candidates' shingles only — map-side broadcast semi-join, so
-        // the full shingle table is never shuffled
+          .unionAll(cand.select(col("doc_b").as("doc_id")))
         val sh = shingleDF(s, dir)
           .join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
-        val cnt = sh.groupBy("doc_id").agg(count("*").as("n"))
+        val cnt = shingleCounts(s, dir) // row-local, no aggregation
         val shared = cand
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(sh.as("sb"),
