@@ -236,6 +236,9 @@ class PipelineRunner(
       // one action decides the failure path; the happy path does no
       // further Spark jobs per micro-batch
       val nFail = out.where(!col("success")).count()
+      if (nFail > 0)
+        graft.GraftLog.current.warn("worker failures in micro-batch",
+          Map("pipeline" -> cfg.name, "failed" -> nFail.toString))
       if (nFail == 0) return
 
       val failures = out.where(!col("success"))

@@ -131,12 +131,35 @@ object ParityQueries {
     QueryDef(
       "p_queue_head",
       (s, dir) => {
+        // two-phase partial top-k: per-partition bounded heaps keep the
+        // k earliest rows per queue (map-side, no shuffle of the full
+        // table), then an exact window ranks only the ≤ k·partitions
+        // survivors — the full-table sort+shuffle never happens
+        import s.implicits._
+        val k = 10
+        val partial = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"))
+          .as[(String, Long, Long)]
+          .mapPartitions { it =>
+            val ord = Ordering.Tuple2[Long, Long](Ordering.Long, Ordering.Long)
+            val heaps = scala.collection.mutable.Map
+              .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+            it.foreach { case (q, id, ts) =>
+              val h = heaps.getOrElseUpdate(q,
+                scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
+              h.enqueue((ts, id)) // max-heap: evicting the largest keeps the k earliest
+              if (h.size > k) { h.dequeue(); () }
+            }
+            heaps.iterator.flatMap { case (q, h) =>
+              h.iterator.map { case (ts, id) => (q, id, ts) }
+            }
+          }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type")
           .orderBy(col("ts"), col("event_id"))
-        t(s, dir, "events")
+        partial.toDF("event_type", "event_id", "ts")
           .withColumn("pos", row_number().over(w))
-          .where(col("pos") <= 10)
+          .where(col("pos") <= k)
           .select(
             col("event_type").as("queue"),
             col("pos").cast("int").as("pos"),

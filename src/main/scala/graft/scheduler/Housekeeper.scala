@@ -97,10 +97,15 @@ class Housekeeper(
         // keep the loop alive and never hide failures: anything that
         // escapes would make scheduleWithFixedDelay silently cancel all
         // future ticks. InterruptedException means shutdownNow — exit.
-        try tick() catch {
+        try {
+          val (promoted, requeued) = tick()
+          if (promoted > 0 || requeued > 0)
+            graft.GraftLog.current.info("housekeeper tick",
+              Map("promoted" -> promoted.toString, "requeued" -> requeued.toString))
+        } catch {
           case _: InterruptedException => Thread.currentThread().interrupt()
           case t: Throwable =>
-            System.err.println(s"[graft-housekeeper] tick failed: $t")
+            graft.GraftLog.current.error(s"housekeeper tick failed: $t")
             t.printStackTrace()
         }
       }, intervalMs, intervalMs, TimeUnit.MILLISECONDS)

@@ -328,6 +328,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally hk.stop()
   }
 
+  test("pluggable logger captures engine log events (D7)") {
+    val buf = new graft.BufferingGraftLogger
+    val prev = graft.GraftLog.current
+    graft.GraftLog.current = buf
+    try {
+      WorkerRegistry.register("FailLog", (_, _) => throw new RuntimeException("lboom"))
+      val store = new QueueStore(spark, TestSpark.tmpRoot("logger"))
+      val api = new DefaultQueueApi(store)
+      api.enqueue("lgq", JobSpec("FailLog"))
+      val runner = new PipelineRunner(store, PipelineConfig("lg_p", "lgq"))
+      runner.processBatch(store.queueRows("lgq"), 0)
+      val warns = buf.entries.filter(_._1 == "warn")
+      assert(warns.exists(e => e._2.contains("worker failures") &&
+        e._3.get("pipeline").contains("lg_p") && e._3.get("failed").contains("1")))
+    } finally graft.GraftLog.current = prev
+  }
+
   test("footer row counts equal full-scan counts (D2 metadata-only path)") {
     val store = new QueueStore(spark, TestSpark.tmpRoot("footer"))
     val api = new DefaultQueueApi(store)
