@@ -97,8 +97,13 @@ class DefaultQueueApi(
     * jobs per queue per call. */
   def jobCounts(queues: Seq[String]): Map[String, Long] = {
     val claims = store.rawProcessingCounts(queues)
+    // archived files' rows still have acked claims in the tombstone
+    // table, so the enqueued side must count the archive too (footer
+    // reads are metadata-only either way)
     queues.map(q =>
-      q -> (store.footerRowCount(store.queueDir(q)) - claims.getOrElse(q, 0L))).toMap
+      q -> (store.footerRowCount(store.queueDir(q)) +
+        store.footerRowCount(s"${store.queueDir(q)}/.archive") -
+        claims.getOrElse(q, 0L))).toMap
   }
 
   // distinct: merge-style compaction recovery may leave duplicate rows

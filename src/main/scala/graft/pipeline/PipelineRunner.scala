@@ -68,6 +68,10 @@ class PipelineRunner(
       val src = spark.readStream
         .schema(Schemas.event)
         .option("maxFilesPerTrigger", fetchDemand)
+        // a crash-replay may reference a file the archiver has since
+        // moved (possible only when every row in it was already acked)
+        // — skip it instead of failing the query
+        .option("ignoreMissingFiles", "true")
         .parquet(store.queueDir(cfg.queue))
       val q = src.writeStream
         .queryName(s"graft-pipeline-${cfg.name}")

@@ -247,6 +247,36 @@ object SimilarityQueries {
       "IVF-cell kNN (nprobe=1): top-5 cosine within the query's coarse cell."),
 
     QueryDef(
+      "sim_sq8_error",
+      (s, dir) => {
+        // int8 scalar quantization — the memory-reduction step an ANN
+        // index applies before loading 100 TB of vectors: per-vector
+        // symmetric scale (pure map, zero shuffle), codes = round(x /
+        // scale * 127), and the query measures the reconstruction
+        // cosine so recall loss is observable per vector.
+        graft.functions.VectorFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+          .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+          .withColumn("r", transform(col("e"),
+            x => round(x / col("scale") * 127) * col("scale") / 127))
+        e.select(col("vec_id"), col("scale"),
+          (dot(col("e"), col("r")) /
+            (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("r"), col("r")))))
+            .as("recon_cos"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+          |r AS (SELECT vec_id, e, scale,
+          |  list_transform(e, x -> round(x / scale * 127) * scale / 127) AS r FROM sc)
+          |SELECT vec_id, scale,
+          |  list_dot_product(e, r) /
+          |  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(r, r))) AS recon_cos
+          |FROM r""".stripMargin),
+      "Int8 scalar quantization with per-vector reconstruction cosine (map-only)."),
+
+    QueryDef(
       "sim_label_centroid",
       (s, dir) =>
         t(s, dir, "embeddings")

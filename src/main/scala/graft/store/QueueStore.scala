@@ -65,7 +65,10 @@ class QueueStore(val spark: SparkSession, val root: String) {
 
   private def hasData(dir: String): Boolean = {
     val p = new Path(dir)
-    fs.exists(p) && fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") // dot-dirs: .archive etc.
+    }
   }
 
   def readOrEmpty(dir: String, schema: StructType): DataFrame =
@@ -378,6 +381,52 @@ class QueueStore(val spark: SparkSession, val root: String) {
     fs.rename(new Path(tmp), new Path(scheduledDir))
     fs.delete(new Path(old), true)
     tombFiles.foreach(f => fs.delete(f, false))
+  }
+
+  /** Archive fully-consumed queue files: move every part file (older
+    * than `olderThanMs`) whose rows ALL have acked claims into the
+    * queue's archive dir. At 100 TB this is what keeps the streaming
+    * source's per-trigger listing cost bounded — consumed files leave
+    * the live dir instead of accumulating forever; history stays
+    * queryable under archive/. Safe with the running query: the source
+    * only lists for NEW files, and a crash-replay of an already-acked
+    * file is skipped via spark.sql.files.ignoreMissingFiles (re-running
+    * acked jobs is the at-least-once contract anyway; the jobs' claims
+    * are acked, so only the file read is skipped). Returns files moved.
+    */
+  def archiveConsumed(q: String, olderThanMs: Long = 600000): Long = {
+    val dir = new Path(queueDir(q))
+    if (!fs.exists(dir)) return 0L
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val oldFiles = fs.listStatus(dir)
+      .filter(f => f.getPath.getName.startsWith("part-") &&
+        f.getModificationTime < cutoff)
+    if (oldFiles.isEmpty) return 0L
+    // jids with at least one acked (tombstoned) claim for this queue;
+    // tombstone ids are claim ids = jid:batchId[:d]
+    val ackedJids = readOrEmpty(tombDir("processing"), tombSchema)
+      .where(col("queue") === q)
+      .select(substring_index(col("id"), ":", 1).as("jid"))
+    // a file is archivable when NO row lacks an acked claim
+    val pending = spark.read.schema(Schemas.event)
+      .parquet(oldFiles.map(_.getPath.toString).toSeq: _*)
+      .select(col("jid"), input_file_name().as("f"))
+      .join(broadcast(ackedJids), Seq("jid"), "left_anti")
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val archive = new Path(s"${queueDir(q)}/.archive")
+    fs.mkdirs(archive)
+    var moved = 0L
+    oldFiles.foreach { f =>
+      val uri = f.getPath.toUri.toString
+      // input_file_name yields a URI; compare by suffix to be
+      // scheme-robust
+      val isPending = pending.exists(p => p.endsWith(f.getPath.getName))
+      if (!isPending) {
+        if (fs.rename(f.getPath, new Path(archive, f.getPath.getName))) moved += 1
+        else graft.GraftLog.current.warn(s"archive rename failed for $uri")
+      }
+    }
+    moved
   }
 
   /** Compact the processing table, KEEPING its tombstones: the

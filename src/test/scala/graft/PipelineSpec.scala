@@ -328,6 +328,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally hk.stop()
   }
 
+  test("archiver moves fully-acked queue files out of the live dir; counts stay exact (E1 at scale)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => { Buffers.echo.add(args); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("arch"))
+    val api = new DefaultQueueApi(store)
+    // two files: one fully consumed, one untouched
+    api.bulkEnqueue("aq", (1 to 5).map(i => JobSpec("EchoWorker", args = s"[a$i]")))
+    val runner = new PipelineRunner(store, PipelineConfig("arch_p", "aq"))
+    runner.processBatch(store.queueRows("aq"), 0) // consume + ack file 1
+    api.bulkEnqueue("aq", (1 to 3).map(i => JobSpec("EchoWorker", args = s"[b$i]")))
+    assert(api.jobCounts(Seq("aq"))("aq") === 3)
+    val moved = store.archiveConsumed("aq", olderThanMs = 0)
+    assert(moved === 1) // only the fully-acked file moved
+    // live dir holds just the unconsumed file; archive holds the other
+    val live = new java.io.File(store.queueDir("aq")).listFiles
+      .filter(_.getName.startsWith("part-"))
+    assert(live.length === 1)
+    assert(store.footerRowCount(s"${store.queueDir("aq")}/.archive") === 5)
+    // jobCounts arithmetic survives archiving
+    assert(api.jobCounts(Seq("aq"))("aq") === 3)
+    assert(store.queueRows("aq").count() === 3) // live reads exclude archive
+  }
+
   test("pluggable logger captures engine log events (D7)") {
     val buf = new graft.BufferingGraftLogger
     val prev = graft.GraftLog.current
