@@ -53,6 +53,41 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")))
 
+  val frameSchema: StructType = new StructType()
+    .add("doc_id", LongType)
+    .add("frame_no", IntegerType)
+    .add("frame_idx", IntegerType)
+    .add("frame_off", IntegerType)
+    .add("frame_bytes", BinaryType)
+
+  /** Frame sampling: emit up to `maxFrames` evenly spaced frames per
+    * video payload as (index, byte-slice) rows. Iterator-based
+    * partition batching — memory stays bounded by one payload at a
+    * time, the mapInPandas shape. The frame EXTRACTION is the stub
+    * (byte slices at arithmetic offsets: frame i of f frames is
+    * payload[i·n/f, +n/f) ); a real demuxer replaces only the slicing.
+    */
+  def sampleFrames(withPayloads: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val rows: Dataset[Row] = withPayloads.select(col("doc_id"), col("payload"))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(frameSchema)
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val n = payload.length
+        val frames = n % 30 + 1
+        val k = math.min(maxFrames, frames)
+        val len = n / frames
+        (0 until k).iterator.map { j =>
+          val idx = j * frames / k
+          val off = idx * n / frames
+          Row(r.getLong(0), j, idx, off,
+            java.util.Arrays.copyOfRange(payload, off, math.min(off + len, n)))
+        }
+      }
+    }
+  }
+
   /** Partition-batched decode: one codec per partition, rows streamed.
     * This is the mapInPandas-shaped hot path — swap StubCodec for a
     * real decoder and nothing else changes. */

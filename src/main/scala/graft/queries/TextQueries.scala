@@ -126,5 +126,32 @@ object TextQueries {
         """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
           |md5(text) AS checksum, source FROM documents""".stripMargin),
       "Multimodal plumbing: opaque binary payload + typed metadata; the " +
-        "decode/feature steps live in graft.multimodal (stubbed codecs)."))
+        "decode/feature steps live in graft.multimodal (stubbed codecs)."),
+
+    QueryDef(
+      "mm_frame_sample",
+      (s, dir) => {
+        // runs the REAL partition-batched frame sampler (byte slices at
+        // arithmetic offsets stand in for a demuxer) on the "video"
+        // payloads; the oracle recomputes index/offset/length from
+        // octet_length, so the plumbing — including the slice length —
+        // is verified end-to-end
+        val videos = graft.multimodal.Multimodal
+          .withPayload(t(s, dir, "documents"))
+          .where(col("media_type") === "video")
+        graft.multimodal.Multimodal.sampleFrames(videos)
+          .select(col("doc_id"), col("frame_no"), col("frame_idx"),
+            col("frame_off"), length(col("frame_bytes")).cast("int").as("frame_len"))
+      },
+      Some(
+        """WITH p AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |f AS (SELECT doc_id, n, n % 30 + 1 AS frames, LEAST(4, n % 30 + 1) AS k FROM p)
+          |SELECT doc_id, CAST(j AS INT) AS frame_no,
+          |  CAST(j * frames // k AS INT) AS frame_idx,
+          |  CAST((j * frames // k) * n // frames AS INT) AS frame_off,
+          |  CAST(LEAST((j * frames // k) * n // frames + n // frames, n)
+          |    - (j * frames // k) * n // frames AS INT) AS frame_len
+          |FROM f, LATERAL (SELECT unnest(range(0, k)) AS j) t""".stripMargin),
+      "Video frame sampling: evenly spaced frame slices via the partition-batched stub demuxer."))
 }

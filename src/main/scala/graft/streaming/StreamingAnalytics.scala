@@ -34,6 +34,24 @@ object StreamingAnalytics {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** Gap-based session windows via Spark's native session_window —
+    * the streaming counterpart of the batch lag-sessionization query
+    * (q_user_sessions): sessions close `gap` after the last event, and
+    * on streams the watermark bounds session state. Input needs
+    * (ts: timestamp, user_id). Works on batch and streaming frames. */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Cross-micro-batch exact dedup by jid: keeps the first occurrence
     * ever seen, drops replays (at-least-once delivery → effectively-once
     * processing). State is one boolean per jid; pass a processing-time

@@ -23,4 +23,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
     meta.unpersist()
   }
+
+  test("frame sampling: evenly spaced slices, bounded count, exact bytes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val videos = Multimodal.withPayload(docs).where(col("media_type") === "video").cache()
+    val frames = Multimodal.sampleFrames(videos).cache()
+    assert(frames.schema === Multimodal.frameSchema)
+    // ≤ 4 frames per doc, frame_no dense from 0
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 4))
+    // the slice really is payload[off, off+len): spot-check via join
+    val joined = frames.join(videos.select(col("doc_id"), col("payload")), "doc_id")
+      .select("payload", "frame_off", "frame_bytes").collect()
+    joined.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val off = r.getAs[Int]("frame_off")
+      val bytes = r.getAs[Array[Byte]]("frame_bytes")
+      assert(java.util.Arrays.equals(bytes,
+        java.util.Arrays.copyOfRange(payload, off, off + bytes.length)))
+    }
+    frames.unpersist(); videos.unpersist()
+  }
+
+  test("session windows: gap-based aggregation (streaming-native sessionization)") {
+    import spark.implicits._
+    val base = 1704067200000L
+    // user u1: events at 0s,60s then a 2h gap, then one more; u2: single event
+    val df = Seq(
+      ("u1", 0L), ("u1", 60000L), ("u1", 7260000L), ("u2", 30000L))
+      .toDF("user_id", "off")
+      .select(col("user_id"), expr(s"timestamp_millis($base + off)").as("ts"))
+    val sessions = graft.streaming.StreamingAnalytics
+      .sessionCounts(df, gap = "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length === 3) // u1: two sessions, u2: one
+    assert(sessions.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L, 1L))
+  }
 }
