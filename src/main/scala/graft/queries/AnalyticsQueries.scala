@@ -239,6 +239,45 @@ object AnalyticsQueries {
       "Sessionization via lag window: 30-minute inactivity gap."),
 
     QueryDef(
+      "q_asof_purchase_click",
+      (s, dir) => {
+        // AS-OF JOIN, the operator Spark lacks natively: for every
+        // purchase, the user's most recent click at-or-before it. The
+        // scalable formulation is union + ONE window pass (running
+        // last non-null click per user) — a single shuffle keyed on
+        // user, linear in events; the naive range join is quadratic
+        // per user and explodes at 100 TB. Ties at identical ts count
+        // the click first ('click' < 'purchase' in the sort).
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_type"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+          .withColumn("last_click_us",
+            last(when(col("event_type") === "click", col("ts_us")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_us").as("purchase_us"), col("last_click_us"),
+            (col("ts_us") - col("last_click_us")).as("gap_us"))
+      },
+      Some(
+        """SELECT user_id, purchase_id, purchase_us, last_click_us,
+          |  purchase_us - last_click_us AS gap_us
+          |FROM (
+          |  SELECT user_id, event_id AS purchase_id, event_type,
+          |    epoch_us(ts) AS purchase_us,
+          |    LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id
+          |            ORDER BY epoch_us(ts), event_type, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+          |  FROM events WHERE event_type IN ('click', 'purchase'))
+          |WHERE event_type = 'purchase'""".stripMargin),
+      "As-of join: latest click at-or-before each purchase (union + one window pass)."),
+
+    QueryDef(
       "q5_region_revenue",
       (s, dir) => {
         // TPC-H Q5 shape over the full star: lineitem⋈orders shuffles

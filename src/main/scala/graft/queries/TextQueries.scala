@@ -129,6 +129,30 @@ object TextQueries {
         "decode/feature steps live in graft.multimodal (stubbed codecs)."),
 
     QueryDef(
+      "t_split_assign",
+      (s, dir) =>
+        // Deterministic train/val/test split — reproducible across
+        // engines, runs, and cluster sizes because the bucket is pure
+        // integer arithmetic on the stable doc_id (Knuth multiplicative
+        // hash), not a random() or a partition-dependent sample().
+        // Pure map: assignment costs one multiply per row at 100 TB.
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") * 2654435761L % 100).cast("int").as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test")),
+      Some(
+        """SELECT doc_id, source,
+          |CAST(doc_id * 2654435761 % 100 AS INT) AS bucket,
+          |CASE WHEN doc_id * 2654435761 % 100 < 80 THEN 'train'
+          |     WHEN doc_id * 2654435761 % 100 < 90 THEN 'val'
+          |     ELSE 'test' END AS split
+          |FROM documents""".stripMargin),
+      "Deterministic 80/10/10 train/val/test assignment (multiplicative hash, map-only)."),
+
+    QueryDef(
       "mm_frame_sample",
       (s, dir) => {
         // runs the REAL partition-batched frame sampler (byte slices at
