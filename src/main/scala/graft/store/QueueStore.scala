@@ -402,28 +402,41 @@ class QueueStore(val spark: SparkSession, val root: String) {
       .filter(f => f.getPath.getName.startsWith("part-") &&
         f.getModificationTime < cutoff)
     if (oldFiles.isEmpty) return 0L
-    // jids with at least one acked (tombstoned) claim for this queue;
-    // tombstone ids are claim ids = jid:batchId[:d]
-    val ackedJids = readOrEmpty(tombDir("processing"), tombSchema)
+    // A jid is FULLY consumed only when its distinct acked claims cover
+    // every row copy it has (live + already archived). A bare "has an
+    // acked claim" test would be wrong: a requeued/deferred job appends
+    // a NEW copy under the SAME jid, and the old claim's tombstone must
+    // not let the new, unprocessed copy's file be archived (each
+    // consumption of a copy produces exactly one distinct claim id, so
+    // count >= copies ⇔ all copies consumed).
+    val liveJids = readOrEmpty(queueDir(q), Schemas.event).select("jid")
+    val archJids = readOrEmpty(s"${queueDir(q)}/.archive", Schemas.event).select("jid")
+    val rowsPerJid = liveJids.unionAll(archJids)
+      .groupBy("jid").agg(count("*").as("n_rows"))
+    val acksPerJid = readOrEmpty(tombDir("processing"), tombSchema)
       .where(col("queue") === q)
-      .select(substring_index(col("id"), ":", 1).as("jid"))
-    // a file is archivable when NO row lacks an acked claim
+      .select(substring_index(col("id"), ":", 1).as("jid"), col("id")).distinct()
+      .groupBy("jid").agg(count("*").as("n_acked"))
+    val pendingJids = rowsPerJid.join(acksPerJid, Seq("jid"), "left")
+      .where(coalesce(col("n_acked"), lit(0L)) < col("n_rows"))
+      .select("jid")
+    // files containing any not-fully-consumed jid stay
     val pending = spark.read.schema(Schemas.event)
       .parquet(oldFiles.map(_.getPath.toString).toSeq: _*)
       .select(col("jid"), input_file_name().as("f"))
-      .join(broadcast(ackedJids), Seq("jid"), "left_anti")
+      .join(pendingJids, Seq("jid"), "left_semi")
       .select("f").distinct().collect().map(_.getString(0)).toSet
     val archive = new Path(s"${queueDir(q)}/.archive")
     fs.mkdirs(archive)
     var moved = 0L
     oldFiles.foreach { f =>
-      val uri = f.getPath.toUri.toString
       // input_file_name yields a URI; compare by suffix to be
       // scheme-robust
       val isPending = pending.exists(p => p.endsWith(f.getPath.getName))
       if (!isPending) {
         if (fs.rename(f.getPath, new Path(archive, f.getPath.getName))) moved += 1
-        else graft.GraftLog.current.warn(s"archive rename failed for $uri")
+        else graft.GraftLog.current.warn(
+          s"archive rename failed for ${f.getPath.toUri}")
       }
     }
     moved

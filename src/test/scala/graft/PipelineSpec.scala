@@ -350,6 +350,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.queueRows("aq").count() === 3) // live reads exclude archive
   }
 
+  test("archiver never archives a file whose jid has an unconsumed copy (requeue safety)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => { Buffers.echo.add(args); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("arch2"))
+    val api = new DefaultQueueApi(store)
+    api.enqueue("aq2", JobSpec("EchoWorker", args = "[r1]"))
+    // visibility-timeout shape: claim goes stale, requeueStuck acks the
+    // OLD claim and appends a NEW copy of the same jid in a new file
+    val past = new java.sql.Timestamp(System.currentTimeMillis() - 700000)
+    val claimed = store.queueRows("aq2")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", lit(past))
+    store.append(store.processingDir, claimed, store.processingSchema)
+    new Housekeeper(store, visibilityTimeoutMs = 600000).requeueStuck(System.currentTimeMillis())
+    // 2 copies of the jid, 1 acked claim → NOTHING archivable, even
+    // though the jid "has an acked claim" (the old one)
+    assert(store.archiveConsumed("aq2", olderThanMs = 0) === 0)
+    // consume the backlog → second claim acked → both files archivable
+    val runner = new PipelineRunner(store, PipelineConfig("arch2_p", "aq2"))
+    runner.processBatch(store.queueRows("aq2"), 1)
+    assert(store.archiveConsumed("aq2", olderThanMs = 0) === 2)
+    assert(api.jobCounts(Seq("aq2"))("aq2") === 0)
+  }
+
   test("pluggable logger captures engine log events (D7)") {
     val buf = new graft.BufferingGraftLogger
     val prev = graft.GraftLog.current
