@@ -67,9 +67,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd Hamming distance between two sign-bit signature strings
+  * ('0'/'1' chars, see VectorFunctions.signBits): differing positions
+  * over the common prefix plus the length difference. Integer-only —
+  * the LSH re-rank path that never touches a float. Same
+  * codegen-vs-CodegenFallback rationale as DotProduct.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(
+      _.dataType == org.apache.spark.sql.types.StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hamming expects (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val y = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = math.min(x.numBytes(), y.numBytes())
+    var acc = math.abs(x.numBytes() - y.numBytes())
+    var i = 0
+    while (i < n) { if (x.getByte(i) != y.getByte(i)) acc += 1; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numBytes(), $b.numBytes());
+         |int $acc = Math.abs($a.numBytes() - $b.numBytes());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getByte($i) != $b.getByte($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register the SQL-callable form once per session; idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register the SQL-callable forms once per session; idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -247,6 +247,47 @@ object SimilarityQueries {
       "IVF-cell kNN (nprobe=1): top-5 cosine within the query's coarse cell."),
 
     QueryDef(
+      "sim_hamming_rerank",
+      (s, dir) => {
+        // Integer-only re-rank of LSH candidates: same banded candidate
+        // generation as sim_bucketed_pairs, but scored by full-signature
+        // Hamming distance via the codegen'd graft_hamming expression —
+        // no float touched, the cheap first re-rank tier before exact
+        // cosine on what survives.
+        graft.functions.VectorFunctions.register(s)
+        val sigs = t(s, dir, "embeddings")
+          .select(col("vec_id"), signBits(col("embedding")).as("sig"))
+        val bands = sigs.select(col("vec_id"), posexplode(
+            array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
+            .as(Seq("band", "bkey")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+        cand
+          .join(sigs.select(col("vec_id").as("id_a"), col("sig").as("sa")), "id_a")
+          .join(sigs.select(col("vec_id").as("id_b"), col("sig").as("sb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            call_function("graft_hamming", col("sa"), col("sb")).as("hamming"))
+          .where(col("hamming") <= 20)
+      },
+      Some(
+        """WITH sig AS (SELECT vec_id, array_to_string(list_transform(embedding,
+          |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sig FROM embeddings),
+          |bands AS (SELECT vec_id, b AS band, substr(sig, CAST(b*8+1 AS INT), 8) AS bkey
+          |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+          |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          |  FROM bands x JOIN bands y
+          |  ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+          |SELECT id_a, id_b, CAST(length(list_filter(range(1, 65),
+          |  i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) AS INT) AS hamming
+          |FROM cand JOIN sig a ON cand.id_a = a.vec_id JOIN sig b ON cand.id_b = b.vec_id
+          |WHERE length(list_filter(range(1, 65),
+          |  i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) <= 20""".stripMargin),
+      "Integer Hamming re-rank of banded LSH candidates (codegen'd graft_hamming)."),
+
+    QueryDef(
       "sim_sq8_error",
       (s, dir) => {
         // int8 scalar quantization — the memory-reduction step an ANN
