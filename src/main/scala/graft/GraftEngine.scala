@@ -63,6 +63,22 @@ class GraftEngine(
   def processAllAvailable(): Unit =
     runners.values.foreach(_.activeQuery.foreach(_.processAllAvailable()))
 
+  /** Periodic deep maintenance (run from a quiet period or a low-traffic
+    * window): archive fully-consumed queue files (bounds source-listing
+    * cost), prune expired rate-limit window logs, and fold state-table
+    * tombstones when they pile up. Returns (filesArchived, limitFiles
+    * Pruned). */
+  def maintenance(
+      archiveOlderThanMs: Long = 600000,
+      limitLogOlderThanMs: Long = 3600000,
+      minTombstones: Long = 10000): (Long, Long) = {
+    val archived = pipelines.map(_.queue).distinct
+      .map(q => store.archiveConsumed(q, archiveOlderThanMs)).sum
+    val pruned = store.pruneLimitLogs(limitLogOlderThanMs)
+    housekeeper.compactStateTables(minTombstones)
+    (archived, pruned)
+  }
+
   def stop(): Unit = synchronized {
     runners.values.foreach(_.stop())
     housekeeper.stop()

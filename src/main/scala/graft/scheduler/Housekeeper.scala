@@ -113,7 +113,16 @@ class Housekeeper(
     }
   }
 
-  def stop(): Unit = synchronized { exec.foreach(_.shutdownNow()); exec = None }
+  /** Graceful: let a mid-flight tick finish its table moves before the
+    * executor dies — shutdownNow would interrupt a write job and leave
+    * a retryable-but-noisy failed promotion behind. */
+  def stop(): Unit = synchronized {
+    exec.foreach { e =>
+      e.shutdown()
+      if (!e.awaitTermination(30, TimeUnit.SECONDS)) { e.shutdownNow(); () }
+    }
+    exec = None
+  }
 
   /** Fold tombstones into the processing/scheduled tables when they
     * outnumber `minTombstones` — keeps the anti-join side broadcastable

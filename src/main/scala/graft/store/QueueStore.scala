@@ -281,6 +281,26 @@ class QueueStore(val spark: SparkSession, val root: String) {
     scoped.select("id").distinct().count()
   }
 
+  /** Prune rate-limit window logs: a part file whose mtime is older
+    * than `olderThanMs` cannot hold any entry inside a window of that
+    * size (entries are stamped at write time), so it can be deleted —
+    * the ZREMRANGEBYSCORE lazy-expiry analog (bulk_dequeue.ex:297-299).
+    * Without this the admission log grows without bound. Returns files
+    * deleted across all keys. */
+  def pruneLimitLogs(olderThanMs: Long = 3600000): Long = {
+    val base = new Path(s"$root/limit")
+    if (!fs.exists(base)) return 0L
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0L
+    fs.listStatus(base).filter(_.isDirectory).foreach { keyDir =>
+      fs.listStatus(keyDir.getPath)
+        .filter(f => f.getPath.getName.startsWith("part-") &&
+          f.getModificationTime < cutoff)
+        .foreach { f => if (fs.delete(f.getPath, false)) deleted += 1 }
+    }
+    deleted
+  }
+
   // -- durable pause flag (pipeline/event.ex:41-55) -----------------------
   def setPaused(name: String, paused: Boolean): Unit =
     if (paused) { fs.mkdirs(pausedFlag(name).getParent); fs.create(pausedFlag(name), true).close() }

@@ -373,6 +373,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(api.jobCounts(Seq("aq2"))("aq2") === 0)
   }
 
+  test("limit-log pruning deletes only files older than the window (B2 lazy expiry)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("limprune"))
+    import spark.implicits._
+    val at = new java.sql.Timestamp(System.currentTimeMillis())
+    store.limitLogAppend("k1", Seq("a:0", "b:0").toDF("id"), at)
+    store.limitLogAppend("k1", Seq("c:1").toDF("id"), at)
+    // nothing is old enough yet
+    assert(store.pruneLimitLogs(olderThanMs = 60000) === 0)
+    assert(store.limitCountSince("k1", 0) === 3)
+    // age ONE file artificially (deterministic, no sleeps): only it goes
+    val limDir = new org.apache.hadoop.fs.Path(store.limitDir("k1"))
+    val fs = limDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = fs.listStatus(limDir)
+      .filter(_.getPath.getName.startsWith("part-")).minBy(_.getPath.getName)
+    fs.setTimes(first.getPath, System.currentTimeMillis() - 7200000, -1)
+    assert(store.pruneLimitLogs(olderThanMs = 3600000) === 1)
+    assert(store.limitCountSince("k1", 0) < 3) // survivors only
+  }
+
   test("pluggable logger captures engine log events (D7)") {
     val buf = new graft.BufferingGraftLogger
     val prev = graft.GraftLog.current
