@@ -52,6 +52,32 @@ object StreamingAnalytics {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: pair each right-stream event with
+    * left-stream events of the same user that happened within
+    * [0, maxGapSec] BEFORE it (click→purchase attribution shape).
+    * Both sides are watermarked, and the time-range predicate is what
+    * lets Spark evict join state — an unconstrained stream-stream join
+    * would buffer both streams forever. Inputs need
+    * (user_id, event_id, ts, event_type). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      maxGapSec: Long = 1800,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $maxGapSec SECONDS"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Cross-micro-batch exact dedup by jid: keeps the first occurrence
     * ever seen, drops replays (at-least-once delivery → effectively-once
     * processing). State is one boolean per jid; pass a processing-time

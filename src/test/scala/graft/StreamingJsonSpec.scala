@@ -82,6 +82,36 @@ class StreamingJsonSpec extends AnyFunSuite {
       Seq("window_start", "window_end", "event_type", "n", "total"))
   }
 
+  test("stream-stream interval join pairs events within the gap (state-bounded)") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("ssl").toString + "/l"
+    val rdir = Files.createTempDirectory("ssr").toString + "/r"
+    val base = 1704067200000L
+    def row(id: Long, user: Long, offSec: Long, tpe: String) =
+      (user, id, new java.sql.Timestamp(base + offSec * 1000), tpe)
+    // clicks at 0s and 100s; purchases at 60s (within 30min of both
+    // clicks → 2 pairs... gap 1800s: click@0 and click@100 both pair)
+    // and at 4000s (pairs only with nothing — both clicks > 1800s away)
+    Seq(row(1, 7, 0, "click"), row(2, 7, 100, "click"))
+      .toDF("user_id", "event_id", "ts", "event_type").coalesce(1).write.parquet(ldir)
+    Seq(row(10, 7, 60, "purchase"), row(11, 7, 4000, "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type").coalesce(1).write.parquet(rdir)
+
+    val schema = "user_id long, event_id long, ts timestamp, event_type string"
+    val l = spark.readStream.schema(schema).parquet(ldir)
+    val r = spark.readStream.schema(schema).parquet(rdir)
+    val joined = StreamingAnalytics.intervalJoin(l, r, maxGapSec = 1800)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("ssjoin").orderBy("l_id", "r_id").collect()
+    // click@0→purchase@60 only (click@100 is AFTER the purchase);
+    // purchase@4000 is beyond the 1800s gap from either click
+    assert(out.map(r0 => (r0.getAs[Long]("l_id"), r0.getAs[Long]("r_id"))).toSeq
+      === Seq((1L, 10L)))
+  }
+
   test("stateful dedup by jid across micro-batches (flatMapGroupsWithState)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dedup").toString
