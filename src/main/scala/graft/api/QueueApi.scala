@@ -72,7 +72,9 @@ class DefaultQueueApi(
     // [queue, :enqueue] payload-size telemetry (manager.ex:23-27,45-49)
     handler.handle("enqueue", queue, Map(
       "count" -> jobs.size.toDouble,
-      "payloadBytes" -> jobs.map(_.args.length.toLong).sum.toDouble))
+      "payloadBytes" -> jobs.map(
+        _.args.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+        .sum.toDouble))
     events.map(_.jid)
   }
 

@@ -23,15 +23,27 @@ object NoopEventHandler extends EventHandler {
 }
 
 /** Default handler: keeps last-seen gauges queryable in-process (the
-  * reference's logger-backed DefaultEventHandler analog). */
-class InMemoryEventHandler extends EventHandler {
+  * reference's logger-backed DefaultEventHandler analog). The per-job
+  * record is a BOUNDED ring (insertion-ordered, oldest evicted past
+  * maxJobs) — an unbounded map would be a driver memory leak on a
+  * long-running engine. */
+class InMemoryEventHandler(maxJobs: Int = 10000) extends EventHandler {
   val gauges: TrieMap[(String, String), Map[String, Double]] = TrieMap.empty
-  /** (pipeline, jid) → (durationMs, success) for every dispatched job. */
-  val jobs: TrieMap[(String, String), (Double, Boolean)] = TrieMap.empty
+  private val jobRing =
+    new java.util.LinkedHashMap[(String, String), (Double, Boolean)](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), (Double, Boolean)]): Boolean =
+        size() > maxJobs
+    }
   def handle(event: String, pipeline: String, m: Map[String, Double]): Unit =
     gauges.put((pipeline, event), m)
   override def handleJob(pipeline: String, jid: String, durationMs: Double, success: Boolean): Unit =
-    jobs.put((pipeline, jid), (durationMs, success))
+    jobRing.synchronized { jobRing.put((pipeline, jid), (durationMs, success)); () }
+  /** Snapshot of the most recent (pipeline, jid) → (durationMs, success). */
+  def jobs: Map[(String, String), (Double, Boolean)] = jobRing.synchronized {
+    import scala.jdk.CollectionConverters._
+    jobRing.asScala.toMap
+  }
 }
 
 class PipelineListener(handler: EventHandler) extends StreamingQueryListener {

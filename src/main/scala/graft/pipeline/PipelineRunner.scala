@@ -86,28 +86,43 @@ class PipelineRunner(
     }
   }
 
+  @volatile private var pendingStop: Option[Thread] = None
+
   /** D1 with option parity (control/options.ex:33-59): temporary
     * (default) pauses this runner only; durable persists the flag.
     * async returns while the drain completes in the background; sync
-    * waits up to timeoutMs. In-flight work always drains —
-    * StreamingQuery.stop lets the running micro-batch finish. */
+    * waits up to timeoutMs (0 ⇒ don't wait). In-flight work always
+    * drains — StreamingQuery.stop lets the running micro-batch finish.
+    *
+    * The query to stop is CLAIMED under the lock at pause time (query
+    * field cleared), so a concurrent resume can never have its freshly
+    * started query killed by a stale stopper. */
   def pause(opts: ControlOptions = ControlOptions()): Unit = {
-    if (opts.temporary) localOverride = Some(true)
-    else { store.setPaused(cfg.name, true); localOverride = None }
-    val stopper = new Thread(() => synchronized {
-      query.foreach(_.stop()); query = None
-    }, s"graft-pause-${cfg.name}")
+    val toStop = synchronized {
+      if (opts.temporary) localOverride = Some(true)
+      else { store.setPaused(cfg.name, true); localOverride = None }
+      val q0 = query; query = None; q0
+    }
+    val stopper = new Thread(() => toStop.foreach(_.stop()),
+      s"graft-pause-${cfg.name}")
     stopper.setDaemon(true)
+    pendingStop = Some(stopper)
     stopper.start()
-    if (!opts.async) stopper.join(opts.timeoutMs)
+    if (!opts.async) {
+      if (opts.timeoutMs == ControlOptions.Infinity) stopper.join()
+      else if (opts.timeoutMs > 0) stopper.join(opts.timeoutMs)
+    }
   }
 
   /** Temporary resume restarts this runner even under a durable flag
     * (the reference's local producer cast); durable resume clears the
-    * flag for every future boot. */
+    * flag for every future boot. Waits for any in-flight pause drain
+    * first — two queries must never share the checkpoint dir. */
   def resume(opts: ControlOptions = ControlOptions()): Unit = {
     if (opts.temporary) localOverride = Some(false)
     else { store.setPaused(cfg.name, false); localOverride = None }
+    pendingStop.foreach(_.join())
+    pendingStop = None
     synchronized { if (query.isEmpty) start() }
   }
 
@@ -120,7 +135,12 @@ class PipelineRunner(
     ControlOptions.sanitize(opts).fold(
       e => throw new IllegalArgumentException(e), resume)
 
-  def stop(): Unit = synchronized { query.foreach(_.stop()); query = None }
+  def stop(): Unit = {
+    val toStop = synchronized { val q0 = query; query = None; q0 }
+    pendingStop.foreach(_.join())
+    pendingStop = None
+    toStop.foreach(_.stop())
+  }
   def activeQuery: Option[StreamingQuery] = query
 
   /** Visible for tests: run one micro-batch worth of the dataflow. */

@@ -187,6 +187,7 @@ object SimilarityQueries {
           .select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))
+          .cache() // both sides of the self-join
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))
@@ -220,7 +221,11 @@ object SimilarityQueries {
         // (nprobe=1) — candidate set bounded by cell size, join keyed
         // on the cell, no corpus scan per query.
         val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
-        val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned")).join(u, "vec_id")
+        // cached: au feeds BOTH sides of the cell join, and recomputing
+        // it would run the whole centroid aggregation + per-vector
+        // window twice (Catalyst does not dedupe common subplans)
+        val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
+          .join(u, "vec_id").cache()
         val q = au.where(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("assigned").as("cell"), col("u").as("qu"))
         val cands = au.select(
@@ -257,6 +262,7 @@ object SimilarityQueries {
         graft.functions.VectorFunctions.register(s)
         val sigs = t(s, dir, "embeddings")
           .select(col("vec_id"), signBits(col("embedding")).as("sig"))
+          .cache() // bands + both re-rank join sides
         val bands = sigs.select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))

@@ -135,19 +135,22 @@ object TextQueries {
         // engines, runs, and cluster sizes because the bucket is pure
         // integer arithmetic on the stable doc_id (Knuth multiplicative
         // hash), not a random() or a partition-dependent sample().
+        // doc_id is reduced mod a prime FIRST so the multiply never
+        // overflows a 64-bit int (1000003 * 2654435761 < 2^63 — Spark
+        // would silently wrap negative, DuckDB would raise).
         // Pure map: assignment costs one multiply per row at 100 TB.
         t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            (col("doc_id") * 2654435761L % 100).cast("int").as("bucket"))
+            (col("doc_id") % 1000003L * 2654435761L % 100).cast("int").as("bucket"))
           .withColumn("split",
             when(col("bucket") < 80, "train")
               .when(col("bucket") < 90, "val")
               .otherwise("test")),
       Some(
         """SELECT doc_id, source,
-          |CAST(doc_id * 2654435761 % 100 AS INT) AS bucket,
-          |CASE WHEN doc_id * 2654435761 % 100 < 80 THEN 'train'
-          |     WHEN doc_id * 2654435761 % 100 < 90 THEN 'val'
+          |CAST(doc_id % 1000003 * 2654435761 % 100 AS INT) AS bucket,
+          |CASE WHEN doc_id % 1000003 * 2654435761 % 100 < 80 THEN 'train'
+          |     WHEN doc_id % 1000003 * 2654435761 % 100 < 90 THEN 'val'
           |     ELSE 'test' END AS split
           |FROM documents""".stripMargin),
       "Deterministic 80/10/10 train/val/test assignment (multiplicative hash, map-only)."),

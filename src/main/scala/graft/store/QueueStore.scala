@@ -249,10 +249,16 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val p = new Path(dir)
     if (!fs.exists(p)) 0L
     else fs.listStatus(p).filter(f => f.getPath.getName.startsWith("part-")).map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromStatus(f, spark.sparkContext.hadoopConfiguration)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch {
+        // a concurrent archiveConsumed may move a listed file before we
+        // open it; its rows are (or will be) counted under the archive
+        case _: java.io.FileNotFoundException => 0L
+      }
     }.sum
   }
 
@@ -433,9 +439,14 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val archJids = readOrEmpty(s"${queueDir(q)}/.archive", Schemas.event).select("jid")
     val rowsPerJid = liveJids.unionAll(archJids)
       .groupBy("jid").agg(count("*").as("n_rows"))
+    // claim ids are jid:batchId[:d]; parse from the RIGHT (strip the
+    // numeric batch id + optional defer marker) — external jids from
+    // enqueueRawJson may themselves contain colons, so a left-split
+    // would mis-attribute acks and could archive an unprocessed job
     val acksPerJid = readOrEmpty(tombDir("processing"), tombSchema)
       .where(col("queue") === q)
-      .select(substring_index(col("id"), ":", 1).as("jid"), col("id")).distinct()
+      .select(regexp_replace(col("id"), ":[0-9]+(:d)?$", "").as("jid"),
+        col("id")).distinct()
       .groupBy("jid").agg(count("*").as("n_acked"))
     val pendingJids = rowsPerJid.join(acksPerJid, Seq("jid"), "left")
       .where(coalesce(col("n_acked"), lit(0L)) < col("n_rows"))
