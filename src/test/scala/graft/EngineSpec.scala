@@ -34,6 +34,12 @@ class EngineSpec extends AnyFunSuite {
       engine.processAllAvailable()
       assert(engine.jobCounts()("high") === 0)
       assert(Buffers.echo.size === 26)
+
+      // maintenance: everything above is consumed+acked, so the queue
+      // files archive out of the live dirs and counts stay exact
+      val (archived, _) = engine.maintenance(archiveOlderThanMs = 0)
+      assert(archived >= 2) // at least one file per queue
+      assert(engine.jobCounts() === Map("high" -> 0L, "low" -> 0L))
     } finally engine.stop()
   }
 }
