@@ -86,9 +86,27 @@ object QueueBench {
     runner.stop()
     q.awaitTermination(30000)
 
+    // -- housekeeping: due-promotion throughput (C1, one dynamic-
+    // partition job fanning 10 queues) -----------------------------------
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hkStore = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+    val at = new java.sql.Timestamp(System.currentTimeMillis())
+    val evs = (0 until 5000).map(i => graft.api.QueueApi.toEvent(
+      s"hq${i % 10}", JobSpec("BenchWorker"), graft.api.QueueApi.newJid(), at))
+    hkStore.appendScheduled(evs.toDF()
+      .withColumn("sched_id", concat_ws(":", col("jid"), lit("0")))
+      .withColumn("not_before", lit(new java.sql.Timestamp(at.getTime - 1000)))
+      .withColumn("kind", lit("scheduled")))
+    val hk = new graft.scheduler.Housekeeper(hkStore)
+    val t4 = System.nanoTime()
+    val promoted = hk.promoteDue(System.currentTimeMillis())
+    val dtPromote = (System.nanoTime() - t4) / 1e9
+
     (enqueueRates ++ Seq(
       "pipeline_jobs_per_sec" -> processed / dtPipe,
       "interleaved_jobs_per_sec" -> interleaved / dtInter,
-      "e2e_latency_ms" -> latencyMs)).toMap
+      "e2e_latency_ms" -> latencyMs,
+      "promote_jobs_per_sec" -> promoted / dtPromote)).toMap
   }
 }

@@ -42,4 +42,27 @@ class EngineSpec extends AnyFunSuite {
       assert(engine.jobCounts() === Map("high" -> 0L, "low" -> 0L))
     } finally engine.stop()
   }
+
+  test("aggressive maintenance during a live pipeline loses nothing") {
+    Buffers.clear(); WorkerRegistry.clear()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    WorkerRegistry.register("MWorker", (args, _) => { seen.add(args); () })
+    val engine = GraftEngine(spark, TestSpark.tmpRoot("maint_live"),
+      Seq(PipelineConfig("m_p", "mq", pollIntervalMs = 100)))
+    engine.start()
+    try {
+      // interleave enqueues with immediate-cutoff maintenance — the
+      // worst-case race between the archiver and the running stream
+      (1 to 6).foreach { b =>
+        engine.api.bulkEnqueue("mq",
+          (1 to 5).map(i => graft.api.JobSpec("MWorker", args = s"[$b,$i]")))
+        engine.processAllAvailable()
+        engine.maintenance(archiveOlderThanMs = 0)
+      }
+      engine.processAllAvailable()
+      assert(seen.toArray.map(_.toString).toSet.size === 30) // no loss
+      assert(engine.jobCounts()("mq") === 0) // arithmetic exact after archiving
+      assert(engine.pendingJobsCount() === 0)
+    } finally engine.stop()
+  }
 }
