@@ -24,6 +24,9 @@ trait QueueApi {
   def enqueueIn(queue: String, delayMs: Long, job: JobSpec): String
   def jobCounts(queues: Seq[String]): Map[String, Long]
   def pendingJobsCount(): Long
+  /** In-flight gauge scoped to specific queues (the reference's
+    * pending_jobs_count(pipeline_names), flume.ex:80-83). */
+  def pendingJobsCount(queues: Seq[String]): Long = pendingJobsCount()
 }
 
 object QueueApi {
@@ -112,6 +115,11 @@ class DefaultQueueApi(
   // for the same claim, which must not inflate the in-flight gauge
   def pendingJobsCount(): Long =
     store.liveProcessing.select("claim_id").distinct().count()
+
+  override def pendingJobsCount(queues: Seq[String]): Long =
+    store.liveProcessing
+      .where(org.apache.spark.sql.functions.col("queue").isin(queues: _*))
+      .select("claim_id").distinct().count()
 
   /** Interop with the reference's wire format: enqueue raw JSON job
     * strings (one per element). Lenient decode (EventJson); rows whose

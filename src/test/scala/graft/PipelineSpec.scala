@@ -373,6 +373,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(api.jobCounts(Seq("aq2"))("aq2") === 0)
   }
 
+  test("promotion round-trips queue names with Hive-escaped characters (C1 naming)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("esc"))
+    val api = new DefaultQueueApi(store)
+    val weird = "q:colon space" // ':' and ' ' are Hive-escaped in partition dirs
+    api.enqueueIn(weird, 1, JobSpec("W", args = "[w]"))
+    Thread.sleep(20)
+    val hk = new Housekeeper(store)
+    assert(hk.promoteDue(System.currentTimeMillis()) === 1)
+    // the dynamic-partition move unescaped the dir name back correctly
+    assert(store.queueRows(weird).count() === 1)
+    assert(api.jobCounts(Seq(weird))(weird) === 1)
+    // scoped in-flight gauge (reference pending_jobs_count(names))
+    assert(api.pendingJobsCount(Seq(weird)) === 0)
+  }
+
   test("limit-log pruning deletes only files older than the window (B2 lazy expiry)") {
     val store = new QueueStore(spark, TestSpark.tmpRoot("limprune"))
     import spark.implicits._
