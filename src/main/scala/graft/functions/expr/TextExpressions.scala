@@ -110,6 +110,51 @@ case class MinHashBands(child: Expression, offsets: Seq[Int], width: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** SimHash-16 from a word array, row-locally: one md5 per word, the
+  * first 16 hex digits vote +1 (digit >= 8) / -1 per bit position,
+  * positive sums become '1'. Identical math to the oracle's exploded
+  * SUM(CASE substr(md5(w), b, 1) >= '8' ...) formulation — but the
+  * per-doc fold never leaves the row, so the signature is a pure map
+  * over the corpus instead of a full word shuffle + aggregation. */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val votes = new Array[Int](16)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val digest = md.digest(words.getUTF8String(i).getBytes)
+      md.reset()
+      // first 16 hex digits = first 8 bytes, two nibbles each; a hex
+      // digit >= '8' is exactly a nibble with its high bit set
+      var b = 0
+      while (b < 8) {
+        votes(2 * b) += (if (((digest(b) >> 4) & 0x8) != 0) 1 else -1)
+        votes(2 * b + 1) += (if ((digest(b) & 0x8) != 0) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Char](16)
+    var b = 0
+    while (b < 16) { out(b) = if (votes(b) > 0) '1' else '0'; b += 1 }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object TextExpressions {
   /** Register SQL-callable forms once per session; idempotent.
     * graft_minhash4 = 4 bands of 8 hex chars at offsets 1/9/17/25. */
@@ -118,5 +163,7 @@ object TextExpressions {
       "graft_shingles3", exprs => Shingles3(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash4", exprs => MinHashBands(exprs.head, Seq(1, 9, 17, 25), 8), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash16", exprs => SimHash16(exprs.head), "built-in")
   }
 }

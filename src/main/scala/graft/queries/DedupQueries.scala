@@ -246,21 +246,15 @@ object DedupQueries {
     QueryDef(
       "dedup_simhash",
       (s, dir) => {
-        // one md5 prefix per word, then 16 row-local fold columns —
-        // map + a single map-side-combinable aggregation
-        val words = t(s, dir, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        val h = md5(col("w"))
-        val votes = (1 to 16).map(b =>
-          sum(when(substring(h, b, 1) >= "8", 1).otherwise(-1)).as(s"v$b"))
-        words
-          .groupBy("doc_id")
-          .agg(votes.head, votes.tail: _*)
-          .select(
-            col("doc_id"),
-            concat((1 to 16).map(b =>
-              when(col(s"v$b") > 0, lit("1")).otherwise(lit("0"))): _*)
-              .as("simhash16"))
+        // ZERO-shuffle SimHash: the per-doc bit votes fold inside the
+        // native SimHash16 expression (one md5 loop per row), so the
+        // signature is a pure map fused into the scan — the exploded
+        // words of a 100 TB corpus never shuffle. The oracle keeps the
+        // explode + SUM formulation; the math is identical.
+        graft.functions.expr.TextExpressions.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            call_function("graft_simhash16", tokens(col("text"))).as("simhash16"))
       },
       Some {
         val bits = (1 to 16)
