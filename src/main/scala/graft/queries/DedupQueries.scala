@@ -96,6 +96,67 @@ object DedupQueries {
        |SELECT doc_id, ${bandMinSql.mkString(", ")}
        |FROM sh GROUP BY doc_id""".stripMargin
 
+  /** The verified near-dup pairs (shared by dedup_lsh_verified and the
+    * cluster-resolution query): banded MinHash candidates, hot-bucket
+    * cap, exact Jaccard >= 0.3 on candidates' shingles only. */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val capN = 100
+    val bands = minhashSig(s, dir)
+      .select(col("doc_id"), posexplode(
+        array(MinhashBands.map(b => col(b._1)): _*)).as(Seq("band", "bkey")))
+      .cache()
+    val hot = bands.groupBy("band", "bkey")
+      .agg(count("*").as("n_docs")).where(col("n_docs") > capN)
+    val ok = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val cand = ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().cache()
+    // no distinct: the semi-join dedupes on the build side anyway,
+    // so skipping it saves a shuffle
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id")))
+    val sh = shingleDF(s, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
+    val cnt = shingleCounts(s, dir) // row-local, no aggregation
+    val shared = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count("*").as("shared"))
+    shared
+      .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
+      .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
+      .where(col("jaccard") >= 0.3)
+  }
+
+  /** The oracle for lshVerifiedPairs as a reusable CTE body (everything
+    * after ShingleCte, ending in a `pairs` CTE). */
+  private val LshPairsCtes =
+    s"""sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id),
+       |cand AS (${MinhashBands.map(_._1).map(name =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.$name = b.$name AND a.doc_id < b.doc_id
+         |  WHERE a.$name IN (SELECT $name FROM sig GROUP BY $name HAVING COUNT(*) <= 100)""".stripMargin)
+      .mkString("\n UNION \n")}),
+       |cids AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b AS doc_id FROM cand)),
+       |shc AS (SELECT sh.* FROM sh JOIN cids ON sh.doc_id = cids.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |shr AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+       |  FROM cand c JOIN shc sa ON sa.doc_id = c.doc_a
+       |  JOIN shc sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (SELECT doc_a, doc_b, shared,
+       |  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+       |FROM shr JOIN cnt ca ON shr.doc_a = ca.doc_id
+       |JOIN cnt cb ON shr.doc_b = cb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -178,70 +239,67 @@ object DedupQueries {
 
     QueryDef(
       "dedup_lsh_verified",
-      (s, dir) => {
-        // THE scale pattern end-to-end: MinHash band buckets generate
-        // candidate pairs with ONE equi-join keyed on (band, bucket) —
-        // ids only shuffle — HOT buckets are dropped first (boilerplate
-        // shingle sets collapse to one signature and would explode
-        // quadratically; the hot list is tiny, so the filter is a
-        // broadcast anti-join), and exact Jaccard verification touches
-        // shingles of candidate docs ONLY (broadcast semi-join prunes
-        // the map-local shingle explode before any shuffle). The
-        // corpus² pairwise join never happens.
-        val capN = 100
-        val bands = minhashSig(s, dir)
-          .select(col("doc_id"), posexplode(
-            array(MinhashBands.map(b => col(b._1)): _*)).as(Seq("band", "bkey")))
-          .cache()
-        val hot = bands.groupBy("band", "bkey")
-          .agg(count("*").as("n_docs")).where(col("n_docs") > capN)
-        val ok = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-        val cand = ok.as("a").join(ok.as("b"),
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct().cache()
-        // no distinct: the semi-join dedupes on the build side anyway,
-        // so skipping it saves a shuffle
-        val candIds = cand.select(col("doc_a").as("doc_id"))
-          .unionAll(cand.select(col("doc_b").as("doc_id")))
-        val sh = shingleDF(s, dir)
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
-        val cnt = shingleCounts(s, dir) // row-local, no aggregation
-        val shared = cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"),
-            col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count("*").as("shared"))
-        shared
-          .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
-          .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
-          .select(col("doc_a"), col("doc_b"), col("shared"),
-            (col("shared").cast("double") /
-              (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
-          .where(col("jaccard") >= 0.3)
-      },
+      // THE scale pattern end-to-end: MinHash band buckets generate
+      // candidate pairs with ONE equi-join keyed on (band, bucket) —
+      // ids only shuffle — HOT buckets are dropped first (boilerplate
+      // shingle sets collapse to one signature and would explode
+      // quadratically; the hot list is tiny, so the filter is a
+      // broadcast anti-join), and exact Jaccard verification touches
+      // shingles of candidate docs ONLY (broadcast semi-join prunes
+      // the map-local shingle explode before any shuffle). The
+      // corpus² pairwise join never happens.
+      (s, dir) => lshVerifiedPairs(s, dir),
       Some(
         s"""$ShingleCte,
-           |sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id),
-           |cand AS (${MinhashBands.map(_._1).map(name =>
-          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.$name = b.$name AND a.doc_id < b.doc_id
-             |  WHERE a.$name IN (SELECT $name FROM sig GROUP BY $name HAVING COUNT(*) <= 100)""".stripMargin)
-          .mkString("\n UNION \n")}),
-           |cids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
-           |shc AS (SELECT sh.* FROM sh JOIN cids ON sh.doc_id = cids.doc_id),
-           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-           |shr AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
-           |  FROM cand c JOIN shc sa ON sa.doc_id = c.doc_a
-           |  JOIN shc sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-           |  GROUP BY c.doc_a, c.doc_b)
-           |SELECT doc_a, doc_b, shared,
-           |  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
-           |FROM shr JOIN cnt ca ON shr.doc_a = ca.doc_id
-           |JOIN cnt cb ON shr.doc_b = cb.doc_id
-           |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3""".stripMargin),
+           |$LshPairsCtes
+           |SELECT doc_a, doc_b, shared, jaccard FROM pairs""".stripMargin),
       "MinHash-LSH candidates (hot buckets capped) + exact Jaccard verification of candidates' shingles only (the scale path)."),
+
+    QueryDef(
+      "dedup_clusters",
+      (s, dir) => {
+        // Cluster resolution — the step that turns near-dup PAIRS into
+        // dedup DECISIONS: connected components over the verified pair
+        // graph by iterative min-label propagation (labels only — a few
+        // id-sized shuffles per round, O(log diameter) rounds, no
+        // driver-side graph), then keeper = smallest doc_id per
+        // component. Near-dup clusters are tiny, so this converges in
+        // 2-3 rounds; the bound guards pathological chains.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b").cache()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .cache()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("lbl")).cache()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val prop = edges.join(labels, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"), col("lbl"))
+          val next = labels.unionAll(prop)
+            .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
+          changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .where(col("lbl") < col("old")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+          (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
+      },
+      Some(
+        s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$LshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+           |SELECT doc_id, MIN(lbl) AS cluster_id,
+           |  CAST(CASE WHEN doc_id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS is_keeper
+           |FROM reach GROUP BY doc_id""".stripMargin),
+      "Near-dup cluster resolution: connected components over verified pairs, keeper per cluster."),
 
     QueryDef(
       "dedup_simhash",
