@@ -260,26 +260,37 @@ object DedupQueries {
       (s, dir) => {
         // Cluster resolution — the step that turns near-dup PAIRS into
         // dedup DECISIONS: connected components over the verified pair
-        // graph by iterative min-label propagation (labels only — a few
-        // id-sized shuffles per round, O(log diameter) rounds, no
-        // driver-side graph), then keeper = smallest doc_id per
-        // component. Near-dup clusters are tiny, so this converges in
-        // 2-3 rounds; the bound guards pathological chains.
+        // graph, then keeper = smallest doc_id per component. Each
+        // round folds in (a) neighbors' labels and (b) the label OF
+        // the label (pointer jumping), so chains collapse in
+        // O(log diameter) rounds instead of diameter rounds — only
+        // id-sized frames ever shuffle, no driver-side graph.
         val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b").cache()
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .cache()
-        var labels = edges.select(col("src").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("lbl")).cache()
-        var changed = 1L
+        var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+          .select(col("src").as("doc_id"),
+            least(col("mn"), col("src")).as("lbl")).cache()
+        // labels only ever DECREASE, so fixpoint ⇔ sum(lbl) unchanged —
+        // one aggregation per round instead of a join + count
+        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+            .collect()(0).getDecimal(0)
+        var prevSum = labelSum(labels)
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
-          val prop = edges.join(labels, col("src") === col("doc_id"))
+        var converged = false
+        while (!converged && rounds < 30) {
+          val viaEdges = edges.join(labels, col("src") === col("doc_id"))
             .select(col("dst").as("doc_id"), col("lbl"))
-          val next = labels.unionAll(prop)
+          val viaPointer = labels.as("l1")
+            .join(labels.as("l2"), col("l1.lbl") === col("l2.doc_id"))
+            .select(col("l1.doc_id").as("doc_id"), col("l2.lbl").as("lbl"))
+          val next = labels.unionAll(viaEdges).unionAll(viaPointer)
             .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
-          changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .where(col("lbl") < col("old")).count()
+          val curSum = labelSum(next)
+          converged = curSum.compareTo(prevSum) == 0
+          prevSum = curSum
           labels.unpersist()
           labels = next
           rounds += 1
