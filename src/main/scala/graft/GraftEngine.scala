@@ -74,7 +74,11 @@ class GraftEngine(
       minTombstones: Long = 10000): (Long, Long) = {
     val archived = pipelines.map(_.queue).distinct
       .map(q => store.archiveConsumed(q, archiveOlderThanMs)).sum
-    val pruned = store.pruneLimitLogs(limitLogOlderThanMs)
+    // never prune entries a configured admission window could still
+    // count: clamp the age to 2× the largest rate-limit scale
+    val maxScale = pipelines.flatMap(_.rateLimitScaleMs)
+      .maxOption.getOrElse(0L)
+    val pruned = store.pruneLimitLogs(math.max(limitLogOlderThanMs, 2 * maxScale))
     housekeeper.compactStateTables(minTombstones)
     (archived, pruned)
   }

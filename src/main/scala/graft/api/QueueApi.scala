@@ -25,8 +25,9 @@ trait QueueApi {
   def jobCounts(queues: Seq[String]): Map[String, Long]
   def pendingJobsCount(): Long
   /** In-flight gauge scoped to specific queues (the reference's
-    * pending_jobs_count(pipeline_names), flume.ex:80-83). */
-  def pendingJobsCount(queues: Seq[String]): Long = pendingJobsCount()
+    * pending_jobs_count(pipeline_names), flume.ex:80-83). Abstract —
+    * a global-count default would silently ignore the filter. */
+  def pendingJobsCount(queues: Seq[String]): Long
 }
 
 object QueueApi {
@@ -116,7 +117,7 @@ class DefaultQueueApi(
   def pendingJobsCount(): Long =
     store.liveProcessing.select("claim_id").distinct().count()
 
-  override def pendingJobsCount(queues: Seq[String]): Long =
+  def pendingJobsCount(queues: Seq[String]): Long =
     store.liveProcessing
       .where(org.apache.spark.sql.functions.col("queue").isin(queues: _*))
       .select("claim_id").distinct().count()
@@ -168,4 +169,5 @@ class RecordingQueueApi extends QueueApi {
   def jobCounts(queues: Seq[String]): Map[String, Long] =
     queues.map(q => q -> counts.getOrElse(q, 0L)).toMap
   def pendingJobsCount(): Long = 0L
+  def pendingJobsCount(queues: Seq[String]): Long = 0L
 }

@@ -98,15 +98,25 @@ class PipelineRunner(
     * field cleared), so a concurrent resume can never have its freshly
     * started query killed by a stale stopper. */
   def pause(opts: ControlOptions = ControlOptions()): Unit = {
-    val toStop = synchronized {
+    // claim the query AND publish the stopper in ONE critical section:
+    // a resume interleaving after the lock releases either sees the
+    // stopper (and waits for the drain) or ran before this pause (and
+    // its query is the one claimed here) — never a missed drain. A
+    // second pause chains on the previous drain inside the new
+    // stopper, so overwriting pendingStop loses nothing.
+    val stopper = synchronized {
       if (opts.temporary) localOverride = Some(true)
       else { store.setPaused(cfg.name, true); localOverride = None }
-      val q0 = query; query = None; q0
+      val q0 = query; query = None
+      val prev = pendingStop
+      val t = new Thread(() => {
+        prev.foreach(_.join())
+        q0.foreach(_.stop())
+      }, s"graft-pause-${cfg.name}")
+      t.setDaemon(true)
+      pendingStop = Some(t)
+      t
     }
-    val stopper = new Thread(() => toStop.foreach(_.stop()),
-      s"graft-pause-${cfg.name}")
-    stopper.setDaemon(true)
-    pendingStop = Some(stopper)
     stopper.start()
     if (!opts.async) {
       if (opts.timeoutMs == ControlOptions.Infinity) stopper.join()
@@ -116,12 +126,20 @@ class PipelineRunner(
 
   /** Temporary resume restarts this runner even under a durable flag
     * (the reference's local producer cast); durable resume clears the
-    * flag for every future boot. Waits for any in-flight pause drain
-    * first — two queries must never share the checkpoint dir. */
+    * flag for every future boot. Waits (bounded by timeoutMs) for any
+    * in-flight pause drain first — two queries must never share the
+    * checkpoint dir; a drain still running past the bound fails the
+    * resume loudly instead of double-starting. */
   def resume(opts: ControlOptions = ControlOptions()): Unit = {
     if (opts.temporary) localOverride = Some(false)
     else { store.setPaused(cfg.name, false); localOverride = None }
-    pendingStop.foreach(_.join())
+    pendingStop.foreach { t =>
+      if (opts.timeoutMs == ControlOptions.Infinity) t.join()
+      else if (opts.timeoutMs > 0) t.join(opts.timeoutMs)
+      if (t.isAlive)
+        throw new IllegalStateException(
+          s"resume(${cfg.name}): in-flight pause drain still running after ${opts.timeoutMs} ms")
+    }
     pendingStop = None
     synchronized { if (query.isEmpty) start() }
   }
@@ -137,7 +155,7 @@ class PipelineRunner(
 
   def stop(): Unit = {
     val toStop = synchronized { val q0 = query; query = None; q0 }
-    pendingStop.foreach(_.join())
+    pendingStop.foreach(_.join(60000)) // bounded: a hung drain must not wedge shutdown
     pendingStop = None
     toStop.foreach(_.stop())
   }

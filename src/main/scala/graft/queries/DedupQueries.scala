@@ -139,10 +139,10 @@ object DedupQueries {
     * after ShingleCte, ending in a `pairs` CTE). */
   private val LshPairsCtes =
     s"""sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id),
-       |cand AS (${MinhashBands.map(_._1).map(name =>
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (${MinhashBands.map(_._1).map(name =>
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.$name = b.$name AND a.doc_id < b.doc_id
          |  WHERE a.$name IN (SELECT $name FROM sig GROUP BY $name HAVING COUNT(*) <= 100)""".stripMargin)
-      .mkString("\n UNION \n")}),
+      .mkString("\n UNION ALL \n")})),
        |cids AS (SELECT DISTINCT doc_id FROM (
        |  SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b AS doc_id FROM cand)),
        |shc AS (SELECT sh.* FROM sh JOIN cids ON sh.doc_id = cids.doc_id),
@@ -273,13 +273,15 @@ object DedupQueries {
           .select(col("src").as("doc_id"),
             least(col("mn"), col("src")).as("lbl")).cache()
         // labels only ever DECREASE, so fixpoint ⇔ sum(lbl) unchanged —
-        // one aggregation per round instead of a join + count
+        // one aggregation per round instead of a join + count. Empty
+        // graph → sum is null → ZERO (stable), so a corpus with no
+        // verified pairs converges immediately to an empty result.
         def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-            .collect()(0).getDecimal(0)
+          Option(df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+            .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
         var prevSum = labelSum(labels)
         var rounds = 0
-        var converged = false
+        var converged = prevSum.signum == 0 && labels.head(1).isEmpty
         while (!converged && rounds < 30) {
           val viaEdges = edges.join(labels, col("src") === col("doc_id"))
             .select(col("dst").as("doc_id"), col("lbl"))
@@ -295,6 +297,7 @@ object DedupQueries {
           labels = next
           rounds += 1
         }
+        pairs.unpersist(); edges.unpersist() // final labels stay cached
         labels.select(col("doc_id"), col("lbl").as("cluster_id"),
           (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
       },
@@ -322,6 +325,9 @@ object DedupQueries {
         // explode + SUM formulation; the math is identical.
         graft.functions.expr.TextExpressions.register(s)
         t(s, dir, "documents")
+          // null-text docs are OMITTED, matching the oracle's exploded
+          // GROUP BY (no words → no row), not emitted with a null sig
+          .where(col("text").isNotNull)
           .select(col("doc_id"),
             call_function("graft_simhash16", tokens(col("text"))).as("simhash16"))
       },
