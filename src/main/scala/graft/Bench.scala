@@ -43,10 +43,21 @@ object Bench {
     val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,$hw,"sf":"$sfDir"}"""
+    // The driver captures only a short stdout tail and sbt appends a
+    // "[success] Total time: ..." line after the program exits, so the
+    // LAST line we print must be a complete, COMPACT JSON object
+    // (<400 bytes — the full 54-query map overflows the tail window and
+    // got the r1/r2 bench recorded as parsed:null). Per-query detail
+    // stays in BENCH.json.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qbCompact = qb.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queue_bench":$qbCompact,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser (round-1 failure mode:
     // async executor ERROR lines landed after the JSON): (1) persist the
-    // metrics to BENCH.json, (2) fully stop Spark so no log line can
-    // follow, (3) print the JSON as the absolute last stdout line.
+    // full metrics to BENCH.json, (2) fully stop Spark so no log line can
+    // follow, (3) print the compact summary as the absolute last line.
     try {
       val w = new java.io.PrintWriter("BENCH.json")
       try w.println(json) finally w.close()
@@ -54,7 +65,7 @@ object Bench {
     spark.stop()
     Thread.sleep(500) // let any late async log lines flush first
     System.out.flush(); System.err.flush()
-    println(json)
+    println(summary)
     System.out.flush()
   }
 }

@@ -65,21 +65,27 @@ class GraftEngine(
 
   /** Periodic deep maintenance (run from a quiet period or a low-traffic
     * window): archive fully-consumed queue files (bounds source-listing
-    * cost), prune expired rate-limit window logs, and fold state-table
-    * tombstones when they pile up. Returns (filesArchived, limitFiles
-    * Pruned). */
+    * cost) in ONE batched pass across all queues, prune expired
+    * rate-limit window logs, fold state-table tombstones when they pile
+    * up, and roll old acked-claim tombstones into per-queue counters
+    * (bounds the job_counts scan horizon). Returns (filesArchived,
+    * limitFilesPruned). */
   def maintenance(
       archiveOlderThanMs: Long = 600000,
       limitLogOlderThanMs: Long = 3600000,
-      minTombstones: Long = 10000): (Long, Long) = {
-    val archived = pipelines.map(_.queue).distinct
-      .map(q => store.archiveConsumed(q, archiveOlderThanMs)).sum
+      minTombstones: Long = 10000,
+      claimFoldOlderThanMs: Long = 3600000): (Long, Long) = {
+    val archived =
+      store.archiveConsumedAll(pipelines.map(_.queue).distinct, archiveOlderThanMs)
     // never prune entries a configured admission window could still
     // count: clamp the age to 2× the largest rate-limit scale
     val maxScale = pipelines.flatMap(_.rateLimitScaleMs)
       .maxOption.getOrElse(0L)
     val pruned = store.pruneLimitLogs(math.max(limitLogOlderThanMs, 2 * maxScale))
     housekeeper.compactStateTables(minTombstones)
+    // fold AFTER compaction: compactProcessing clears the acked rows
+    // that would otherwise block tombstone files from folding
+    store.foldClaimCounters(claimFoldOlderThanMs)
     (archived, pruned)
   }
 

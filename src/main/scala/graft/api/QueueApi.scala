@@ -105,11 +105,16 @@ class DefaultQueueApi(
     val claims = store.rawProcessingCounts(queues)
     // archived files' rows still have acked claims in the tombstone
     // table, so the enqueued side must count the archive too (footer
-    // reads are metadata-only either way)
-    queues.map(q =>
-      q -> (store.footerRowCount(store.queueDir(q)) +
-        store.footerRowCount(s"${store.queueDir(q)}/.archive") -
-        claims.getOrElse(q, 0L))).toMap
+    // reads are metadata-only either way). Archive is listed FIRST: a
+    // file the archiver moves between the two listings is then dropped
+    // (FileNotFoundException→0 on the live side) instead of counted
+    // twice — an under-by-one transient beats an overcount for a gauge
+    // whose floor is checked against claims
+    queues.map { q =>
+      val archived = store.footerRowCount(s"${store.queueDir(q)}/.archive")
+      q -> (archived + store.footerRowCount(store.queueDir(q)) -
+        claims.getOrElse(q, 0L))
+    }.toMap
   }
 
   // distinct: merge-style compaction recovery may leave duplicate rows

@@ -47,7 +47,10 @@ case class Outcome(
 
 /** One pipeline = one streaming query (reference: lib/flume/pipeline.ex:7-18).
   * maxDemand maps to maxFilesPerTrigger (each enqueue batch is one file);
-  * pollIntervalMs maps to Trigger.ProcessingTime (producer.ex:17's 2 s). */
+  * pollIntervalMs maps to Trigger.ProcessingTime (producer.ex:17's 2 s).
+  * instrument gates per-job telemetry like the reference's pipeline
+  * flag (pipeline.ex:17; instrumentation.ex:10-11 skips emission when
+  * not true — false is also the reference's effective default). */
 case class PipelineConfig(
     name: String,
     queue: String,
@@ -56,7 +59,8 @@ case class PipelineConfig(
     rateLimitCount: Option[Long] = None,
     rateLimitScaleMs: Option[Long] = None,
     rateLimitKey: Option[String] = None,
-    pollIntervalMs: Long = 2000) {
+    pollIntervalMs: Long = 2000,
+    instrument: Boolean = false) {
   /** Shared window key: explicit key, else per-queue (manager.ex:285-287). */
   def limitKey: String = rateLimitKey.getOrElse(s"queue:$queue")
 }
@@ -64,7 +68,10 @@ case class PipelineConfig(
 /** Engine-wide knobs (reference defaults: lib/flume/config.ex:2-29).
   * dispatchTimeoutMs bounds each worker call, like the reference's
   * 10 s dequeue_process_timeout (config.ex:19) and the Task shutdown
-  * that kills hung workers (utils.ex:6-14); <= 0 disables. */
+  * that kills hung workers (utils.ex:6-14); <= 0 disables. Bulk
+  * dispatch scales the bound by chunk size (one worker call serves N
+  * jobs, so a per-call bound would spuriously kill legitimate large
+  * batches). */
 case class EngineConfig(
     maxRetries: Int = 5,
     backoffInitialMs: Long = 500,

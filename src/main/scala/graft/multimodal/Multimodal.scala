@@ -37,6 +37,58 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec: decodes PNG/JPEG/GIF/BMP payload bytes with the
+    * in-JDK javax.imageio (zero extra dependencies, headless-safe).
+    * Returns (width, height, raster bands — i.e. channels); (-1,-1,-1)
+    * for payloads no installed reader understands. Replaces StubCodec
+    * for image columns; video keeps the stub demuxer (the JDK has no
+    * container demuxer). */
+  object ImageIoCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (-1, -1, -1)
+      else (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+  }
+
+  /** Real-encoded image fixture: one PNG (even doc_id) or JPEG (odd)
+    * payload per row, dimensions a pure function of doc_id, pixels a
+    * fixed function of (x, y, doc_id) — so an oracle can predict the
+    * decoded metadata without being able to decode. Encoding runs
+    * executor-side in the same partition-batched shape as the decode
+    * path (real corpora already carry the bytes; this stands in for
+    * the ingest that produced them). */
+  def withImagePayload(docs: DataFrame): DataFrame = {
+    val rows: Dataset[Row] = docs.select(col("doc_id"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("media_type", StringType).add("payload", BinaryType)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 48 + 16).toInt
+        val h = (id % 32 + 16).toInt
+        val fmt = if (id % 2 == 0) "png" else "jpeg"
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((x * 31 + y * 17 + id) % 0x1000000).toInt); x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        Row(id, fmt, bos.toByteArray)
+      }
+    }
+  }
+
   val metaSchema: StructType = new StructType()
     .add("doc_id", LongType)
     .add("media_type", StringType)
@@ -100,7 +152,9 @@ object Multimodal {
     rows.mapPartitions { it =>
       // per-partition decoder init happens here (expensive in real life)
       it.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
+        // positional access: upstream rows may be schema-less generic
+        // Rows (e.g. produced by another mapPartitions stage)
+        val payload = r.getAs[Array[Byte]](2)
         val (w, h, f) = codec.decode(payload)
         Row(r.getLong(0), r.getString(1), payload.length, w, h, f)
       }

@@ -47,6 +47,11 @@ class PipelineRunner(
     handler: graft.metrics.EventHandler = graft.metrics.NoopEventHandler) {
 
   private val spark: SparkSession = store.spark
+  /** Per-pipeline telemetry gate (pipeline.ex:17): unless
+    * `cfg.instrument` is true, per-job telemetry is skipped entirely,
+    * matching instrumentation.ex:10-11 / worker.ex:41. */
+  private val jobHandler: graft.metrics.EventHandler =
+    if (cfg.instrument) handler else graft.metrics.NoopEventHandler
   @volatile private var query: Option[StreamingQuery] = None
   /** Node-local pause override: Some(true)=paused here regardless of
     * the durable flag, Some(false)=running here regardless, None=follow
@@ -131,17 +136,30 @@ class PipelineRunner(
     * checkpoint dir; a drain still running past the bound fails the
     * resume loudly instead of double-starting. */
   def resume(opts: ControlOptions = ControlOptions()): Unit = {
-    if (opts.temporary) localOverride = Some(false)
-    else { store.setPaused(cfg.name, false); localOverride = None }
-    pendingStop.foreach { t =>
+    // publish the resume intent AND claim the drain to wait on in one
+    // critical section — the same lock pause() publishes under, so a
+    // concurrent pause either happened-before (we wait on its stopper)
+    // or happens-after (it sees our override and claims our query)
+    val drain = synchronized {
+      if (opts.temporary) localOverride = Some(false)
+      else { store.setPaused(cfg.name, false); localOverride = None }
+      pendingStop
+    }
+    drain.foreach { t =>
       if (opts.timeoutMs == ControlOptions.Infinity) t.join()
       else if (opts.timeoutMs > 0) t.join(opts.timeoutMs)
       if (t.isAlive)
         throw new IllegalStateException(
           s"resume(${cfg.name}): in-flight pause drain still running after ${opts.timeoutMs} ms")
     }
-    pendingStop = None
-    synchronized { if (query.isEmpty) start() }
+    synchronized {
+      // a pause may have interleaved while we joined: clear only the
+      // stopper we actually waited on, and start only if no NEWER
+      // stopper was published since — otherwise start() could launch a
+      // second query on the checkpoint dir while the old one drains
+      if (pendingStop == drain) pendingStop = None
+      if (pendingStop.isEmpty && query.isEmpty) start()
+    }
   }
 
   /** Validating variants — reject malformed option maps like the
@@ -154,9 +172,12 @@ class PipelineRunner(
       e => throw new IllegalArgumentException(e), resume)
 
   def stop(): Unit = {
-    val toStop = synchronized { val q0 = query; query = None; q0 }
-    pendingStop.foreach(_.join(60000)) // bounded: a hung drain must not wedge shutdown
-    pendingStop = None
+    // claim both the query and the in-flight drain under the lock
+    val (toStop, drain) = synchronized {
+      val q0 = query; query = None; (q0, pendingStop)
+    }
+    drain.foreach(_.join(60000)) // bounded: a hung drain must not wedge shutdown
+    synchronized { if (pendingStop == drain) pendingStop = None }
     toStop.foreach(_.stop())
   }
   def activeQuery: Option[StreamingQuery] = query
@@ -201,10 +222,28 @@ class PipelineRunner(
             System.currentTimeMillis() - scale, ownSuffix))
         var allowed = allowedNow()
         val total = batch.count()
-        val waitDeadline = nowMs + scale
-        while (allowed <= 0 && System.currentTimeMillis() < waitDeadline) {
-          Thread.sleep(math.min(100L, scale))
-          allowed = allowedNow()
+        // Two admission regimes:
+        //  - SHORT windows (≤ 4 trigger intervals): a closed window
+        //    BLOCKS in place — entries expire within one trigger's
+        //    patience, and blocking avoids any table churn (the analog
+        //    of the reference's locked-queue re-poll,
+        //    producer.ex:174-178);
+        //  - LONG windows (quota-style scales ≫ the trigger, floor
+        //    10 s): blocking would wedge the micro-batch for up to the
+        //    whole scale and the old poll loop ran a Spark job every
+        //    100 ms against the limit log. Instead the overflow is
+        //    PARKED in the scheduled table with not_before = the
+        //    window's earliest expiry: the trigger returns immediately
+        //    (pause/stop stay responsive), nothing polls, and the
+        //    housekeeper promotes the rows back exactly when the
+        //    window can admit them — zero requeue churn while closed.
+        val longScale = scale > math.max(4 * cfg.pollIntervalMs, 10000L)
+        if (!longScale) {
+          val waitDeadline = nowMs + scale
+          while (allowed <= 0 && System.currentTimeMillis() < waitDeadline) {
+            Thread.sleep(math.min(100L, scale))
+            allowed = allowedNow()
+          }
         }
         val at = new Timestamp(System.currentTimeMillis())
         def admissionIds(df: DataFrame) =
@@ -222,9 +261,27 @@ class PipelineRunner(
           store.append(store.processingDir, marker, store.processingSchema)
           store.tombstone("processing",
             marker.select(col("claim_id").as("id"), col("queue")))
-          store.append(store.queueDir(cfg.queue), deferred, Schemas.event)
           if (allowed > 0)
             store.limitLogAppend(cfg.limitKey, admissionIds(adm), at)
+          if (longScale) {
+            // reopen time = oldest in-window admission + scale, over
+            // ALL entries (including the ones this batch just logged —
+            // when the batch itself filled the window, those are
+            // exactly what must expire first); if the window is empty
+            // (we lost a race with expiry), the next trigger interval
+            // is the soonest re-admission
+            val reopenMs = store.limitEarliestSince(cfg.limitKey,
+              System.currentTimeMillis() - scale)
+              .map(_ + scale)
+              .getOrElse(System.currentTimeMillis() + cfg.pollIntervalMs)
+            store.appendScheduled(deferred
+              .withColumn("sched_id",
+                concat_ws(":", col("jid"), lit(batchId), lit("ds")))
+              .withColumn("not_before", lit(new Timestamp(reopenMs)))
+              .withColumn("kind", lit("deferred")))
+          } else {
+            store.append(store.queueDir(cfg.queue), deferred, Schemas.event)
+          }
           adm
         }
       case _ => batch
@@ -270,9 +327,9 @@ class PipelineRunner(
       // per-job worker telemetry ([pipeline,:worker,:job],
       // event/worker.ex:57-67): the collect is metadata only — (jid,
       // duration, success) bounded by maxDemand per micro-batch
-      if (handler ne graft.metrics.NoopEventHandler)
+      if (jobHandler ne graft.metrics.NoopEventHandler)
         out.select("jid", "duration_ms", "success").collect().foreach { r =>
-          handler.handleJob(cfg.name, r.getString(0), r.getDouble(1), r.getBoolean(2))
+          jobHandler.handleJob(cfg.name, r.getString(0), r.getDouble(1), r.getBoolean(2))
         }
 
       // one action decides the failure path; the happy path does no
@@ -361,10 +418,11 @@ object PipelineRunner extends Serializable {
     t.getStackTrace.take(10).mkString("\n")
 
   /** One worker call per chunk; all members succeed or fail together
-    * (bulk_event/worker.ex:33-64). */
+    * (bulk_event/worker.ex:33-64). The timeout scales with chunk size:
+    * one call does N jobs' work, so the per-job bound multiplies. */
   private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent], timeoutMs: Long = 0): Seq[Outcome] = {
     val t0 = System.nanoTime()
-    val result = timed(timeoutMs)(
+    val result = timed(if (timeoutMs <= 0) timeoutMs else timeoutMs * chunk.size)(
       WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function)(chunk.map(_.args)))
     // one worker call per chunk → each member carries the call's duration
     val durMs = (System.nanoTime() - t0) / 1e6

@@ -126,13 +126,21 @@ object DedupQueries {
         col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy("doc_a", "doc_b")
       .agg(count("*").as("shared"))
-    shared
+    val result = shared
       .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
       .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") /
           (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
       .where(col("jaccard") >= 0.3)
+    // materialize ONCE (truncating the whole LSH lineage — downstream
+    // consumers like the cluster fixpoint never re-derive the banding
+    // stage), then RELEASE the stage caches: without the unpersist,
+    // repeated invocations in a long-lived session accumulate executor
+    // storage until eviction pressure hits the hot path
+    val out = result.localCheckpoint(true)
+    bands.unpersist(); cand.unpersist(); sh.unpersist()
+    out
   }
 
   /** The oracle for lshVerifiedPairs as a reusable CTE body (everything
@@ -265,13 +273,20 @@ object DedupQueries {
         // the label (pointer jumping), so chains collapse in
         // O(log diameter) rounds instead of diameter rounds — only
         // id-sized frames ever shuffle, no driver-side graph.
-        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b").cache()
+        //
+        // The fixpoint is seeded from the ALREADY-MATERIALIZED verified
+        // pairs (lshVerifiedPairs local-checkpoints its result, so the
+        // LSH stage runs exactly once, outside the loop), and each
+        // round's labels are local-checkpointed too: without the
+        // truncation every round's plan nests the previous round's —
+        // analysis/codegen cost grows with the iteration count even
+        // though the data is tiny.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .cache()
         var labels = edges.groupBy("src").agg(min("dst").as("mn"))
           .select(col("src").as("doc_id"),
-            least(col("mn"), col("src")).as("lbl")).cache()
+            least(col("mn"), col("src")).as("lbl")).localCheckpoint(true)
         // labels only ever DECREASE, so fixpoint ⇔ sum(lbl) unchanged —
         // one aggregation per round instead of a join + count. Empty
         // graph → sum is null → ZERO (stable), so a corpus with no
@@ -289,15 +304,13 @@ object DedupQueries {
             .join(labels.as("l2"), col("l1.lbl") === col("l2.doc_id"))
             .select(col("l1.doc_id").as("doc_id"), col("l2.lbl").as("lbl"))
           val next = labels.unionAll(viaEdges).unionAll(viaPointer)
-            .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
+            .groupBy("doc_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
           val curSum = labelSum(next)
           converged = curSum.compareTo(prevSum) == 0
           prevSum = curSum
-          labels.unpersist()
           labels = next
           rounds += 1
         }
-        pairs.unpersist(); edges.unpersist() // final labels stay cached
         labels.select(col("doc_id"), col("lbl").as("cluster_id"),
           (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
       },

@@ -44,10 +44,12 @@ object SimilarityQueries {
       |un AS (SELECT vec_id, label,
       |  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM v)""".stripMargin
 
-  /** IVF coarse assignment (shared by sim_ivf_assign / sim_ivf_knn):
-    * nearest exact-mean centroid per vector via the dot identity
-    * |x-c|² = x·x - 2x·c + c·c on the codegen'd graft_dot. */
-  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+  /** All (vector, centroid) distances RANKED per vector: rank 1 is the
+    * IVF assignment; ranks 2..n are the probe order for nprobe>1
+    * search. Distances via the dot identity |x-c|² = x·x - 2x·c + c·c
+    * on the codegen'd graft_dot; centroids are exact ROUND-quantized
+    * means (broadcast — the centroid table is nlist-sized). */
+  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
@@ -64,9 +66,14 @@ object SimilarityQueries {
         (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
           dot(col("c"), col("c"))).as("dist2"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_label").asc)
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("assigned"), col("dist2"))
+    scored.withColumn("rk", row_number().over(w))
   }
+
+  /** IVF coarse assignment (shared by sim_ivf_assign / sim_ivf_knn):
+    * each vector's nearest centroid. */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    ivfRanked(s, dir).where(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"), col("dist2"))
 
   /** The sim_ivf_assign oracle, reusable as a CTE prefix. */
   private val IvfAssignCte =
@@ -187,7 +194,9 @@ object SimilarityQueries {
           .select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))
-          .cache() // both sides of the self-join
+          // both sides of the self-join; checkpoint (not cache) so the
+          // storage releases with the frame instead of leaking
+          .localCheckpoint(true)
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))
@@ -221,11 +230,14 @@ object SimilarityQueries {
         // (nprobe=1) — candidate set bounded by cell size, join keyed
         // on the cell, no corpus scan per query.
         val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
-        // cached: au feeds BOTH sides of the cell join, and recomputing
-        // it would run the whole centroid aggregation + per-vector
-        // window twice (Catalyst does not dedupe common subplans)
+        // local-checkpointed: au feeds BOTH sides of the cell join, and
+        // recomputing it would run the whole centroid aggregation +
+        // per-vector window twice (Catalyst does not dedupe common
+        // subplans). Checkpoint over cache() so the storage is released
+        // when the frame goes out of scope instead of accumulating
+        // across invocations in a long-lived session.
         val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
-          .join(u, "vec_id").cache()
+          .join(u, "vec_id").localCheckpoint(true)
         val q = au.where(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("assigned").as("cell"), col("u").as("qu"))
         val cands = au.select(
@@ -252,6 +264,54 @@ object SimilarityQueries {
       "IVF-cell kNN (nprobe=1): top-5 cosine within the query's coarse cell."),
 
     QueryDef(
+      "sim_ivf_knn_probe2",
+      (s, dir) => {
+        // nprobe=2 — the recall/latency knob of IVF search: each query
+        // probes its TWO nearest cells (ranked by centroid distance)
+        // and the candidate set is the union of those cells. The plan
+        // stays cell-bounded: candidates join on the cell key against
+        // the broadcast (query, probed-cell) list — one corpus row
+        // never scores against a query whose probe list misses its
+        // cell, and a corpus vector lives in exactly one cell so the
+        // union is duplicate-free by construction.
+        val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
+        // one ranked centroid pass serves both the corpus assignment
+        // (rk=1) and the query probe lists (rk<=2)
+        val ranked = ivfRanked(s, dir)
+          .select(col("vec_id"), col("c_label"), col("rk"))
+          .localCheckpoint(true)
+        val probes = ranked.where(col("vec_id") < 20 && col("rk") <= 2)
+          .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
+          .join(u.select(col("vec_id").as("query_id"), col("u").as("qu")), "query_id")
+        val cands = ranked.where(col("rk") === 1)
+          .select(col("vec_id").as("neighbor_id"), col("c_label").as("cell"))
+          .join(u.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
+        val scored = cands.join(broadcast(probes), "cell")
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |qc AS (SELECT vec_id AS query_id, c_label AS cell FROM (
+           |  SELECT vec_id, c_label,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
+           |  FROM iscore WHERE vec_id < 20) WHERE rk <= 2),
+           |au AS (SELECT a.vec_id, a.assigned, un.u FROM assign a JOIN un ON a.vec_id = un.vec_id),
+           |p AS (SELECT qc.query_id, c.vec_id AS neighbor_id,
+           |  list_dot_product(q.u, c.u) AS cos
+           |  FROM qc JOIN au q ON q.vec_id = qc.query_id
+           |  JOIN au c ON c.assigned = qc.cell AND c.vec_id <> qc.query_id)
+           |SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM p) WHERE rk <= 5""".stripMargin),
+      "IVF kNN with nprobe=2: per-query union of the two nearest cells, still cell-bounded."),
+
+    QueryDef(
       "sim_hamming_rerank",
       (s, dir) => {
         // Integer-only re-rank of LSH candidates: same banded candidate
@@ -262,7 +322,9 @@ object SimilarityQueries {
         graft.functions.VectorFunctions.register(s)
         val sigs = t(s, dir, "embeddings")
           .select(col("vec_id"), signBits(col("embedding")).as("sig"))
-          .cache() // bands + both re-rank join sides
+          // bands + both re-rank join sides; checkpoint over cache for
+          // scoped storage release
+          .localCheckpoint(true)
         val bands = sigs.select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))

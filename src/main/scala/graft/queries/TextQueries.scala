@@ -129,6 +129,32 @@ object TextQueries {
         "decode/feature steps live in graft.multimodal (stubbed codecs)."),
 
     QueryDef(
+      "mm_image_decode",
+      (s, dir) => {
+        // REAL bytes, REAL decoder: encode a deterministic PNG/JPEG per
+        // "image" doc executor-side, then decode it back with the
+        // in-JDK ImageIO codec on the partition-batched decode path.
+        // The oracle predicts the decoded (format, width, height,
+        // channels) from doc_id arithmetic — a wrong decoder, wrong
+        // byte handling, or schema drift all hash-mismatch.
+        val images = graft.multimodal.Multimodal.withImagePayload(
+          t(s, dir, "documents").where(col("doc_id") % 3 === 0))
+        graft.multimodal.Multimodal
+          .decodeMeta(images, graft.multimodal.Multimodal.ImageIoCodec)
+          .select(col("doc_id"), col("media_type").as("format"),
+            col("width"), col("height"), col("n_frames").as("channels"))
+      },
+      Some(
+        """SELECT doc_id,
+          |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          |CAST(doc_id % 48 + 16 AS INT) AS width,
+          |CAST(doc_id % 32 + 16 AS INT) AS height,
+          |3 AS channels
+          |FROM documents WHERE doc_id % 3 = 0""".stripMargin),
+      "Real-bytes image decode: executor-encoded PNG/JPEG payloads decoded " +
+        "by the in-JDK ImageIO codec (width/height/channels)."),
+
+    QueryDef(
       "t_split_assign",
       (s, dir) =>
         // Deterministic train/val/test split — reproducible across

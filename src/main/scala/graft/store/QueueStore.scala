@@ -229,16 +229,160 @@ class QueueStore(val spark: SparkSession, val root: String) {
 
   /** Distinct claims for MANY queues in ONE column-pruned Spark job
     * (ids + queue only — the claim tables are id-sized, and acked
-    * rows compact away), instead of a scan per queue per call. */
+    * rows compact away), instead of a scan per queue per call.
+    * Reads = folded per-queue counters (latest fold epoch) + the
+    * tombstones NOT yet folded + live claim rows — so the scan cost is
+    * bounded by the fold horizon, not by all-time ack history. */
   def rawProcessingCounts(qs: Seq[String]): Map[String, Long] = {
+    val (folded, excluded) = latestFoldEpoch() match {
+      case Some((_, dir)) => (readFoldCounts(dir), readFoldManifest(dir))
+      case None => (Map.empty[String, Long], Set.empty[String])
+    }
     val rowClaims = readOrEmpty(processingDir, processingSchema)
       .select(col("claim_id").as("id"), col("queue"))
-    val tombClaims = readOrEmpty(tombDir("processing"), tombSchema)
-      .select(col("id"), col("queue"))
-    rowClaims.unionAll(tombClaims)
+    val tombFiles = listTombFiles("processing")
+      .filterNot(f => excluded(f.getPath.getName))
+    val tombClaims =
+      if (tombFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+      else spark.read.schema(tombSchema).parquet(tombFiles.map(_.getPath.toString).toSeq: _*)
+    val unfolded = rowClaims.unionAll(tombClaims.select(col("id"), col("queue")))
       .where(col("queue").isin(qs: _*))
       .groupBy("queue").agg(countDistinct("id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    qs.distinct.flatMap { q =>
+      val n = folded.getOrElse(q, 0L) + unfolded.getOrElse(q, 0L)
+      if (n == 0) None else Some(q -> n)
+    }.toMap
+  }
+
+  // -- acked-claim counter fold --------------------------------------------
+  // The processing tombstones are the durable acked-claim record that
+  // job_counts depends on, so compactProcessing keeps them — which
+  // makes them the store's one structure that would otherwise grow for
+  // the lifetime of the deployment. The fold rolls old tombstone FILES
+  // into a per-queue counter table: counts stay exact, reads touch only
+  // the counters plus the recent (unfolded) tombstones.
+
+  def claimCountsDir: String = s"$root/claimcounts"
+
+  private def listTombFiles(table: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val p = new Path(tombDir(table))
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+  }
+
+  private def latestFoldEpoch(): Option[(Int, Path)] = {
+    val base = new Path(claimCountsDir)
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).filter(_.isDirectory).flatMap { d =>
+      d.getPath.getName.stripPrefix("epoch=").toIntOption.map(_ -> d.getPath)
+    }.sortBy(_._1).lastOption
+  }
+
+  private def readFoldCounts(dir: Path): Map[String, Long] =
+    spark.read.schema(new StructType().add("queue", StringType).add("n", "long"))
+      .parquet(dir.toString)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Tombstone file names folded into this epoch's counters (they may
+    * still exist on disk if the fold's deletes were interrupted — reads
+    * must exclude them so no claim counts twice). `_`-prefixed so the
+    * parquet reader of the same dir ignores it. */
+  private def readFoldManifest(dir: Path): Set[String] = {
+    val mf = new Path(dir, "_folded.txt")
+    if (!fs.exists(mf)) Set.empty
+    else {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Complete a fold interrupted at any point: the latest epoch's
+    * manifest lists exactly the tombstone files its counters absorbed —
+    * re-delete them (idempotent) and drop superseded epoch dirs. Reads
+    * were correct throughout because they exclude manifest files. */
+  def recoverClaimFold(): Unit = {
+    val base = new Path(claimCountsDir)
+    if (!fs.exists(base)) return
+    latestFoldEpoch().foreach { case (latest, dir) =>
+      readFoldManifest(dir).foreach(nm =>
+        fs.delete(new Path(tombDir("processing"), nm), false))
+      fs.listStatus(base).filter(_.isDirectory).foreach { d =>
+        if (d.getPath.getName.stripPrefix("epoch=").toIntOption.exists(_ < latest))
+          fs.delete(d.getPath, true)
+      }
+    }
+  }
+
+  /** Fold acked-claim tombstone files older than `olderThanMs` into the
+    * per-queue counter table, then delete them. Exactness invariants:
+    *
+    *  - a file is foldable only if NONE of its claim ids still has a
+    *    row copy in the processing dir — deleting such a tombstone
+    *    would resurrect the acked row in liveProcessing (run
+    *    compactProcessing first to make files foldable);
+    *  - an id that also appears in a REMAINING tombstone file
+    *    contributes 0 to the counter now (it keeps counting as a
+    *    tombstone until that file folds) — no double count;
+    *  - the new epoch dir (counters + manifest of absorbed files) is
+    *    staged and published by ONE atomic rename; absorbed files are
+    *    deleted after. Every crash point is healed by recoverClaimFold
+    *    and reads are correct in between (manifest exclusion).
+    *
+    * The age gate keeps the fold clear of streaming-replay horizons: a
+    * replayed micro-batch re-appends the same deterministic claim ids,
+    * which distinct-count as no-ops only while they are still visible
+    * as tombstones. Returns files folded. */
+  def foldClaimCounters(olderThanMs: Long = 600000): Long = {
+    recoverClaimFold()
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val all = listTombFiles("processing")
+    val candidates = all.filter(_.getModificationTime < cutoff)
+    if (candidates.isEmpty) return 0L
+    val candDF = spark.read.schema(tombSchema)
+      .parquet(candidates.map(_.getPath.toString).toSeq: _*)
+      .withColumn("f", input_file_name())
+    val rowIds = readOrEmpty(processingDir, processingSchema)
+      .select(col("claim_id").as("id"))
+    val blocked = candDF.join(rowIds, Seq("id"), "left_semi")
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val foldable = candidates.filterNot(f =>
+      blocked.exists(_.endsWith(f.getPath.getName)))
+    if (foldable.isEmpty) return 0L
+    val foldNames = foldable.map(_.getPath.getName).toSet
+    val remaining = all.filterNot(f => foldNames(f.getPath.getName))
+    val foldDF = spark.read.schema(tombSchema)
+      .parquet(foldable.map(_.getPath.toString).toSeq: _*)
+    val remIds =
+      if (remaining.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+      else spark.read.schema(tombSchema)
+        .parquet(remaining.map(_.getPath.toString).toSeq: _*)
+    val newly = foldDF.select("id", "queue").distinct()
+      .join(remIds.select("id"), Seq("id"), "left_anti")
+      .groupBy("queue").agg(count("*").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prevEpoch = latestFoldEpoch()
+    val prev = prevEpoch.map(e => readFoldCounts(e._2)).getOrElse(Map.empty[String, Long])
+    val merged = (prev.keySet ++ newly.keySet).map(q =>
+      q -> (prev.getOrElse(q, 0L) + newly.getOrElse(q, 0L))).toSeq
+    val epoch = prevEpoch.map(_._1 + 1).getOrElse(0)
+    val staging = s"$root/.staging/fold-${java.util.UUID.randomUUID()}"
+    import spark.implicits._
+    merged.toDF("queue", "n").coalesce(1).write.mode("overwrite").parquet(staging)
+    val mf = fs.create(new Path(staging, "_folded.txt"), true)
+    try mf.write(foldable.map(_.getPath.getName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mf.close()
+    fs.mkdirs(new Path(claimCountsDir))
+    val epochDir = new Path(s"$claimCountsDir/epoch=$epoch")
+    if (!fs.rename(new Path(staging), epochDir))
+      throw new java.io.IOException(s"claim fold: rename $staging -> $epochDir failed")
+    foldable.foreach(f => fs.delete(f.getPath, false))
+    prevEpoch.foreach { case (_, d) => fs.delete(d, true) }
+    foldable.length.toLong
   }
 
   /** Row count of an append-only table from parquet FOOTERS only —
@@ -285,6 +429,22 @@ class QueueStore(val spark: SparkSession, val root: String) {
       case None => base
     }
     scoped.select("id").distinct().count()
+  }
+
+  /** Earliest admission timestamp still inside the window (> sinceMs),
+    * excluding this batch's own entries — `+ scale` gives the moment
+    * the window next frees a slot. None ⇔ the window holds no foreign
+    * entries. */
+  def limitEarliestSince(key: String, sinceMs: Long,
+      excludeIdSuffix: Option[String] = None): Option[Long] = {
+    val base = readOrEmpty(limitDir(key), limitSchema)
+      .where(col("processed_at") > new Timestamp(sinceMs))
+    val scoped = excludeIdSuffix match {
+      case Some(sfx) => base.where(!col("id").endsWith(sfx))
+      case None => base
+    }
+    val r = scoped.agg(min("processed_at")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getTimestamp(0).getTime)
   }
 
   /** Prune rate-limit window logs: a part file whose mtime is older
@@ -420,54 +580,70 @@ class QueueStore(val spark: SparkSession, val root: String) {
     * acked jobs is the at-least-once contract anyway; the jobs' claims
     * are acked, so only the file read is skipped). Returns files moved.
     */
-  def archiveConsumed(q: String, olderThanMs: Long = 600000): Long = {
-    val dir = new Path(queueDir(q))
-    if (!fs.exists(dir)) return 0L
+  def archiveConsumed(q: String, olderThanMs: Long = 600000): Long =
+    archiveConsumedAll(Seq(q), olderThanMs)
+
+  /** Batched archiver: ONE pass serves every queue — the acked-claim
+    * tombstones are scanned once, grouped by (queue, jid), instead of
+    * re-scanned per queue (at thousands of queues, a per-queue loop is
+    * thousands of redundant tombstone scans per maintenance tick).
+    *
+    * A jid is FULLY consumed only when its distinct acked claims cover
+    * every row copy it has (live + already archived). A bare "has an
+    * acked claim" test would be wrong: a requeued/deferred job appends
+    * a NEW copy under the SAME jid, and the old claim's tombstone must
+    * not let the new, unprocessed copy's file be archived (each
+    * consumption of a copy produces exactly one distinct claim id, so
+    * count >= copies ⇔ all copies consumed). Rows are attributed to
+    * queues by their `queue` column, which every engine write path
+    * keeps equal to the directory's queue. */
+  def archiveConsumedAll(qs: Seq[String], olderThanMs: Long = 600000): Long = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val oldFiles = fs.listStatus(dir)
-      .filter(f => f.getPath.getName.startsWith("part-") &&
-        f.getModificationTime < cutoff)
-    if (oldFiles.isEmpty) return 0L
-    // A jid is FULLY consumed only when its distinct acked claims cover
-    // every row copy it has (live + already archived). A bare "has an
-    // acked claim" test would be wrong: a requeued/deferred job appends
-    // a NEW copy under the SAME jid, and the old claim's tombstone must
-    // not let the new, unprocessed copy's file be archived (each
-    // consumption of a copy produces exactly one distinct claim id, so
-    // count >= copies ⇔ all copies consumed).
-    val liveJids = readOrEmpty(queueDir(q), Schemas.event).select("jid")
-    val archJids = readOrEmpty(s"${queueDir(q)}/.archive", Schemas.event).select("jid")
-    val rowsPerJid = liveJids.unionAll(archJids)
-      .groupBy("jid").agg(count("*").as("n_rows"))
+    val oldByQueue: Map[String, Array[org.apache.hadoop.fs.FileStatus]] =
+      qs.distinct.filter(q => fs.exists(new Path(queueDir(q)))).map { q =>
+        q -> fs.listStatus(new Path(queueDir(q)))
+          .filter(f => f.getPath.getName.startsWith("part-") &&
+            f.getModificationTime < cutoff)
+      }.toMap.filter(_._2.nonEmpty)
+    if (oldByQueue.isEmpty) return 0L
+    val targets = oldByQueue.keys.toSeq
+    // every row copy of the target queues (live + archive)
+    val copyDirs = targets.flatMap(q =>
+      Seq(queueDir(q), s"${queueDir(q)}/.archive").filter(hasData))
+    val rowsPerJid = spark.read.schema(Schemas.event).parquet(copyDirs: _*)
+      .groupBy("queue", "jid").agg(count("*").as("n_rows"))
     // claim ids are jid:batchId[:d]; parse from the RIGHT (strip the
     // numeric batch id + optional defer marker) — external jids from
     // enqueueRawJson may themselves contain colons, so a left-split
     // would mis-attribute acks and could archive an unprocessed job
     val acksPerJid = readOrEmpty(tombDir("processing"), tombSchema)
-      .where(col("queue") === q)
-      .select(regexp_replace(col("id"), ":[0-9]+(:d)?$", "").as("jid"),
-        col("id")).distinct()
-      .groupBy("jid").agg(count("*").as("n_acked"))
-    val pendingJids = rowsPerJid.join(acksPerJid, Seq("jid"), "left")
+      .where(col("queue").isin(targets: _*))
+      .select(col("queue"),
+        regexp_replace(col("id"), ":[0-9]+(:d)?$", "").as("jid"), col("id"))
+      .distinct()
+      .groupBy("queue", "jid").agg(count("*").as("n_acked"))
+    val pendingJids = rowsPerJid.join(acksPerJid, Seq("queue", "jid"), "left")
       .where(coalesce(col("n_acked"), lit(0L)) < col("n_rows"))
-      .select("jid")
+      .select("queue", "jid")
     // files containing any not-fully-consumed jid stay
-    val pending = spark.read.schema(Schemas.event)
-      .parquet(oldFiles.map(_.getPath.toString).toSeq: _*)
-      .select(col("jid"), input_file_name().as("f"))
-      .join(pendingJids, Seq("jid"), "left_semi")
+    val oldPaths = oldByQueue.values.flatten.map(_.getPath.toString).toSeq
+    val pending = spark.read.schema(Schemas.event).parquet(oldPaths: _*)
+      .select(col("queue"), col("jid"), input_file_name().as("f"))
+      .join(pendingJids, Seq("queue", "jid"), "left_semi")
       .select("f").distinct().collect().map(_.getString(0)).toSet
-    val archive = new Path(s"${queueDir(q)}/.archive")
-    fs.mkdirs(archive)
     var moved = 0L
-    oldFiles.foreach { f =>
-      // input_file_name yields a URI; compare by suffix to be
-      // scheme-robust
-      val isPending = pending.exists(p => p.endsWith(f.getPath.getName))
-      if (!isPending) {
-        if (fs.rename(f.getPath, new Path(archive, f.getPath.getName))) moved += 1
-        else graft.GraftLog.current.warn(
-          s"archive rename failed for ${f.getPath.toUri}")
+    oldByQueue.foreach { case (q, files) =>
+      val archive = new Path(s"${queueDir(q)}/.archive")
+      fs.mkdirs(archive)
+      files.foreach { f =>
+        // input_file_name yields a URI; compare by suffix to be
+        // scheme-robust (part names carry a UUID, unique across queues)
+        val isPending = pending.exists(p => p.endsWith(f.getPath.getName))
+        if (!isPending) {
+          if (fs.rename(f.getPath, new Path(archive, f.getPath.getName))) moved += 1
+          else graft.GraftLog.current.warn(
+            s"archive rename failed for ${f.getPath.toUri}")
+        }
       }
     }
     moved
@@ -482,7 +658,9 @@ class QueueStore(val spark: SparkSession, val root: String) {
     compact(processingDir, "processing", processingSchema, "claim_id",
       keepTombstones = true)
 
-  // heal any compaction interrupted by a crash in a previous process
+  // heal any compaction or claim fold interrupted by a crash in a
+  // previous process
   recoverCompaction(processingDir)
   recoverCompaction(scheduledDir)
+  recoverClaimFold()
 }

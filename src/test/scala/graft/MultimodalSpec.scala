@@ -45,6 +45,35 @@ class MultimodalSpec extends AnyFunSuite {
     frames.unpersist(); videos.unpersist()
   }
 
+  test("ImageIO codec decodes real PNG/JPEG bytes on executors; rejects garbage") {
+    import spark.implicits._
+    val docs = Seq(0L, 3L, 6L, 9L, 33L, 96L).toDF("doc_id")
+    val images = Multimodal.withImagePayload(docs).cache()
+    // payloads are real encodings: magic bytes match the format
+    images.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      r.getString(1) match {
+        case "png" =>
+          assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte)
+        case "jpeg" =>
+          assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8)
+      }
+    }
+    // decode on the partition-batched path recovers the true dimensions
+    val meta = Multimodal.decodeMeta(images, Multimodal.ImageIoCodec).collect()
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(3) === (id % 48 + 16).toInt, s"width of doc $id")
+      assert(r.getInt(4) === (id % 32 + 16).toInt, s"height of doc $id")
+      assert(r.getInt(5) === 3, s"channels of doc $id")
+      assert(r.getInt(2) > 0) // n_bytes
+    }
+    images.unpersist()
+    // non-image payloads are flagged, not crashed
+    assert(Multimodal.ImageIoCodec.decode("not an image".getBytes) === ((-1, -1, -1)))
+    assert(Multimodal.ImageIoCodec.decode(Array.empty[Byte]) === ((-1, -1, -1)))
+  }
+
   test("session windows: gap-based aggregation (streaming-native sessionization)") {
     import spark.implicits._
     val base = 1704067200000L

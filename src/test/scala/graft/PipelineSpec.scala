@@ -89,12 +89,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     val runner = new PipelineRunner(store, cfg)
     api.bulkEnqueue("lim", (1 to 25).map(i => JobSpec("EchoWorker", args = s"[$i]")))
 
+    val t0 = System.currentTimeMillis()
     runner.processBatch(store.queueRows("lim"), 0)
+    val elapsed = System.currentTimeMillis() - t0
     assert(Buffers.echo.size === 10) // admitted = limit
-    // deferred 15 re-appended to the queue tail
+    // LONG window (60 s ≫ trigger): the overflow is PARKED in the
+    // scheduled table (not re-appended to the queue tail), and the
+    // trigger returns without sleeping out the window
+    assert(elapsed < 30000, s"long-window admission blocked ${elapsed} ms")
+    assert(store.queueRows("lim").count() === 25)
+    val parked = store.liveScheduled.where(col("kind") === "deferred")
+    assert(parked.count() === 15)
+    // parked jobs count like scheduled jobs (not queued) until promoted
+    assert(api.jobCounts(Seq("lim"))("lim") === 0)
+    // not_before = the window's earliest expiry (admissions + 60 s)
+    val nb = parked.select(min("not_before")).collect()(0).getTimestamp(0).getTime
+    assert(nb >= t0 + 60000 - 1000 && nb <= System.currentTimeMillis() + 61000)
+    // the housekeeper returns them to the queue once the window reopens
+    new Housekeeper(store).promoteDue(nb + 1)
     assert(store.queueRows("lim").count() === 40)
-    // deferral is claim+instant-requeue, so backlog arithmetic is exact:
-    // 15 deferred jobs genuinely pending
     assert(api.jobCounts(Seq("lim"))("lim") === 15)
     // durable window state: a fresh store (≈ restart) counts the same
     val fresh = new QueueStore(spark, store.root)
@@ -103,6 +116,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     // still open (its own entries are excluded)
     assert(fresh.limitCountSince("shared",
       System.currentTimeMillis() - 60000, Some(":0")) === 0)
+    // a CLOSED long window never sleep-blocks the trigger: a second
+    // pipeline on the same shared window parks its whole batch and
+    // returns at once (the old path slept out up to the 60 s scale,
+    // polling the limit log with a Spark job every 100 ms)
+    val cfg2 = PipelineConfig("lp2", "lim2", rateLimitCount = Some(10),
+      rateLimitScaleMs = Some(60000), rateLimitKey = Some("shared"))
+    val runner2 = new PipelineRunner(store, cfg2)
+    api.bulkEnqueue("lim2", (1 to 5).map(i => JobSpec("EchoWorker", args = s"[x$i]")))
+    val t1 = System.currentTimeMillis()
+    runner2.processBatch(store.queueRows("lim2"), 0)
+    assert(System.currentTimeMillis() - t1 < 20000,
+      "closed long window must not block the trigger")
+    assert(Buffers.echo.size === 10) // nothing admitted through the closed window
+    assert(store.liveScheduled
+      .where(col("kind") === "deferred" && col("queue") === "lim2").count() === 5)
   }
 
   test("closed rate window applies back-pressure, then drains to exactly-once per job (B2 pacing)") {
@@ -257,6 +285,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(api.jobCounts(Seq("rcq"))("rcq") === 0) // distinct-claim arithmetic
     assert(store.liveProcessing.count() === 0)
     assert(store.deadRows.count() === 0)
+  }
+
+  test("bulk dispatch timeout scales with chunk size (B6 timeout)") {
+    WorkerRegistry.registerBulk("SlowBulk", _ => { Thread.sleep(300); () })
+    val store = new QueueStore(spark, TestSpark.tmpRoot("bulktmo"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("btq", (1 to 3).map(i => JobSpec("SlowBulk", args = s"[$i]")))
+    // one 300 ms worker call serves the whole 3-job chunk: a per-call
+    // bound of 150 ms would spuriously kill it, but the bound scales
+    // per member (3 × 150 = 450 ms) and the chunk succeeds
+    val runner = new PipelineRunner(store,
+      PipelineConfig("bt_p", "btq", batchSize = Some(3)),
+      EngineConfig(dispatchTimeoutMs = 150, backoffInitialMs = 1, backoffMaxMs = 2))
+    runner.processBatch(store.queueRows("btq"), 0)
+    assert(store.liveScheduled.count() === 0) // no retry rows — no timeout
+    assert(api.jobCounts(Seq("btq"))("btq") === 0)
   }
 
   test("hung worker is timed out into the retry path; batch keeps draining (B5 timeout)") {
@@ -443,12 +487,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     val enq = handler.gauges(("jt", "enqueue"))
     assert(enq("count") === 10.0)
     assert(enq("payloadBytes") >= 30.0)
-    // [pipeline,:worker,:job] per-job durations (event/worker.ex:57-67)
-    val runner = new PipelineRunner(store, PipelineConfig("jt_p", "jt"), EngineConfig(), handler)
+    // [pipeline,:worker,:job] per-job durations (event/worker.ex:57-67),
+    // gated on the pipeline's instrument flag (pipeline.ex:17)
+    val runner = new PipelineRunner(store,
+      PipelineConfig("jt_p", "jt", instrument = true), EngineConfig(), handler)
     runner.processBatch(store.queueRows("jt"), 0)
     val jobs = handler.jobs.filter(_._1._1 == "jt_p")
     assert(jobs.size === 10)
     assert(jobs.values.forall { case (d, ok) => d >= 0.0 && ok })
+  }
+
+  test("instrument=false suppresses per-job telemetry even with a recording handler (pipeline.ex:17)") {
+    WorkerRegistry.register("QuietWorker", (_, _) => ())
+    val handler = new InMemoryEventHandler
+    val store = new QueueStore(spark, TestSpark.tmpRoot("jobtel_off"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("jq", (1 to 5).map(i => JobSpec("QuietWorker", args = s"[$i]")))
+    // default instrument=false: the handler must see no job events
+    val runner = new PipelineRunner(store, PipelineConfig("jq_p", "jq"), EngineConfig(), handler)
+    runner.processBatch(store.queueRows("jq"), 0)
+    assert(handler.jobs.isEmpty)
+    // and the jobs were still processed (claims tombstoned)
+    assert(api.jobCounts(Seq("jq"))("jq") === 0)
   }
 
   test("scheduled table is nb_day-partitioned and the due scan partition-prunes (C1 at scale)") {

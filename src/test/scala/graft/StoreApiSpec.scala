@@ -144,6 +144,121 @@ class StoreApiSpec extends AnyFunSuite {
     assert(store.liveProcessing.count() === 5) // ...but nothing was lost
   }
 
+  test("claim fold: counts unchanged across compaction + fold + repeat folds") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("fold"))
+    val api = new DefaultQueueApi(store)
+    // 10 jobs on q1, 6 on q2 — claim and ack all of them
+    api.bulkEnqueue("fq1", (1 to 10).map(i => JobSpec("W", args = s"[$i]")))
+    api.bulkEnqueue("fq2", (1 to 6).map(i => JobSpec("W", args = s"[$i]")))
+    def ackAll(q: String, batch: Int, onlyJids: Option[Seq[String]] = None): Unit = {
+      val rows = store.queueRows(q)
+      val scoped = onlyJids.fold(rows)(js => rows.where(col("jid").isin(js: _*)))
+      val claimed = scoped
+        .withColumn("claim_id", concat_ws(":", col("jid"), lit(batch)))
+        .withColumn("claimed_at", current_timestamp())
+      store.append(store.processingDir, claimed, store.processingSchema)
+      store.tombstone("processing",
+        claimed.select(col("claim_id").as("id"), col("queue")))
+    }
+    ackAll("fq1", 0); ackAll("fq2", 0)
+    val before = store.rawProcessingCounts(Seq("fq1", "fq2"))
+    assert(before === Map("fq1" -> 10L, "fq2" -> 6L))
+    // rows still live → nothing foldable (the tombstones still suppress)
+    assert(store.foldClaimCounters(olderThanMs = 0) === 0L)
+    store.compactProcessing()
+    assert(store.rawProcessingCounts(Seq("fq1", "fq2")) === before)
+    // now the acked rows are gone → everything folds
+    assert(store.foldClaimCounters(olderThanMs = 0) > 0L)
+    assert(store.rawProcessingCounts(Seq("fq1", "fq2")) === before)
+    // idempotent: a second fold has nothing to do and changes nothing
+    assert(store.foldClaimCounters(olderThanMs = 0) === 0L)
+    assert(store.rawProcessingCounts(Seq("fq1", "fq2")) === before)
+    // a second generation of acks folds cumulatively into a new epoch
+    val newJids = api.bulkEnqueue("fq1", (1 to 3).map(i => JobSpec("W", args = s"[n$i]")))
+    ackAll("fq1", 1, Some(newJids))
+    store.compactProcessing()
+    assert(store.foldClaimCounters(olderThanMs = 0) > 0L)
+    assert(store.rawProcessingCounts(Seq("fq1", "fq2")) ===
+      Map("fq1" -> 13L, "fq2" -> 6L))
+    // jobCounts arithmetic holds after compaction + fold
+    assert(api.jobCounts(Seq("fq1", "fq2")) === Map("fq1" -> 0L, "fq2" -> 0L))
+  }
+
+  test("claim fold: crash between epoch publish and tombstone deletes is safe + recoverable") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("foldcrash"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("fcq", (1 to 8).map(i => JobSpec("W", args = s"[$i]")))
+    val claimed = store.queueRows("fcq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+    store.append(store.processingDir, claimed, store.processingSchema)
+    store.tombstone("processing",
+      claimed.select(col("claim_id").as("id"), col("queue")))
+    store.compactProcessing()
+    // snapshot the tombstone files so we can resurrect them post-fold,
+    // simulating a crash after the epoch rename but before the deletes
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new org.apache.hadoop.fs.Path(store.tombDir("processing"))
+    val saved = new org.apache.hadoop.fs.Path(store.root, ".saved-tombs")
+    fs.mkdirs(saved)
+    fs.listStatus(tombDir).filter(_.getPath.getName.startsWith("part-")).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new org.apache.hadoop.fs.Path(saved, f.getPath.getName), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    assert(store.foldClaimCounters(olderThanMs = 0) > 0L)
+    fs.listStatus(saved).foreach { f => // the "crash": folded files reappear
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new org.apache.hadoop.fs.Path(tombDir, f.getPath.getName), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    // reads exclude manifest-listed files → no double count even before recovery
+    assert(store.rawProcessingCounts(Seq("fcq")) === Map("fcq" -> 8L))
+    // recovery (runs on store construction) re-deletes them
+    store.recoverClaimFold()
+    assert(fs.listStatus(tombDir).count(_.getPath.getName.startsWith("part-")) === 0)
+    assert(store.rawProcessingCounts(Seq("fcq")) === Map("fcq" -> 8L))
+    assert(api.jobCounts(Seq("fcq")) === Map("fcq" -> 0L))
+  }
+
+  test("batched archiver: one pass serves N queues with bounded Spark jobs") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("archall"))
+    val api = new DefaultQueueApi(store)
+    val queues = (1 to 4).map(i => s"baq$i")
+    queues.foreach { q =>
+      api.bulkEnqueue(q, (1 to 3).map(i => JobSpec("W", args = s"[$i]")))
+      val claimed = store.queueRows(q)
+        .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+        .withColumn("claimed_at", current_timestamp())
+      store.append(store.processingDir, claimed, store.processingSchema)
+      store.tombstone("processing",
+        claimed.select(col("claim_id").as("id"), col("queue")))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val moved = store.archiveConsumedAll(queues, olderThanMs = 0)
+      assert(moved === 4)
+      // listener events are async; poll briefly for the last job-start
+      val deadline = System.currentTimeMillis() + 5000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(200)
+      }
+      // the pass is one action tree (plus AQE stage jobs) — NOT O(queues):
+      // a per-queue loop would run 4× this many
+      assert(jobs.get() <= 8, s"archiver ran ${jobs.get()} Spark jobs for 4 queues")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    queues.foreach { q =>
+      assert(store.footerRowCount(s"${store.queueDir(q)}/.archive") === 3)
+      assert(api.jobCounts(Seq(q))(q) === 0)
+    }
+  }
+
   test("recording api buffers instead of writing (D6)") {
     val api = new RecordingQueueApi
     api.enqueue("q", JobSpec("W", args = "[1]"))
