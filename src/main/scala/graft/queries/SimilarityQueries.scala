@@ -356,6 +356,62 @@ object SimilarityQueries {
       "Integer Hamming re-rank of banded LSH candidates (codegen'd graft_hamming)."),
 
     QueryDef(
+      "dedup_embedding_near",
+      (s, dir) => {
+        // Embedding-cosine near-dup DEDUP over documents (vec_id keys
+        // doc_id's embedding): candidates come from the same banded
+        // sign-bit LSH as sim_bucketed_pairs — never corpus² — exact
+        // cosine confirms, then document metadata joins in for the
+        // dedup decision (keeper = lowest doc_id; same_source flags
+        // likely mirror-copies vs cross-source near-dups). At 100 TB
+        // the doc join is a shuffle on doc_id of the (tiny) confirmed
+        // pair set against the pruned (doc_id, source) projection.
+        val u = unitEmb(s, dir)
+        val bands = t(s, dir, "embeddings")
+          .select(col("vec_id"), signBits(col("embedding")).as("sig"))
+          .select(col("vec_id"), posexplode(
+            array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
+            .as(Seq("band", "bkey")))
+          .localCheckpoint(true)
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+          .distinct()
+        val pairs = cand
+          .join(u.select(col("vec_id").as("doc_a"), col("u").as("ua")), "doc_a")
+          .join(u.select(col("vec_id").as("doc_b"), col("u").as("ub")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), dot(col("ua"), col("ub")).as("cos"))
+          .where(col("cos") >= 0.35)
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(docs.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("cos"),
+            (col("source_a") === col("source_b")).cast("int").as("same_source"),
+            least(col("doc_a"), col("doc_b")).as("keeper"))
+      },
+      Some(
+        s"""$UnitCte,
+           |sig AS (SELECT vec_id, array_to_string(list_transform(embedding,
+           |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sig FROM embeddings),
+           |bands AS (SELECT vec_id, b AS band, substr(sig, CAST(b*8+1 AS INT), 8) AS bkey
+           |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+           |cand AS (SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+           |pairs AS (SELECT doc_a, doc_b, cos FROM (
+           |  SELECT doc_a, doc_b, list_dot_product(a.u, b.u) AS cos
+           |  FROM cand JOIN un a ON cand.doc_a = a.vec_id JOIN un b ON cand.doc_b = b.vec_id)
+           |  WHERE cos >= 0.35)
+           |SELECT doc_a, doc_b, cos,
+           |  CAST(CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS INT) AS same_source,
+           |  LEAST(doc_a, doc_b) AS keeper
+           |FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
+           |JOIN documents db ON pairs.doc_b = db.doc_id""".stripMargin),
+      "Embedding-cosine near-dup dedup over documents: bucketed LSH candidates, exact cosine, keeper election."),
+
+    QueryDef(
       "sim_sq8_error",
       (s, dir) => {
         // int8 scalar quantization — the memory-reduction step an ANN
