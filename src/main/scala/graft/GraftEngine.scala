@@ -84,8 +84,13 @@ class GraftEngine(
     val pruned = store.pruneLimitLogs(math.max(limitLogOlderThanMs, 2 * maxScale))
     housekeeper.compactStateTables(minTombstones)
     // fold AFTER compaction: compactProcessing clears the acked rows
-    // that would otherwise block tombstone files from folding
-    store.foldClaimCounters(claimFoldOlderThanMs)
+    // that would otherwise block tombstone files from folding. The
+    // fold horizon is clamped to 2× the archive horizon: the archiver
+    // proves "fully consumed" from acked-claim tombstones, so acks
+    // must outlive the archive pass that consumes them — folding them
+    // sooner would strand consumed files in the live dir (counts would
+    // stay exact, but the listing-cost bound would erode).
+    store.foldClaimCounters(math.max(claimFoldOlderThanMs, 2 * archiveOlderThanMs))
     (archived, pruned)
   }
 

@@ -182,6 +182,51 @@ object TextQueries {
       "Deterministic 80/10/10 train/val/test assignment (multiplicative hash, map-only)."),
 
     QueryDef(
+      "t_stratified_sample",
+      (s, dir) => {
+        // Deterministic stratified sampling: up to 50 docs per source,
+        // chosen by a multiplicative hash of doc_id — reproducible
+        // across engines/runs/cluster sizes (no random(), no
+        // partition-dependent sample()). The window shuffles only
+        // (doc_id, source, hash); at very hot strata the two-phase
+        // bounded-heap pattern (p_queue_head) swaps in without
+        // changing results.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("hk"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") % 1000003L * 2654435761L % 1000000L).as("hk"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 50)
+          .select(col("doc_id"), col("source"), col("hk"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(
+        """SELECT doc_id, source, doc_id % 1000003 * 2654435761 % 1000000 AS hk,
+          |CAST(rk AS INT) AS rk FROM (
+          |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+          |    ORDER BY doc_id % 1000003 * 2654435761 % 1000000, doc_id) AS rk
+          |  FROM documents) WHERE rk <= 50""".stripMargin),
+      "Deterministic stratified sample: top-50 per source by multiplicative hash."),
+
+    QueryDef(
+      "t_corpus_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count("*").as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+            max("n_chars").as("max_chars")),
+      Some(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+          |MAX(n_chars) AS max_chars FROM documents GROUP BY lang""".stripMargin),
+      "Per-language corpus statistics (integer sums — exact, map-side combinable)."),
+
+    QueryDef(
       "mm_frame_sample",
       (s, dir) => {
         // runs the REAL partition-batched frame sampler (byte slices at

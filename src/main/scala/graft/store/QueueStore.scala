@@ -497,6 +497,13 @@ class QueueStore(val spark: SparkSession, val root: String) {
       if (fs.exists(tombPath))
         fs.listStatus(tombPath).map(_.getPath).filter(!_.getName.startsWith("_"))
       else Array.empty
+    if (!fs.exists(new Path(dir))) {
+      // never-written table: no rows to fold — tombstones suppress
+      // nothing, so drop them (unless a later fold still needs them)
+      // and skip the swap (renaming a missing dir aside would throw)
+      if (!keepTombstones) tombFiles.foreach(f => fs.delete(f, false))
+      return
+    }
     val tombs =
       if (tombFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
@@ -556,6 +563,13 @@ class QueueStore(val spark: SparkSession, val root: String) {
       if (fs.exists(tombPath))
         fs.listStatus(tombPath).map(_.getPath).filter(!_.getName.startsWith("_"))
       else Array.empty
+    if (!fs.exists(new Path(scheduledDir))) {
+      // never-written table: no rows to fold — tombstones suppress
+      // nothing, so drop them and skip the swap (renaming a missing
+      // dir aside would throw)
+      tombFiles.foreach(f => fs.delete(f, false))
+      return
+    }
     val tombs =
       if (tombFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)

@@ -57,11 +57,16 @@ class EngineSpec extends AnyFunSuite {
         engine.api.bulkEnqueue("mq",
           (1 to 5).map(i => graft.api.JobSpec("MWorker", args = s"[$b,$i]")))
         engine.processAllAvailable()
-        engine.maintenance(archiveOlderThanMs = 0)
+        // immediate-cutoff archive AND claim-counter fold (compaction
+        // threshold forced to 0 so every tick compacts + folds) — the
+        // worst-case interleaving of all three background moves with
+        // the running stream
+        engine.maintenance(archiveOlderThanMs = 0, minTombstones = 0,
+          claimFoldOlderThanMs = 0)
       }
       engine.processAllAvailable()
       assert(seen.toArray.map(_.toString).toSet.size === 30) // no loss
-      assert(engine.jobCounts()("mq") === 0) // arithmetic exact after archiving
+      assert(engine.jobCounts()("mq") === 0) // arithmetic exact after archive+fold
       assert(engine.pendingJobsCount() === 0)
     } finally engine.stop()
   }
