@@ -442,6 +442,93 @@ object SimilarityQueries {
       "Int8 scalar quantization with per-vector reconstruction cosine (map-only)."),
 
     QueryDef(
+      "sim_pq_adc_knn",
+      (s, dir) => {
+        // Product quantization + asymmetric-distance (ADC) search — the
+        // compression half of IVF-PQ, the standard 100 TB ANN layout:
+        // each 64-dim vector becomes 8 one-byte codes (one per 8-dim
+        // subspace, nearest codeword in that subspace), and a query
+        // scans CODES (8 bytes/vector instead of 256+ bytes of floats)
+        // adding precomputed query↔codeword distances from a broadcast
+        // lookup table. The scan stays linear — composing with
+        // sim_ivf_knn's cell restriction gives IVF-PQ, which prunes it.
+        //   - codebooks are deterministic per-(subspace, label) exact
+        //     ROUND-quantized means (80 rows — broadcast), standing in
+        //     for k-means so both engines derive identical codebooks;
+        //   - code assignment is one shuffle on (vec_id, m) with a
+        //     map-side-combinable min(struct) — no window over corpus;
+        //   - ADC distances are integer sums of 1e-9-quantized
+        //     per-subspace terms: bit-exact under any partial-agg order.
+        graft.functions.VectorFunctions.register(s)
+        val subs = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+          .select(col("vec_id"), col("label"), posexplode(
+            array((0 until 8).map(m => slice(col("e"), m * 8 + 1, 8)): _*))
+            .as(Seq("m", "sub")))
+          .localCheckpoint(true) // shared: codebook build + assignment + query tables
+        val cb = subs
+          .select(col("label"), col("m"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy(col("m"), col("label").as("cw"), (col("pos") + 1).as("dim"))
+          .agg((sum(round(col("x") * 1000000000).cast(DecimalType(38, 0)))
+            .cast("double") / 1000000000 / count("*")).as("cv"))
+          .groupBy("m", "cw")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("m"), col("cw"),
+            transform(col("pairs"), p => p.getField("cv")).as("c"))
+        // |sub - c|² per (vector, subspace, codeword) via the dot identity
+        val scored = subs.join(broadcast(cb), "m")
+          .select(col("vec_id"), col("m"), col("cw"),
+            (dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("c")) +
+              dot(col("c"), col("c"))).as("d2"))
+        val codes = scored
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d2"), col("cw"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best.cw").as("code"))
+        // per-query distance table: query subvector ↔ every codeword
+        val qd = scored.where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("m").as("qm"),
+            col("cw"), col("d2"))
+        val adc = codes.join(broadcast(qd),
+            col("m") === col("qm") && col("code") === col("cw") &&
+              col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum(round(col("d2") * 1000000000).cast("long")).as("qdist"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("qdist").asc, col("neighbor_id").asc)
+        adc.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("query_id"), col("neighbor_id"),
+            (col("qdist").cast("double") / 1000000000).as("approx_dist2"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |subs AS (SELECT vec_id, label, m, list_slice(e, m*8+1, m*8+8) AS sub
+          |  FROM v, (SELECT unnest(range(0, 8)) AS m)),
+          |cbd AS (SELECT m, label AS cw, CAST(dim AS INT) AS dim,
+          |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS cv
+          |  FROM (SELECT vec_id, label, m, unnest(range(1, 9)) AS dim, unnest(sub) AS x FROM subs)
+          |  GROUP BY m, label, dim),
+          |cb AS (SELECT m, cw, list(cv ORDER BY dim) AS c FROM cbd GROUP BY m, cw),
+          |ascore AS (SELECT s.vec_id, s.m, cb.cw,
+          |  list_dot_product(sub, sub) - 2.0 * list_dot_product(sub, c) + list_dot_product(c, c) AS d2
+          |  FROM subs s JOIN cb ON s.m = cb.m),
+          |codes AS (SELECT vec_id, m, cw AS code FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cw) AS rk FROM ascore)
+          |  WHERE rk = 1),
+          |qd AS (SELECT vec_id AS query_id, m, cw, d2 FROM ascore WHERE vec_id < 20),
+          |adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+          |  CAST(SUM(CAST(ROUND(qd.d2 * 1000000000) AS BIGINT)) AS BIGINT) AS qdist
+          |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cw
+          |  WHERE codes.vec_id <> qd.query_id
+          |  GROUP BY 1, 2)
+          |SELECT query_id, neighbor_id, CAST(qdist AS DOUBLE)/1000000000 AS approx_dist2,
+          |  CAST(rk AS INT) AS rk FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rk
+          |  FROM adc) WHERE rk <= 5""".stripMargin),
+      "PQ (8 subspaces × per-label codebooks) + ADC code-scan top-5 — the compression half of IVF-PQ."),
+
+    QueryDef(
       "sim_label_centroid",
       (s, dir) =>
         t(s, dir, "embeddings")
