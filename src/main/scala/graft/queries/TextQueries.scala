@@ -227,6 +227,58 @@ object TextQueries {
       "Per-language corpus statistics (integer sums — exact, map-side combinable)."),
 
     QueryDef(
+      "t_corpus_clean",
+      (s, dir) => {
+        // The composed training-data cleaning funnel, end to end:
+        // quality gate → word-order-insensitive canonical dedup
+        // (bag-of-words md5 — catches shuffled near-copies that byte
+        // dedup misses) → deterministic keeper (min doc_id) → per-source
+        // funnel stats. Scale shape: the keeper election is ONE shuffle
+        // on the fingerprint with a map-side-combinable min(struct) — no
+        // join back to the corpus — and the two stat aggs output
+        // source-cardinality rows.
+        val d = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          tokenCount(col("text")).as("n_tokens"),
+          isQuality(col("text")).as("is_quality"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+        val surv = d.where(col("is_quality") === 1)
+          .groupBy("fp")
+          .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("k"))
+          .groupBy(col("k.source").as("source"))
+          .agg(count("*").as("n_unique"),
+            sum(col("k.n_tokens")).cast("long").as("total_tokens_clean"))
+        d.groupBy("source")
+          .agg(count("*").as("n_docs"),
+            sum("is_quality").cast("long").as("n_quality"))
+          .join(surv, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_quality"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            coalesce(col("total_tokens_clean"), lit(0L)).as("total_tokens_clean"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           |    CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 10000
+           |      AND CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+           |          / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+           |      THEN 1 ELSE 0 END AS INT) AS is_quality,
+           |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+           |  FROM documents),
+           |surv AS (SELECT source, COUNT(*) AS n_unique,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_clean FROM (
+           |  SELECT source, n_tokens,
+           |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+           |  FROM d WHERE is_quality = 1) WHERE rk = 1 GROUP BY source)
+           |SELECT d.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(is_quality) AS BIGINT) AS n_quality,
+           |  COALESCE(ANY_VALUE(n_unique), 0) AS n_unique,
+           |  COALESCE(ANY_VALUE(total_tokens_clean), 0) AS total_tokens_clean
+           |FROM d LEFT JOIN surv ON d.source = surv.source GROUP BY d.source""".stripMargin),
+      "End-to-end cleaning funnel: quality gate, bag-of-words dedup, keeper, per-source stats."),
+
+    QueryDef(
       "mm_frame_sample",
       (s, dir) => {
         // runs the REAL partition-batched frame sampler (byte slices at
