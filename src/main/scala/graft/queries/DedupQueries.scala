@@ -329,6 +329,51 @@ object DedupQueries {
       "Near-dup cluster resolution: connected components over verified pairs, keeper per cluster."),
 
     QueryDef(
+      "dedup_decontaminate",
+      (s, dir) => {
+        // Eval-set decontamination: flag TRAIN docs that share any
+        // 3-gram shingle with a VAL/TEST doc (the t_split_assign hash
+        // rule — buckets >= 80 are held out), reporting the shared-
+        // shingle count and contamination fraction per train doc.
+        // Scale shape: the holdout side is the eval set — tiny by
+        // construction at 100 TB — so its distinct shingles BROADCAST
+        // and the train corpus is one scan + map-local explode with a
+        // broadcast-hash semi-join; no shuffle touches train shingles.
+        // n_shingles is computed row-locally (size of the distinct
+        // array) before the explode, so no corpus-sized count agg or
+        // join-back exists in the plan.
+        graft.functions.expr.TextExpressions.register(s)
+        val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(
+              call_function("graft_shingles3", split(col("text"), " "))).as("shs"))
+          .withColumn("bucket", bucket)
+        val hold = base.where(col("bucket") >= 80)
+          .select(explode(col("shs")).as("s")).distinct()
+        base.where(col("bucket") < 80)
+          .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+            explode(col("shs")).as("s"))
+          .join(broadcast(hold), "s")
+          .groupBy("doc_id", "n_shingles")
+          .agg(count("*").as("n_shared"))
+          .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+            (col("n_shared").cast("double") / col("n_shingles")).as("contam_frac"))
+      },
+      Some(
+        s"""$ShingleCte,
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |hold AS (SELECT DISTINCT s FROM sh
+           |  WHERE doc_id % 1000003 * 2654435761 % 100 >= 80),
+           |tr AS (SELECT sh.doc_id, COUNT(*) AS n_shared
+           |  FROM sh JOIN hold ON sh.s = hold.s
+           |  WHERE sh.doc_id % 1000003 * 2654435761 % 100 < 80 GROUP BY 1)
+           |SELECT tr.doc_id, n_shared, CAST(n AS INT) AS n_shingles,
+           |  CAST(n_shared AS DOUBLE) / n AS contam_frac
+           |FROM tr JOIN cnt ON tr.doc_id = cnt.doc_id""".stripMargin),
+      "Eval-set decontamination: train docs sharing 3-gram shingles with held-out docs."),
+
+    QueryDef(
       "dedup_simhash",
       (s, dir) => {
         // ZERO-shuffle SimHash: the per-doc bit votes fold inside the
