@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the scale-critical queries.
+  *
+  * Correctness is the oracle's job; these tests pin the PLAN SHAPE the
+  * 100 TB design depends on — a refactor that silently turns a
+  * broadcast join into a cartesian product or un-pushes a filter still
+  * returns the right rows at sf0.001, and only these assertions catch
+  * it before a cluster does.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  // --- no accidental quadratic joins in the scale paths ---
+
+  for (q <- Seq("sim_bucketed_pairs", "sim_ivf_knn", "sim_ivf_knn_probe2",
+      "sim_pq_adc_knn", "dedup_lsh_verified", "dedup_decontaminate",
+      "dedup_embedding_near", "t_corpus_clean"))
+    test(s"$q plan has no cartesian or nested-loop join") {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"BroadcastNestedLoopJoin in:\n$p")
+    }
+
+  // --- broadcast where a broadcast is the design ---
+
+  test("q5_region_revenue star join broadcasts the dimensions") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_decontaminate semi-joins train shingles against a broadcast") {
+    assert(plan("dedup_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  // --- pushdown + pruning reach the parquet scan ---
+
+  test("q1_pricing_summary scan reads only the five aggregated columns") {
+    val p = plan("q1_pricing_summary")
+    // projection pruning: unreferenced lineitem columns never load
+    assert(!p.contains("l_comment"), "l_comment survived pruning:\n" + p)
+    assert(!p.contains("l_shipdate"), "l_shipdate survived pruning:\n" + p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "map-side partial aggregation missing:\n" + p)
+  }
+
+  test("q_revenue_by_nation pushes filters into the scans") {
+    assert(plan("q_revenue_by_nation").contains("PushedFilters: ["))
+  }
+
+  // --- map-only ops stay shuffle-free ---
+
+  for (q <- Seq("dedup_minhash_sig", "dedup_simhash", "t_split_assign",
+      "sim_sq8_error"))
+    test(s"$q is exchange-free (pure map)") {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    }
+}
