@@ -53,6 +53,58 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec: parses WAV payload bytes with the in-JDK
+    * javax.sound.sampled (zero extra dependencies, headless-safe).
+    * Returns (sample rate Hz, channels, PCM frame count) — callers
+    * rename the generic meta columns; (-1,-1,-1) for payloads no
+    * installed reader understands. Video alone keeps the stub demuxer
+    * (the JDK ships image and audio codecs but no container demuxer). */
+  object AudioWavCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = ais.getFormat
+        (f.getSampleRate.toInt, f.getChannels, ais.getFrameLength.toInt)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => (-1, -1, -1)
+        case _: java.io.IOException => (-1, -1, -1)
+      }
+    }
+  }
+
+  /** Real-encoded audio fixture: one PCM-16 WAV payload per row, with
+    * sample rate / channels / frame count pure functions of doc_id (so
+    * an oracle predicts the decoded metadata without decoding) and
+    * deterministic sample bytes. Encoding runs executor-side in the
+    * partition-batched decode shape, like withImagePayload. */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val rows: Dataset[Row] = docs.select(col("doc_id"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("media_type", StringType).add("payload", BinaryType)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rate = (id % 5 * 2000 + 8000).toInt
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 100 + 50).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, ch, true, false)
+        val data = new Array[Byte](frames * ch * 2)
+        var i = 0
+        while (i < data.length) { data(i) = ((i * 7 + id) & 0x7f).toByte; i += 1 }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "wav", bos.toByteArray)
+      }
+    }
+  }
+
   /** Real-encoded image fixture: one PNG (even doc_id) or JPEG (odd)
     * payload per row, dimensions a pure function of doc_id, pixels a
     * fixed function of (x, y, doc_id) — so an oracle can predict the

@@ -155,6 +155,35 @@ object TextQueries {
         "by the in-JDK ImageIO codec (width/height/channels)."),
 
     QueryDef(
+      "mm_audio_decode",
+      (s, dir) => {
+        // REAL bytes, REAL decoder, audio edition: encode a
+        // deterministic PCM-16 WAV per "audio" doc executor-side, then
+        // parse it back with the in-JDK javax.sound.sampled codec on
+        // the partition-batched decode path. The oracle predicts
+        // (sample_rate, channels, n_frames, duration_ms) from doc_id
+        // arithmetic — wrong byte handling or header math mismatches.
+        val audio = graft.multimodal.Multimodal.withAudioPayload(
+          t(s, dir, "documents").where(col("doc_id") % 3 === 1))
+        graft.multimodal.Multimodal
+          .decodeMeta(audio, graft.multimodal.Multimodal.AudioWavCodec)
+          .select(col("doc_id"),
+            col("width").as("sample_rate"),
+            col("height").as("channels"),
+            col("n_frames"),
+            (col("n_frames") * lit(1000.0) / col("width")).as("duration_ms"))
+      },
+      Some(
+        """SELECT doc_id,
+          |CAST(doc_id % 5 * 2000 + 8000 AS INT) AS sample_rate,
+          |CAST(doc_id % 2 + 1 AS INT) AS channels,
+          |CAST(doc_id % 100 + 50 AS INT) AS n_frames,
+          |(doc_id % 100 + 50) * 1000.0 / (doc_id % 5 * 2000 + 8000) AS duration_ms
+          |FROM documents WHERE doc_id % 3 = 1""".stripMargin),
+      "Real-bytes audio decode: executor-encoded WAV payloads parsed by " +
+        "the in-JDK javax.sound.sampled codec (rate/channels/frames)."),
+
+    QueryDef(
       "t_split_assign",
       (s, dir) =>
         // Deterministic train/val/test split — reproducible across

@@ -74,6 +74,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImageIoCodec.decode(Array.empty[Byte]) === ((-1, -1, -1)))
   }
 
+  test("WAV codec parses real RIFF bytes on executors; rejects garbage") {
+    import spark.implicits._
+    val docs = Seq(1L, 4L, 7L, 34L, 97L).toDF("doc_id")
+    val audio = Multimodal.withAudioPayload(docs).cache()
+    // payloads are real WAV encodings: RIFF....WAVE magic
+    audio.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.slice(0, 4)) === "RIFF")
+      assert(new String(bytes.slice(8, 12)) === "WAVE")
+    }
+    // decode on the partition-batched path recovers the true header fields
+    Multimodal.decodeMeta(audio, Multimodal.AudioWavCodec).collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(3) === (id % 5 * 2000 + 8000).toInt, s"rate of doc $id")
+      assert(r.getInt(4) === (id % 2 + 1).toInt, s"channels of doc $id")
+      assert(r.getInt(5) === (id % 100 + 50).toInt, s"frames of doc $id")
+    }
+    audio.unpersist()
+    // non-audio payloads are flagged, not crashed
+    assert(Multimodal.AudioWavCodec.decode("not a wav".getBytes) === ((-1, -1, -1)))
+    assert(Multimodal.AudioWavCodec.decode(Array.empty[Byte]) === ((-1, -1, -1)))
+  }
+
   test("session windows: gap-based aggregation (streaming-native sessionization)") {
     import spark.implicits._
     val base = 1704067200000L
