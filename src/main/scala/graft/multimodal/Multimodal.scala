@@ -45,9 +45,14 @@ object Multimodal {
     * container demuxer). */
   object ImageIoCodec extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions on corrupt-but-recognized bodies (CMMException on a
+      // broken ICC profile, IndexOutOfBounds/IllegalArgument on bad
+      // chunk lengths) — one poisoned payload must flag its row, not
+      // kill the whole partition's task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) (-1, -1, -1)
       else (img.getWidth, img.getHeight, img.getRaster.getNumBands)
     }
@@ -67,8 +72,10 @@ object Multimodal {
         val f = ais.getFormat
         (f.getSampleRate.toInt, f.getChannels, ais.getFrameLength.toInt)
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => (-1, -1, -1)
-        case _: java.io.IOException => (-1, -1, -1)
+        // NonFatal for the same reason as ImageIoCodec: a header the
+        // parser recognizes but chokes on must flag the row, not kill
+        // the task
+        case scala.util.control.NonFatal(_) => (-1, -1, -1)
       }
     }
   }
@@ -177,7 +184,11 @@ object Multimodal {
       org.apache.spark.sql.Encoders.row(frameSchema)
     rows.mapPartitions { it =>
       it.flatMap { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
+        // positional access: upstream rows may be schema-less generic
+        // Rows (e.g. produced by another mapPartitions stage, like the
+        // withImagePayload/withAudioPayload fixtures) — by-name getAs
+        // throws UNSUPPORTED_CALL.FIELD_INDEX on those
+        val payload = r.getAs[Array[Byte]](1)
         val n = payload.length
         val frames = n % 30 + 1
         val k = math.min(maxFrames, frames)

@@ -177,7 +177,13 @@ class PipelineRunner(
       val q0 = query; query = None; (q0, pendingStop)
     }
     drain.foreach(_.join(60000)) // bounded: a hung drain must not wedge shutdown
-    synchronized { if (pendingStop == drain) pendingStop = None }
+    // clear the stopper ONLY if it actually finished: a drain still
+    // alive after the bounded join is still stopping its query, and
+    // clearing it would let a later resume() start a second query on
+    // the same checkpoint dir (resume checks isAlive; so must we)
+    synchronized {
+      if (pendingStop == drain && !drain.exists(_.isAlive)) pendingStop = None
+    }
     toStop.foreach(_.stop())
   }
   def activeQuery: Option[StreamingQuery] = query
@@ -186,11 +192,20 @@ class PipelineRunner(
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val nowMs = System.currentTimeMillis()
-    val admitted = admit(batch, batchId, nowMs)
+    // stamp each row with the basename of the queue file it was read
+    // from: claims carry it, acks inherit it, and the archiver uses it
+    // as exact per-copy consumption evidence (null for rows without
+    // file context, e.g. tests driving processBatch with in-memory
+    // frames — such copies are simply never archived)
+    val stamped = batch.withColumn("src_file",
+      when(length(input_file_name()) > 0,
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+        .otherwise(lit(null).cast("string")))
+    val admitted = admit(stamped, batchId, nowMs)
     try {
       val claimed = claim(admitted, batchId, nowMs)
       val outcomes = dispatch(claimed)
-      writeOutcomes(outcomes, nowMs)
+      writeOutcomes(outcomes, claimed, nowMs)
     } finally admitted.unpersist() // no-op when admit didn't cache
   }
 
@@ -260,7 +275,7 @@ class PipelineRunner(
             .withColumn("claimed_at", lit(at))
           store.append(store.processingDir, marker, store.processingSchema)
           store.tombstone("processing",
-            marker.select(col("claim_id").as("id"), col("queue")))
+            marker.select(col("claim_id").as("id"), col("queue"), col("src_file")))
           if (allowed > 0)
             store.limitLogAppend(cfg.limitKey, admissionIds(adm), at)
           if (longScale) {
@@ -314,15 +329,22 @@ class PipelineRunner(
   }
 
   /** B7/B8: acks, retries, dead letters — one shot of table writes. */
-  private def writeOutcomes(outcomes: Dataset[Outcome], nowMs: Long): Unit = {
+  private def writeOutcomes(outcomes: Dataset[Outcome], claimed: DataFrame,
+      nowMs: Long): Unit = {
     val out = outcomes.toDF().cache()
     try {
       val now = new Timestamp(nowMs)
       // every dispatched job leaves the in-flight set (this write also
-      // materializes the dispatch into the cache); the (id, queue)
-      // tombstone is the durable acked-claim record for job_counts
+      // materializes the dispatch into the cache); the (id, queue,
+      // src_file) tombstone is the durable acked-claim record for
+      // job_counts AND the archiver's per-copy consumption evidence
+      // (src_file joined back from the claim — Outcome doesn't carry it
+      // through the typed dispatch)
       store.tombstone("processing",
-        out.select(col("claim_id").as("id"), col("queue")))
+        out.select(col("claim_id").as("id"), col("queue"))
+          .join(claimed.select(col("claim_id").as("id"), col("src_file")),
+            Seq("id"), "left")
+          .select(col("id"), col("queue"), col("src_file")))
 
       // per-job worker telemetry ([pipeline,:worker,:job],
       // event/worker.ex:57-67): the collect is metadata only — (jid,

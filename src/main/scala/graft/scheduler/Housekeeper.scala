@@ -83,8 +83,11 @@ class Housekeeper(
     val stuck = spark.createDataFrame(
       java.util.Arrays.asList(selected: _*), store.processingSchema)
     store.appendToQueues(stuck) // one job for all destination queues
+    // the stale claim's src_file marks the ORIGINAL copy consumed (its
+    // job now lives in the fresh requeued copy, which a new claim will
+    // cover when it is next processed)
     store.tombstone("processing",
-      stuck.select(col("claim_id").as("id"), col("queue")))
+      stuck.select(col("claim_id").as("id"), col("queue"), col("src_file")))
     selected.length.toLong
   }
 

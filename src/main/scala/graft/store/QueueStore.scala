@@ -41,12 +41,22 @@ class QueueStore(val spark: SparkSession, val root: String) {
     .add("sched_id", StringType).add("not_before", "timestamp").add("kind", StringType)
   val processingSchema: StructType = Schemas.event
     .add("claim_id", StringType).add("claimed_at", "timestamp")
+    // the queue part file the claimed copy was read from (basename;
+    // null when the claim was made without file context). Acks inherit
+    // it, giving the archiver EXACT per-copy consumption evidence: a
+    // re-enqueued jid's new copy lands in a new file and can never be
+    // covered by a stale ack of the old copy — and conversely, acks
+    // whose file has left the live dir are provably never needed again
+    // and safe to fold into counters.
+    .add("src_file", StringType)
   val deadSchema: StructType = Schemas.event
   // tombstones carry the queue so acked-claim history stays queryable
-  // per queue even after the row files are compacted away (null for
-  // tables that don't need it)
+  // per queue even after the row files are compacted away, and the
+  // source file of the acked copy for the archiver (null for tables /
+  // writers that don't need them)
   private val tombSchema =
     new StructType().add("id", StringType).add("queue", StringType)
+      .add("src_file", StringType)
   private val limitSchema =
     new StructType().add("id", StringType).add("processed_at", "timestamp")
 
@@ -185,13 +195,16 @@ class QueueStore(val spark: SparkSession, val root: String) {
       () => { fs.delete(new Path(dir), true); () })
   }
 
-  /** Append tombstones: first column is the id; an optional `queue`
-    * column is preserved (processing claims), else stored null. */
+  /** Append tombstones: first column is the id; optional `queue` and
+    * `src_file` columns are preserved (processing claims), else stored
+    * null. */
   def tombstone(table: String, ids: DataFrame): Unit = {
-    val base =
-      if (ids.columns.contains("queue")) ids.select(col(ids.columns.head).as("id"), col("queue"))
-      else ids.select(col(ids.columns.head).as("id"), lit(null).cast(StringType).as("queue"))
-    append(tombDir(table), base, tombSchema)
+    def opt(name: String) =
+      if (ids.columns.contains(name)) col(name)
+      else lit(null).cast(StringType).as(name)
+    append(tombDir(table),
+      ids.select(col(ids.columns.head).as("id"), opt("queue"), opt("src_file")),
+      tombSchema)
   }
 
   /** rows minus tombstones; idCol names the row's tombstone key. */
@@ -242,10 +255,16 @@ class QueueStore(val spark: SparkSession, val root: String) {
       .select(col("claim_id").as("id"), col("queue"))
     val tombFiles = listTombFiles("processing")
       .filterNot(f => excluded(f.getPath.getName))
+    // ignoreMissingFiles: a concurrent foldClaimCounters may delete a
+    // listed file before the scan opens it — its claims are then in the
+    // counters of an epoch this call has not read, so dropping the file
+    // is a transient undercount, not a crash (matches footerRowCount's
+    // FileNotFoundException->0 stance)
     val tombClaims =
       if (tombFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-      else spark.read.schema(tombSchema).parquet(tombFiles.map(_.getPath.toString).toSeq: _*)
+      else spark.read.schema(tombSchema).option("ignoreMissingFiles", "true")
+        .parquet(tombFiles.map(_.getPath.toString).toSeq: _*)
     val unfolded = rowClaims.unionAll(tombClaims.select(col("id"), col("queue")))
       .where(col("queue").isin(qs: _*))
       .groupBy("queue").agg(countDistinct("id").as("n"))
@@ -323,6 +342,11 @@ class QueueStore(val spark: SparkSession, val root: String) {
     *    row copy in the processing dir — deleting such a tombstone
     *    would resurrect the acked row in liveProcessing (run
     *    compactProcessing first to make files foldable);
+    *  - a file is foldable only if none of its acks reference a source
+    *    queue file still in the live dir — the archiver's per-copy
+    *    coverage test still needs those acks (archiveConsumedAll runs
+    *    first in maintenance(), so a fully-covered source file leaves
+    *    the live dir before its acks become foldable);
     *  - an id that also appears in a REMAINING tombstone file
     *    contributes 0 to the counter now (it keeps counting as a
     *    tombstone until that file folds) — no double count;
@@ -348,8 +372,23 @@ class QueueStore(val spark: SparkSession, val root: String) {
       .select(col("claim_id").as("id"))
     val blocked = candDF.join(rowIds, Seq("id"), "left_semi")
       .select("f").distinct().collect().map(_.getString(0)).toSet
+    // an ack whose copy's source file is STILL in the live queue dir is
+    // evidence the archiver's per-copy coverage test has not consumed
+    // yet — folding it would strand that file in the live dir forever.
+    // Block the tombstone file until the source file is archived (fold
+    // runs after archiveConsumedAll in maintenance(), so this clears
+    // one tick after the source file becomes fully covered).
+    val srcRefs = candDF
+      .where(col("src_file").isNotNull && col("queue").isNotNull)
+      .select(col("queue"), col("src_file"), col("f")).distinct().collect()
+    val srcLive = srcRefs.map(r => (r.getString(0), r.getString(1))).distinct
+      .filter { case (q, sf) => fs.exists(new Path(queueDir(q), sf)) }.toSet
+    val blockedSrc = srcRefs
+      .filter(r => srcLive((r.getString(0), r.getString(1))))
+      .map(_.getString(2)).toSet
     val foldable = candidates.filterNot(f =>
-      blocked.exists(_.endsWith(f.getPath.getName)))
+      blocked.exists(_.endsWith(f.getPath.getName)) ||
+        blockedSrc.exists(_.endsWith(f.getPath.getName)))
     if (foldable.isEmpty) return 0L
     val foldNames = foldable.map(_.getPath.getName).toSet
     val remaining = all.filterNot(f => foldNames(f.getPath.getName))
@@ -431,9 +470,15 @@ class QueueStore(val spark: SparkSession, val root: String) {
     scoped.select("id").distinct().count()
   }
 
-  /** Earliest admission timestamp still inside the window (> sinceMs),
-    * excluding this batch's own entries — `+ scale` gives the moment
-    * the window next frees a slot. None ⇔ the window holds no foreign
+  /** Earliest admission timestamp still inside the window (> sinceMs) —
+    * `+ scale` gives the moment the window next frees a slot. The park
+    * path deliberately passes NO exclusion: when this batch itself just
+    * filled the window, its own earliest admission is exactly what must
+    * expire first (excluding it would compute the reopen time from an
+    * older foreign entry, or fall to the poll-interval fallback, and
+    * promote parked rows before the window can admit them).
+    * `excludeIdSuffix` exists for limitCountSince-style replay
+    * recomputation only. None ⇔ the window holds no (non-excluded)
     * entries. */
   def limitEarliestSince(key: String, sinceMs: Long,
       excludeIdSuffix: Option[String] = None): Option[Long] = {
@@ -598,19 +643,23 @@ class QueueStore(val spark: SparkSession, val root: String) {
     archiveConsumedAll(Seq(q), olderThanMs)
 
   /** Batched archiver: ONE pass serves every queue — the acked-claim
-    * tombstones are scanned once, grouped by (queue, jid), instead of
-    * re-scanned per queue (at thousands of queues, a per-queue loop is
-    * thousands of redundant tombstone scans per maintenance tick).
+    * tombstones are scanned once instead of re-scanned per queue (at
+    * thousands of queues, a per-queue loop is thousands of redundant
+    * tombstone scans per maintenance tick).
     *
-    * A jid is FULLY consumed only when its distinct acked claims cover
-    * every row copy it has (live + already archived). A bare "has an
-    * acked claim" test would be wrong: a requeued/deferred job appends
-    * a NEW copy under the SAME jid, and the old claim's tombstone must
-    * not let the new, unprocessed copy's file be archived (each
-    * consumption of a copy produces exactly one distinct claim id, so
-    * count >= copies ⇔ all copies consumed). Rows are attributed to
-    * queues by their `queue` column, which every engine write path
-    * keeps equal to the directory's queue. */
+    * A row copy is consumed iff an acked claim exists for its EXACT
+    * (queue, jid, source file) — acks inherit src_file from the claim.
+    * A bare "has an acked claim" test per jid would be wrong: a
+    * requeued/deferred job appends a NEW copy under the SAME jid to a
+    * NEW file, and the old claim's tombstone must not let the new,
+    * unprocessed copy's file be archived; per-copy matching makes that
+    * impossible by construction, stays exact when two copies of one
+    * jid land in the same micro-batch (one deterministic claim id),
+    * and keeps working after old acks fold into counters (only acks of
+    * STILL-LIVE files are ever needed — foldClaimCounters blocks on
+    * exactly that). Rows are attributed to queues by their `queue`
+    * column, which every engine write path keeps equal to the
+    * directory's queue. */
   def archiveConsumedAll(qs: Seq[String], olderThanMs: Long = 600000): Long = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val oldByQueue: Map[String, Array[org.apache.hadoop.fs.FileStatus]] =
@@ -621,39 +670,41 @@ class QueueStore(val spark: SparkSession, val root: String) {
       }.toMap.filter(_._2.nonEmpty)
     if (oldByQueue.isEmpty) return 0L
     val targets = oldByQueue.keys.toSeq
-    // every row copy of the target queues (live + archive)
-    val copyDirs = targets.flatMap(q =>
-      Seq(queueDir(q), s"${queueDir(q)}/.archive").filter(hasData))
-    val rowsPerJid = spark.read.schema(Schemas.event).parquet(copyDirs: _*)
-      .groupBy("queue", "jid").agg(count("*").as("n_rows"))
-    // claim ids are jid:batchId[:d]; parse from the RIGHT (strip the
-    // numeric batch id + optional defer marker) — external jids from
-    // enqueueRawJson may themselves contain colons, so a left-split
-    // would mis-attribute acks and could archive an unprocessed job
-    val acksPerJid = readOrEmpty(tombDir("processing"), tombSchema)
-      .where(col("queue").isin(targets: _*))
+    // EXACT per-copy consumption evidence: claims record the basename
+    // of the queue file their copy was read from, and acks inherit it —
+    // so a row (queue, jid) in file F is consumed iff an acked claim
+    // (queue, jid, src_file=F) exists. No per-jid counting across
+    // live+archive copies (a count-based rule breaks when two copies of
+    // one jid land in the SAME micro-batch — one deterministic claim id
+    // covers both — and when old acks fold into counters), and the
+    // archive dir never needs scanning.
+    //
+    // Claim ids are jid:batchId[:d]; parse the jid from the RIGHT
+    // (strip the numeric batch id + optional defer marker) — external
+    // jids from enqueueRawJson may themselves contain colons, so a
+    // left-split would mis-attribute acks and could archive an
+    // unprocessed job.
+    val acks = readOrEmpty(tombDir("processing"), tombSchema)
+      .where(col("queue").isin(targets: _*) && col("src_file").isNotNull)
       .select(col("queue"),
-        regexp_replace(col("id"), ":[0-9]+(:d)?$", "").as("jid"), col("id"))
+        regexp_replace(col("id"), ":[0-9]+(:d)?$", "").as("jid"),
+        col("src_file"))
       .distinct()
-      .groupBy("queue", "jid").agg(count("*").as("n_acked"))
-    val pendingJids = rowsPerJid.join(acksPerJid, Seq("queue", "jid"), "left")
-      .where(coalesce(col("n_acked"), lit(0L)) < col("n_rows"))
-      .select("queue", "jid")
-    // files containing any not-fully-consumed jid stay
+    // files with any row copy not covered by a same-file ack stay
     val oldPaths = oldByQueue.values.flatten.map(_.getPath.toString).toSeq
     val pending = spark.read.schema(Schemas.event).parquet(oldPaths: _*)
-      .select(col("queue"), col("jid"), input_file_name().as("f"))
-      .join(pendingJids, Seq("queue", "jid"), "left_semi")
-      .select("f").distinct().collect().map(_.getString(0)).toSet
+      .select(col("queue"), col("jid"),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("src_file"))
+      .join(acks, Seq("queue", "jid", "src_file"), "left_anti")
+      .select("src_file").distinct().collect().map(_.getString(0)).toSet
     var moved = 0L
     oldByQueue.foreach { case (q, files) =>
       val archive = new Path(s"${queueDir(q)}/.archive")
       fs.mkdirs(archive)
       files.foreach { f =>
-        // input_file_name yields a URI; compare by suffix to be
-        // scheme-robust (part names carry a UUID, unique across queues)
-        val isPending = pending.exists(p => p.endsWith(f.getPath.getName))
-        if (!isPending) {
+        // part names carry a UUID — unique across queues, so the
+        // basename is a safe key
+        if (!pending.contains(f.getPath.getName)) {
           if (fs.rename(f.getPath, new Path(archive, f.getPath.getName))) moved += 1
           else graft.GraftLog.current.warn(
             s"archive rename failed for ${f.getPath.toUri}")

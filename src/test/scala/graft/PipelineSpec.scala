@@ -405,6 +405,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     val claimed = store.queueRows("aq2")
       .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
       .withColumn("claimed_at", lit(past))
+      .withColumn("src_file", lit(null).cast("string"))
     store.append(store.processingDir, claimed, store.processingSchema)
     new Housekeeper(store, visibilityTimeoutMs = 600000).requeueStuck(System.currentTimeMillis())
     // 2 copies of the jid, 1 acked claim → NOTHING archivable, even
@@ -546,6 +547,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     val claimed = store.queueRows("vq")
       .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
       .withColumn("claimed_at", lit(past))
+      .withColumn("src_file", lit(null).cast("string"))
     store.append(store.processingDir, claimed, store.processingSchema)
 
     val hk = new Housekeeper(store, visibilityTimeoutMs = 600000)

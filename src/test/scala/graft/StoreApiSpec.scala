@@ -43,6 +43,7 @@ class StoreApiSpec extends AnyFunSuite {
     val two = store.queueRows("q").orderBy("jid").limit(2)
       .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
       .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
     store.append(store.processingDir, two, store.processingSchema)
     assert(store.liveProcessing.count() === 2)
     val victim = store.liveProcessing.select("claim_id").orderBy("claim_id").limit(1)
@@ -108,6 +109,7 @@ class StoreApiSpec extends AnyFunSuite {
     val claimed = store.queueRows("cq")
       .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
       .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
     store.append(store.processingDir, claimed, store.processingSchema)
     // ack 15 of 20 — processing tombstones must carry the queue (they
     // are the durable acked-claim record job_counts reads post-compaction)
@@ -134,6 +136,7 @@ class StoreApiSpec extends AnyFunSuite {
     val claimed = store.queueRows("xq")
       .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
       .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
     store.append(store.processingDir, claimed, store.processingSchema)
     // simulate a crash mid-swap: table dir renamed aside, new dir absent
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -156,6 +159,7 @@ class StoreApiSpec extends AnyFunSuite {
       val claimed = scoped
         .withColumn("claim_id", concat_ws(":", col("jid"), lit(batch)))
         .withColumn("claimed_at", current_timestamp())
+        .withColumn("src_file", lit(null).cast("string"))
       store.append(store.processingDir, claimed, store.processingSchema)
       store.tombstone("processing",
         claimed.select(col("claim_id").as("id"), col("queue")))
@@ -191,6 +195,7 @@ class StoreApiSpec extends AnyFunSuite {
     val claimed = store.queueRows("fcq")
       .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
       .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
     store.append(store.processingDir, claimed, store.processingSchema)
     store.tombstone("processing",
       claimed.select(col("claim_id").as("id"), col("queue")))
@@ -227,12 +232,15 @@ class StoreApiSpec extends AnyFunSuite {
     val queues = (1 to 4).map(i => s"baq$i")
     queues.foreach { q =>
       api.bulkEnqueue(q, (1 to 3).map(i => JobSpec("W", args = s"[$i]")))
+      // claims record the copy's source file; acks inherit it — the
+      // archiver's per-copy coverage evidence
       val claimed = store.queueRows(q)
         .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
         .withColumn("claimed_at", current_timestamp())
+        .withColumn("src_file", regexp_extract(input_file_name(), "[^/]+$", 0))
       store.append(store.processingDir, claimed, store.processingSchema)
       store.tombstone("processing",
-        claimed.select(col("claim_id").as("id"), col("queue")))
+        claimed.select(col("claim_id").as("id"), col("queue"), col("src_file")))
     }
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -257,6 +265,53 @@ class StoreApiSpec extends AnyFunSuite {
       assert(store.footerRowCount(s"${store.queueDir(q)}/.archive") === 3)
       assert(api.jobCounts(Seq(q))(q) === 0)
     }
+  }
+
+  test("per-copy archiver evidence: stale acks never cover re-appended copies; fold waits for the archiver") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("percopy"))
+    val api = new DefaultQueueApi(store)
+    api.enqueue("pcq", JobSpec("W", args = "[1]"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def liveParts = fs.listStatus(new org.apache.hadoop.fs.Path(store.queueDir("pcq")))
+      .count(_.getPath.getName.startsWith("part-"))
+    val rowSnapshot = store.queueRows("pcq").collect()
+    // consume copy 1 (file F1): claim records F1, ack inherits it
+    val c1 = store.queueRows("pcq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", regexp_extract(input_file_name(), "[^/]+$", 0))
+    store.append(store.processingDir, c1, store.processingSchema)
+    store.tombstone("processing",
+      c1.select(col("claim_id").as("id"), col("queue"), col("src_file")))
+    store.compactProcessing() // clear the acked row so the ack is fold-ELIGIBLE
+    // fold must NOT eat the ack while F1 is still live — the archiver
+    // has not consumed the evidence yet
+    assert(store.foldClaimCounters(olderThanMs = 0) === 0L)
+    // the requeue/promotion move: the SAME jid gains a new copy in a NEW file F2
+    store.append(store.queueDir("pcq"), spark.createDataFrame(
+      java.util.Arrays.asList(rowSnapshot: _*), graft.model.Schemas.event),
+      graft.model.Schemas.event)
+    assert(liveParts === 2)
+    // F1 is covered by its exact-copy ack; F2 must stay (no ack names it)
+    assert(store.archiveConsumedAll(Seq("pcq"), olderThanMs = 0) === 1L)
+    assert(liveParts === 1)
+    // with F1 archived the ack is provably never needed again → folds now
+    assert(store.foldClaimCounters(olderThanMs = 0) > 0L)
+    assert(store.rawProcessingCounts(Seq("pcq")) === Map("pcq" -> 1L))
+    // consume copy 2 — its own claim/ack, the folded ack plays no part
+    val c2 = store.queueRows("pcq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(1)))
+      .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", regexp_extract(input_file_name(), "[^/]+$", 0))
+    store.append(store.processingDir, c2, store.processingSchema)
+    store.tombstone("processing",
+      c2.select(col("claim_id").as("id"), col("queue"), col("src_file")))
+    // under the old per-jid COUNT rule this stranded F2 forever (the
+    // folded ack made n_acked < n_copies unsatisfiable); per-copy
+    // evidence archives it
+    assert(store.archiveConsumedAll(Seq("pcq"), olderThanMs = 0) === 1L)
+    assert(liveParts === 0)
+    assert(api.jobCounts(Seq("pcq")) === Map("pcq" -> 0L)) // 2 copies, 2 claims
   }
 
   test("recording api buffers instead of writing (D6)") {
