@@ -194,9 +194,10 @@ object SimilarityQueries {
           .select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))
-          // both sides of the self-join; checkpoint (not cache) so the
-          // storage releases with the frame instead of leaking
-          .localCheckpoint(true)
+          // both sides of the self-join; cache() (lazy, plan-visible,
+          // recomputable on executor loss) — the harness clears caches
+          // between queries, bounding long-session storage
+          .cache()
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))
@@ -230,14 +231,14 @@ object SimilarityQueries {
         // (nprobe=1) — candidate set bounded by cell size, join keyed
         // on the cell, no corpus scan per query.
         val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
-        // local-checkpointed: au feeds BOTH sides of the cell join, and
-        // recomputing it would run the whole centroid aggregation +
-        // per-vector window twice (Catalyst does not dedupe common
-        // subplans). Checkpoint over cache() so the storage is released
-        // when the frame goes out of scope instead of accumulating
-        // across invocations in a long-lived session.
+        // cached: au feeds BOTH sides of the cell join, and recomputing
+        // it would run the whole centroid aggregation + per-vector
+        // window twice (Catalyst does not dedupe common subplans).
+        // cache() over a checkpoint keeps construction lazy, the plan
+        // inspectable, and the frame recomputable on executor loss; the
+        // harness clears caches between queries.
         val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
-          .join(u, "vec_id").localCheckpoint(true)
+          .join(u, "vec_id").cache()
         val q = au.where(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("assigned").as("cell"), col("u").as("qu"))
         val cands = au.select(
@@ -279,7 +280,7 @@ object SimilarityQueries {
         // (rk=1) and the query probe lists (rk<=2)
         val ranked = ivfRanked(s, dir)
           .select(col("vec_id"), col("c_label"), col("rk"))
-          .localCheckpoint(true)
+          .cache()
         val probes = ranked.where(col("vec_id") < 20 && col("rk") <= 2)
           .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
           .join(u.select(col("vec_id").as("query_id"), col("u").as("qu")), "query_id")
@@ -322,9 +323,8 @@ object SimilarityQueries {
         graft.functions.VectorFunctions.register(s)
         val sigs = t(s, dir, "embeddings")
           .select(col("vec_id"), signBits(col("embedding")).as("sig"))
-          // bands + both re-rank join sides; checkpoint over cache for
-          // scoped storage release
-          .localCheckpoint(true)
+          // bands + both re-rank join sides
+          .cache()
         val bands = sigs.select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))
@@ -372,7 +372,7 @@ object SimilarityQueries {
           .select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))
-          .localCheckpoint(true)
+          .cache()
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))
@@ -465,7 +465,7 @@ object SimilarityQueries {
           .select(col("vec_id"), col("label"), posexplode(
             array((0 until 8).map(m => slice(col("e"), m * 8 + 1, 8)): _*))
             .as(Seq("m", "sub")))
-          .localCheckpoint(true) // shared: codebook build + assignment + query tables
+          .cache() // shared: codebook build + assignment + query tables
         val cb = subs
           .select(col("label"), col("m"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy(col("m"), col("label").as("cw"), (col("pos") + 1).as("dim"))

@@ -20,15 +20,27 @@ class PlanSpec extends AnyFunSuite {
   }
 
   // --- no accidental quadratic joins in the scale paths ---
+  // (queries cache stage frames internally — cache(), not checkpoint —
+  // so the FULL plan including pre-cache stages is visible here and
+  // these assertions cover the whole pipeline, not a truncated tail)
 
-  for (q <- Seq("sim_bucketed_pairs", "sim_ivf_knn", "sim_ivf_knn_probe2",
-      "sim_pq_adc_knn", "dedup_lsh_verified", "dedup_decontaminate",
-      "dedup_embedding_near", "t_corpus_clean"))
+  for (q <- Seq("sim_bucketed_pairs", "dedup_lsh_verified",
+      "dedup_decontaminate", "dedup_embedding_near", "t_corpus_clean"))
     test(s"$q plan has no cartesian or nested-loop join") {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"BroadcastNestedLoopJoin in:\n$p")
+    }
+
+  // the IVF/PQ family deliberately cross-joins every vector against the
+  // BROADCAST centroid/codebook table (nlist-sized — that IS the
+  // algorithm); a BroadcastNestedLoopJoin is expected there, but a
+  // non-broadcast CartesianProduct never is
+  for (q <- Seq("sim_ivf_knn", "sim_ivf_knn_probe2", "sim_pq_adc_knn"))
+    test(s"$q plan has no non-broadcast cartesian") {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
     }
 
   // --- broadcast where a broadcast is the design ---
