@@ -256,6 +256,48 @@ object TextQueries {
       "Per-language corpus statistics (integer sums — exact, map-side combinable)."),
 
     QueryDef(
+      "t_unigram_logppl",
+      (s, dir) => {
+        // CCNet-style unigram-LM quality score: train a unigram model
+        // on the corpus (word → -log p), score each doc by its mean
+        // token negative log-likelihood — the classic perplexity
+        // filter proxy for training-data curation. Scale shape: the
+        // model is vocabulary-sized and BROADCASTS into a map-side
+        // join against the exploded tokens; the per-doc aggregation is
+        // a map-side-combinable (doc_id) shuffle of (long, count)
+        // partials. Determinism: each word's log-prob is quantized to
+        // a 1e-9 integer ONCE in the model (both engines compute ln on
+        // the identical exact-count ratio), so per-doc sums are integer
+        // arithmetic — bit-exact under any aggregation order.
+        val w = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val freq = w.groupBy("word").agg(count("*").as("c"))
+        val tot = freq.agg(sum("c").as("t"))
+        val model = freq.crossJoin(broadcast(tot))
+          .select(col("word"),
+            round(log(col("c").cast("double") / col("t")) * 1000000000)
+              .cast("long").as("ql"))
+        w.join(broadcast(model), "word")
+          .groupBy("doc_id")
+          .agg(sum("ql").as("s"), count("*").cast("int").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            (-(col("s").cast("double") / 1000000000) / col("n_tokens"))
+              .as("avg_neg_logp"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+          |tot AS (SELECT SUM(c) AS t FROM freq),
+          |q AS (SELECT word, CAST(ROUND(ln(CAST(c AS DOUBLE) / t) * 1000000000) AS BIGINT) AS ql
+          |  FROM freq, tot),
+          |sc AS (SELECT doc_id, CAST(SUM(ql) AS BIGINT) AS s, COUNT(*) AS n
+          |  FROM w JOIN q USING (word) GROUP BY doc_id)
+          |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+          |  -(CAST(s AS DOUBLE) / 1000000000) / n AS avg_neg_logp
+          |FROM sc""".stripMargin),
+      "Unigram-LM quality score: mean token -log p against a broadcast corpus model."),
+
+    QueryDef(
       "t_corpus_clean",
       (s, dir) => {
         // The composed training-data cleaning funnel, end to end:
