@@ -93,26 +93,56 @@ object SimilarityQueries {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
       |  FROM iscore) WHERE rk = 1)""".stripMargin
 
+  /** Exact cosine top-5 per query vector (vec_id < 20) — the ground
+    * truth sim_recall_eval measures the ANN paths against. */
+  private def bruteTop5(s: SparkSession, dir: String): DataFrame = {
+    val corpus = unitEmb(s, dir)
+    val q = corpus
+      .where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val scored = corpus
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** IVF nprobe=1 top-5 per query vector (shared by sim_ivf_knn and
+    * sim_recall_eval). */
+  private def ivfTop5(s: SparkSession, dir: String): DataFrame = {
+    val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
+    // cached: au feeds BOTH sides of the cell join, and recomputing
+    // it would run the whole centroid aggregation + per-vector
+    // window twice (Catalyst does not dedupe common subplans).
+    // cache() over a checkpoint keeps construction lazy, the plan
+    // inspectable, and the frame recomputable on executor loss; the
+    // harness clears caches between queries.
+    val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
+      .join(u, "vec_id").cache()
+    val q = au.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("assigned").as("cell"), col("u").as("qu"))
+    val cands = au.select(
+      col("vec_id").as("neighbor_id"), col("assigned").as("cell"), col("u").as("nu"))
+    val scored = cands.join(broadcast(q), "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "sim_knn_bruteforce",
-      (s, dir) => {
-        val corpus = unitEmb(s, dir)
-        val q = corpus
-          .where(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("u").as("qu"))
-        val scored = corpus
-          .join(broadcast(q), col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            dot(col("qu"), col("u")).as("cos"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        scored
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 5)
-          .select(col("query_id"), col("neighbor_id"), col("cos"),
-            col("rk").cast("int").as("rk"))
-      },
+      (s, dir) => bruteTop5(s, dir),
       Some(
         s"""$UnitCte,
            |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -226,32 +256,10 @@ object SimilarityQueries {
 
     QueryDef(
       "sim_ivf_knn",
-      (s, dir) => {
-        // The scale path for kNN: search only the query's IVF cell
-        // (nprobe=1) — candidate set bounded by cell size, join keyed
-        // on the cell, no corpus scan per query.
-        val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
-        // cached: au feeds BOTH sides of the cell join, and recomputing
-        // it would run the whole centroid aggregation + per-vector
-        // window twice (Catalyst does not dedupe common subplans).
-        // cache() over a checkpoint keeps construction lazy, the plan
-        // inspectable, and the frame recomputable on executor loss; the
-        // harness clears caches between queries.
-        val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
-          .join(u, "vec_id").cache()
-        val q = au.where(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("assigned").as("cell"), col("u").as("qu"))
-        val cands = au.select(
-          col("vec_id").as("neighbor_id"), col("assigned").as("cell"), col("u").as("nu"))
-        val scored = cands.join(broadcast(q), "cell")
-          .where(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
-          .select(col("query_id"), col("neighbor_id"), col("cos"),
-            col("rk").cast("int").as("rk"))
-      },
+      // The scale path for kNN: search only the query's IVF cell
+      // (nprobe=1) — candidate set bounded by cell size, join keyed
+      // on the cell, no corpus scan per query.
+      (s, dir) => ivfTop5(s, dir),
       Some(
         s"""$IvfAssignCte,
            |au AS (SELECT a.vec_id, a.assigned, un.u FROM assign a JOIN un ON a.vec_id = un.vec_id),
@@ -311,6 +319,47 @@ object SimilarityQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
            |  FROM p) WHERE rk <= 5""".stripMargin),
       "IVF kNN with nprobe=2: per-query union of the two nearest cells, still cell-bounded."),
+
+    QueryDef(
+      "sim_recall_eval",
+      (s, dir) => {
+        // Recall@5 of the IVF (nprobe=1) path against brute-force
+        // ground truth, per query — the evaluation every ANN
+        // deployment needs before trusting an index: it turns the
+        // nprobe/nlist knobs into a measured quality number instead of
+        // a hope. At 100 TB this runs on a SAMPLE of queries (here the
+        // fixed vec_id < 20 query set): ground truth is one broadcast
+        // corpus pass per sampled query, amortized over index life.
+        val bf = bruteTop5(s, dir).select("query_id", "neighbor_id")
+        val iv = ivfTop5(s, dir)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).cast("int").as("n_hits"),
+            (count(col("hit")) / lit(5.0)).as("recall_at_5"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |bfp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  list_dot_product(a.u, b.u) AS cos
+           |  FROM (SELECT * FROM un WHERE vec_id < 20) a JOIN un b ON a.vec_id <> b.vec_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM bfp) WHERE rk <= 5),
+           |au AS (SELECT a.vec_id, a.assigned, un.u FROM assign a JOIN un ON a.vec_id = un.vec_id),
+           |ivp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |  list_dot_product(q.u, c.u) AS cos
+           |  FROM au q JOIN au c ON q.assigned = c.assigned AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 20),
+           |iv AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM ivp) WHERE rk <= 5)
+           |SELECT bf.query_id, CAST(COUNT(iv.neighbor_id) AS INT) AS n_hits,
+           |  COUNT(iv.neighbor_id) / 5.0 AS recall_at_5
+           |FROM bf LEFT JOIN iv
+           |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+           |GROUP BY bf.query_id""".stripMargin),
+      "Recall@5 of IVF nprobe=1 vs brute-force ground truth per sampled query."),
 
     QueryDef(
       "sim_hamming_rerank",
