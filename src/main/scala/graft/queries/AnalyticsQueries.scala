@@ -310,5 +310,64 @@ object AnalyticsQueries {
           |JOIN nation ON s_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name""".stripMargin),
-      "TPC-H Q5-shaped revenue by region (local-supplier star join)."))
+      "TPC-H Q5-shaped revenue by region (local-supplier star join)."),
+
+    QueryDef(
+      "q_event_pivot",
+      (s, dir) =>
+        // Pivot (wide one-hot aggregation): one row per user, one count
+        // column per event type. The type list is PINNED — Spark's
+        // two-pass "discover the values first" pivot would add a full
+        // extra scan plus a driver collect of the distinct values; with
+        // explicit values this is ONE map-side-combinable hash agg at
+        // any scale.
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .count()
+          .na.fill(0L)
+          .select(col("user_id"), col("click").as("n_click"),
+            col("view").as("n_view"), col("purchase").as("n_purchase"),
+            col("signup").as("n_signup"), col("error").as("n_error")),
+      Some(
+        """SELECT user_id,
+          |COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+          |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+          |COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+          |COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+          |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+          |FROM events GROUP BY user_id""".stripMargin),
+      "Pivot with pinned values: per-user event-type count matrix, one hash agg."),
+
+    QueryDef(
+      "q_rollup_revenue",
+      (s, dir) => {
+        // ROLLUP grouping sets: revenue at (region, nation), per-region
+        // subtotal, and grand total in ONE pass — Spark expands the
+        // grouping sets before the agg, so partial aggregation still
+        // combines map-side; no second scan for the totals. A
+        // grouping-level marker disambiguates genuine NULLs.
+        val qRev = (quant(col("l_extendedprice"), 10000) *
+          quant(lit(1) - col("l_discount"), 10000)).cast(sumDec)
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(
+            grouping_id().cast("int").as("lvl"),
+            (sum(qRev).cast("double") / 100000000).as("revenue"),
+            count("*").as("n_items"))
+      },
+      Some(
+        """SELECT r_name AS region, n_name AS nation,
+          |CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl,
+          |CAST(SUM(CAST(ROUND(l_extendedprice * 10000) * ROUND((1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 100000000 AS revenue,
+          |COUNT(*) AS n_items
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin),
+      "ROLLUP grouping sets: (region, nation) revenue + subtotals + grand total in one agg."))
 }

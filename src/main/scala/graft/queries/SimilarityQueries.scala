@@ -592,5 +592,64 @@ object SimilarityQueries {
           |FROM (SELECT label, unnest(range(1, 65)) AS dim,
           |      unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings)
           |GROUP BY label, dim""".stripMargin),
-      "IVF centroids per label (ROUND-quantized exact mean per dimension)."))
+      "IVF centroids per label (ROUND-quantized exact mean per dimension)."),
+
+    QueryDef(
+      "sim_kmeans_refine",
+      (s, dir) => {
+        // One Lloyd iteration — the index-build primitive IVF training
+        // runs to convergence: re-assign every vector to its nearest
+        // centroid (the existing ivfRanked pass), recompute each cell's
+        // exact-mean centroid from its NEW members, and report per-cell
+        // occupancy plus how far the centroid moved (|c_new - c_old|²
+        // via the dot identity). Scale shape: assignment broadcasts the
+        // nlist-sized centroid table (no corpus shuffle beyond the
+        // per-vector argmin window), the recompute is one map-side-
+        // combinable (cell, dim) agg, and the shift join is
+        // nlist × nlist — driver-trivial. Iterating = re-running this
+        // query on the updated centroid table; convergence is
+        // max(shift2) < ε, a scalar. Determinism: centroids are
+        // 1e-9-ROUND-quantized exact means in both engines.
+        graft.functions.VectorFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+        val centsOld = e
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("label").as("c_label"), (col("pos") + 1).as("dim"))
+          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
+            .cast("double") / 1000000000 / count("*")).as("cv"))
+          .groupBy("c_label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("co"))
+        val asg = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
+        val members = e.select(col("vec_id"), col("e")).join(asg, "vec_id")
+        val centsNew = members
+          .select(col("assigned"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("assigned").as("c_label"), (col("pos") + 1).as("dim"))
+          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
+            .cast("double") / 1000000000 / count("*")).as("cv"))
+          .groupBy("c_label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("cn"))
+        val occ = asg.groupBy(col("assigned").as("c_label"))
+          .agg(count("*").as("n_assigned"))
+        occ.join(centsNew, "c_label").join(centsOld, "c_label")
+          .select(col("c_label"), col("n_assigned"),
+            (dot(col("cn"), col("cn")) - lit(2.0) * dot(col("cn"), col("co")) +
+              dot(col("co"), col("co"))).as("shift2"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |ncd AS (SELECT assigned AS c_label, CAST(dim AS INT) AS dim,
+           |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS cv
+           |  FROM (SELECT a.assigned, unnest(range(1, 65)) AS dim, unnest(v.e) AS x
+           |        FROM assign a JOIN v ON a.vec_id = v.vec_id)
+           |  GROUP BY assigned, dim),
+           |ncent AS (SELECT c_label, list(cv ORDER BY dim) AS cn FROM ncd GROUP BY c_label),
+           |occ AS (SELECT assigned AS c_label, COUNT(*) AS n_assigned FROM assign GROUP BY assigned)
+           |SELECT occ.c_label, occ.n_assigned,
+           |  list_dot_product(cn, cn) - 2.0 * list_dot_product(cn, c) + list_dot_product(c, c) AS shift2
+           |FROM occ JOIN ncent ON occ.c_label = ncent.c_label
+           |JOIN cent ON occ.c_label = cent.c_label""".stripMargin),
+      "One Lloyd iteration: re-assign, recompute exact-mean centroids, per-cell occupancy + shift."))
 }

@@ -374,5 +374,91 @@ object TextQueries {
           |  CAST(LEAST((j * frames // k) * n // frames + n // frames, n)
           |    - (j * frames // k) * n // frames AS INT) AS frame_len
           |FROM f, LATERAL (SELECT unnest(range(0, k)) AS j) t""".stripMargin),
-      "Video frame sampling: evenly spaced frame slices via the partition-batched stub demuxer."))
+      "Video frame sampling: evenly spaced frame slices via the partition-batched stub demuxer."),
+
+    QueryDef(
+      "t_repetition",
+      (s, dir) =>
+        // Gopher-style repetition filter: the fraction of a doc's word
+        // bigrams that are duplicates, plus the share of its single most
+        // frequent bigram. Everything is ROW-LOCAL array arithmetic —
+        // at 100 TB this is a pure map stage fused into the scan, no
+        // shuffle, no explode. The per-distinct-gram occurrence count
+        // is O(g²) in the doc's OWN bigram list (bounded by doc length,
+        // not corpus size), which beats a corpus-wide explode+groupBy
+        // whose (doc_id, gram) shuffle would dwarf the scan.
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            expr("transform(sequence(0, size(ws) - 2), i -> ws[i] || ' ' || ws[i + 1])").as("gs"))
+          .select(
+            col("doc_id"),
+            size(col("gs")).as("n_bigrams"),
+            size(array_distinct(col("gs"))).as("n_distinct"),
+            expr("array_max(transform(array_distinct(gs), g -> size(filter(gs, x -> x = g))))")
+              .as("top_bigram_n"))
+          .withColumn("dup_frac",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .withColumn("is_repetitive", (col("dup_frac") > 0.2).cast("int")),
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id,
+          |  list_transform(range(len(ws) - 1), i -> ws[i + 1] || ' ' || ws[i + 2]) AS gs FROM d)
+          |SELECT doc_id, CAST(len(gs) AS INT) AS n_bigrams,
+          |  CAST(len(list_distinct(gs)) AS INT) AS n_distinct,
+          |  CAST(list_max(list_transform(list_distinct(gs),
+          |    g -> len(list_filter(gs, x -> x = g)))) AS INT) AS top_bigram_n,
+          |  1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) AS dup_frac,
+          |  CAST(CASE WHEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) > 0.2
+          |    THEN 1 ELSE 0 END AS INT) AS is_repetitive
+          |FROM g""".stripMargin),
+      "Repetition quality filter: duplicate-bigram fraction + top-bigram share (row-local map)."),
+
+    QueryDef(
+      "t_tfidf_topk",
+      (s, dir) => {
+        // TF-IDF keyword extraction: top-3 terms per doc. Scale shape:
+        // the document-frequency model is VOCABULARY-sized and
+        // broadcasts into the per-doc term counts (no shuffle of the
+        // corpus by word); the only corpus-scale shuffles are the
+        // (doc_id, word) partial-count agg (map-side combinable) and
+        // the per-doc top-k window. Determinism: idf is quantized to a
+        // 1e-9 integer once in the model, score = tf × idf_q is exact
+        // integer arithmetic, and ties break on the word itself.
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy("doc_id", "word").agg(count("*").as("tf"))
+        val df_ = tf.groupBy("word").agg(count("*").as("df"))
+        val nDocs = t(s, dir, "documents").agg(count("*").as("n"))
+        val model = df_.crossJoin(broadcast(nDocs))
+          .select(col("word"),
+            round(log(col("n").cast("double") / col("df")) * 1000000000)
+              .cast("long").as("idf_q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score_q").desc, col("word").asc)
+        tf.join(broadcast(model), "word")
+          .select(col("doc_id"), col("word"), col("tf").cast("int").as("tf"),
+            (col("tf") * col("idf_q")).as("score_q"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("doc_id"), col("word"), col("tf"),
+            (col("score_q").cast("double") / 1000000000).as("tfidf"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(
+        """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+          |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+          |nd AS (SELECT COUNT(*) AS n FROM documents),
+          |model AS (SELECT word,
+          |  CAST(ROUND(ln(CAST(n AS DOUBLE) / df) * 1000000000) AS BIGINT) AS idf_q
+          |  FROM df, nd),
+          |sc AS (SELECT doc_id, word, tf, tf * idf_q AS score_q,
+          |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * idf_q DESC, word) AS rk
+          |  FROM tf JOIN model USING (word))
+          |SELECT doc_id, word, CAST(tf AS INT) AS tf,
+          |  CAST(score_q AS DOUBLE) / 1000000000 AS tfidf, CAST(rk AS INT) AS rk
+          |FROM sc WHERE rk <= 3""".stripMargin),
+      "TF-IDF top-3 keywords per doc: broadcast vocabulary model, integer-exact scores."))
 }

@@ -37,7 +37,8 @@ class PlanSpec extends AnyFunSuite {
   // BROADCAST centroid/codebook table (nlist-sized — that IS the
   // algorithm); a BroadcastNestedLoopJoin is expected there, but a
   // non-broadcast CartesianProduct never is
-  for (q <- Seq("sim_ivf_knn", "sim_ivf_knn_probe2", "sim_pq_adc_knn"))
+  for (q <- Seq("sim_ivf_knn", "sim_ivf_knn_probe2", "sim_pq_adc_knn",
+      "sim_kmeans_refine"))
     test(s"$q plan has no non-broadcast cartesian") {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
@@ -73,9 +74,29 @@ class PlanSpec extends AnyFunSuite {
   // --- map-only ops stay shuffle-free ---
 
   for (q <- Seq("dedup_minhash_sig", "dedup_simhash", "t_split_assign",
-      "sim_sq8_error"))
+      "sim_sq8_error", "t_repetition"))
     test(s"$q is exchange-free (pure map)") {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
     }
+
+  test("t_tfidf_topk joins the vocabulary model as a broadcast") {
+    val p = plan("t_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join in:\n" + p)
+  }
+
+  test("q_event_pivot is one pass (pinned values, single scan)") {
+    val p = plan("q_event_pivot")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+  }
+
+  test("q_rollup_revenue expands grouping sets in one agg pass") {
+    val p = plan("q_rollup_revenue")
+    assert(p.contains("Expand"), "grouping-set Expand missing:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 4, s"expected 4 scans (fact + 3 dims), got $scans:\n$p")
+  }
 }
