@@ -14,6 +14,7 @@ object Verify {
       // events.parquet carries nanosecond timestamps; read ts as epoch-ns
       // BIGINT (matches DuckDB's micro-truncated view via ts div 1000).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -343,21 +343,27 @@ object AnalyticsQueries {
       "q_rollup_revenue",
       (s, dir) => {
         // ROLLUP grouping sets: revenue at (region, nation), per-region
-        // subtotal, and grand total in ONE pass — Spark expands the
-        // grouping sets before the agg, so partial aggregation still
-        // combines map-side; no second scan for the totals. A
-        // grouping-level marker disambiguates genuine NULLs.
+        // subtotal, and grand total. Two-level shape: the fact table is
+        // FIRST reduced to one row per (region, nation) — Spark's
+        // grouping-set Expand otherwise replicates every fact row once
+        // per rollup level before the shuffle, tripling 100 TB of scan
+        // output — and the rollup then runs on the nation-cardinality
+        // aggregate. Exact: the quantized integer partials re-sum
+        // associatively across levels.
         val qRev = (quant(col("l_extendedprice"), 10000) *
           quant(lit(1) - col("l_discount"), 10000)).cast(sumDec)
-        t(s, dir, "lineitem")
+        val base = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(sum(qRev).as("rev_q"), count("*").as("n"))
+        base
+          .rollup(col("region"), col("nation"))
           .agg(
             grouping_id().cast("int").as("lvl"),
-            (sum(qRev).cast("double") / 100000000).as("revenue"),
-            count("*").as("n_items"))
+            (sum(col("rev_q")).cast("double") / 100000000).as("revenue"),
+            sum(col("n")).as("n_items"))
       },
       Some(
         """SELECT r_name AS region, n_name AS nation,
@@ -369,5 +375,26 @@ object AnalyticsQueries {
           |JOIN nation ON s_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY ROLLUP (r_name, n_name)""".stripMargin),
-      "ROLLUP grouping sets: (region, nation) revenue + subtotals + grand total in one agg."))
+      "ROLLUP grouping sets: (region, nation) revenue + subtotals + grand total in one agg."),
+
+    QueryDef(
+      "q_topk_operator",
+      (s, dir) =>
+        // The custom TopKPerKey Catalyst operator (graft.plans): exact
+        // top-3 orders per customer WITHOUT a window sort — partial
+        // bounded heaps prune each scan partition to ≤3 rows per
+        // customer BEFORE the shuffle, the exchange carries survivors
+        // only, and the final heap pass is exact. Same rows as
+        // q_top_orders_per_customer's window form (minus the rank
+        // column, which a heap does not materialize); the plan is the
+        // difference — no per-partition full sort at any scale.
+        graft.plans.GraftOps.topKPerKey(
+          t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"), 3, "-o_totalprice", "+o_orderkey"),
+      Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          |SELECT o_custkey, o_orderkey, o_totalprice,
+          |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |FROM orders) WHERE rk <= 3""".stripMargin),
+      "Custom TopKPerKey physical operator: heap-pruned exact top-3 per customer, no sort."))
 }

@@ -92,6 +92,14 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
   }
 
+  test("q_topk_operator plans partial + final heap passes around one exchange") {
+    val p = plan("q_topk_operator")
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2,
+      "expected partial+final TopKPerKeyExec:\n" + p)
+    assert(p.contains("Exchange"), "missing key-clustered exchange:\n" + p)
+    assert(!p.toLowerCase.contains("sort"), "heap operator must not sort:\n" + p)
+  }
+
   test("q_rollup_revenue expands grouping sets in one agg pass") {
     val p = plan("q_rollup_revenue")
     assert(p.contains("Expand"), "grouping-set Expand missing:\n" + p)
