@@ -396,5 +396,54 @@ object AnalyticsQueries {
           |SELECT o_custkey, o_orderkey, o_totalprice,
           |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
           |FROM orders) WHERE rk <= 3""".stripMargin),
-      "Custom TopKPerKey physical operator: heap-pruned exact top-3 per customer, no sort."))
+      "Custom TopKPerKey physical operator: heap-pruned exact top-3 per customer, no sort."),
+
+    QueryDef(
+      "q_kmv_distinct",
+      (s, dir) => {
+        // KMV (k-minimum-values / bottom-k) distinct sketch — the
+        // deterministic alternative to HLL: the k-th smallest of the
+        // distinct value hashes estimates cardinality as
+        // (k-1) / (kth / 2^52). Unlike HLL registers, the sketch is
+        // identical in any engine that shares the hash (md5 here), so
+        // the oracle verifies it bit-for-bit. Scale shape: the distinct
+        // is a map-side-combinable shuffle, then the custom TopKPerKey
+        // operator prunes every partition to its k smallest hashes
+        // BEFORE the per-group shuffle — the classic sketch-merge
+        // pattern (union bottom-k sets, keep bottom k). k=8 so the
+        // sketch exists at every fixture SF (sf0.001 has only 15
+        // distinct users per type); production would use k≈1024.
+        val k = 8
+        val h = t(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 13),
+              16, 10).cast("long").as("h"))
+        val bottomK = graft.plans.GraftOps.topKPerKey(h, Seq("event_type"), k, "+h")
+        // groups with < k distinct values have no k-th hash: the sketch
+        // is exact there, and the oracle's rk = k row doesn't exist —
+        // require a full sketch before estimating
+        val kth = bottomK.groupBy("event_type")
+          .agg(max("h").as("kth_hash"), count(lit(1)).as("n_sk"))
+          .where(col("n_sk") === k).drop("n_sk")
+        val exact = t(s, dir, "events")
+          .groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+        exact.join(kth, "event_type")
+          .select(col("event_type"), col("n_exact"), col("kth_hash"),
+            (lit((k - 1).toDouble) * lit(4503599627370496L) / col("kth_hash"))
+              .as("est_distinct"))
+      },
+      Some(
+        """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+          |h AS (SELECT event_type,
+          |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          |  FROM d),
+          |r AS (SELECT event_type, h,
+          |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+          |kth AS (SELECT event_type, h AS kth_hash FROM r WHERE rk = 8),
+          |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+          |SELECT ex.event_type, n_exact, kth_hash,
+          |  7.0 * 4503599627370496 / kth_hash AS est_distinct
+          |FROM ex JOIN kth ON ex.event_type = kth.event_type""".stripMargin),
+      "KMV bottom-k distinct sketch (deterministic, oracle-exact) built on TopKPerKey."))
 }

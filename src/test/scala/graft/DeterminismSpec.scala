@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must be BIT-IDENTICAL at any parallelism — the property the
+  * whole oracle-parity design (quantized decimal sums, sequential dot
+  * folds, total-order tie-breaks) exists to guarantee. A 1000-executor
+  * cluster partitions nothing like local[4]; these tests re-run
+  * representative queries under different shuffle-partition counts and
+  * require exact row-set equality, catching any aggregation that
+  * silently depends on partial-aggregation order. */
+class DeterminismSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // one query per determinism-sensitive family: decimal-quantized float
+  // agg, broadcast-model integer scores, iterative float centroids,
+  // cosine re-rank, rollup re-aggregation, heap-based top-k, KMV sketch
+  private val queries = Seq(
+    "q1_pricing_summary", "t_unigram_logppl", "sim_ivf_assign",
+    "sim_bucketed_pairs", "q_rollup_revenue", "q_topk_operator",
+    "q_kmv_distinct")
+
+  private def rows(name: String): Set[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val cols = df.columns.sorted.toIndexedSeq
+    val out = df.collect().map(r => cols.map(c =>
+      String.valueOf(r.getAs[Any](c))).mkString("|")).toSet
+    spark.catalog.clearCache()
+    out
+  }
+
+  for (q <- queries)
+    test(s"$q is partition-count invariant (4 vs 3 vs 17)") {
+      val conf = spark.conf
+      val base = conf.get("spark.sql.shuffle.partitions")
+      try {
+        conf.set("spark.sql.shuffle.partitions", "4")
+        val r4 = rows(q)
+        conf.set("spark.sql.shuffle.partitions", "3")
+        val r3 = rows(q)
+        conf.set("spark.sql.shuffle.partitions", "17")
+        val r17 = rows(q)
+        assert(r4 == r3, s"$q differs between 4 and 3 shuffle partitions")
+        assert(r4 == r17, s"$q differs between 4 and 17 shuffle partitions")
+        assert(r4.nonEmpty)
+      } finally conf.set("spark.sql.shuffle.partitions", base)
+    }
+}
