@@ -445,5 +445,41 @@ object AnalyticsQueries {
           |SELECT ex.event_type, n_exact, kth_hash,
           |  7.0 * 4503599627370496 / kth_hash AS est_distinct
           |FROM ex JOIN kth ON ex.event_type = kth.event_type""".stripMargin),
-      "KMV bottom-k distinct sketch (deterministic, oracle-exact) built on TopKPerKey."))
+      "KMV bottom-k distinct sketch (deterministic, oracle-exact) built on TopKPerKey."),
+
+    QueryDef(
+      "q_rolling_avg",
+      (s, dir) => {
+        // Trailing 7-day window over a daily pre-aggregate — the
+        // standard time-series rolling metric. Scale shape: the raw
+        // events collapse to one row per (event_type, day) in a
+        // map-side-combinable hash agg FIRST, so the RANGE window runs
+        // over day-cardinality data (thousands of rows per key at
+        // 100 TB, not billions); revenue is quantized to integer cents
+        // before any sum so the window total is order-independent.
+        val daily = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 1000 div 86400000000").as("day"),
+            round(col("value") * 100).cast("long").as("v_c"))
+          .groupBy("event_type", "day")
+          .agg(sum("v_c").as("rev_c"), count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rangeBetween(-6, Window.currentRow)
+        daily.select(col("event_type"), col("day"),
+          (col("rev_c").cast("double") / 100).as("daily_rev"),
+          (sum("rev_c").over(w).cast("double") / 100).as("rev_7d"),
+          (sum("rev_c").over(w).cast("double") / sum("n").over(w) / 100)
+            .as("avg_per_event_7d"))
+      },
+      Some(
+        """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_c, COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, day,
+          |  CAST(rev_c AS DOUBLE) / 100 AS daily_rev,
+          |  CAST(SUM(rev_c) OVER w AS DOUBLE) / 100 AS rev_7d,
+          |  CAST(SUM(rev_c) OVER w AS DOUBLE) / SUM(n) OVER w / 100 AS avg_per_event_7d
+          |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin),
+      "Trailing 7-day rolling revenue/average over a daily pre-aggregate (RANGE window)."))
 }

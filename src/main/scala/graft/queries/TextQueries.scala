@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus: token stats,
@@ -460,5 +461,92 @@ object TextQueries {
           |SELECT doc_id, word, CAST(tf AS INT) AS tf,
           |  CAST(score_q AS DOUBLE) / 1000000000 AS tfidf, CAST(rk AS INT) AS rk
           |FROM sc WHERE rk <= 3""".stripMargin),
-      "TF-IDF top-3 keywords per doc: broadcast vocabulary model, integer-exact scores."))
+      "TF-IDF top-3 keywords per doc: broadcast vocabulary model, integer-exact scores."),
+
+    QueryDef(
+      "t_seq_pack",
+      (s, dir) => {
+        // Pack-and-chunk sequence packing: concatenate each source's
+        // token stream in doc_id order and cut it into fixed L-token
+        // training sequences (the GPT-style pack). Each doc's placement
+        // is pure prefix-sum arithmetic: start offset, first/last
+        // sequence id it lands in, and its offset inside the first
+        // sequence. Scale shape: the prefix sum is windowed PER SOURCE,
+        // so packing parallelizes across sources (at 100 TB the
+        // partition key would be (source, shard) with shard-boundary
+        // offsets broadcast — same math, two-phase); no global
+        // single-partition window exists in the plan.
+        val L = 64L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .select(col("source"), col("doc_id"), col("n_tok"),
+            (col("cum") - col("n_tok")).as("start_tok"),
+            expr(s"(cum - n_tok) div $L").as("seq_first"),
+            expr(s"(cum - 1) div $L").as("seq_last"),
+            expr(s"(cum - n_tok) % $L").as("start_off"))
+      },
+      Some(
+        """WITH c AS (SELECT source, doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+          |    OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM documents)
+          |SELECT source, doc_id, n_tok,
+          |  CAST(cum - n_tok AS BIGINT) AS start_tok,
+          |  CAST((cum - n_tok) // 64 AS BIGINT) AS seq_first,
+          |  CAST((cum - 1) // 64 AS BIGINT) AS seq_last,
+          |  CAST((cum - n_tok) % 64 AS BIGINT) AS start_off
+          |FROM c""".stripMargin),
+      "Sequence packing: per-source prefix-sum placement of docs into 64-token training sequences."),
+
+    QueryDef(
+      "t_boilerplate",
+      (s, dir) => {
+        // Corpus-level boilerplate filter (RefinedWeb-style): a 3-gram
+        // shingle occurring in >= 10 distinct docs is boilerplate; each
+        // doc reports what fraction of its distinct shingles are
+        // boilerplate and a keep flag. Scale shape: the shingle→doc-
+        // frequency agg is map-side combinable (shingles are distinct
+        // per doc row-locally, so no doc_id reaches the shuffle); the
+        // qualifying set is the head of a Zipfian distribution —
+        // vocabulary-bounded, tiny next to the corpus — and BROADCASTS
+        // back for a map-local left join. n_shingles is a row-local
+        // array size, so no corpus-sized join-back exists.
+        graft.functions.expr.TextExpressions.register(s)
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(
+              call_function("graft_shingles3", split(col("text"), " "))).as("shs"))
+        val boiler = base.select(explode(col("shs")).as("s"))
+          .groupBy("s").agg(count(lit(1)).as("nd"))
+          .where(col("nd") >= 10).select("s").withColumn("b", lit(1))
+        base.select(col("doc_id"), size(col("shs")).as("n_shingles"),
+            explode(col("shs")).as("s"))
+          .join(broadcast(boiler), Seq("s"), "left_outer")
+          .groupBy("doc_id", "n_shingles")
+          .agg(count(col("b")).cast("int").as("n_boiler"))
+          .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+            (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_frac"),
+            (col("n_boiler").cast("double") / col("n_shingles") <= 0.5).as("keep"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (SELECT DISTINCT doc_id, s FROM (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+          |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w)),
+          |boiler AS (SELECT s FROM (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s)
+          |  WHERE nd >= 10),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |per AS (SELECT sh.doc_id, COUNT(boiler.s) AS n_boiler
+          |  FROM sh LEFT JOIN boiler ON sh.s = boiler.s GROUP BY 1)
+          |SELECT per.doc_id, CAST(n AS INT) AS n_shingles,
+          |  CAST(n_boiler AS INT) AS n_boiler,
+          |  CAST(n_boiler AS DOUBLE) / n AS boiler_frac,
+          |  CAST(n_boiler AS DOUBLE) / n <= 0.5 AS keep
+          |FROM per JOIN cnt ON per.doc_id = cnt.doc_id""".stripMargin),
+      "Boilerplate n-gram filter: corpus-frequent shingles broadcast back for per-doc ratios."))
 }
