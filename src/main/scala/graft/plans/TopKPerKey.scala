@@ -143,6 +143,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(ResolveTopKHint)
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectResolutionRule(ResolveAllPairsHint)
+    e.injectPlannerStrategy(_ => AllPairsStrategy)
   }
 }
 
@@ -157,6 +159,22 @@ object GraftOps {
     val planned = out.queryExecution.optimizedPlan
     require(planned.collectFirst { case t: TopKPerKey => t }.isDefined,
       "graft_topk hint was not resolved - session lacks GraftExtensions " +
+        "(set spark.sql.extensions=graft.plans.GraftExtensions)")
+    out
+  }
+
+  /** Fused all-pairs cosine: every (stream, bcast) pair with
+    * `dot >= threshold`; `ltOnly` keeps only streamId < bcastId (the
+    * dedup-pair convention). Children must each be exactly
+    * (id BIGINT, vec ARRAY<DOUBLE>); the second argument broadcasts. */
+  def allPairsCosine(stream: DataFrame, bcast: DataFrame, threshold: Double,
+      ltOnly: Boolean): DataFrame = {
+    val params: Seq[Any] =
+      if (ltOnly) Seq(threshold, "lt") else Seq(threshold)
+    val out = stream.crossJoin(bcast).hint("graft_allpairs", params: _*)
+    val planned = out.queryExecution.optimizedPlan
+    require(planned.collectFirst { case a: AllPairsCosine => a }.isDefined,
+      "graft_allpairs hint was not resolved - session lacks GraftExtensions " +
         "(set spark.sql.extensions=graft.plans.GraftExtensions)")
     out
   }

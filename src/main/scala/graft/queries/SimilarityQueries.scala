@@ -156,12 +156,15 @@ object SimilarityQueries {
     QueryDef(
       "sim_threshold_pairs",
       (s, dir) => {
+        // fused custom operator (plans/AllPairsCosine.scala): pair
+        // enumeration + primitive-array dot + threshold in one loop —
+        // replaces the BroadcastNestedLoopJoin formulation Spark can't
+        // codegen. Same fold order as graft_dot → result unchanged.
         val u = unitEmb(s, dir)
         val a = u.select(col("vec_id").as("id_a"), col("u").as("ua"))
         val b = u.select(col("vec_id").as("id_b"), col("u").as("ub"))
-        broadcast(a).join(b, col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), dot(col("ua"), col("ub")).as("cos"))
-          .where(col("cos") >= 0.35)
+        graft.plans.GraftOps.allPairsCosine(a, b, 0.35, ltOnly = true)
+          .select(col("id_a"), col("id_b"), col("cos"))
       },
       Some(
         s"""$UnitCte
