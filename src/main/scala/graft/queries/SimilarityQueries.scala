@@ -96,19 +96,27 @@ object SimilarityQueries {
   /** Exact cosine top-5 per query vector (vec_id < 20) — the ground
     * truth sim_recall_eval measures the ANN paths against. */
   private def bruteTop5(s: SparkSession, dir: String): DataFrame = {
+    // both custom operators composed: the fused AllPairsCosine exec
+    // scores corpus × broadcast-queries with primitive-array dots (no
+    // BNLJ, no joined-row materialization), then TopKPerKey heap-prunes
+    // each scan partition to 5 rows per query BEFORE the shuffle — the
+    // exchange carries ≤ 5·|queries|·partitions rows and nothing is
+    // ever fully sorted. The final row_number window runs over ≤ 5
+    // rows per query, only to materialize the rank column.
     val corpus = unitEmb(s, dir)
-    val q = corpus
+      .select(col("vec_id").as("neighbor_id"), col("u"))
+    val q = unitEmb(s, dir)
       .where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
-    val scored = corpus
-      .join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qu"), col("u")).as("cos"))
+    val scored = graft.plans.GraftOps
+      .allPairsCosine(corpus, q, -2.0, ltOnly = false)
+      .where(col("neighbor_id") =!= col("query_id"))
+    val top = graft.plans.GraftOps.topKPerKey(
+      scored, Seq("query_id"), 5, "-cos", "+neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
+    top
       .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rk").cast("int").as("rk"))
   }
