@@ -107,4 +107,32 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 4, s"expected 4 scans (fact + 3 dims), got $scans:\n$p")
   }
+
+  test("sim_threshold_pairs plans the fused all-pairs exec, no BNLJ") {
+    val p = plan("sim_threshold_pairs")
+    assert(p.contains("AllPairsCosine"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sim_knn_bruteforce composes fused scoring with heap top-k") {
+    val p = plan("sim_knn_bruteforce")
+    assert(p.contains("AllPairsCosine"), p)
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2,
+      "expected partial+final TopKPerKeyExec:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t_seq_pack windows per source, never a global single partition") {
+    val p = plan("t_seq_pack")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"global-window shuffle would serialize packing:\n$p")
+  }
+
+  test("t_boilerplate broadcasts the frequent-shingle set back") {
+    val p = plan("t_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
