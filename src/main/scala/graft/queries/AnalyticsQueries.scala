@@ -481,5 +481,33 @@ object AnalyticsQueries {
           |  CAST(SUM(rev_c) OVER w AS DOUBLE) / SUM(n) OVER w / 100 AS avg_per_event_7d
           |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
           |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin),
-      "Trailing 7-day rolling revenue/average over a daily pre-aggregate (RANGE window)."))
+      "Trailing 7-day rolling revenue/average over a daily pre-aggregate (RANGE window)."),
+
+    QueryDef(
+      "q_ntile_quartiles",
+      (s, dir) => {
+        // Spend-quartile assignment per event_type — the NTILE bucket
+        // operator. Scale shape: the window partitions by event_type
+        // (never a global SinglePartition sort), and it runs over the
+        // user-level pre-aggregate, not raw events; quantized totals +
+        // a user_id tie-break give NTILE a total order, so bucket
+        // boundaries are deterministic in both engines.
+        val spend = t(s, dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("tc"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("tc").desc, col("user_id"))
+        spend.select(col("event_type"), col("user_id"),
+          (col("tc").cast("double") / 100).as("total"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some(
+        """WITH s AS (SELECT event_type, user_id,
+          |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS tc
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, user_id, CAST(tc AS DOUBLE) / 100 AS total,
+          |  CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY tc DESC, user_id)
+          |    AS INT) AS quartile
+          |FROM s""".stripMargin),
+      "NTILE spend quartiles per event_type over a user-level pre-aggregate."))
 }

@@ -400,5 +400,68 @@ object DedupQueries {
            |SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
            |GROUP BY doc_id""".stripMargin
       },
-      "SimHash-16: per-bit term-frequency votes from word hashes."))
+      "SimHash-16: per-bit term-frequency votes from word hashes."),
+
+    QueryDef(
+      "dedup_rank_propagate",
+      (s, dir) => {
+        // Quality/trust propagation over the verified near-dup graph:
+        // 5 fixed PageRank iterations (damping 0.85), every arithmetic
+        // step in quantized integers (rq = rank·1e9; per-edge
+        // contribution rq div deg; damped update (acc·85) div 100) so
+        // both engines fold the same integers and the result is
+        // oracle-EXACT, not approximately close. Scale shape: identical
+        // to dedup_clusters — each round shuffles id-sized (dst, contrib)
+        // rows keyed by dst, the rank frame never exceeds node count,
+        // and the edge×deg frame is computed once and cached. The loop
+        // count is fixed (not convergence-driven), so the plan is 5
+        // chained joins — no driver-side graph state at all.
+        // eager localCheckpoints (same policy as the dedup_clusters
+        // fixpoint): the LSH pipeline materializes ONCE into the
+        // id-sized edge frame, and each round's rank frame truncates
+        // its lineage so round N is a flat join over two tiny frames,
+        // not a 2N-deep replan of the whole pipeline
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint(true)
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val edgeDeg = edges.join(deg, "src").localCheckpoint(true)
+        val nodes = edges.select(col("src").as("doc_id")).distinct()
+          .localCheckpoint(true)
+        var rank = nodes.withColumn("rq", lit(1000000000L))
+        for (_ <- 1 to 5) {
+          val acc = edgeDeg.join(rank, col("src") === col("doc_id"))
+            .select(col("dst"), expr("rq div deg").as("c"))
+            .groupBy("dst").agg(sum("c").as("acc"))
+          rank = nodes.join(acc, nodes("doc_id") === acc("dst"), "left_outer")
+            .select(nodes("doc_id"),
+              (lit(150000000L) + expr("coalesce(acc, 0L) * 85 div 100")).as("rq"))
+            .localCheckpoint(true)
+        }
+        rank.select(col("doc_id"), col("rq"),
+          (col("rq").cast("double") / 1000000000).as("rank"))
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (SELECT n.doc_id,
+             |  CAST(150000000 + COALESCE(s.acc, 0) * 85 // 100 AS BIGINT) AS rq
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst, SUM(r${i - 1}.rq // d.deg) AS acc FROM edges e
+             |    JOIN r${i - 1} ON e.src = r${i - 1}.doc_id
+             |    JOIN deg d ON d.src = e.src GROUP BY e.dst) s
+             |  ON n.doc_id = s.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""$ShingleCte,
+           |$LshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+           |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rq FROM nodes),
+           |$iters
+           |SELECT doc_id, rq, CAST(rq AS DOUBLE) / 1000000000 AS rank FROM r5""".stripMargin
+      },
+      "PageRank-style quality propagation over near-dup pairs: 5 quantized iterations, oracle-exact."))
 }

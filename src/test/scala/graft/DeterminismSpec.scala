@@ -19,7 +19,8 @@ class DeterminismSpec extends AnyFunSuite {
   private val queries = Seq(
     "q1_pricing_summary", "t_unigram_logppl", "sim_ivf_assign",
     "sim_bucketed_pairs", "q_rollup_revenue", "q_topk_operator",
-    "q_kmv_distinct", "q_rolling_avg", "t_seq_pack")
+    "q_kmv_distinct", "q_rolling_avg", "t_seq_pack",
+    "q_ntile_quartiles", "dedup_rank_propagate")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
