@@ -504,6 +504,54 @@ object TextQueries {
       "Sequence packing: per-source prefix-sum placement of docs into 64-token training sequences."),
 
     QueryDef(
+      "t_seq_pack_pieces",
+      (s, dir) => {
+        // The consumer view of t_seq_pack: one row per (sequence, doc
+        // piece) — the shard manifest a training loader reads. Each doc
+        // explodes into the 1..k sequences it spans, with the token
+        // slice [piece_from, piece_from+piece_len) it contributes to
+        // that sequence and the offset it lands at. Pure integer math
+        // on the same per-source prefix sums; the explode fans out only
+        // boundary docs (a doc spanning k sequences emits k rows), so
+        // output stays O(docs + sequences), never tokens.
+        val L = 64L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .where(col("n_tok") > 0)
+          .select(col("source"), col("doc_id"), col("n_tok"),
+            (col("cum") - col("n_tok")).as("st"),
+            explode(expr(s"sequence((cum - n_tok) div $L, (cum - 1) div $L)"))
+              .as("seq_id"))
+          .select(col("source"), col("seq_id"), col("doc_id"),
+            (greatest(col("st"), col("seq_id") * L) - col("st")).as("piece_from"),
+            (least((col("seq_id") + 1) * L, col("st") + col("n_tok")) -
+              greatest(col("st"), col("seq_id") * L)).as("piece_len"),
+            (greatest(col("st"), col("seq_id") * L) - col("seq_id") * L)
+              .as("seq_off"))
+      },
+      Some(
+        """WITH c AS (SELECT source, doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+          |    OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM documents),
+          |p AS (SELECT source, doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS st,
+          |  unnest(range(CAST((cum - n_tok) // 64 AS BIGINT),
+          |    CAST((cum - 1) // 64 + 1 AS BIGINT))) AS seq_id
+          |  FROM c WHERE n_tok > 0)
+          |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+          |  CAST(greatest(st, seq_id * 64) - st AS BIGINT) AS piece_from,
+          |  CAST(least((seq_id + 1) * 64, st + n_tok)
+          |    - greatest(st, seq_id * 64) AS BIGINT) AS piece_len,
+          |  CAST(greatest(st, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off
+          |FROM p""".stripMargin),
+      "Sequence-pack manifest: per-(sequence, doc) token slices a training loader consumes."),
+
+    QueryDef(
       "t_boilerplate",
       (s, dir) => {
         // Corpus-level boilerplate filter (RefinedWeb-style): a 3-gram
