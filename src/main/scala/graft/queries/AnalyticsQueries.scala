@@ -509,5 +509,104 @@ object AnalyticsQueries {
           |  CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY tc DESC, user_id)
           |    AS INT) AS quartile
           |FROM s""".stripMargin),
-      "NTILE spend quartiles per event_type over a user-level pre-aggregate."))
+      "NTILE spend quartiles per event_type over a user-level pre-aggregate."),
+
+    QueryDef(
+      "q_range_join_clicks",
+      (s, dir) => {
+        // RANGE JOIN (interval join), binned: for each purchase, count
+        // the same user's clicks in the preceding 10 minutes. The naive
+        // formulation is a theta-join (quadratic per user, a BNLJ plan);
+        // binning timestamps into window-sized buckets turns it into an
+        // equi-join on (user_id, bin) — each purchase probes exactly two
+        // bins (its own and the previous one, which together cover any
+        // 10-minute lookback), then the exact range predicate filters
+        // the candidates. Each qualifying click pair appears once since
+        // a click lives in exactly one bin. Cost is linear in events +
+        // matches at any scale.
+        val W = 600L * 1000000L // 10-minute window in microseconds
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"),
+            expr(s"ts div 1000 div $W").as("bin"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_us"), col("bin"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_us").as("p_us"),
+            explode(array(col("bin") - 1, col("bin"))).as("bin"))
+        purchases.join(clicks, Seq("user_id", "bin"))
+          .where(col("c_us") > col("p_us") - W && col("c_us") <= col("p_us"))
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_clicks"), max("c_us").as("last_click_us"))
+      },
+      Some(
+        """SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+          |  MAX(epoch_us(c.ts)) AS last_click_us
+          |FROM events p JOIN events c ON c.user_id = p.user_id
+          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND epoch_us(c.ts) > epoch_us(p.ts) - 600000000
+          |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+          |GROUP BY 1""".stripMargin),
+      "Binned range join: per-purchase click count over a 10-minute lookback."),
+
+    QueryDef(
+      "q_cube_orders",
+      (s, dir) =>
+        // CUBE grouping sets: revenue at (priority, status), each
+        // one-dimension margin, and the grand total — the full 2^2
+        // lattice in one pass. Expand replicates each input row 4×,
+        // which is fine here because the input is the orders table
+        // reduced by map-side combine before the shuffle; quantized
+        // integer partials re-sum associatively across levels.
+        t(s, dir, "orders")
+          .cube(col("o_orderpriority").as("priority"),
+            col("o_orderstatus").as("status"))
+          .agg(
+            grouping_id().cast("int").as("lvl"),
+            (sum(quant(col("o_totalprice"), 100).cast(sumDec))
+              .cast("double") / 100).as("revenue"),
+            count(lit(1)).as("n_orders")),
+      Some(
+        """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+          |CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT) AS lvl,
+          |CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+          |COUNT(*) AS n_orders
+          |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin),
+      "CUBE aggregate: order revenue over the full (priority, status) lattice."),
+
+    QueryDef(
+      "q_nation_share",
+      (s, dir) => {
+        // Ratio-to-report window: each nation's share of its region's
+        // revenue. The fact table collapses to nation cardinality
+        // before the window, so the unordered whole-partition SUM runs
+        // over ≤25 rows regardless of input scale. Exactness: the share
+        // is ONE double division of two exactly-represented integers
+        // (quantized cents, < 2^53), so both engines produce the
+        // identical IEEE-754 quotient.
+        val rev = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(sum(quant(col("o_totalprice"), 100).cast(sumDec)).as("rev_c"))
+        val w = Window.partitionBy("region")
+        rev.select(col("region"), col("nation"),
+          (col("rev_c").cast("double") / 100).as("revenue"),
+          (col("rev_c").cast("double") / sum("rev_c").over(w).cast("double"))
+            .as("share"))
+      },
+      Some(
+        """WITH rev AS (SELECT r_name AS region, n_name AS nation,
+          |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  GROUP BY 1, 2)
+          |SELECT region, nation, CAST(rev_c AS DOUBLE) / 100 AS revenue,
+          |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER (PARTITION BY region) AS DOUBLE) AS share
+          |FROM rev""".stripMargin),
+      "Ratio-to-report window: nation share of region revenue."))
 }

@@ -596,5 +596,29 @@ object TextQueries {
           |  CAST(n_boiler AS DOUBLE) / n AS boiler_frac,
           |  CAST(n_boiler AS DOUBLE) / n <= 0.5 AS keep
           |FROM per JOIN cnt ON per.doc_id = cnt.doc_id""".stripMargin),
-      "Boilerplate n-gram filter: corpus-frequent shingles broadcast back for per-doc ratios."))
+      "Boilerplate n-gram filter: corpus-frequent shingles broadcast back for per-doc ratios."),
+
+    QueryDef(
+      "t_ttr",
+      (s, dir) => {
+        // Type-token ratio (lexical diversity) — a standard quality
+        // signal next to repetition/perplexity: low TTR means the doc
+        // repeats a tiny vocabulary. Pure map stage over the scan; the
+        // ratio is one double division of two exact ints, so both
+        // engines agree bit-for-bit.
+        val ws = split(col("text"), " ")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(ws).as("n_tokens"),
+          size(array_distinct(ws)).as("n_types"),
+          (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
+      },
+      Some(
+        """SELECT doc_id,
+          |CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          |CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+          |CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          |  / len(string_split(text, ' ')) AS ttr
+          |FROM documents""".stripMargin),
+      "Type-token ratio: lexical-diversity quality score (map-only)."))
 }

@@ -135,4 +135,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_range_join_clicks bins the interval join into an equi-join") {
+    val p = plan("q_range_join_clicks")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"theta-join fell back to BNLJ:\n$p")
+  }
+
+  test("q_cube_orders expands the full lattice in one scan") {
+    val p = plan("q_cube_orders")
+    assert(p.contains("Expand"), "grouping-set Expand missing:\n" + p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+  }
+
+  test("q_nation_share windows over the nation-level aggregate") {
+    val p = plan("q_nation_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), "fact-side shuffle join in:\n" + p)
+  }
+
+  test("t_ttr is exchange-free (pure map)") {
+    val p = plan("t_ttr")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
 }
