@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two pieces of sbt decoration defeat that: the `[info] ` prefix on
+// logged subprocess output, and the `[success] Total time: ...` epilogue.
+// StdoutOutput sends the forked JVM's stdout through undecorated, and
+// showSuccess kills the epilogue, so Bench's compact summary line is the
+// literal last line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
