@@ -112,14 +112,22 @@ object DedupQueries {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // the same pair collides in several bands, so dedupe before the
+      // shingle verification multiplies the pair set
       .distinct().cache()
-    // no distinct: the semi-join dedupes on the build side anyway,
-    // so skipping it saves a shuffle
+    // NO broadcast() hints below the candidate stage: a pair can appear
+    // in multiple bands of a 100 TB corpus, so the candidate set is
+    // corpus-fraction-sized, not driver-sized. AQE upgrades these joins
+    // to broadcast at runtime when the measured side IS small (it is at
+    // test SFs), without baking a driver OOM into the plan.
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .unionAll(cand.select(col("doc_b").as("doc_id")))
     val sh = shingleDF(s, dir)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
-    val cnt = shingleCounts(s, dir) // row-local, no aggregation
+      .join(candIds, Seq("doc_id"), "left_semi").cache()
+    // |A|,|B| are row-local (array size), then pruned to candidate docs
+    // so the frames joined below are candidate-bounded, never corpus-sized
+    val cnt = shingleCounts(s, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
     val shared = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
@@ -127,8 +135,8 @@ object DedupQueries {
       .groupBy("doc_a", "doc_b")
       .agg(count("*").as("shared"))
     val result = shared
-      .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
-      .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") /
           (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
@@ -201,9 +209,11 @@ object DedupQueries {
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count("*").as("shared"))
+        // cnt is one row per document — corpus-sized, so no broadcast
+        // hint (AQE picks broadcast at runtime when it measures small)
         pairs
-          .join(broadcast(cnt.as("ca")), col("doc_a") === col("ca.doc_id"))
-          .join(broadcast(cnt.as("cb")), col("doc_b") === col("cb.doc_id"))
+          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
           .select(col("doc_a"), col("doc_b"), col("shared"),
             (col("shared").cast("double") /
               (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
@@ -254,9 +264,10 @@ object DedupQueries {
       // shingle sets collapse to one signature and would explode
       // quadratically; the hot list is tiny, so the filter is a
       // broadcast anti-join), and exact Jaccard verification touches
-      // shingles of candidate docs ONLY (broadcast semi-join prunes
-      // the map-local shingle explode before any shuffle). The
-      // corpus² pairwise join never happens.
+      // shingles of candidate docs ONLY (a semi-join on candidate ids
+      // prunes the map-local shingle explode; AQE turns it into a
+      // broadcast join at runtime when the candidate set measures
+      // small). The corpus² pairwise join never happens.
       (s, dir) => lshVerifiedPairs(s, dir),
       Some(
         s"""$ShingleCte,
@@ -284,8 +295,13 @@ object DedupQueries {
         // analysis/codegen cost grows with the iteration count even
         // though the data is tiny.
         val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        // materialize the id-sized edge frame ONCE (same policy as
+        // dedup_rank_propagate): without this the fixpoint re-analyzes
+        // the whole LSH lineage every round — execution would read the
+        // cache, but plan analysis/codegen grows with round count
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint(true)
         var labels = edges.groupBy("src").agg(min("dst").as("mn"))
           .select(col("src").as("doc_id"),
             least(col("mn"), col("src")).as("lbl")).localCheckpoint(true)
