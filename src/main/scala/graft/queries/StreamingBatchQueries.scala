@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.streaming.StreamingAnalytics
+import org.apache.spark.sql.functions._
+
+/** Oracle coverage for the StreamingAnalytics operators: every operator
+  * accepts batch frames (the watermark node is eliminated on a
+  * non-streaming plan), so the SAME code path the streaming queries run
+  * is executed here over the events fixture and hash-compared against a
+  * DuckDB oracle — the one component that was previously spec-only.
+  *
+  * Timestamp discipline: `events.ts` is epoch-NANOS (read as BIGINT
+  * under nanosAsLong); operators get a µs-truncated real timestamp
+  * (`timestamp_micros(ts div 1000)`), outputs convert back to epoch-µs
+  * BIGINT so both engines hash identical integers (DuckDB's
+  * `epoch_us(ts)` applies the same truncation).
+  *
+  * `value` sums are pre-quantized to integer cents, so the windowed
+  * SUM is exact in both engines (the QueryDef double-sum contract). */
+object StreamingBatchQueries {
+  import Tables.t
+
+  private val GapUs = 1800L * 1000000L // 30 min, the session/join gap
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "s_windowed_counts",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("event_type"),
+          // integer cents: the windowed SUM stays associative + exact
+          round(col("value") * 100).cast("long").as("value"))
+        StreamingAnalytics.windowedCounts(ev, "5 minutes", "5 minutes")
+          .select(
+            unix_micros(col("window_start")).as("window_start_us"),
+            unix_micros(col("window_end")).as("window_end_us"),
+            col("event_type"), col("n"), col("total"))
+      },
+      Some(
+        """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+          |(epoch_us(ts) // 300000000) * 300000000 + 300000000 AS window_end_us,
+          |event_type, COUNT(*) AS n,
+          |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total
+          |FROM events GROUP BY 1, 2, 3""".stripMargin),
+      "Watermarked tumbling-window counts/sums run in batch mode (same operator as the stream)."),
+
+    QueryDef(
+      "s_sessions",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+        StreamingAnalytics.sessionCounts(ev, "30 minutes")
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"))
+      },
+      Some(
+        // session_window semantics: a session spans [first_ts,
+        // last_ts + gap); an event at EXACTLY prev + gap starts a new
+        // session (end-exclusive), hence the >= break condition
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+           |m AS (SELECT user_id, us,
+           |  CASE WHEN LAG(us) OVER w IS NULL
+           |       OR us - LAG(us) OVER w >= $GapUs THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+           |g AS (SELECT user_id, us,
+           |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+           |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+           |SELECT user_id, MIN(us) AS session_start_us,
+           |  MAX(us) + $GapUs AS session_end_us, COUNT(*) AS n_events
+           |FROM g GROUP BY user_id, sid""".stripMargin),
+      "Native session_window sessionization run in batch mode (same operator as the stream)."),
+
+    QueryDef(
+      "s_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+        StreamingAnalytics.intervalJoin(
+            ev.where(col("event_type") === "click"),
+            ev.where(col("event_type") === "purchase"), maxGapSec = 1800)
+          .select(col("user_id"),
+            col("l_id").as("click_id"), col("r_id").as("purchase_id"),
+            unix_micros(col("l_ts")).as("click_us"),
+            unix_micros(col("r_ts")).as("purchase_us"))
+      },
+      Some(
+        s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+           |FROM events c JOIN events p ON c.user_id = p.user_id
+           |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+           |  AND epoch_us(c.ts) >= epoch_us(p.ts) - $GapUs""".stripMargin),
+      "Stream-stream interval join (click→purchase window) run in batch mode."))
+}

@@ -161,4 +161,37 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("t_ttr")
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
+
+  test("s_interval_join stays an equi-join with a range filter (no BNLJ)") {
+    val p = plan("s_interval_join")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"time-range join fell back to BNLJ:\n$p")
+  }
+
+  test("s_windowed_counts is one scan + one aggregation pass") {
+    val p = plan("s_windowed_counts")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(p.contains("HashAggregate"), "hash aggregation missing:\n" + p)
+  }
+
+  // --- no corpus-sized broadcast builds in the Jaccard verification ---
+  // A broadcast() hint over a map-only projection of `documents` (e.g.
+  // the per-doc shingle-count frame) is correct at test SF and a driver
+  // OOM at 100 TB. Every explicit BROADCAST hint in these plans must sit
+  // above an Aggregate (the hot-bucket count list is bucket-bounded);
+  // hint-free small joins are left to AQE's runtime size measurement.
+  for (q <- Seq("dedup_lsh_verified", "dedup_ngram_jaccard"))
+    test(s"$q never hints a broadcast of a non-aggregated corpus frame") {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
+      val analyzed = SparkEntry.queries(q)(spark, sf).queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }
+      hints.foreach { h =>
+        assert(h.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$q broadcasts a non-aggregated (corpus-sized) frame:\n${h.child}")
+      }
+    }
 }
