@@ -80,6 +80,156 @@ object Multimodal {
     }
   }
 
+  /** REAL video demuxer: a minimal pure-JVM parser for the YUV4MPEG2
+    * (Y4M) container — uncompressed planar YUV behind a one-line ASCII
+    * header plus per-frame FRAME markers, so offsets are exact and no
+    * codec library is needed. This closes the last stubbed modality:
+    * the JDK ships image (ImageIO) and audio (javax.sound) codecs but
+    * no container demuxer, and Y4M is the standard uncompressed
+    * interchange format (what ffmpeg/mjpegtools pipe between stages).
+    * Returns (width, height, frame count); (-1,-1,-1) for anything
+    * malformed — unknown magic, truncated frame, bad header token. */
+  object Y4mCodec extends Codec {
+    private val Magic = "YUV4MPEG2"
+    private val FrameMarker = "FRAME"
+
+    /** (width, height, bytes per frame, header length incl. newline),
+      * or null if the payload is not a well-formed Y4M stream head. */
+    private[multimodal] def parseHeader(p: Array[Byte]): Array[Int] = {
+      if (p.length < Magic.length ||
+        new String(p, 0, Magic.length, "US-ASCII") != Magic) return null
+      val nl = p.indexOf('\n'.toByte)
+      if (nl < 0) return null
+      var w = -1
+      var h = -1
+      var cs = "420" // Y4M default colorspace when no C tag is present
+      try {
+        new String(p, 0, nl, "US-ASCII").split(' ').drop(1).foreach { tok =>
+          if (tok.nonEmpty) tok.charAt(0) match {
+            case 'W' => w = tok.substring(1).toInt
+            case 'H' => h = tok.substring(1).toInt
+            case 'C' => cs = tok.substring(1)
+            case _ => // F (rate), I (interlace), A (aspect), X (meta): not needed
+          }
+        }
+      } catch { case _: NumberFormatException => return null }
+      if (w <= 0 || h <= 0) return null
+      val frameSize =
+        if (cs.startsWith("420")) w * h * 3 / 2
+        else if (cs.startsWith("422")) w * h * 2
+        else if (cs.startsWith("444")) w * h * 3
+        else if (cs.startsWith("mono")) w * h
+        else return null
+      Array(w, h, frameSize, nl + 1)
+    }
+
+    /** Exact (offset, length) of every frame's pixel data. Empty for a
+      * malformed container (strict: a truncated trailing frame poisons
+      * the whole payload rather than under-counting silently). */
+    private[multimodal] def frameOffsets(p: Array[Byte]): Seq[(Int, Int)] = {
+      val hd = parseHeader(p)
+      if (hd == null) return Seq.empty
+      val frameSize = hd(2)
+      val out = Seq.newBuilder[(Int, Int)]
+      var pos = hd(3)
+      while (pos < p.length) {
+        if (pos + FrameMarker.length > p.length ||
+          new String(p, pos, FrameMarker.length, "US-ASCII") != FrameMarker)
+          return Seq.empty
+        var nl = pos + FrameMarker.length
+        while (nl < p.length && p(nl) != '\n'.toByte) nl += 1 // frame params
+        if (nl >= p.length || nl + 1 + frameSize > p.length) return Seq.empty
+        out += ((nl + 1, frameSize))
+        pos = nl + 1 + frameSize
+      }
+      out.result()
+    }
+
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val hd = parseHeader(payload)
+      if (hd == null) return (-1, -1, -1)
+      val frames = frameOffsets(payload)
+      if (frames.isEmpty && payload.length > hd(3)) (-1, -1, -1)
+      else (hd(0), hd(1), frames.length)
+    }
+  }
+
+  /** Real-encoded video fixture: one Y4M payload per row — header,
+    * FRAME markers, and deterministic 4:2:0 plane bytes — with width,
+    * height and frame count pure functions of doc_id, so an oracle
+    * predicts the demuxed metadata (and exact byte offsets) without a
+    * parser. Same executor-side partition-batched shape as the image
+    * and audio fixtures. */
+  def withVideoPayload(docs: DataFrame): DataFrame = {
+    val rows: Dataset[Row] = docs.select(col("doc_id"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("media_type", StringType).add("payload", BinaryType)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 16 + 2).toInt * 2 // even dims: 4:2:0 chroma planes
+        val h = (id % 12 + 2).toInt * 2
+        val frames = (id % 12 + 1).toInt
+        val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+          .getBytes("US-ASCII")
+        val fsz = w * h * 3 / 2
+        val bos = new java.io.ByteArrayOutputStream(
+          header.length + frames * (6 + fsz))
+        bos.write(header)
+        var f = 0
+        while (f < frames) {
+          bos.write("FRAME\n".getBytes("US-ASCII"))
+          var k = 0
+          while (k < fsz) { bos.write((k * 13 + f * 7 + id).toInt & 0xff); k += 1 }
+          f += 1
+        }
+        Row(id, "y4m", bos.toByteArray)
+      }
+    }
+  }
+
+  val videoFrameSchema: StructType = new StructType()
+    .add("doc_id", LongType)
+    .add("frame_no", IntegerType)
+    .add("frame_idx", IntegerType)
+    .add("frame_off", IntegerType)
+    .add("byte_sum", LongType)
+
+  /** REAL frame sampling: up to `maxFrames` evenly spaced frames per
+    * video, located by the Y4M demuxer at their true container offsets
+    * (not arithmetic byte slices — compare sampleFrames, the declared
+    * stub this replaces for y4m payloads). Emits the frame's exact
+    * offset and an unsigned byte sum of its pixel data so an oracle can
+    * verify both placement and content. Iterator-based partition
+    * batching: one payload in memory at a time. */
+  def sampleVideoFrames(withPayloads: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val rows: Dataset[Row] = withPayloads.select(col("doc_id"), col("payload"))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(videoFrameSchema)
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val offs = Y4mCodec.frameOffsets(p)
+        val frames = offs.length
+        if (frames == 0) Iterator.empty
+        else {
+          val k = math.min(maxFrames, frames)
+          (0 until k).iterator.map { j =>
+            val idx = j * frames / k
+            val (off, len) = offs(idx)
+            var sum = 0L
+            var i = off
+            while (i < off + len) { sum += p(i) & 0xff; i += 1 }
+            Row(id, j, idx, off, sum)
+          }
+        }
+      }
+    }
+  }
+
   /** Real-encoded audio fixture: one PCM-16 WAV payload per row, with
     * sample rate / channels / frame count pure functions of doc_id (so
     * an oracle predicts the decoded metadata without decoding) and

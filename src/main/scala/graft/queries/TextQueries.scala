@@ -185,6 +185,74 @@ object TextQueries {
         "the in-JDK javax.sound.sampled codec (rate/channels/frames)."),
 
     QueryDef(
+      "mm_video_decode",
+      (s, dir) => {
+        // REAL bytes, REAL demuxer, video edition — the last modality
+        // off the stub: encode a deterministic Y4M container per
+        // "video" doc executor-side, then demux it back with the
+        // pure-JVM Y4mCodec on the partition-batched decode path. The
+        // oracle predicts (width, height, n_frames) AND the exact
+        // container byte size from doc_id arithmetic, so wrong header
+        // math, wrong plane sizing, or a miscounted FRAME walk all
+        // hash-mismatch.
+        val vids = graft.multimodal.Multimodal.withVideoPayload(
+          t(s, dir, "documents").where(col("doc_id") % 3 === 2))
+        graft.multimodal.Multimodal
+          .decodeMeta(vids, graft.multimodal.Multimodal.Y4mCodec)
+          .select(col("doc_id"), col("media_type").as("format"),
+            col("n_bytes"), col("width"), col("height"), col("n_frames"))
+      },
+      Some(
+        // header = "YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n"
+        //        = 37 fixed chars + the digits of w and h;
+        // each frame = "FRAME\n" (6) + w*h*3/2 plane bytes (4:2:0)
+        """SELECT doc_id, 'y4m' AS format,
+          |CAST(37 + LENGTH(CAST((doc_id % 16 + 2) * 2 AS VARCHAR))
+          |        + LENGTH(CAST((doc_id % 12 + 2) * 2 AS VARCHAR))
+          |  + (doc_id % 12 + 1)
+          |    * (6 + ((doc_id % 16 + 2) * 2) * ((doc_id % 12 + 2) * 2) * 3 // 2)
+          |  AS INT) AS n_bytes,
+          |CAST((doc_id % 16 + 2) * 2 AS INT) AS width,
+          |CAST((doc_id % 12 + 2) * 2 AS INT) AS height,
+          |CAST(doc_id % 12 + 1 AS INT) AS n_frames
+          |FROM documents WHERE doc_id % 3 = 2""".stripMargin),
+      "Real-bytes video demux: executor-encoded Y4M containers parsed by " +
+        "the pure-JVM Y4mCodec (dims/frame count/container size)."),
+
+    QueryDef(
+      "mm_video_frames",
+      (s, dir) => {
+        // Frame sampling on REAL container offsets: up to 4 evenly
+        // spaced frames per video, located by the Y4M demuxer (not the
+        // arithmetic byte slices of the mm_frame_sample stub). The
+        // oracle recomputes each frame's exact offset and the unsigned
+        // byte sum of its pixel data from doc_id arithmetic, so both
+        // frame PLACEMENT and CONTENT are verified.
+        val vids = graft.multimodal.Multimodal.withVideoPayload(
+          t(s, dir, "documents").where(col("doc_id") % 3 === 2))
+        graft.multimodal.Multimodal.sampleVideoFrames(vids, maxFrames = 4)
+      },
+      Some(
+        // fixture frame byte k of frame f is (k*13 + f*7 + doc_id) mod
+        // 256; range() can't take lateral parameters, so join a series
+        // bounded above max frame size (w<=34, h<=26 -> fsz<=1326)
+        """WITH v AS (SELECT doc_id, (doc_id % 16 + 2) * 2 AS w,
+          |  (doc_id % 12 + 2) * 2 AS h, doc_id % 12 + 1 AS f
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |d AS (SELECT *, w*h*3//2 AS fsz,
+          |  37 + LENGTH(CAST(w AS VARCHAR)) + LENGTH(CAST(h AS VARCHAR)) AS hdr,
+          |  LEAST(4, f) AS k FROM v),
+          |fx AS (SELECT d.*, g.j, g.j * f // k AS idx
+          |  FROM d JOIN range(0, 4) AS g(j) ON g.j < d.k)
+          |SELECT doc_id, CAST(j AS INT) AS frame_no, CAST(idx AS INT) AS frame_idx,
+          |  CAST(hdr + idx*(6+fsz) + 6 AS INT) AS frame_off,
+          |  CAST(SUM((k2*13 + idx*7 + doc_id) % 256) AS BIGINT) AS byte_sum
+          |FROM fx JOIN range(0, 1400) AS u(k2) ON u.k2 < fx.fsz
+          |GROUP BY 1, 2, 3, 4""".stripMargin),
+      "Real-offset video frame sampling: evenly spaced frames at true " +
+        "Y4M container offsets, content-verified by byte sum."),
+
+    QueryDef(
       "t_split_assign",
       (s, dir) =>
         // Deterministic train/val/test split — reproducible across
@@ -606,6 +674,12 @@ object TextQueries {
         // repeats a tiny vocabulary. Pure map stage over the scan; the
         // ratio is one double division of two exact ints, so both
         // engines agree bit-for-bit.
+        //
+        // ASSUMES text IS NOT NULL (a documents-fixture invariant the
+        // other t_* queries share): on a NULL text Spark's
+        // size(split(NULL)) yields -1/NULL depending on legacy config
+        // while DuckDB's len(string_split(NULL)) yields NULL — the
+        // engines would diverge before any guard could reconcile them.
         val ws = split(col("text"), " ")
         t(s, dir, "documents").select(
           col("doc_id"),

@@ -97,6 +97,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.AudioWavCodec.decode(Array.empty[Byte]) === ((-1, -1, -1)))
   }
 
+  test("Y4M demuxer parses real containers on executors; rejects malformed") {
+    import spark.implicits._
+    val docs = Seq(2L, 5L, 8L, 35L, 98L).toDF("doc_id")
+    val vids = Multimodal.withVideoPayload(docs).cache()
+    // payloads are real Y4M containers: magic + FRAME markers
+    vids.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.slice(0, 9)) === "YUV4MPEG2")
+    }
+    // demux on the partition-batched path recovers dims + frame count
+    Multimodal.decodeMeta(vids, Multimodal.Y4mCodec).collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(3) === (id % 16 + 2).toInt * 2, s"width of doc $id")
+      assert(r.getInt(4) === (id % 12 + 2).toInt * 2, s"height of doc $id")
+      assert(r.getInt(5) === (id % 12 + 1).toInt, s"frames of doc $id")
+    }
+    // real-offset frame sampling: byte sums match a direct recompute
+    val frames = Multimodal.sampleVideoFrames(vids)
+      .join(vids.select(col("doc_id"), col("payload")), "doc_id").collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val off = r.getAs[Int]("frame_off")
+      val id = r.getAs[Long]("doc_id")
+      val fsz = ((id % 16 + 2) * 2 * (id % 12 + 2) * 2 * 3 / 2).toInt
+      val expect = (0 until fsz).map(i => (p(off + i) & 0xff).toLong).sum
+      assert(r.getAs[Long]("byte_sum") === expect)
+    }
+    vids.unpersist()
+    // malformed containers are flagged, not crashed
+    assert(Multimodal.Y4mCodec.decode("not a video".getBytes) === ((-1, -1, -1)))
+    assert(Multimodal.Y4mCodec.decode(Array.empty[Byte]) === ((-1, -1, -1)))
+    // truncated trailing frame poisons the payload (strict)
+    val sample = {
+      val hdr = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+      val frame = "FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](24)(1)
+      hdr ++ frame ++ frame.dropRight(3)
+    }
+    assert(Multimodal.Y4mCodec.decode(sample) === ((-1, -1, -1)))
+    // header-only stream (zero frames) is VALID
+    assert(Multimodal.Y4mCodec.decode(
+      "YUV4MPEG2 W6 H4 F25:1\n".getBytes("US-ASCII")) === ((6, 4, 0)))
+  }
+
   test("session windows: gap-based aggregation (streaming-native sessionization)") {
     import spark.implicits._
     val base = 1704067200000L
