@@ -242,7 +242,10 @@ class PipelineRunner(
         //    BLOCKS in place — entries expire within one trigger's
         //    patience, and blocking avoids any table churn (the analog
         //    of the reference's locked-queue re-poll,
-        //    producer.ex:174-178);
+        //    producer.ex:174-178). The wait is ONE computed sleep, not
+        //    a poll: the reopen instant is knowable from the limit log
+        //    (earliest in-window entry + scale), so we read it once,
+        //    sleep until then, and re-check once;
         //  - LONG windows (quota-style scales ≫ the trigger, floor
         //    10 s): blocking would wedge the micro-batch for up to the
         //    whole scale and the old poll loop ran a Spark job every
@@ -254,9 +257,19 @@ class PipelineRunner(
         //    window can admit them — zero requeue churn while closed.
         val longScale = scale > math.max(4 * cfg.pollIntervalMs, 10000L)
         if (!longScale) {
+          // computed sleep: the window reopens when its oldest FOREIGN
+          // in-window entry expires (own replayed entries are excluded —
+          // they never count against this batch, so their expiry is
+          // irrelevant). The loop re-enters only if new foreign
+          // admissions landed while we slept, so a blocked batch costs
+          // ≤2 limit-log reads in the common case, not one per 100 ms.
           val waitDeadline = nowMs + scale
           while (allowed <= 0 && System.currentTimeMillis() < waitDeadline) {
-            Thread.sleep(math.min(100L, scale))
+            val now = System.currentTimeMillis()
+            val reopenMs = store.limitEarliestSince(cfg.limitKey,
+              now - scale, ownSuffix).map(_ + scale).getOrElse(now + 100L)
+            Thread.sleep(math.max(1L,
+              math.min(reopenMs, waitDeadline) - now + 1L))
             allowed = allowedNow()
           }
         }
