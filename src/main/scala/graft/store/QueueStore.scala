@@ -85,6 +85,30 @@ class QueueStore(val spark: SparkSession, val root: String) {
     if (hasData(dir)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Monotonic part-file FIFO discipline (SURVEY §7). Two carriers:
+    *
+    *  - NAMES: 13-digit zero-padded epoch-ms + 6-digit per-writer
+    *    sequence + uuid, so lexicographic name order == append order —
+    *    durable evidence that survives any mtime mangling (copies,
+    *    backup restores) and readable in a directory listing;
+    *  - MTIMES: each renamed part file is explicitly stamped with a
+    *    strictly increasing per-writer millisecond clock
+    *    (max(now, prev+1)), because the file-stream source orders a
+    *    micro-batch queue by modification time and breaks ties
+    *    arbitrarily — two appends inside one mtime granule would
+    *    otherwise drain in listing order. Forcing distinct stamps makes
+    *    FIFO deterministic per writer instead of resting on filesystem
+    *    timestamp granularity.
+    *
+    * Across concurrent writer JVMs inside one millisecond the order is
+    * arbitrary — the same within-batch reorder the reference permits. */
+  private val partSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val partClock = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def partName(id: String, i: Int): String =
+    f"part-${System.currentTimeMillis()}%013d-${partSeq.getAndIncrement()}%06d-$id-$i.parquet"
+  private def nextPartStampMs(): Long =
+    partClock.updateAndGet(prev => math.max(System.currentTimeMillis(), prev + 1))
+
   /** Collision-free append: write to a private staging dir, then move
     * the part files into the target under fresh unique names (rename is
     * atomic per file). A direct `mode("append")` is UNSAFE here — the
@@ -102,11 +126,12 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val parts = fs.listStatus(new Path(staging))
       .filter(f => f.getPath.getName.startsWith("part-"))
     parts.zipWithIndex.foreach { case (f, i) =>
-      val dest = new Path(target, s"part-$id-$i.parquet")
+      val dest = new Path(target, partName(id, i))
       // a silently failed rename (quota, concurrent delete, cross-FS)
       // would drop this file's rows from the table — surface it
       if (!fs.rename(f.getPath, dest))
         throw new java.io.IOException(s"append: rename ${f.getPath} -> $dest failed")
+      fs.setTimes(dest, nextPartStampMs(), -1)
     }
     fs.delete(new Path(staging), true)
   }
@@ -140,9 +165,10 @@ class QueueStore(val spark: SparkSession, val root: String) {
         fs.mkdirs(target)
         fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
           .zipWithIndex.foreach { case (f, i) =>
-            val dest = new Path(target, s"part-$id-$i.parquet")
+            val dest = new Path(target, partName(id, i))
             if (!fs.rename(f.getPath, dest))
               throw new java.io.IOException(s"append: rename ${f.getPath} -> $dest failed")
+            fs.setTimes(dest, nextPartStampMs(), -1)
           }
       }
     fs.delete(new Path(staging), true)

@@ -159,6 +159,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(api.pendingJobsCount() === 0)
   }
 
+  test("blocked short window sleeps once to the computed reopen — no 100ms poll (B2)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => Buffers.echo.add(args))
+    // instrumented store: every limit-log read (the Spark jobs the old
+    // poll loop issued every 100 ms) increments a counter
+    var countReads = 0
+    var earliestReads = 0
+    val store = new QueueStore(spark, TestSpark.tmpRoot("onesleep")) {
+      override def limitCountSince(key: String, sinceMs: Long,
+          excludeIdSuffix: Option[String]): Long = {
+        countReads += 1; super.limitCountSince(key, sinceMs, excludeIdSuffix)
+      }
+      override def limitEarliestSince(key: String, sinceMs: Long,
+          excludeIdSuffix: Option[String]): Option[Long] = {
+        earliestReads += 1; super.limitEarliestSince(key, sinceMs, excludeIdSuffix)
+      }
+    }
+    import spark.implicits._
+    // 10 foreign admissions 3.6 s ago fill the 10-slot / 5 s window:
+    // it reopens 1.4 s from now — knowable from the log, no polling
+    val t0 = System.currentTimeMillis()
+    store.limitLogAppend("sk",
+      (1 to 10).map(i => s"foreign$i").toDF("id"),
+      new java.sql.Timestamp(t0 - 3600))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("sq", (1 to 4).map(i => JobSpec("EchoWorker", args = s"[s$i]")))
+    val runner = new PipelineRunner(store,
+      PipelineConfig("sp", "sq", rateLimitCount = Some(10),
+        rateLimitScaleMs = Some(5000), rateLimitKey = Some("sk"),
+        pollIntervalMs = 100))
+    countReads = 0; earliestReads = 0
+    runner.processBatch(store.queueRows("sq"), 0)
+    val elapsed = System.currentTimeMillis() - t0
+    assert(Buffers.echo.size === 4) // admitted once the window reopened
+    assert(elapsed >= 1300, s"returned before the window reopened: $elapsed ms")
+    assert(elapsed < 4500, s"slept out the whole scale instead of the reopen: $elapsed ms")
+    // ≤2 limit-log reads per blocked batch: the pre-sleep count and the
+    // post-sleep re-check (+1 slack for an expiry race); the old loop
+    // issued one count per 100 ms — 14 for this window
+    assert(countReads <= 3, s"window recounted like a poll loop: $countReads reads")
+    assert(earliestReads <= 2, s"reopen recomputed: $earliestReads reads")
+  }
+
   test("group-by-class batching dispatches BulkEvents of batch_size (B3,B6)") {
     WorkerRegistry.registerBulk("BulkWorker", argsList => { Buffers.bulk.add(argsList); () })
     val store = new QueueStore(spark, TestSpark.tmpRoot("bulk"))
@@ -173,6 +215,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(chunks.forall(_.size === 2))
     assert(chunks.flatten.toSet === Set("[1]", "[2]", "[3]", "[4]"))
     assert(store.liveProcessing.count() === 0)
+  }
+
+  test("rapid enqueue batches drain FIFO: monotonic names + forced mtime stamps (E1)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => Buffers.echo.add(args))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("fifo"))
+    val api = new DefaultQueueApi(store)
+    (1 to 6).foreach(i => api.enqueue("fq", JobSpec("EchoWorker", args = s"[f$i]")))
+    val dir = new org.apache.hadoop.fs.Path(store.queueDir("fq"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
+    // (1) lexicographic NAME order == enqueue order (durable evidence)
+    val byName = files.sortBy(_.getPath.getName)
+    // (2) forced MTIME stamps strictly increase in that same order even
+    // when appends land inside one wall-clock granule — this is what the
+    // file-stream source actually sorts by, so FIFO no longer rests on
+    // filesystem timestamp granularity
+    val stamps = byName.map(_.getModificationTime).toSeq
+    assert(stamps === stamps.sorted && stamps.distinct.size === stamps.size,
+      s"part-file mtime stamps not strictly increasing: $stamps")
+    // (3) end-to-end: one file per trigger drains in enqueue order
+    val runner = new PipelineRunner(store,
+      PipelineConfig("fifo_p", "fq", maxDemand = 1, pollIntervalMs = 50))
+    val q = runner.start().get
+    try q.processAllAvailable() finally runner.stop()
+    assert(Buffers.echo.toArray.map(_.toString).toSeq ===
+      (1 to 6).map(i => s"[f$i]"))
   }
 
   test("batch_size multiplies fetch demand: demand counts BulkEvents (B4 multiplier)") {
