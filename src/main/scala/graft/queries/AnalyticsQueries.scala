@@ -512,6 +512,56 @@ object AnalyticsQueries {
       "NTILE spend quartiles per event_type over a user-level pre-aggregate."),
 
     QueryDef(
+      "q_funnel_3step",
+      (s, dir) => {
+        // Ordered-funnel analysis with a conversion window (signup →
+        // click within 24h → purchase within 24h of that click): the
+        // per-user stage depth, then one histogram row per stage.
+        // Scale shape: three min-aggregations keyed on user_id
+        // (map-side combinable) chained by user-key equi-joins — no
+        // window over raw events, no self-join on the event level;
+        // each stage's frame is user-sized, not event-sized. Strict >
+        // on µs timestamps keeps both engines' stage boundaries
+        // identical.
+        val W = 86400000000L // 24 h conversion window in µs
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+        val s1 = ev.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val s2 = ev.where(col("event_type") === "click")
+          .join(s1, "user_id")
+          .where(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + W)
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val s3 = ev.where(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .where(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + W)
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        s1.select(col("user_id"), lit(1).as("d"))
+          .unionAll(s2.select(col("user_id"), lit(2).as("d")))
+          .unionAll(s3.select(col("user_id"), lit(3).as("d")))
+          .groupBy("user_id").agg(max("d").as("funnel_stage"))
+          .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+          |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+          |  WHERE event_type = 'signup' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+          |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 86400000000
+          |  GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+          |  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000
+          |  GROUP BY e.user_id),
+          |d AS (SELECT user_id, 1 AS d FROM s1
+          |  UNION ALL SELECT user_id, 2 FROM s2
+          |  UNION ALL SELECT user_id, 3 FROM s3)
+          |SELECT CAST(MAXD AS INT) AS funnel_stage, COUNT(*) AS n_users FROM (
+          |  SELECT user_id, MAX(d) AS MAXD FROM d GROUP BY user_id)
+          |GROUP BY 1""".stripMargin),
+      "Ordered 3-step funnel (signup → click→24h → purchase→24h): per-user stage depth histogram."),
+
+    QueryDef(
       "q_range_join_clicks",
       (s, dir) => {
         // RANGE JOIN (interval join), binned: for each purchase, count

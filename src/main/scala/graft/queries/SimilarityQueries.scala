@@ -147,6 +147,54 @@ object SimilarityQueries {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Per-(vector, subspace, codeword) squared distances — the shared PQ
+    * primitive (codebook build + scoring): 64-dim vectors split into 8
+    * 8-dim subspaces, per-(subspace, label) exact-mean codebooks
+    * (broadcast, 80 rows), |sub − c|² via the dot identity. Consumed by
+    * sim_pq_adc_knn (linear code scan) and sim_ivfpq_knn (cell-pruned
+    * scan — the full IVF-PQ composite). */
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val subs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("label"), posexplode(
+        array((0 until 8).map(m => slice(col("e"), m * 8 + 1, 8)): _*))
+        .as(Seq("m", "sub")))
+      .cache() // shared: codebook build + assignment + query tables
+    val cb = subs
+      .select(col("label"), col("m"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("label").as("cw"), (col("pos") + 1).as("dim"))
+      .agg((sum(round(col("x") * 1000000000).cast(DecimalType(38, 0)))
+        .cast("double") / 1000000000 / count("*")).as("cv"))
+      .groupBy("m", "cw")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("m"), col("cw"),
+        transform(col("pairs"), p => p.getField("cv")).as("c"))
+    subs.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("cw"),
+        (dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("c")) +
+          dot(col("c"), col("c"))).as("d2"))
+  }
+
+  /** The PQ oracle CTE chain (assumes a `v` CTE is already defined):
+    * subspaces → codebooks → assignment scores → codes → per-query
+    * distance tables. */
+  private val PqCtes =
+    """subs AS (SELECT vec_id, label, m, list_slice(e, m*8+1, m*8+8) AS sub
+      |  FROM v, (SELECT unnest(range(0, 8)) AS m)),
+      |cbd AS (SELECT m, label AS cw, CAST(dim AS INT) AS dim,
+      |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS cv
+      |  FROM (SELECT vec_id, label, m, unnest(range(1, 9)) AS dim, unnest(sub) AS x FROM subs)
+      |  GROUP BY m, label, dim),
+      |cb AS (SELECT m, cw, list(cv ORDER BY dim) AS c FROM cbd GROUP BY m, cw),
+      |ascore AS (SELECT s.vec_id, s.m, cb.cw,
+      |  list_dot_product(sub, sub) - 2.0 * list_dot_product(sub, c) + list_dot_product(c, c) AS d2
+      |  FROM subs s JOIN cb ON s.m = cb.m),
+      |codes AS (SELECT vec_id, m, cw AS code FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cw) AS rk FROM ascore)
+      |  WHERE rk = 1),
+      |qd AS (SELECT vec_id AS query_id, m, cw, d2 FROM ascore WHERE vec_id < 20)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "sim_knn_bruteforce",
@@ -519,27 +567,9 @@ object SimilarityQueries {
         //     map-side-combinable min(struct) — no window over corpus;
         //   - ADC distances are integer sums of 1e-9-quantized
         //     per-subspace terms: bit-exact under any partial-agg order.
-        graft.functions.VectorFunctions.register(s)
-        val subs = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-          .select(col("vec_id"), col("label"), posexplode(
-            array((0 until 8).map(m => slice(col("e"), m * 8 + 1, 8)): _*))
-            .as(Seq("m", "sub")))
-          .cache() // shared: codebook build + assignment + query tables
-        val cb = subs
-          .select(col("label"), col("m"), posexplode(col("sub")).as(Seq("pos", "x")))
-          .groupBy(col("m"), col("label").as("cw"), (col("pos") + 1).as("dim"))
-          .agg((sum(round(col("x") * 1000000000).cast(DecimalType(38, 0)))
-            .cast("double") / 1000000000 / count("*")).as("cv"))
-          .groupBy("m", "cw")
-          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-          .select(col("m"), col("cw"),
-            transform(col("pairs"), p => p.getField("cv")).as("c"))
-        // |sub - c|² per (vector, subspace, codeword) via the dot identity
-        val scored = subs.join(broadcast(cb), "m")
-          .select(col("vec_id"), col("m"), col("cw"),
-            (dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("c")) +
-              dot(col("c"), col("c"))).as("d2"))
+        // |sub - c|² per (vector, subspace, codeword) via the dot
+        // identity — the shared pqScored primitive
+        val scored = pqScored(s, dir).cache()
         val codes = scored
           .groupBy("vec_id", "m")
           .agg(min(struct(col("d2"), col("cw"))).as("best"))
@@ -562,31 +592,83 @@ object SimilarityQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(
-        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-          |subs AS (SELECT vec_id, label, m, list_slice(e, m*8+1, m*8+8) AS sub
-          |  FROM v, (SELECT unnest(range(0, 8)) AS m)),
-          |cbd AS (SELECT m, label AS cw, CAST(dim AS INT) AS dim,
-          |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS cv
-          |  FROM (SELECT vec_id, label, m, unnest(range(1, 9)) AS dim, unnest(sub) AS x FROM subs)
-          |  GROUP BY m, label, dim),
-          |cb AS (SELECT m, cw, list(cv ORDER BY dim) AS c FROM cbd GROUP BY m, cw),
-          |ascore AS (SELECT s.vec_id, s.m, cb.cw,
-          |  list_dot_product(sub, sub) - 2.0 * list_dot_product(sub, c) + list_dot_product(c, c) AS d2
-          |  FROM subs s JOIN cb ON s.m = cb.m),
-          |codes AS (SELECT vec_id, m, cw AS code FROM (
-          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cw) AS rk FROM ascore)
-          |  WHERE rk = 1),
-          |qd AS (SELECT vec_id AS query_id, m, cw, d2 FROM ascore WHERE vec_id < 20),
-          |adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
-          |  CAST(SUM(CAST(ROUND(qd.d2 * 1000000000) AS BIGINT)) AS BIGINT) AS qdist
-          |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cw
-          |  WHERE codes.vec_id <> qd.query_id
-          |  GROUP BY 1, 2)
-          |SELECT query_id, neighbor_id, CAST(qdist AS DOUBLE)/1000000000 AS approx_dist2,
-          |  CAST(rk AS INT) AS rk FROM (
-          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rk
-          |  FROM adc) WHERE rk <= 5""".stripMargin),
+        s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |$PqCtes,
+           |adc AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+           |  CAST(SUM(CAST(ROUND(qd.d2 * 1000000000) AS BIGINT)) AS BIGINT) AS qdist
+           |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cw
+           |  WHERE codes.vec_id <> qd.query_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, CAST(qdist AS DOUBLE)/1000000000 AS approx_dist2,
+           |  CAST(rk AS INT) AS rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rk
+           |  FROM adc) WHERE rk <= 5""".stripMargin),
       "PQ (8 subspaces × per-label codebooks) + ADC code-scan top-5 — the compression half of IVF-PQ."),
+
+    QueryDef(
+      "sim_ivfpq_knn",
+      (s, dir) => {
+        // THE composite 100 TB ANN layout, both halves together: IVF
+        // cell pruning (nprobe=2 probe lists from the ranked centroid
+        // pass) bounds WHICH vectors are scored, PQ/ADC bounds WHAT is
+        // read per vector (8 one-byte codes + a broadcast distance
+        // table). The ADC scan that sim_pq_adc_knn runs linearly over
+        // the corpus here touches only code rows whose cell is probed —
+        // candidate generation is an equi-join on the cell key, so the
+        // plan scales with cell sizes, not corpus size.
+        val ranked = ivfRanked(s, dir)
+          .select(col("vec_id"), col("c_label"), col("rk")).cache()
+        val assigned = ranked.where(col("rk") === 1)
+          .select(col("vec_id").as("neighbor_id"), col("c_label").as("cell"))
+        val probes = ranked.where(col("vec_id") < 20 && col("rk") <= 2)
+          .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
+        // (query, neighbor) candidates: cell-bounded, duplicate-free
+        // (each corpus vector lives in exactly one cell)
+        val pairs = assigned.join(broadcast(probes), "cell")
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id")
+        val scored = pqScored(s, dir).cache()
+        val codes = scored
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d2"), col("cw"))).as("best"))
+          .select(col("vec_id").as("neighbor_id"), col("m"), col("best.cw").as("code"))
+        val qd = scored.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("m").as("qm"),
+            col("cw"), col("d2"))
+        val adc = pairs
+          .join(codes, "neighbor_id") // 8 code rows per candidate pair
+          .join(broadcast(qd),
+            col("query_id") === col("qid") && col("m") === col("qm") &&
+              col("code") === col("cw"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum(round(col("d2") * 1000000000).cast("long")).as("qdist"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("qdist").asc, col("neighbor_id").asc)
+        adc.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("query_id"), col("neighbor_id"),
+            (col("qdist").cast("double") / 1000000000).as("approx_dist2"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |qc AS (SELECT vec_id AS query_id, c_label AS cell FROM (
+           |  SELECT vec_id, c_label,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
+           |  FROM iscore WHERE vec_id < 20) WHERE rk <= 2),
+           |$PqCtes,
+           |prs AS (SELECT qc.query_id, a.vec_id AS neighbor_id FROM qc
+           |  JOIN assign a ON a.assigned = qc.cell AND a.vec_id <> qc.query_id),
+           |adc AS (SELECT p.query_id, p.neighbor_id,
+           |  CAST(SUM(CAST(ROUND(qd.d2 * 1000000000) AS BIGINT)) AS BIGINT) AS qdist
+           |  FROM prs p JOIN codes c ON c.vec_id = p.neighbor_id
+           |  JOIN qd ON qd.query_id = p.query_id AND qd.m = c.m AND qd.cw = c.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, CAST(qdist AS DOUBLE)/1000000000 AS approx_dist2,
+           |  CAST(rk AS INT) AS rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) AS rk
+           |  FROM adc) WHERE rk <= 5""".stripMargin),
+      "IVF-PQ composite: nprobe=2 cell pruning bounds the candidates, ADC code scan bounds the bytes per candidate."),
 
     QueryDef(
       "sim_label_centroid",
