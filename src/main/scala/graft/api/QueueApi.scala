@@ -70,9 +70,19 @@ class DefaultQueueApi(
     import spark.implicits._
     val at = now()
     val events = jobs.map(j => toEvent(queue, j, newJid(), at))
-    // one file per enqueue batch: preserves FIFO-by-file ordering and
-    // keeps the write a single-task job (driver-local rows)
-    store.append(store.queueDir(queue), events.toDF().coalesce(1), Schemas.event)
+    // one FILE per enqueue batch (FIFO-by-file ordering). Normal batches
+    // ride a single-task plan (coalesce pulls the driver rows into one
+    // task closure — the fast path: no shuffle, one job, one write).
+    // Only a multi-MB bulk load trades that for one shuffle:
+    // coalesce(1) would put the entire payload into a single task
+    // binary (serialized with the task, Spark warns past ~1 MiB and the
+    // driver pays the broadcast), while repartition(1) ships it as
+    // sliced map outputs. 4 MiB keeps the common enqueue path
+    // shuffle-free and caps the task binary where it starts to matter.
+    val estBytes = jobs.iterator.map(_.args.length + 200L).sum
+    val df = events.toDF()
+    val one = if (estBytes > (4L << 20)) df.repartition(1) else df.coalesce(1)
+    store.append(store.queueDir(queue), one, Schemas.event)
     // [queue, :enqueue] payload-size telemetry (manager.ex:23-27,45-49)
     handler.handle("enqueue", queue, Map(
       "count" -> jobs.size.toDouble,
