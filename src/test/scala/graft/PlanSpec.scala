@@ -162,6 +162,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
+  test("sim_ivfpq_knn prunes candidates by cell equi-join (no cartesian ADC scan)") {
+    val p = plan("sim_ivfpq_knn")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "probe lists / distance tables should broadcast:\n" + p)
+  }
+
+  test("q_funnel_3step chains user-keyed aggregations (no event-level self-join blowup)") {
+    val p = plan("q_funnel_3step")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$p")
+    assert(!p.toLowerCase.contains("window"),
+      "funnel must not window over raw events:\n" + p)
+  }
+
   test("s_interval_join stays an equi-join with a range filter (no BNLJ)") {
     val p = plan("s_interval_join")
     assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
