@@ -20,7 +20,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q1_pricing_summary", "t_unigram_logppl", "sim_ivf_assign",
     "sim_bucketed_pairs", "q_rollup_revenue", "q_topk_operator",
     "q_kmv_distinct", "q_rolling_avg", "t_seq_pack",
-    "q_ntile_quartiles", "dedup_rank_propagate")
+    "q_ntile_quartiles", "dedup_rank_propagate",
+    // round 4: two-level quantized codebooks under cell pruning,
+    // windowed long sums, min-agg funnel chain, demuxed byte sums
+    "sim_ivfpq_knn", "s_windowed_counts", "q_funnel_3step",
+    "mm_video_frames")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
