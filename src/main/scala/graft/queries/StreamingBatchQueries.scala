@@ -93,5 +93,37 @@ object StreamingBatchQueries {
            |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
            |  AND epoch_us(c.ts) <= epoch_us(p.ts)
            |  AND epoch_us(c.ts) >= epoch_us(p.ts) - $GapUs""".stripMargin),
-      "Stream-stream interval join (click→purchase window) run in batch mode."))
+      "Stream-stream interval join (click→purchase window) run in batch mode."),
+    QueryDef(
+    "s_dedup_first",
+    (s, dir) => {
+      // Cross-batch stateful dedup (flatMapGroupsWithState) under the
+      // oracle gate. Batch-mode flatMapGroupsWithState keeps the FIRST
+      // row per key in ITERATOR order — nondeterministic in general, so
+      // the fixture makes every copy of a jid byte-identical (all
+      // envelope fields are functions of the jid): whichever copy wins,
+      // the output row is the same, and DuckDB's DISTINCT is an exact
+      // oracle. events has ~400 rows per user, so each jid has many
+      // replayed copies.
+      import s.implicits._
+      import graft.model.GraftEvent
+      val replayed = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .map { r =>
+          val jid = r.getLong(0).toString
+          GraftEvent(
+            clazz = "DedupWorker", function = "perform",
+            queue = "dq", jid = jid, args = s"""["$jid"]""",
+            retry_count = 0,
+            enqueued_at = new java.sql.Timestamp(1704067200000L))
+        }
+      graft.streaming.StreamingAnalytics.dedupByJid(replayed)
+        .select(col("jid"), col("clazz"), col("queue"), col("args"))
+    },
+    Some(
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS jid,
+        |'DedupWorker' AS clazz, 'dq' AS queue,
+        |'["' || CAST(user_id AS VARCHAR) || '"]' AS args
+        |FROM events""".stripMargin),
+    "Stateful first-occurrence dedup (flatMapGroupsWithState) run in batch mode."))
 }
