@@ -79,9 +79,19 @@ class DefaultQueueApi(
     // driver pays the broadcast), while repartition(1) ships it as
     // sliced map outputs. 4 MiB keeps the common enqueue path
     // shuffle-free and caps the task binary where it starts to matter.
-    val estBytes = jobs.iterator.map(_.args.length + 200L).sum
+    // The shuffle does NOT preserve row order (reduce-side fetch order
+    // is arbitrary), so the shuffled path re-sorts on an explicit
+    // submission index before the write — within-batch FIFO holds on
+    // both paths (the reference's single RPUSH with N values).
+    val estBytes = jobs.iterator.map(j => j.args.length + 200L +
+      j.context.iterator.map { case (k, v) => k.length + v.length + 32L }.sum).sum
     val df = events.toDF()
-    val one = if (estBytes > (4L << 20)) df.repartition(1) else df.coalesce(1)
+    val one =
+      if (estBytes > (4L << 20)) {
+        import org.apache.spark.sql.functions.{col => c, monotonically_increasing_id}
+        df.withColumn("__seq", monotonically_increasing_id())
+          .repartition(1).sortWithinPartitions(c("__seq")).drop("__seq")
+      } else df.coalesce(1)
     store.append(store.queueDir(queue), one, Schemas.event)
     // [queue, :enqueue] payload-size telemetry (manager.ex:23-27,45-49)
     handler.handle("enqueue", queue, Map(

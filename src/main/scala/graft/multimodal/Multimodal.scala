@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * executor-side transforms (the Scala analog of `mapInPandas`: one
   * decoder instance per partition, rows streamed through it).
   *
-  * The actual codecs (JPEG decode, audio resample, video frame-sample)
-  * are STUBBED — this container has no media libraries — behind
-  * `Codec`, which is deterministic so the plumbing (schema, batching,
-  * partitioning) is fully testable. Swapping in a real decoder changes
-  * no Spark-side code.
+  * Every modality decodes REAL bytes with zero extra dependencies:
+  * images via the in-JDK ImageIO (ImageIoCodec), audio via the in-JDK
+  * javax.sound WAV parser (AudioWavCodec), video via the pure-JVM Y4M
+  * container demuxer (Y4mCodec). StubCodec remains only as the generic
+  * deterministic fake for plumbing tests; swapping codecs changes no
+  * Spark-side code.
   *
   * At 100 TB: payloads stay columnar in parquet (binary), metadata-only
   * queries never touch the bytes (column pruning), and decode cost is
@@ -40,9 +41,7 @@ object Multimodal {
   /** REAL image codec: decodes PNG/JPEG/GIF/BMP payload bytes with the
     * in-JDK javax.imageio (zero extra dependencies, headless-safe).
     * Returns (width, height, raster bands — i.e. channels); (-1,-1,-1)
-    * for payloads no installed reader understands. Replaces StubCodec
-    * for image columns; video keeps the stub demuxer (the JDK has no
-    * container demuxer). */
+    * for payloads no installed reader understands. */
   object ImageIoCodec extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       // NonFatal, not just IOException: ImageIO readers throw runtime
@@ -62,8 +61,7 @@ object Multimodal {
     * javax.sound.sampled (zero extra dependencies, headless-safe).
     * Returns (sample rate Hz, channels, PCM frame count) — callers
     * rename the generic meta columns; (-1,-1,-1) for payloads no
-    * installed reader understands. Video alone keeps the stub demuxer
-    * (the JDK ships image and audio codecs but no container demuxer). */
+    * installed reader understands. */
   object AudioWavCodec extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       try {
@@ -113,14 +111,20 @@ object Multimodal {
           }
         }
       } catch { case _: NumberFormatException => return null }
-      if (w <= 0 || h <= 0) return null
-      val frameSize =
-        if (cs.startsWith("420")) w * h * 3 / 2
-        else if (cs.startsWith("422")) w * h * 2
-        else if (cs.startsWith("444")) w * h * 3
-        else if (cs.startsWith("mono")) w * h
+      // dimension sanity bound (also the overflow guard): w*h*3 must
+      // stay far below Int.MaxValue, or a hostile header like
+      // "W50000 H50000" wraps frameSize NEGATIVE and the FRAME walk
+      // either never advances (infinite loop) or indexes below zero
+      // (kills the task) — a malformed payload must flag its row
+      if (w <= 0 || h <= 0 || w > 32768 || h > 32768) return null
+      val frameSizeL =
+        if (cs.startsWith("420")) w.toLong * h * 3 / 2
+        else if (cs.startsWith("422")) w.toLong * h * 2
+        else if (cs.startsWith("444")) w.toLong * h * 3
+        else if (cs.startsWith("mono")) w.toLong * h
         else return null
-      Array(w, h, frameSize, nl + 1)
+      if (frameSizeL <= 0 || frameSizeL > Int.MaxValue - 64) return null
+      Array(w, h, frameSizeL.toInt, nl + 1)
     }
 
     /** Exact (offset, length) of every frame's pixel data. Empty for a

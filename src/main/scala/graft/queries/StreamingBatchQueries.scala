@@ -108,7 +108,7 @@ object StreamingBatchQueries {
       import s.implicits._
       import graft.model.GraftEvent
       val replayed = Tables.t(s, dir, "events")
-        .select(col("user_id"), col("event_type"))
+        .select(col("user_id"))
         .map { r =>
           val jid = r.getLong(0).toString
           GraftEvent(

@@ -85,27 +85,25 @@ class QueueStore(val spark: SparkSession, val root: String) {
     if (hasData(dir)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Monotonic part-file FIFO discipline (SURVEY §7). Two carriers:
+  /** Monotonic part-file FIFO discipline (SURVEY §7). ONE strictly
+    * increasing per-writer millisecond stamp (max(now, prev+1), one
+    * atomic) drives BOTH carriers, so they can never contradict each
+    * other under concurrent appends:
     *
-    *  - NAMES: 13-digit zero-padded epoch-ms + 6-digit per-writer
-    *    sequence + uuid, so lexicographic name order == append order —
-    *    durable evidence that survives any mtime mangling (copies,
-    *    backup restores) and readable in a directory listing;
-    *  - MTIMES: each renamed part file is explicitly stamped with a
-    *    strictly increasing per-writer millisecond clock
-    *    (max(now, prev+1)), because the file-stream source orders a
-    *    micro-batch queue by modification time and breaks ties
-    *    arbitrarily — two appends inside one mtime granule would
-    *    otherwise drain in listing order. Forcing distinct stamps makes
-    *    FIFO deterministic per writer instead of resting on filesystem
-    *    timestamp granularity.
+    *  - NAMES: 13-digit zero-padded stamp + uuid — lexicographic name
+    *    order == stamp order == append order; durable evidence that
+    *    survives mtime mangling (copies, backup restores) and readable
+    *    in a directory listing;
+    *  - MTIMES: the file is explicitly re-stamped with the SAME value,
+    *    because the file-stream source orders a micro-batch queue by
+    *    modification time and breaks ties arbitrarily — two appends
+    *    inside one mtime granule would otherwise drain in listing
+    *    order. Forcing distinct stamps makes FIFO deterministic per
+    *    writer instead of resting on filesystem timestamp granularity.
     *
     * Across concurrent writer JVMs inside one millisecond the order is
     * arbitrary — the same within-batch reorder the reference permits. */
-  private val partSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val partClock = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def partName(id: String, i: Int): String =
-    f"part-${System.currentTimeMillis()}%013d-${partSeq.getAndIncrement()}%06d-$id-$i.parquet"
   private def nextPartStampMs(): Long =
     partClock.updateAndGet(prev => math.max(System.currentTimeMillis(), prev + 1))
 
@@ -126,12 +124,13 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val parts = fs.listStatus(new Path(staging))
       .filter(f => f.getPath.getName.startsWith("part-"))
     parts.zipWithIndex.foreach { case (f, i) =>
-      val dest = new Path(target, partName(id, i))
+      val stamp = nextPartStampMs()
+      val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")
       // a silently failed rename (quota, concurrent delete, cross-FS)
       // would drop this file's rows from the table — surface it
       if (!fs.rename(f.getPath, dest))
         throw new java.io.IOException(s"append: rename ${f.getPath} -> $dest failed")
-      fs.setTimes(dest, nextPartStampMs(), -1)
+      fs.setTimes(dest, stamp, -1)
     }
     fs.delete(new Path(staging), true)
   }
@@ -165,10 +164,11 @@ class QueueStore(val spark: SparkSession, val root: String) {
         fs.mkdirs(target)
         fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
           .zipWithIndex.foreach { case (f, i) =>
-            val dest = new Path(target, partName(id, i))
+            val stamp = nextPartStampMs()
+            val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")
             if (!fs.rename(f.getPath, dest))
               throw new java.io.IOException(s"append: rename ${f.getPath} -> $dest failed")
-            fs.setTimes(dest, nextPartStampMs(), -1)
+            fs.setTimes(dest, stamp, -1)
           }
       }
     fs.delete(new Path(staging), true)

@@ -139,6 +139,14 @@ class MultimodalSpec extends AnyFunSuite {
     // header-only stream (zero frames) is VALID
     assert(Multimodal.Y4mCodec.decode(
       "YUV4MPEG2 W6 H4 F25:1\n".getBytes("US-ASCII")) === ((6, 4, 0)))
+    // hostile dimensions must FLAG, not wrap frameSize negative (which
+    // would hang the FRAME walk or index below zero and kill the task)
+    assert(Multimodal.Y4mCodec.decode(
+      "YUV4MPEG2 W50000 H50000 F25:1\nFRAME\nxxxx".getBytes("US-ASCII")) === ((-1, -1, -1)))
+    assert(Multimodal.Y4mCodec.decode(
+      "YUV4MPEG2 W2 H2147483645 Cmono\nFRAME\n".getBytes("US-ASCII")) === ((-1, -1, -1)))
+    assert(Multimodal.Y4mCodec.decode(
+      "YUV4MPEG2 W-4 H4\n".getBytes("US-ASCII")) === ((-1, -1, -1)))
   }
 
   test("session windows: gap-based aggregation (streaming-native sessionization)") {

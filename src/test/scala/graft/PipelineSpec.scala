@@ -193,7 +193,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     val elapsed = System.currentTimeMillis() - t0
     assert(Buffers.echo.size === 4) // admitted once the window reopened
     assert(elapsed >= 1300, s"returned before the window reopened: $elapsed ms")
-    assert(elapsed < 4500, s"slept out the whole scale instead of the reopen: $elapsed ms")
+    // a full-scale sleep ends at processBatch-start + 5000 >= t0 + 5000,
+    // so anything under 4900 (measured from t0, BEFORE the setup jobs)
+    // proves the computed sleep; the margin absorbs slow setup
+    assert(elapsed < 4900, s"slept out the whole scale instead of the reopen: $elapsed ms")
     // ≤2 limit-log reads per blocked batch: the pre-sleep count and the
     // post-sleep re-check (+1 slack for an expiry race); the old loop
     // issued one count per 100 ms — 14 for this window
