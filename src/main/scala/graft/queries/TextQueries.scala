@@ -667,6 +667,60 @@ object TextQueries {
       "Boilerplate n-gram filter: corpus-frequent shingles broadcast back for per-doc ratios."),
 
     QueryDef(
+      "t_pii_scrub",
+      (s, dir) => {
+        // PII detection + redaction — the scrubbing stage every
+        // curation pipeline runs before training. The fixture corpus
+        // is synthetic words, so deterministic PII is INJECTED first
+        // (both engines build the identical string from doc_id), then
+        // detected and redacted with regexes kept inside the
+        // Java-regex ∩ RE2 common subset (no backrefs/lookarounds, so
+        // Spark and DuckDB match identically). Counts and the md5 of
+        // the redacted text are both oracle-checked — a missed match
+        // or over-redaction mismatches. Pure map: detect/replace fuses
+        // into the scan, zero shuffle at 100 TB.
+        val injected = t(s, dir, "documents").select(col("doc_id"), expr(
+          """CASE CAST(doc_id % 4 AS INT)
+            | WHEN 0 THEN concat(text, ' reach me at user',
+            |   CAST(doc_id AS STRING), '@mail.example.com now')
+            | WHEN 1 THEN concat(text, ' call 555-',
+            |   lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
+            | WHEN 2 THEN concat(text, ' see https://w',
+            |   CAST(doc_id AS STRING), '.example.org/page')
+            | ELSE text END""".stripMargin).as("raw"))
+        injected.select(
+          col("doc_id"),
+          expr("regexp_count(raw, '[a-z0-9.]+@[a-z0-9.]+')")
+            .cast("int").as("n_emails"),
+          expr("regexp_count(raw, '555-[0-9]{4}')").cast("int").as("n_phones"),
+          expr("regexp_count(raw, 'https://[a-z0-9./]+')")
+            .cast("int").as("n_urls"),
+          md5(expr(
+            """regexp_replace(regexp_replace(regexp_replace(raw,
+              | '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'),
+              | '555-[0-9]{4}', '<PHONE>'),
+              | 'https://[a-z0-9./]+', '<URL>')""".stripMargin))
+            .as("redacted_md5"))
+      },
+      Some(
+        """WITH inj AS (SELECT doc_id,
+          |  CASE CAST(doc_id % 4 AS INT)
+          |   WHEN 0 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+          |   WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+          |   WHEN 2 THEN text || ' see https://w' || CAST(doc_id AS VARCHAR) || '.example.org/page'
+          |   ELSE text END AS raw FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS INT) AS n_emails,
+          |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+          |  CAST(len(regexp_extract_all(raw, 'https://[a-z0-9./]+')) AS INT) AS n_urls,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+          |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+          |    '555-[0-9]{4}', '<PHONE>', 'g'),
+          |    'https://[a-z0-9./]+', '<URL>', 'g')) AS redacted_md5
+          |FROM inj""".stripMargin),
+      "PII scrub: regex detection + redaction of injected emails/phones/URLs (pure map)."),
+
+    QueryDef(
       "t_ttr",
       (s, dir) => {
         // Type-token ratio (lexical diversity) — a standard quality
