@@ -142,7 +142,11 @@ object Multimodal {
           return Seq.empty
         var nl = pos + FrameMarker.length
         while (nl < p.length && p(nl) != '\n'.toByte) nl += 1 // frame params
-        if (nl >= p.length || nl + 1 + frameSize > p.length) return Seq.empty
+        // bound check in Long: a near-Int.MaxValue frameSize (legal after
+        // the header guard, e.g. C422 W32768 H32767) plus a multi-KB
+        // header position wraps Int negative, passes the check, and the
+        // walk then indexes out of bounds instead of flagging malformed
+        if (nl >= p.length || nl.toLong + 1L + frameSize > p.length) return Seq.empty
         out += ((nl + 1, frameSize))
         pos = nl + 1 + frameSize
       }

@@ -121,8 +121,12 @@ class QueueStore(val spark: SparkSession, val root: String) {
       .write.mode("overwrite").parquet(staging)
     val target = new Path(dir)
     fs.mkdirs(target)
+    // listStatus order is not contractually sorted: stamp in part-index
+    // (name) order or a multi-part append's within-append FIFO would
+    // ride on listing order
     val parts = fs.listStatus(new Path(staging))
       .filter(f => f.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
       val stamp = nextPartStampMs()
       val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")
@@ -163,6 +167,7 @@ class QueueStore(val spark: SparkSession, val root: String) {
         val target = targetFor(value)
         fs.mkdirs(target)
         fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName) // same stamp-in-name-order contract as append()
           .zipWithIndex.foreach { case (f, i) =>
             val stamp = nextPartStampMs()
             val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")
