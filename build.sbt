@@ -32,10 +32,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is PINNED, not inherited: the round driver's environment exports
+// SPARK_DRIVER_MEM (observed 89 GiB), which floated maxHeapGb between
+// rounds and made bench numbers incomparable. 32g is generous for sf0.1
+// on local[32] and identical everywhere. GRAFT_HEAP is a deliberate
+// escape hatch the driver does not set.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("GRAFT_HEAP", "32g")}",
 )
 
 Test / parallelExecution := false

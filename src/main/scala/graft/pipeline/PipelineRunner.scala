@@ -59,8 +59,15 @@ class PipelineRunner(
     * vs the Redis flag (producer.ex:25-43 vs event.ex:41-55). */
   @volatile private var localOverride: Option[Boolean] = None
 
+  PipelineRunner.register(this)
+
   private def effectivelyPaused: Boolean =
     localOverride.getOrElse(store.isPaused(cfg.name))
+
+  /** No live query and no pause drain still stopping one — this runner
+    * cannot touch the state tables until a start()/resume(). */
+  private[pipeline] def isQuiet: Boolean =
+    query.isEmpty && !pendingStop.exists(_.isAlive)
 
   def start(): Option[StreamingQuery] = synchronized {
     if (effectivelyPaused) None
@@ -403,6 +410,32 @@ class PipelineRunner(
 /** Executor-side dispatch functions — kept on the companion object so
   * task closures capture nothing but the registry lookup. */
 object PipelineRunner extends Serializable {
+
+  // weakly-held registry of every runner constructed in this driver —
+  // single-driver ownership (SURVEY §2 E3) makes it authoritative for
+  // "is any pipeline touching the state tables right now". Weak so
+  // abandoned test/short-lived runners don't accumulate; all access
+  // goes through registryLock (WeakHashMap is not thread-safe).
+  @transient private lazy val registryLock = new Object
+  @transient private lazy val runners =
+    new java.util.WeakHashMap[PipelineRunner, java.lang.Boolean]()
+
+  private[pipeline] def register(r: PipelineRunner): Unit =
+    registryLock.synchronized { runners.put(r, java.lang.Boolean.TRUE); () }
+
+  /** Engine-level quiesce signal: true when no registered runner has a
+    * live streaming query OR an in-flight pause drain (a draining query
+    * can still be claiming/acking for up to one micro-batch). Gates
+    * auto-compaction — the state-table swap must never race a claim. */
+  def allQuiet: Boolean = {
+    val snap = registryLock.synchronized {
+      new java.util.ArrayList[PipelineRunner](runners.keySet())
+    }
+    val it = snap.iterator()
+    var quiet = true
+    while (quiet && it.hasNext) quiet = it.next().isQuiet
+    quiet
+  }
 
   /** Per-executor-JVM pool for timeout-guarded worker calls. Cached:
     * a hung (uninterruptible) worker strands its thread, but the next

@@ -61,6 +61,52 @@ object DedupQueries {
       .where(col("n") > 0)
   }
 
+  /** Eval-set decontamination: flag TRAIN docs that share any 3-gram
+    * shingle with a VAL/TEST doc (the t_split_assign hash rule —
+    * buckets >= 80 are held out), reporting the shared-shingle count
+    * and contamination fraction per train doc.
+    *
+    * Scale shape, SIZE-GATED (100 TB): real eval sets are tiny by
+    * construction, so the holdout's distinct shingles BROADCAST and
+    * the train side is one scan + map-local explode feeding a
+    * broadcast-hash join — no shuffle ever touches train shingles.
+    * But an unconditional broadcast turns a bloated holdout (e.g.
+    * decontaminating against another corpus slice) into an executor
+    * OOM, so the holdout is size-probed first — limit(max+1).count(),
+    * bounded and holdout-side only, with the probed frame persisted so
+    * the join reuses it — and above `broadcastMaxShingles` the join
+    * degrades to a sort-merge shuffle join instead of failing.
+    * n_shingles is computed row-locally (size of the distinct array)
+    * before the explode, so no corpus-sized count agg or join-back
+    * exists in the plan on either path. */
+  def decontaminate(s: SparkSession, dir: String,
+      broadcastMaxShingles: Int = 1000000): DataFrame = {
+    graft.functions.expr.TextExpressions.register(s)
+    val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(
+          call_function("graft_shingles3", split(col("text"), " "))).as("shs"))
+      .withColumn("bucket", bucket)
+    // persisted: the size probe and the join both consume it (Bench's
+    // per-query clearCache unpersists it between measurements)
+    val hold = base.where(col("bucket") >= 80)
+      .select(explode(col("shs")).as("s")).distinct()
+      .persist()
+    val fitsBroadcast =
+      hold.limit(math.min(broadcastMaxShingles.toLong + 1L, Int.MaxValue.toLong).toInt)
+        .count() <= broadcastMaxShingles
+    val holdSide = if (fitsBroadcast) broadcast(hold) else hold.hint("merge")
+    base.where(col("bucket") < 80)
+      .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+        explode(col("shs")).as("s"))
+      .join(holdSide, "s")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count("*").as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contam_frac"))
+  }
+
   private val ShingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -348,36 +394,7 @@ object DedupQueries {
 
     QueryDef(
       "dedup_decontaminate",
-      (s, dir) => {
-        // Eval-set decontamination: flag TRAIN docs that share any
-        // 3-gram shingle with a VAL/TEST doc (the t_split_assign hash
-        // rule — buckets >= 80 are held out), reporting the shared-
-        // shingle count and contamination fraction per train doc.
-        // Scale shape: the holdout side is the eval set — tiny by
-        // construction at 100 TB — so its distinct shingles BROADCAST
-        // and the train corpus is one scan + map-local explode with a
-        // broadcast-hash semi-join; no shuffle touches train shingles.
-        // n_shingles is computed row-locally (size of the distinct
-        // array) before the explode, so no corpus-sized count agg or
-        // join-back exists in the plan.
-        graft.functions.expr.TextExpressions.register(s)
-        val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
-        val base = t(s, dir, "documents")
-          .select(col("doc_id"),
-            array_distinct(
-              call_function("graft_shingles3", split(col("text"), " "))).as("shs"))
-          .withColumn("bucket", bucket)
-        val hold = base.where(col("bucket") >= 80)
-          .select(explode(col("shs")).as("s")).distinct()
-        base.where(col("bucket") < 80)
-          .select(col("doc_id"), size(col("shs")).as("n_shingles"),
-            explode(col("shs")).as("s"))
-          .join(broadcast(hold), "s")
-          .groupBy("doc_id", "n_shingles")
-          .agg(count("*").as("n_shared"))
-          .select(col("doc_id"), col("n_shared"), col("n_shingles"),
-            (col("n_shared").cast("double") / col("n_shingles")).as("contam_frac"))
-      },
+      (s, dir) => decontaminate(s, dir),
       Some(
         s"""$ShingleCte,
            |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

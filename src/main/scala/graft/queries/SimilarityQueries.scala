@@ -583,10 +583,14 @@ object SimilarityQueries {
               col("vec_id") =!= col("query_id"))
           .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
           .agg(sum(round(col("d2") * 1000000000).cast("long")).as("qdist"))
+        // TopKPerKey heap-prunes the candidate lists BEFORE any sort:
+        // at a 100× corpus the window form would sort every query's
+        // full candidate list; here the window only ranks ≤5 survivors.
+        val top = graft.plans.GraftOps.topKPerKey(
+          adc, Seq("query_id"), 5, "+qdist", "+neighbor_id")
         val w = Window.partitionBy("query_id")
           .orderBy(col("qdist").asc, col("neighbor_id").asc)
-        adc.withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 5)
+        top.withColumn("rk", row_number().over(w))
           .select(col("query_id"), col("neighbor_id"),
             (col("qdist").cast("double") / 1000000000).as("approx_dist2"),
             col("rk").cast("int").as("rk"))
@@ -642,10 +646,13 @@ object SimilarityQueries {
               col("code") === col("cw"))
           .groupBy("query_id", "neighbor_id")
           .agg(sum(round(col("d2") * 1000000000).cast("long")).as("qdist"))
+        // heap-pruned top-5 per query (TopKPerKey operator), window
+        // ranks only the survivors — no full candidate-list sort
+        val top = graft.plans.GraftOps.topKPerKey(
+          adc, Seq("query_id"), 5, "+qdist", "+neighbor_id")
         val w = Window.partitionBy("query_id")
           .orderBy(col("qdist").asc, col("neighbor_id").asc)
-        adc.withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 5)
+        top.withColumn("rk", row_number().over(w))
           .select(col("query_id"), col("neighbor_id"),
             (col("qdist").cast("double") / 1000000000).as("approx_dist2"),
             col("rk").cast("int").as("rk"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +15,50 @@ object TextQueries {
   import Tables.t
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** CCNet-style unigram-LM quality score: train a unigram model on
+    * the corpus (word → -log p), score each doc by its mean token
+    * negative log-likelihood — the classic perplexity filter proxy for
+    * training-data curation.
+    *
+    * Scale shape: the model is CAPPED at the top-`vocabCap` words
+    * (TakeOrderedAndProject — K-bounded, never a full vocab collect);
+    * every out-of-vocabulary token scores against a single OOV bucket
+    * holding the remaining probability mass. An UNCAPPED vocabulary
+    * broadcast grows with the corpus (open web ≈ billions of raw
+    * types) and eventually OOMs every executor — the cap makes the
+    * broadcast O(K) regardless of corpus size. The per-doc aggregation
+    * is a map-side-combinable (doc_id) shuffle of (long, count)
+    * partials. Determinism: each word's log-prob is quantized to a
+    * 1e-9 integer ONCE in the model (both engines compute ln on the
+    * identical exact-count ratio; top-K ties break on the word), so
+    * per-doc sums are integer arithmetic — bit-exact under any
+    * aggregation order. */
+  def unigramLogPpl(s: SparkSession, dir: String,
+      vocabCap: Int = 65536): DataFrame = {
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val freq = w.groupBy("word").agg(count("*").as("c"))
+    val tot = freq.agg(sum("c").as("t"))
+    val top = freq.orderBy(col("c").desc, col("word").asc).limit(vocabCap)
+    val model = top.crossJoin(broadcast(tot))
+      .select(col("word"),
+        round(log(col("c").cast("double") / col("t")) * 1000000000)
+          .cast("long").as("ql"))
+    // one-row OOV bucket: ln(residual mass / t); null when the cap
+    // doesn't bind (no OOV tokens exist, so it's never selected)
+    val oov = top.agg(sum("c").as("ck")).crossJoin(tot)
+      .select(round(log((col("t") - col("ck")).cast("double") / col("t"))
+        * 1000000000).cast("long").as("qloov"))
+    w.join(broadcast(model), Seq("word"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), coalesce(col("ql"), col("qloov")).as("ql"))
+      .groupBy("doc_id")
+      .agg(sum("ql").as("s"), count("*").cast("int").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-(col("s").cast("double") / 1000000000) / col("n_tokens"))
+          .as("avg_neg_logp"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -326,45 +371,26 @@ object TextQueries {
 
     QueryDef(
       "t_unigram_logppl",
-      (s, dir) => {
-        // CCNet-style unigram-LM quality score: train a unigram model
-        // on the corpus (word → -log p), score each doc by its mean
-        // token negative log-likelihood — the classic perplexity
-        // filter proxy for training-data curation. Scale shape: the
-        // model is vocabulary-sized and BROADCASTS into a map-side
-        // join against the exploded tokens; the per-doc aggregation is
-        // a map-side-combinable (doc_id) shuffle of (long, count)
-        // partials. Determinism: each word's log-prob is quantized to
-        // a 1e-9 integer ONCE in the model (both engines compute ln on
-        // the identical exact-count ratio), so per-doc sums are integer
-        // arithmetic — bit-exact under any aggregation order.
-        val w = t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val freq = w.groupBy("word").agg(count("*").as("c"))
-        val tot = freq.agg(sum("c").as("t"))
-        val model = freq.crossJoin(broadcast(tot))
-          .select(col("word"),
-            round(log(col("c").cast("double") / col("t")) * 1000000000)
-              .cast("long").as("ql"))
-        w.join(broadcast(model), "word")
-          .groupBy("doc_id")
-          .agg(sum("ql").as("s"), count("*").cast("int").as("n_tokens"))
-          .select(col("doc_id"), col("n_tokens"),
-            (-(col("s").cast("double") / 1000000000) / col("n_tokens"))
-              .as("avg_neg_logp"))
-      },
+      // vocabCap=16 binds BELOW the synthetic corpus's 31-word
+      // vocabulary on purpose: the oracle gate then exercises the OOV
+      // bucket end-to-end instead of testing a cap that never fires.
+      // Production corpora would pass the scale default (65536+).
+      (s, dir) => unigramLogPpl(s, dir, vocabCap = 16),
       Some(
         """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
           |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
           |tot AS (SELECT SUM(c) AS t FROM freq),
+          |top AS (SELECT word, c FROM freq ORDER BY c DESC, word LIMIT 16),
           |q AS (SELECT word, CAST(ROUND(ln(CAST(c AS DOUBLE) / t) * 1000000000) AS BIGINT) AS ql
-          |  FROM freq, tot),
-          |sc AS (SELECT doc_id, CAST(SUM(ql) AS BIGINT) AS s, COUNT(*) AS n
-          |  FROM w JOIN q USING (word) GROUP BY doc_id)
+          |  FROM top, tot),
+          |oov AS (SELECT CAST(ROUND(ln(CAST(t - (SELECT SUM(c) FROM top) AS DOUBLE) / t)
+          |    * 1000000000) AS BIGINT) AS qloov FROM tot),
+          |sc AS (SELECT doc_id, CAST(SUM(COALESCE(ql, qloov)) AS BIGINT) AS s, COUNT(*) AS n
+          |  FROM w LEFT JOIN q USING (word), oov GROUP BY doc_id)
           |SELECT doc_id, CAST(n AS INT) AS n_tokens,
           |  -(CAST(s AS DOUBLE) / 1000000000) / n AS avg_neg_logp
           |FROM sc""".stripMargin),
-      "Unigram-LM quality score: mean token -log p against a broadcast corpus model."),
+      "Unigram-LM quality score: mean token -log p against a broadcast top-K + OOV model."),
 
     QueryDef(
       "t_corpus_clean",

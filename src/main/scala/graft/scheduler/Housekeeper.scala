@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
 class Housekeeper(
     store: QueueStore,
     visibilityTimeoutMs: Long = 600000,
-    requeueBatchLimit: Int = 1000) {
+    requeueBatchLimit: Int = 1000,
+    autoCompactMinTombstones: Long = 10000,
+    quiesced: () => Boolean = () => graft.pipeline.PipelineRunner.allQuiet) {
 
   private var exec: Option[ScheduledExecutorService] = None
 
@@ -105,6 +107,8 @@ class Housekeeper(
           if (promoted > 0 || requeued > 0)
             graft.GraftLog.current.info("housekeeper tick",
               Map("promoted" -> promoted.toString, "requeued" -> requeued.toString))
+          if (maybeCompact())
+            graft.GraftLog.current.info("housekeeper auto-compaction ran")
         } catch {
           case _: InterruptedException => Thread.currentThread().interrupt()
           case t: Throwable =>
@@ -143,4 +147,17 @@ class Housekeeper(
     if (tombCount("scheduled") >= minTombstones)
       store.compactScheduled()
   }
+
+  /** Auto-compaction, called from the scheduled loop each tick: folds
+    * the state tables ONLY while the engine is quiesced (no live or
+    * draining pipeline query in this driver — the table swap must
+    * never race a claim/ack micro-batch; compaction never touches the
+    * streaming queue dirs regardless). Without this, long-running
+    * deployments grow the tombstone anti-join side unboundedly and
+    * every liveProcessing/liveScheduled read slows with it. Returns
+    * true when the quiesce gate was open and compaction was attempted
+    * (the per-table threshold still applies inside). */
+  def maybeCompact(): Boolean =
+    if (quiesced()) { compactStateTables(autoCompactMinTombstones); true }
+    else false
 }

@@ -122,11 +122,15 @@ class QueueStore(val spark: SparkSession, val root: String) {
     val target = new Path(dir)
     fs.mkdirs(target)
     // listStatus order is not contractually sorted: stamp in part-index
-    // (name) order or a multi-part append's within-append FIFO would
-    // ride on listing order
+    // order or a multi-part append's within-append FIFO would ride on
+    // listing order. Sort by the PARSED numeric index, not the name —
+    // Spark's %05d padding overflows at 100k parts in one write, where
+    // "part-100000" sorts lexicographically before "part-99999"
+    val partIdx = "part-(\\d+)".r
     val parts = fs.listStatus(new Path(staging))
       .filter(f => f.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
+      .sortBy(f => partIdx.findFirstMatchIn(f.getPath.getName)
+        .map(_.group(1).toLong).getOrElse(Long.MaxValue))
     parts.zipWithIndex.foreach { case (f, i) =>
       val stamp = nextPartStampMs()
       val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")

@@ -147,6 +147,15 @@ class MultimodalSpec extends AnyFunSuite {
       "YUV4MPEG2 W2 H2147483645 Cmono\nFRAME\n".getBytes("US-ASCII")) === ((-1, -1, -1)))
     assert(Multimodal.Y4mCodec.decode(
       "YUV4MPEG2 W-4 H4\n".getBytes("US-ASCII")) === ((-1, -1, -1)))
+    // near-max frameSize (C422 W32768 H32767 → 2147352512, legal after
+    // the header guard) + a ~132 KB FRAME params line: nl+1+frameSize
+    // exceeds Int.MaxValue, which the old Int-arithmetic bound check
+    // wrapped negative — the walk then indexed out of bounds instead of
+    // flagging the row. The Long-domain check must return malformed.
+    val hostile = ("YUV4MPEG2 W32768 H32767 C422\n" +
+      "FRAME " + ("X" * 132000) + "\n").getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(1)
+    assert(Multimodal.Y4mCodec.decode(hostile) === ((-1, -1, -1)))
   }
 
   test("session windows: gap-based aggregation (streaming-native sessionization)") {

@@ -189,14 +189,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
         rateLimitScaleMs = Some(5000), rateLimitKey = Some("sk"),
         pollIntervalMs = 100))
     countReads = 0; earliestReads = 0
-    runner.processBatch(store.queueRows("sq"), 0)
+    val rows = store.queueRows("sq")
+    val tPb = System.currentTimeMillis() // anchor INSIDE the sleep under test
+    runner.processBatch(rows, 0)
+    val inBatch = System.currentTimeMillis() - tPb
     val elapsed = System.currentTimeMillis() - t0
     assert(Buffers.echo.size === 4) // admitted once the window reopened
     assert(elapsed >= 1300, s"returned before the window reopened: $elapsed ms")
-    // a full-scale sleep ends at processBatch-start + 5000 >= t0 + 5000,
-    // so anything under 4900 (measured from t0, BEFORE the setup jobs)
-    // proves the computed sleep; the margin absorbs slow setup
-    assert(elapsed < 4900, s"slept out the whole scale instead of the reopen: $elapsed ms")
+    // The computed sleep ends at the window reopen (t0 + 1400); a
+    // full-scale sleep lasts the whole 5000 ms period measured from
+    // processBatch start. Bounding time spent INSIDE processBatch (not
+    // from t0) keeps slow setup Spark jobs from eating the margin —
+    // the old t0-anchored bound flaked on loaded machines.
+    assert(inBatch < 4900, s"slept out the whole scale instead of the reopen: $inBatch ms")
     // ≤2 limit-log reads per blocked batch: the pre-sleep count and the
     // post-sleep re-check (+1 slack for an expiry race); the old loop
     // issued one count per 100 ms — 14 for this window

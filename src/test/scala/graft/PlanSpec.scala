@@ -56,6 +56,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("dedup_decontaminate").contains("BroadcastHashJoin"))
   }
 
+  test("dedup_decontaminate size gate: oversize holdout plans a shuffle join, same results") {
+    // force the gate shut (threshold 0): the holdout no longer fits a
+    // broadcast, so the hold join must degrade to sort-merge instead of
+    // OOMing executors with an unconditional broadcast
+    val sm = graft.queries.DedupQueries.decontaminate(spark, sf, broadcastMaxShingles = 0)
+    val p = sm.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    val bc = graft.queries.DedupQueries.decontaminate(spark, sf)
+    assert(sm.except(bc).isEmpty, "shuffle path emitted extra rows")
+    assert(bc.except(sm).isEmpty, "shuffle path dropped rows")
+  }
+
+  // the ADC scans must end in the heap-pruning TopKPerKey operator,
+  // not a window sort over every candidate list
+  for (q <- Seq("sim_pq_adc_knn", "sim_ivfpq_knn"))
+    test(s"$q ranks candidates through TopKPerKeyExec") {
+      assert(plan(q).contains("TopKPerKey"), plan(q))
+    }
+
   // --- pushdown + pruning reach the parquet scan ---
 
   test("q1_pricing_summary scan reads only the five aggregated columns") {

@@ -128,6 +128,42 @@ class StoreApiSpec extends AnyFunSuite {
     assert(api.jobCounts(Seq("cq"))("cq") === 0)
   }
 
+  test("auto-compaction is pause-guarded: active pipeline defers, quiesced folds") {
+    import spark.implicits._
+    val store = new QueueStore(spark, TestSpark.tmpRoot("autocompact"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("acq", (1 to 20).map(i => JobSpec("W", args = s"[$i]")))
+    val claimed = store.queueRows("acq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
+    store.append(store.processingDir, claimed, store.processingSchema)
+    store.tombstone("processing",
+      store.liveProcessing.select(col("claim_id"), col("queue"))
+        .orderBy("claim_id").limit(15))
+    assert(spark.read.parquet(store.processingDir).count() === 20)
+
+    // the live query runs on a separate EMPTY queue: it must hold the
+    // quiesce gate shut by existing, without consuming the staged
+    // claims this test asserts on
+    graft.pipeline.WorkerRegistry.register("W", (_, _) => ())
+    val runner = new graft.pipeline.PipelineRunner(store,
+      graft.model.PipelineConfig("acp", "ac_idle", pollIntervalMs = 100))
+    // tombstones over threshold + ACTIVE pipeline → the quiesce gate
+    // stays shut and the table is untouched
+    val hk = new graft.scheduler.Housekeeper(store, autoCompactMinTombstones = 10)
+    val q = runner.start().get
+    try {
+      assert(!hk.maybeCompact(), "compacted under a live streaming query")
+      assert(spark.read.parquet(store.processingDir).count() === 20)
+    } finally { runner.stop(); q.awaitTermination(30000) }
+    // stopped (quiesced) → the same tick-path call folds, counts intact
+    assert(hk.maybeCompact(), "quiesced engine still deferred")
+    assert(spark.read.parquet(store.processingDir).count() === 5)
+    assert(store.liveProcessing.count() === 5)
+    assert(api.jobCounts(Seq("acq"))("acq") === 0) // folded history preserved
+  }
+
   test("interrupted compaction is recoverable (crash-safe swap)") {
     import spark.implicits._
     val store = new QueueStore(spark, TestSpark.tmpRoot("crash"))

@@ -11,6 +11,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingJsonSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // StateStore evidence across every micro-batch of a finished query:
+  // rows the watermark refused (late data) and state rows evicted
+  private def sumDropped(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+  private def sumRemoved(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+
+  /** Append `df` as one file and pin its mtime: FileStreamSource orders
+    * (and batches) files by modification time with ARBITRARY tie-break,
+    * so late-data tests that need "file A in batch 1, file B in batch 2"
+    * must stamp the order explicitly — a 100 ms sleep between writes
+    * proved insufficient on this filesystem. */
+  private def appendStamped(df: org.apache.spark.sql.DataFrame, dir: String,
+      mtimeMs: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
+      else Set.empty[String]
+    df.coalesce(1).write.mode("append").parquet(dir)
+    fs.listStatus(p).filterNot(s => before(s.getPath.toString))
+      .foreach(s => fs.setTimes(s.getPath, mtimeMs, -1))
+  }
+
   test("lenient JSON decode matches reference semantics (event.ex:60-89)") {
     import spark.implicits._
     val rows = Seq(
@@ -80,6 +104,166 @@ class StreamingJsonSpec extends AnyFunSuite {
     val streamed = spark.table("winout")
     assert(streamed.schema.fieldNames.toSeq ===
       Seq("window_start", "window_end", "event_type", "n", "total"))
+  }
+
+  test("windowedCounts drops late rows past the watermark and evicts closed-window state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("late").toString + "/data"
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // batch 1: 10 clicks inside window [00:00, 00:05) plus a sentinel
+    // 2 h ahead — after this batch the watermark stands at 1h50m,
+    // closing the click window
+    val early = (0 until 10).map(i =>
+      (new java.sql.Timestamp(base + i * 1000L), "click", 1.0))
+    val sentinel = Seq((new java.sql.Timestamp(base + 7200 * 1000L), "view", 1.0))
+    appendStamped(
+      (early ++ sentinel).toDF("ts", "event_type", "value"), dir, base)
+    // batch 2: an on-time spacer — the input-side late filter engages
+    // one batch AFTER the watermark advances (eviction engages first);
+    // this batch closes + emits the click window with n=10
+    appendStamped(
+      Seq((new java.sql.Timestamp(base + 7260 * 1000L), "view", 1.0))
+        .toDF("ts", "event_type", "value"), dir, base + 60000)
+    // batch 3: a click at 00:00:30 — 1h49m OLDER than the watermark
+    appendStamped(
+      Seq((new java.sql.Timestamp(base + 30 * 1000L), "click", 100.0))
+        .toDF("ts", "event_type", "value"), dir, base + 120000)
+
+    val src = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = StreamingAnalytics.windowedCounts(src, "5 minutes", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("lateout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // the closed window emitted WITHOUT the late row: n=10 and the
+    // late row's value=100 never entered the sum
+    val out = spark.table("lateout").where(col("event_type") === "click").collect()
+    assert(out.length === 1, spark.table("lateout").collect().mkString(","))
+    assert(out.head.getAs[Long]("n") === 10)
+    assert(out.head.getAs[Double]("total") === 10.0)
+    assert(sumDropped(q) >= 1, "late row was not dropped by the watermark")
+    assert(sumRemoved(q) >= 1, "closed-window state was not evicted")
+  }
+
+  test("sessionCounts on a stream: closed session emits, late row is dropped, state evicted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess").toString + "/data"
+    val base = 1704067200000L
+    // batch 1: user 1 burst (3 events over 2 min; 5-min gap → ONE
+    // session [00:00, 00:07)) + user 99 sentinel 2 h out that advances
+    // the watermark past the session end
+    val burst = Seq(0L, 60L, 120L).map(s =>
+      (new java.sql.Timestamp(base + s * 1000), 1L))
+    val sentinel = Seq((new java.sql.Timestamp(base + 7200 * 1000L), 99L))
+    appendStamped((burst ++ sentinel).toDF("ts", "user_id"), dir, base)
+    // batch 2: on-time spacer (extends user 99's open session only);
+    // closes + emits user 1's session — the late filter engages one
+    // batch after the watermark advances
+    appendStamped(
+      Seq((new java.sql.Timestamp(base + 7260 * 1000L), 99L)).toDF("ts", "user_id"),
+      dir, base + 60000)
+    // batch 3: late user-1 event inside the already-closed session
+    appendStamped(
+      Seq((new java.sql.Timestamp(base + 90 * 1000), 1L)).toDF("ts", "user_id"),
+      dir, base + 120000)
+
+    val src = spark.readStream.schema("ts timestamp, user_id long")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = StreamingAnalytics.sessionCounts(src, gap = "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sessout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // exactly user 1's session, counting the 3 pre-watermark events
+    // only; the sentinel's session never closes so never emits
+    val out = spark.table("sessout").collect()
+    assert(out.length === 1, out.mkString(","))
+    assert(out.head.getAs[Long]("user_id") === 1L)
+    assert(out.head.getAs[Long]("n_events") === 3)
+    assert(out.head.getAs[java.sql.Timestamp]("session_end").getTime
+      === base + (120 + 300) * 1000) // last event + gap, late row absent
+    assert(sumDropped(q) >= 1, "late session row was not dropped")
+    assert(sumRemoved(q) >= 1, "closed-session state was not evicted")
+  }
+
+  test("intervalJoin drops late rows past the watermark and evicts join state") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("lssl").toString + "/l"
+    val rdir = Files.createTempDirectory("lssr").toString + "/r"
+    val base = 1704067200000L
+    def row(id: Long, user: Long, offSec: Long, tpe: String) =
+      (user, id, new java.sql.Timestamp(base + offSec * 1000), tpe)
+    // L batch 1: click@0s (user 7) + sentinel (user 8, 2 h out);
+    // R: purchase@60s (user 7, joins the click) + sentinel (user 9).
+    // Both sides carry the 2 h sentinel so the GLOBAL watermark (min
+    // across sources) lands at 1h50m after batch 1.
+    appendStamped(Seq(row(1, 7, 0, "click"), row(3, 8, 7200, "click"))
+      .toDF("user_id", "event_id", "ts", "event_type"), ldir, base)
+    appendStamped(Seq(row(10, 7, 60, "purchase"), row(11, 9, 7200, "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type"), rdir, base)
+    // L batch 2: on-time spacer (user 8, no matching purchase) — the
+    // join's late filter engages one batch after the watermark advances
+    appendStamped(Seq(row(4, 8, 7260, "click"))
+      .toDF("user_id", "event_id", "ts", "event_type"), ldir, base + 60000)
+    // L batch 3: click@30s (user 7) — WOULD match purchase@60s, but is
+    // 1h49m older than the watermark → dropped before the join state
+    appendStamped(Seq(row(2, 7, 30, "click"))
+      .toDF("user_id", "event_id", "ts", "event_type"), ldir, base + 120000)
+
+    val schema = "user_id long, event_id long, ts timestamp, event_type string"
+    val l = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(ldir)
+    val r = spark.readStream.schema(schema).parquet(rdir)
+    val joined = StreamingAnalytics.intervalJoin(l, r, maxGapSec = 1800)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("latejoin").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // only the on-time pair: the late click produced NO new match
+    val pairs = spark.table("latejoin")
+      .collect().map(r0 => (r0.getAs[Long]("l_id"), r0.getAs[Long]("r_id"))).sorted
+    assert(pairs.toSeq === Seq((1L, 10L)), pairs.mkString(","))
+    assert(sumDropped(q) >= 1, "late join row was not dropped")
+    // click@0 / purchase@60 are > gap behind the watermark → buffered
+    // join state for them must have been evicted
+    assert(sumRemoved(q) >= 1, "join state was not evicted")
+  }
+
+  test("dedupByJid evicts state on processing-time timeout (replay re-admitted)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dedupevict").toString
+    val at = new java.sql.Timestamp(System.currentTimeMillis())
+    def ev(jid: String) = GraftEvent("W", "perform", "q", jid, "[]", 0, at)
+    Seq(ev("a")).toDF().coalesce(1).write.mode("append").parquet(dir)
+
+    val src = spark.readStream.schema(graft.model.Schemas.event)
+      .parquet(dir).as[GraftEvent]
+    val deduped = StreamingAnalytics.dedupByJid(src, stateTimeout = Some("500 milliseconds"))
+    // ProcessingTime trigger (not AvailableNow): the timeout needs the
+    // query ticking between data batches to fire the eviction. NOTE:
+    // with a processing-time timeout the engine always schedules
+    // another batch, so processAllAvailable() would never return —
+    // every synchronization below is result-polling instead.
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedupevict").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      def outCount(): Long = spark.table("dedupevict").count()
+      def awaitUntil(cond: () => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!cond() && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(cond(), what)
+      }
+      awaitUntil(() => outCount() == 1, "first occurrence not emitted")
+      // the state row times out and is REMOVED in a no-data batch
+      awaitUntil(() => sumRemoved(q) >= 1, "jid state was not evicted by the timeout")
+      // behavioral proof of eviction: the same jid now passes dedup again
+      Seq(ev("a")).toDF().coalesce(1).write.mode("append").parquet(dir)
+      awaitUntil(() => outCount() == 2,
+        "replay after eviction should re-admit a second 'a'")
+    } finally q.stop()
+    val jids = spark.table("dedupevict").select("jid").as[String].collect()
+    assert(jids.toSeq === Seq("a", "a"), jids.mkString(","))
   }
 
   test("stream-stream interval join pairs events within the gap (state-bounded)") {
