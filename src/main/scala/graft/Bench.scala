@@ -27,13 +27,15 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
-    // Best-of-2 per query: a single cold pass is hostage to GC pauses,
+    // Best-of-N per query: a single cold pass is hostage to GC pauses,
     // page-cache state, and background load — identical code swung
     // individual queries 6-10x across round drivers. The min of two
-    // back-to-back runs is the steady-state number the plan earns.
-    // clearCache between runs keeps each measurement standalone (queries
-    // cache stage-shared frames internally), so run 2 re-executes the
-    // full plan rather than riding run 1's cache.
+    // back-to-back runs is the steady-state number the plan earns; when
+    // even those two disagree by >1.5x (sub-second queries racing GC) a
+    // third sample settles it. clearCache between runs keeps each
+    // measurement standalone (queries cache stage-shared frames
+    // internally), so every repeat re-executes the full plan rather
+    // than riding the previous run's cache.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -42,7 +44,16 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> math.min(once(), once())
+      val (t1, t2) = (once(), once())
+      // third sample when the two disagree (>1.5x) or the query sits in
+      // the sub-second noise floor where scheduler/GC jitter dominates
+      val needThird =
+        math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9) > 1.5 ||
+          math.min(t1, t2) < 1.0
+      val best =
+        if (needThird) math.min(math.min(t1, t2), once())
+        else math.min(t1, t2)
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

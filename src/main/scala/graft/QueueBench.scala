@@ -113,7 +113,9 @@ object QueueBench {
       val promoted = hk.promoteDue(System.currentTimeMillis())
       promoted / ((System.nanoTime() - t4) / 1e9)
     }
-    val promoteRate = math.max(promoteOnce(), promoteOnce())
+    // best-of-3: promotion is one short Spark job whose wall time rides
+    // GC/committer noise — two samples still disagreed up to 1.6x
+    val promoteRate = Seq(promoteOnce(), promoteOnce(), promoteOnce()).max
 
     (enqueueRates ++ Seq(
       "pipeline_jobs_per_sec" -> processed / dtPipe,

@@ -75,6 +75,16 @@ class PlanSpec extends AnyFunSuite {
       assert(plan(q).contains("TopKPerKey"), plan(q))
     }
 
+  test("t_unigram_logppl model is K-bounded and broadcast") {
+    val p = plan("t_unigram_logppl")
+    // the top-K vocab selection must plan as TakeOrderedAndProject
+    // (bounded by K, never a full vocab sort/collect) and the model +
+    // OOV bucket must reach the token join as broadcasts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join in:\n" + p)
+  }
+
   // --- pushdown + pruning reach the parquet scan ---
 
   test("q1_pricing_summary scan reads only the five aggregated columns") {
