@@ -32,18 +32,42 @@ class GraftEngine(
   val store = new QueueStore(spark, root)
   val api: QueueApi = new DefaultQueueApi(store, handler)
   val housekeeper = new Housekeeper(store,
-    engineConfig.visibilityTimeoutMs)
+    engineConfig.visibilityTimeoutMs,
+    autoCompactMinTombstones = engineConfig.autoCompactMinTombstones)
   private val runners: Map[String, PipelineRunner] =
     pipelines.map(c =>
       c.name -> new PipelineRunner(store, c, engineConfig, handler)).toMap
   private var listener: Option[PipelineListener] = None
+  private var maintExec: Option[java.util.concurrent.ScheduledExecutorService] = None
 
-  /** Boot: telemetry, housekeeping loop, then every non-paused
-    * pipeline (paused-state restore, pipeline/event.ex:32-39). */
+  /** Boot: telemetry, housekeeping loop, every non-paused pipeline
+    * (paused-state restore, pipeline/event.ex:32-39), then the deep-
+    * maintenance cadence (maintenanceIntervalMs > 0) — without it a
+    * long-running deployment's queue dirs grow the streaming source's
+    * per-trigger listing cost unboundedly. The scheduled pass gates its
+    * compaction leg on engine quiesce; the archive/prune/fold legs are
+    * live-safe by construction (see maintenance()). */
   def start(): Unit = synchronized {
     listener = Some(Instrumentation.attach(spark, handler))
     housekeeper.start(engineConfig.schedulerIntervalMs)
     runners.values.foreach(_.start())
+    if (engineConfig.maintenanceIntervalMs > 0 && maintExec.isEmpty) {
+      val e = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+      })
+      e.scheduleWithFixedDelay(() => {
+        // swallow-and-log: an escaped throwable would silently cancel
+        // every future pass (same contract as the housekeeper loop)
+        try { maintenance(gateCompaction = true); () }
+        catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case t: Throwable =>
+            graft.GraftLog.current.error(s"maintenance pass failed: $t")
+        }
+      }, engineConfig.maintenanceIntervalMs, engineConfig.maintenanceIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      maintExec = Some(e)
+    }
   }
 
   def pause(name: String, opts: ControlOptions = ControlOptions()): Unit =
@@ -74,7 +98,8 @@ class GraftEngine(
       archiveOlderThanMs: Long = 600000,
       limitLogOlderThanMs: Long = 3600000,
       minTombstones: Long = 10000,
-      claimFoldOlderThanMs: Long = 3600000): (Long, Long) = {
+      claimFoldOlderThanMs: Long = 3600000,
+      gateCompaction: Boolean = false): (Long, Long) = {
     val archived =
       store.archiveConsumedAll(pipelines.map(_.queue).distinct, archiveOlderThanMs)
     // never prune entries a configured admission window could still
@@ -82,7 +107,13 @@ class GraftEngine(
     val maxScale = pipelines.flatMap(_.rateLimitScaleMs)
       .maxOption.getOrElse(0L)
     val pruned = store.pruneLimitLogs(math.max(limitLogOlderThanMs, 2 * maxScale))
-    housekeeper.compactStateTables(minTombstones)
+    // manual callers promise a quiet period (the documented contract);
+    // the SCHEDULED pass can't, so it defers compaction to a tick where
+    // the engine is quiesced. Archive/prune/fold stay live-safe: the
+    // archiver moves only fully-acked files the source skips via
+    // ignoreMissingFiles, and the fold blocks on still-live files.
+    if (gateCompaction) housekeeper.maybeCompact()
+    else housekeeper.compactStateTables(minTombstones)
     // fold AFTER compaction: compactProcessing clears the acked rows
     // that would otherwise block tombstone files from folding. The
     // fold horizon is clamped to 2× the archive horizon: the archiver
@@ -95,6 +126,13 @@ class GraftEngine(
   }
 
   def stop(): Unit = synchronized {
+    maintExec.foreach { e =>
+      e.shutdown() // graceful: let a mid-flight pass finish its moves
+      if (!e.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)) {
+        e.shutdownNow(); ()
+      }
+    }
+    maintExec = None
     runners.values.foreach(_.stop())
     housekeeper.stop()
     listener.foreach(spark.streams.removeListener)

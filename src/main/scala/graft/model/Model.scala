@@ -78,7 +78,13 @@ case class EngineConfig(
     backoffMaxMs: Long = 10000,
     visibilityTimeoutMs: Long = 600000,
     schedulerIntervalMs: Long = 10000,
-    dispatchTimeoutMs: Long = 10000)
+    dispatchTimeoutMs: Long = 10000,
+    // deep-maintenance cadence (archive consumed queue files, prune
+    // limit logs, quiesce-gated compaction, claim fold); 0 = manual-only
+    maintenanceIntervalMs: Long = 600000,
+    // tombstone count above which the quiesce-gated passes fold the
+    // state tables
+    autoCompactMinTombstones: Long = 10000)
 
 /** Exponential backoff: min(round(initial * count * 1.5), max)
   * (lib/flume/queue/backoff.ex:6-16). */

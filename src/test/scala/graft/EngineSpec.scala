@@ -43,6 +43,35 @@ class EngineSpec extends AnyFunSuite {
     } finally engine.stop()
   }
 
+  test("scheduled maintenance gates compaction on engine quiesce") {
+    Buffers.clear(); WorkerRegistry.clear()
+    WorkerRegistry.register("GWorker", (_, _) => ())
+    val engine = GraftEngine(spark, TestSpark.tmpRoot("maint_gate"),
+      Seq(PipelineConfig("g_p", "gq", pollIntervalMs = 100)),
+      graft.model.EngineConfig(
+        autoCompactMinTombstones = 0, // every gated pass may fold
+        schedulerIntervalMs = 60000, // keep the housekeeper tick out of the window
+        maintenanceIntervalMs = 0)) // drive the gated pass by hand
+    engine.start()
+    try {
+      engine.api.bulkEnqueue("gq", (1 to 10).map(i => JobSpec("GWorker", args = s"[$i]")))
+      engine.processAllAvailable()
+      val claims = spark.read.parquet(engine.store.processingDir).count()
+      assert(claims >= 10)
+      // LIVE pipeline: the scheduled pass's compaction leg must defer
+      // (archive/prune/fold horizons at defaults — nothing else moves)
+      engine.maintenance(gateCompaction = true)
+      assert(spark.read.parquet(engine.store.processingDir).count() === claims,
+        "gated maintenance compacted under a live query")
+      // drained + paused: the same pass now folds the acked claims
+      engine.pauseAll(graft.pipeline.ControlOptions(async = false,
+        timeoutMs = graft.pipeline.ControlOptions.Infinity))
+      engine.maintenance(gateCompaction = true)
+      assert(spark.read.parquet(engine.store.processingDir).count() === 0)
+      assert(engine.jobCounts()("gq") === 0) // folded history preserved
+    } finally engine.stop()
+  }
+
   test("aggressive maintenance during a live pipeline loses nothing") {
     Buffers.clear(); WorkerRegistry.clear()
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()

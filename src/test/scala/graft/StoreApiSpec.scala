@@ -162,6 +162,15 @@ class StoreApiSpec extends AnyFunSuite {
     assert(spark.read.parquet(store.processingDir).count() === 5)
     assert(store.liveProcessing.count() === 5)
     assert(api.jobCounts(Seq("acq"))("acq") === 0) // folded history preserved
+    // PAUSED (drained, not stopped) also opens the gate: pause claims
+    // the query and the drain completes synchronously here
+    val q2 = runner.start().get
+    try {
+      assert(!hk.maybeCompact(), "compacted under the restarted query")
+      runner.pause(graft.pipeline.ControlOptions(async = false,
+        timeoutMs = graft.pipeline.ControlOptions.Infinity))
+      assert(hk.maybeCompact(), "paused-and-drained engine still deferred")
+    } finally { runner.stop(); q2.awaitTermination(30000) }
   }
 
   test("interrupted compaction is recoverable (crash-safe swap)") {
