@@ -24,7 +24,9 @@ class DeterminismSpec extends AnyFunSuite {
     // round 4: two-level quantized codebooks under cell pruning,
     // windowed long sums, min-agg funnel chain, demuxed byte sums
     "sim_ivfpq_knn", "s_windowed_counts", "q_funnel_3step",
-    "mm_video_frames")
+    "mm_video_frames",
+    // round 6: size-probed holdout join + per-doc shared-shingle counts
+    "dedup_decontaminate")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
