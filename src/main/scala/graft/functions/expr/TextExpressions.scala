@@ -155,6 +155,78 @@ case class SimHash16(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Word 2-gram shingles: ["a","b","c"] → ["a b", "b c"]; empty for <2
+  * words (matches the oracle's range(len-1) which is empty there —
+  * NOT the interpreted sequence(0, size-2) form, whose descending
+  * sequence on 1-word docs yields null-element garbage). */
+case class Shingles2(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles2 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    if (n < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        out(i) = UTF8String.concatWs(UTF8String.fromString(" "),
+          words.getUTF8String(i), words.getUTF8String(i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Count of the most frequent element in a string array (null for an
+  * empty array, matching array_max over no elements). One hash pass —
+  * replaces the interpreted O(distinct × n)
+  * array_max(transform(array_distinct(gs), g -> size(filter(gs, = g))))
+  * composition on the repetition-filter hot path. */
+case class MaxFreq(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"maxfreq expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val counts = new java.util.HashMap[UTF8String, java.lang.Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val k = xs.getUTF8String(i)
+      val prev = counts.get(k)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(k, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object TextExpressions {
   /** Register SQL-callable forms once per session; idempotent.
     * graft_minhash4 = 4 bands of 8 hex chars at offsets 1/9/17/25. */
@@ -162,8 +234,12 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles3", exprs => Shingles3(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles2", exprs => Shingles2(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash4", exprs => MinHashBands(exprs.head, Seq(1, 9, 17, 25), 8), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash16", exprs => SimHash16(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_maxfreq", exprs => MaxFreq(exprs.head), "built-in")
   }
 }

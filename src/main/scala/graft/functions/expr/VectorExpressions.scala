@@ -117,6 +117,43 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L2 normalization in one native pass: out[i] = x[i] / sqrt(Σ x[j]²),
+  * the sum folded ascending — bit-identical to the previous
+  * sqrt(graft_dot(e,e)) + interpreted `transform(e, x / nrm)`
+  * composition (and to the oracle's list_transform over
+  * list_dot_product), but one JVM call per row instead of an
+  * interpreted lambda eval per ELEMENT. Used by unitEmb, the shared
+  * scan under every cosine-based similarity query. CodegenFallback at
+  * the row level: the loop body dwarfs one virtual call, and
+  * array-returning codegen buys nothing here. */
+case class UnitVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_unit expects array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = x.getDouble(i) / nrm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object VectorExpressions {
   /** Register the SQL-callable forms once per session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -124,5 +161,7 @@ object VectorExpressions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_unit", exprs => UnitVector(exprs.head), "built-in")
   }
 }

@@ -29,14 +29,14 @@ import org.apache.spark.sql.types.DecimalType
 object SimilarityQueries {
   import Tables.t
 
-  /** L2-normalized embeddings: one scan, norm computed once per row. */
+  /** L2-normalized embeddings: one scan, one native pass per row
+    * (UnitVector — same ascending fold + divide as the previous
+    * norm-column + interpreted transform, bit-identical results). */
   private def unitEmb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", norm(col("e")))
       .select(col("vec_id"), col("label"),
-        transform(col("e"), x => x / col("nrm")).as("u"))
+        call_function("graft_unit", asDouble(col("embedding"))).as("u"))
   }
 
   private val UnitCte =

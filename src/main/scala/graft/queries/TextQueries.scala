@@ -482,19 +482,23 @@ object TextQueries {
         // is O(g²) in the doc's OWN bigram list (bounded by doc length,
         // not corpus size), which beats a corpus-wide explode+groupBy
         // whose (doc_id, gram) shuffle would dwarf the scan.
-        t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(col("doc_id"),
-            expr("transform(sequence(0, size(ws) - 2), i -> ws[i] || ' ' || ws[i + 1])").as("gs"))
-          .select(
-            col("doc_id"),
-            size(col("gs")).as("n_bigrams"),
-            size(array_distinct(col("gs"))).as("n_distinct"),
-            expr("array_max(transform(array_distinct(gs), g -> size(filter(gs, x -> x = g))))")
-              .as("top_bigram_n"))
-          .withColumn("dup_frac",
-            lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
-          .withColumn("is_repetitive", (col("dup_frac") > 0.2).cast("int")),
+        {
+          graft.functions.expr.TextExpressions.register(s)
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              call_function("graft_shingles2", split(col("text"), " ")).as("gs"))
+            .select(
+              col("doc_id"),
+              size(col("gs")).as("n_bigrams"),
+              size(array_distinct(col("gs"))).as("n_distinct"),
+              // native one-hash-pass max bigram frequency — the
+              // interpreted array_max(transform(distinct, g ->
+              // size(filter(= g)))) form was O(distinct × n) per doc
+              call_function("graft_maxfreq", col("gs")).as("top_bigram_n"))
+            .withColumn("dup_frac",
+              lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+            .withColumn("is_repetitive", (col("dup_frac") > 0.2).cast("int"))
+        },
       Some(
         """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |g AS (SELECT doc_id,
