@@ -154,6 +154,59 @@ case class UnitVector(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Int8 symmetric scalar quantization in one native pass: returns
+  * struct(scale = max |x|, r = round(x / scale * 127) * scale / 127)
+  * — the reconstruction the sq8 error query scores. round matches
+  * Spark's (and DuckDB's) HALF_UP exactly: BigDecimal.valueOf +
+  * setScale(0, HALF_UP), NaN/Infinity passed through — bit-identical
+  * to the previous array_max(transform(abs)) + interpreted per-element
+  * round composition. */
+case class Sq8Recon(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = new org.apache.spark.sql.types.StructType()
+    .add("scale", DoubleType, nullable = true)
+    .add("r", ArrayType(DoubleType, containsNull = false), nullable = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8 expects array<double>, got ${other.simpleString}")
+  }
+
+  private def roundHalfUp(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])))
+    var scale = x.getDouble(0).abs
+    var i = 1
+    // same NaN-is-greatest semantics as array_max over abs
+    while (i < n) {
+      val v = x.getDouble(i).abs
+      if (java.lang.Double.compare(v, scale) > 0) scale = v
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = roundHalfUp(x.getDouble(i) / scale * 127) * scale / 127
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object VectorExpressions {
   /** Register the SQL-callable forms once per session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -163,5 +216,7 @@ object VectorExpressions {
       "graft_hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_unit", exprs => UnitVector(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8", exprs => Sq8Recon(exprs.head), "built-in")
   }
 }

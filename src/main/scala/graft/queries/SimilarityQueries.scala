@@ -530,9 +530,11 @@ object SimilarityQueries {
         graft.functions.VectorFunctions.register(s)
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-          .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
-          .withColumn("r", transform(col("e"),
-            x => round(x / col("scale") * 127) * col("scale") / 127))
+          // native one-pass quantize+reconstruct (Sq8Recon) — was an
+          // interpreted per-element transform for scale AND codes
+          .withColumn("sr", call_function("graft_sq8", col("e")))
+          .select(col("vec_id"), col("e"),
+            col("sr.scale").as("scale"), col("sr.r").as("r"))
         e.select(col("vec_id"), col("scale"),
           (dot(col("e"), col("r")) /
             (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("r"), col("r")))))
