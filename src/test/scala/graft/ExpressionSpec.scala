@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case pins for the native expressions. The oracle gate proves
+  * corpus-path parity, but the synthetic corpus contains no empty
+  * arrays, 1-word docs, or zero vectors — these inputs only ever show
+  * up in production data, so their behavior is pinned here. */
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("shingles2: empty for <2 words, space-joined pairs otherwise") {
+    import spark.implicits._
+    graft.functions.expr.TextExpressions.register(spark)
+    def gs(words: Seq[String]): Seq[String] =
+      one[scala.collection.Seq[String]](Seq(words).toDF("ws")
+        .select(call_function("graft_shingles2", col("ws")))).toSeq
+    assert(gs(Nil) === Nil)
+    assert(gs(Seq("a")) === Nil) // NOT the sequence(0,-1) null garbage
+    assert(gs(Seq("a", "b")) === Seq("a b"))
+    assert(gs(Seq("a", "b", "c")) === Seq("a b", "b c"))
+  }
+
+  test("maxfreq: null on empty, exact count under ties and runs") {
+    import spark.implicits._
+    graft.functions.expr.TextExpressions.register(spark)
+    def mf(xs: Seq[String]): Any =
+      Seq(xs).toDF("xs").select(call_function("graft_maxfreq", col("xs")))
+        .collect().head.get(0)
+    assert(mf(Nil) === null) // matches array_max over no elements
+    assert(mf(Seq("a")) === 1)
+    assert(mf(Seq("a", "b", "a", "b")) === 2) // tie — count, not element
+    assert(mf(Seq("x", "x", "x", "y")) === 3)
+  }
+
+  test("unit vector: normalized, empty passthrough, zero vector → NaN (as before)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    def u(xs: Seq[Double]): Seq[Double] =
+      one[scala.collection.Seq[Double]](Seq(xs).toDF("e")
+        .select(call_function("graft_unit", col("e")))).toSeq
+    assert(u(Seq(3.0, 4.0)) === Seq(0.6, 0.8))
+    assert(u(Nil) === Nil)
+    // zero vector divides by zero — same NaNs the interpreted
+    // transform(x / sqrt(dot)) produced; callers treat them as
+    // never-matching scores
+    assert(u(Seq(0.0, 0.0)).forall(_.isNaN))
+  }
+
+  test("sq8: HALF_UP rounding incl. negative halves, empty input") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    def sq8(xs: Seq[Double]): (Any, Seq[Double]) = {
+      val r = Seq(xs).toDF("e")
+        .select(call_function("graft_sq8", col("e")).as("sr"))
+        .select(col("sr.scale"), col("sr.r")).collect().head
+      (r.get(0), r.getAs[scala.collection.Seq[Double]](1).toSeq)
+    }
+    // scale 127 makes codes = round(x): 2.5 → 3 and -2.5 → -3
+    // (HALF_UP / half-away-from-zero — Math.round would give -2)
+    val (s1, r1) = sq8(Seq(2.5, -2.5, 127.0))
+    assert(s1 === 127.0)
+    assert(r1 === Seq(3.0, -3.0, 127.0))
+    val (s0, r0) = sq8(Nil)
+    assert(s0 === null && r0 === Nil)
+  }
+}
