@@ -29,11 +29,12 @@ class GraftEngine(
     engineConfig: EngineConfig = EngineConfig(),
     handler: EventHandler = new InMemoryEventHandler) {
 
-  val store = new QueueStore(spark, root)
+  val store = new QueueStore(spark, root, engineConfig.compactionGraceMs)
   val api: QueueApi = new DefaultQueueApi(store, handler)
   val housekeeper = new Housekeeper(store,
     engineConfig.visibilityTimeoutMs,
-    autoCompactMinTombstones = engineConfig.autoCompactMinTombstones)
+    autoCompactMinTombstones = engineConfig.autoCompactMinTombstones,
+    autoCompact = engineConfig.autoCompact)
   private val runners: Map[String, PipelineRunner] =
     pipelines.map(c =>
       c.name -> new PipelineRunner(store, c, engineConfig, handler)).toMap
@@ -44,9 +45,9 @@ class GraftEngine(
     * (paused-state restore, pipeline/event.ex:32-39), then the deep-
     * maintenance cadence (maintenanceIntervalMs > 0) — without it a
     * long-running deployment's queue dirs grow the streaming source's
-    * per-trigger listing cost unboundedly. The scheduled pass gates its
-    * compaction leg on engine quiesce; the archive/prune/fold legs are
-    * live-safe by construction (see maintenance()). */
+    * per-trigger listing cost unboundedly. Every maintenance leg,
+    * compaction included, runs safely under live pipelines (see
+    * maintenance()). */
   def start(): Unit = synchronized {
     listener = Some(Instrumentation.attach(spark, handler))
     housekeeper.start(engineConfig.schedulerIntervalMs)
@@ -87,9 +88,9 @@ class GraftEngine(
   def processAllAvailable(): Unit =
     runners.values.foreach(_.activeQuery.foreach(_.processAllAvailable()))
 
-  /** Periodic deep maintenance (run from a quiet period or a low-traffic
-    * window): archive fully-consumed queue files (bounds source-listing
-    * cost) in ONE batched pass across all queues, prune expired
+  /** Periodic deep maintenance (safe under live pipelines): archive
+    * fully-consumed queue files (bounds source-listing cost) in ONE
+    * batched pass across all queues, prune expired
     * rate-limit window logs, fold state-table tombstones when they pile
     * up, and roll old acked-claim tombstones into per-queue counters
     * (bounds the job_counts scan horizon). Returns (filesArchived,
@@ -107,11 +108,13 @@ class GraftEngine(
     val maxScale = pipelines.flatMap(_.rateLimitScaleMs)
       .maxOption.getOrElse(0L)
     val pruned = store.pruneLimitLogs(math.max(limitLogOlderThanMs, 2 * maxScale))
-    // manual callers promise a quiet period (the documented contract);
-    // the SCHEDULED pass can't, so it defers compaction to a tick where
-    // the engine is quiesced. Archive/prune/fold stay live-safe: the
-    // archiver moves only fully-acked files the source skips via
-    // ignoreMissingFiles, and the fold blocks on still-live files.
+    // every leg is live-safe: the archiver moves only fully-acked
+    // files the source skips via ignoreMissingFiles, the fold blocks
+    // on still-live files, and compaction commits a manifest snapshot
+    // instead of swapping directories. The SCHEDULED pass goes through
+    // maybeCompact (honors the autoCompact off switch and skips if
+    // another pass holds the maintenance lock); manual callers compact
+    // unconditionally past the threshold.
     if (gateCompaction) housekeeper.maybeCompact()
     else housekeeper.compactStateTables(minTombstones)
     // fold AFTER compaction: compactProcessing clears the acked rows

@@ -80,11 +80,22 @@ case class EngineConfig(
     schedulerIntervalMs: Long = 10000,
     dispatchTimeoutMs: Long = 10000,
     // deep-maintenance cadence (archive consumed queue files, prune
-    // limit logs, quiesce-gated compaction, claim fold); 0 = manual-only
+    // limit logs, compaction, claim fold); 0 disables the SCHEDULED
+    // pass — manual maintenance() still runs everything, and the
+    // housekeeper tick's auto-compaction is governed by autoCompact
     maintenanceIntervalMs: Long = 600000,
-    // tombstone count above which the quiesce-gated passes fold the
-    // state tables
-    autoCompactMinTombstones: Long = 10000)
+    // tombstone count above which the periodic passes fold the state
+    // tables (compaction runs under live pipelines — manifest commit,
+    // no quiesce needed)
+    autoCompactMinTombstones: Long = 10000,
+    // false turns the housekeeper-tick and scheduled-maintenance
+    // compaction legs off entirely (manual compactStateTables /
+    // maintenance() remain available)
+    autoCompact: Boolean = true,
+    // how long a committed compaction's superseded files linger before
+    // GC — must outlive any in-flight read plan built from a
+    // pre-commit listing (0 = delete at commit; tests only)
+    compactionGraceMs: Long = 600000)
 
 /** Exponential backoff: min(round(initial * count * 1.5), max)
   * (lib/flume/queue/backoff.ex:6-16). */

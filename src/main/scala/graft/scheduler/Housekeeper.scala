@@ -30,7 +30,7 @@ class Housekeeper(
     visibilityTimeoutMs: Long = 600000,
     requeueBatchLimit: Int = 1000,
     autoCompactMinTombstones: Long = 10000,
-    quiesced: () => Boolean = () => graft.pipeline.PipelineRunner.allQuiet) {
+    autoCompact: Boolean = true) {
 
   private var exec: Option[ScheduledExecutorService] = None
 
@@ -133,11 +133,12 @@ class Housekeeper(
 
   /** Fold tombstones into the processing/scheduled tables when they
     * outnumber `minTombstones` — keeps the anti-join side broadcastable
-    * over long runs. Call from a quiet period (compaction swaps the
-    * directory out from under concurrent batch readers; the streaming
-    * queue dirs are never compacted). The processing table goes through
-    * compactProcessing, which preserves the folded-claim counters that
-    * job_counts depends on. */
+    * over long runs. Safe under live pipelines: compaction commits a
+    * manifest snapshot instead of swapping the directory (QueueStore
+    * .compact), so claim/ack micro-batches never race it; the
+    * streaming queue dirs are never compacted. The processing table
+    * goes through compactProcessing, which preserves the acked-claim
+    * tombstones that job_counts depends on. */
   def compactStateTables(minTombstones: Long = 10000): Unit = {
     def tombCount(table: String): Long =
       store.readOrEmpty(store.tombDir(table),
@@ -148,16 +149,18 @@ class Housekeeper(
       store.compactScheduled()
   }
 
-  /** Auto-compaction, called from the scheduled loop each tick: folds
-    * the state tables ONLY while the engine is quiesced (no live or
-    * draining pipeline query in this driver — the table swap must
-    * never race a claim/ack micro-batch; compaction never touches the
-    * streaming queue dirs regardless). Without this, long-running
-    * deployments grow the tombstone anti-join side unboundedly and
-    * every liveProcessing/liveScheduled read slows with it. Returns
-    * true when the quiesce gate was open and compaction was attempted
-    * (the per-table threshold still applies inside). */
+  /** Auto-compaction, called from the scheduled loop each tick. Runs
+    * under live pipelines (the manifest protocol makes the fold
+    * invisible to concurrent claim/ack batches); `autoCompact = false`
+    * disables the tick path entirely (manual compactStateTables /
+    * maintenance() still work). tryMaintenance serializes against the
+    * engine's scheduled maintenance pass and manual calls — an
+    * overlapping pass skips this tick instead of stacking. Without
+    * auto-compaction, long-running deployments grow the tombstone
+    * anti-join side unboundedly and every liveProcessing/liveScheduled
+    * read slows with it. Returns true when a compaction pass ran (the
+    * per-table threshold still applies inside). */
   def maybeCompact(): Boolean =
-    if (quiesced()) { compactStateTables(autoCompactMinTombstones); true }
-    else false
+    autoCompact &&
+      store.tryMaintenance(compactStateTables(autoCompactMinTombstones)).isDefined
 }

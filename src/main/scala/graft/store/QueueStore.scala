@@ -24,18 +24,24 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * Mutation model: append-only row files + append-only tombstone files
   * keyed by a deterministic per-row id; a "live" read is
   * rows ANTI-JOIN tombstones (broadcast — tombstones are tiny relative
-  * to data). `compact()` folds tombstones in by atomic directory swap.
-  * This is the same upsert-as-log design Delta/Hudi use, minus the
-  * transaction log we don't need: each Spark write commits atomically
-  * at file granularity, and ids make re-applied writes idempotent
-  * (at-least-once, exactly like the reference's two-phase promotions,
-  * manager.ex:218-220).
+  * to data). `compact()` folds tombstones in UNDER LIVE WRITERS via a
+  * minimal Delta-style commit log: the folded snapshot is written
+  * BESIDE the old files, a `_manifest-<epoch>` file (atomically
+  * published) marks the old row/tombstone files as replaced, readers
+  * resolve listing-minus-replaced, and the superseded files are GC'd
+  * after `compactionGraceMs` so in-flight read plans never lose a file
+  * from under them. Appends need no log entry (a new file is live by
+  * default), so the hot claim/ack path stays log-free; ids make
+  * re-applied writes idempotent (at-least-once, exactly like the
+  * reference's two-phase promotions, manager.ex:218-220).
   *
   * At 100 TB: queue dirs are date/hour-partitioned so the streaming
   * source lists incrementally; tombstone anti-joins stay broadcast
-  * (ids only); compaction runs as a background job per partition.
+  * (ids only); compaction runs as a background job per partition and
+  * never blocks the pipelines.
   */
-class QueueStore(val spark: SparkSession, val root: String) {
+class QueueStore(val spark: SparkSession, val root: String,
+    val compactionGraceMs: Long = 600000) {
 
   val scheduledSchema: StructType = Schemas.event
     .add("sched_id", StringType).add("not_before", "timestamp").add("kind", StringType)
@@ -73,6 +79,125 @@ class QueueStore(val spark: SparkSession, val root: String) {
 
   def ensureDir(dir: String): Unit = fs.mkdirs(new Path(dir))
 
+  // -- maintenance mutual exclusion ---------------------------------------
+  // ONE lock serializes every pass that deletes or supersedes files
+  // (compaction, claim fold, archiver, GC): two concurrent passes could
+  // otherwise each list the same files, both act, and one's delete
+  // invalidates the other's read mid-job. The hot pipeline path
+  // (append/tombstone/read) never takes it — appends are new files,
+  // invisible to a pass that already listed.
+  private val maintenanceLock = new java.util.concurrent.locks.ReentrantLock
+  private[graft] def withMaintenance[A](body: => A): A = {
+    maintenanceLock.lock()
+    try body finally maintenanceLock.unlock()
+  }
+  /** Non-blocking variant for scheduled ticks: skip (None) when another
+    * maintenance pass is mid-flight instead of stacking behind it. */
+  private[graft] def tryMaintenance[A](body: => A): Option[A] =
+    if (maintenanceLock.tryLock()) {
+      try Some(body) finally maintenanceLock.unlock()
+    } else None
+
+  // -- compaction manifest (the minimal commit log) -----------------------
+  // `_manifest-<epoch>` in a state-table dir lists files that a
+  // committed compaction superseded but that may still be on disk
+  // (grace period for in-flight readers). Publication is atomic by
+  // construction: the new epoch file is fully written+closed before the
+  // older epoch is deleted, and readers take the highest epoch. The
+  // `_` prefix keeps every parquet listing (Spark's and ours) blind to
+  // it.
+  private case class Manifest(epoch: Long, replaced: Set[String], folded: Set[String])
+
+  private def manifestFiles(dir: String): Array[(Long, Path)] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).flatMap { f =>
+      val n = f.getPath.getName
+      if (n.startsWith("_manifest-"))
+        n.stripPrefix("_manifest-").toLongOption.map(_ -> f.getPath)
+      else None
+    }.sortBy(_._1)
+  }
+
+  private def readManifest(dir: String): Option[Manifest] =
+    manifestFiles(dir).lastOption.map { case (epoch, path) =>
+      val in = fs.open(path)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      Manifest(epoch,
+        replaced = lines.collect { case l if l.startsWith("replaced ") => l.stripPrefix("replaced ") }.toSet,
+        folded = lines.collect { case l if l.startsWith("folded ") => l.stripPrefix("folded ") }.toSet)
+    }
+
+  /** Publish a new manifest epoch (or retire the manifest entirely when
+    * nothing is superseded any more). Old epochs deleted AFTER the new
+    * one exists — a crash in between leaves two epochs and readers take
+    * the highest. */
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    val olds = manifestFiles(dir)
+    if (m.replaced.isEmpty && m.folded.isEmpty) {
+      olds.foreach { case (_, p) => fs.delete(p, false) }
+      return
+    }
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(new Path(dir, f"_manifest-${m.epoch}%09d"), true)
+    try {
+      val body = ("graft-manifest-v1" +:
+        (m.replaced.toSeq.sorted.map("replaced " + _) ++
+          m.folded.toSeq.sorted.map("folded " + _))).mkString("\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    olds.filter(_._1 != m.epoch).foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  /** All part files under `dir` (recursing into partition subdirs), as
+    * (path relative to dir, status). Dot/underscore entries skipped. */
+  private def listPartFilesRec(dir: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Seq.empty
+    def walk(p: Path, prefix: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(p).toSeq.flatMap { f =>
+        val n = f.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (f.isDirectory) walk(f.getPath, s"$prefix$n/")
+        else if (n.startsWith("part-")) Seq((s"$prefix$n", f))
+        else Seq.empty
+      }
+    walk(base, "")
+  }
+
+  /** The live data files of a state-table dir: everything listed minus
+    * what the manifest marks replaced. Absolute paths. */
+  private def resolveDataFiles(dir: String): Seq[String] = {
+    val replaced = readManifest(dir).map(_.replaced).getOrElse(Set.empty)
+    listPartFilesRec(dir).collect {
+      case (rel, st) if !replaced(rel) => st.getPath.toString
+    }
+  }
+
+  /** GC a table's superseded files once they are older than the grace
+    * period (measured from file mtime — strictly later than the commit
+    * that superseded them), then shrink or retire the manifest. Any
+    * read plan still holding a GC'd file in its listing was built
+    * before the compaction committed; the grace period outlives such
+    * plans, and state-table readers additionally pass
+    * ignoreMissingFiles as a last-resort (a dropped file's rows are in
+    * the committed snapshot, so the worst case is one transient
+    * undercount on a periodic pass — same stance as footerRowCount). */
+  private def gcSuperseded(dir: String, table: String): Unit =
+    readManifest(dir).foreach { m =>
+      val cutoff = System.currentTimeMillis() - compactionGraceMs
+      def ripe(p: Path): Boolean =
+        !fs.exists(p) || fs.getFileStatus(p).getModificationTime < cutoff
+      val (repGone, repKept) = m.replaced.partition(rel => ripe(new Path(dir, rel)))
+      val (foldGone, foldKept) = m.folded.partition(n => ripe(new Path(tombDir(table), n)))
+      repGone.foreach(rel => fs.delete(new Path(dir, rel), false))
+      foldGone.foreach(n => fs.delete(new Path(tombDir(table), n), false))
+      if (repGone.nonEmpty || foldGone.nonEmpty)
+        writeManifest(dir, Manifest(m.epoch + 1, repKept, foldKept))
+    }
+
   private def hasData(dir: String): Boolean = {
     val p = new Path(dir)
     fs.exists(p) && fs.listStatus(p).exists { s =>
@@ -81,9 +206,19 @@ class QueueStore(val spark: SparkSession, val root: String) {
     }
   }
 
-  def readOrEmpty(dir: String, schema: StructType): DataFrame =
-    if (hasData(dir)) spark.read.schema(schema).parquet(dir)
+  /** Manifest-aware table read: live files only (a committed
+    * compaction's superseded files are excluded until GC'd).
+    * ignoreMissingFiles because GC may delete a superseded file between
+    * this listing and the job that reads it — its rows are in the
+    * committed snapshot (also in this listing), so dropping it is
+    * correct, and for pre-compaction plans at worst a transient
+    * undercount on a periodic pass. */
+  def readOrEmpty(dir: String, schema: StructType): DataFrame = {
+    val files = resolveDataFiles(dir)
+    if (files.nonEmpty)
+      spark.read.schema(schema).option("ignoreMissingFiles", "true").parquet(files: _*)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Monotonic part-file FIFO discipline (SURVEY §7). ONE strictly
     * increasing per-writer millisecond stamp (max(now, prev+1), one
@@ -115,17 +250,25 @@ class QueueStore(val spark: SparkSession, val root: String) {
     * dir) and they would share one `_temporary/0` committer dir, where
     * one job's cleanup deletes the other's in-flight task files. */
   def append(dir: String, df: DataFrame, schema: StructType): Unit = {
-    val id = java.util.UUID.randomUUID().toString
-    val staging = s"$root/.staging/$id"
+    val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
     df.select(schema.fieldNames.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(staging)
-    val target = new Path(dir)
+    moveStagedPartsIn(staging, new Path(dir))
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Move every staged part file into `target` under fresh stamped
+    * names (rename is atomic per file; a failed rename is surfaced —
+    * silently dropping it would lose the file's rows).
+    *
+    * listStatus order is not contractually sorted: stamp in part-index
+    * order or a multi-part append's within-append FIFO would ride on
+    * listing order. Sort by the PARSED numeric index, not the name —
+    * Spark's %05d padding overflows at 100k parts in one write, where
+    * "part-100000" sorts lexicographically before "part-99999". */
+  private def moveStagedPartsIn(staging: String, target: Path): Unit = {
+    val id = java.util.UUID.randomUUID().toString
     fs.mkdirs(target)
-    // listStatus order is not contractually sorted: stamp in part-index
-    // order or a multi-part append's within-append FIFO would ride on
-    // listing order. Sort by the PARSED numeric index, not the name —
-    // Spark's %05d padding overflows at 100k parts in one write, where
-    // "part-100000" sorts lexicographically before "part-99999"
     val partIdx = "part-(\\d+)".r
     val parts = fs.listStatus(new Path(staging))
       .filter(f => f.getPath.getName.startsWith("part-"))
@@ -140,7 +283,6 @@ class QueueStore(val spark: SparkSession, val root: String) {
         throw new java.io.IOException(s"append: rename ${f.getPath} -> $dest failed")
       fs.setTimes(dest, stamp, -1)
     }
-    fs.delete(new Path(staging), true)
   }
 
   /** Hive-escaped partition dir values → raw (e.g. "a%3Ab" → "a:b").
@@ -210,14 +352,19 @@ class QueueStore(val spark: SparkSession, val root: String) {
   private val scheduledSchemaP: StructType = scheduledSchema.add("nb_day", StringType)
 
   /** Partition-discovering read of the scheduled table (nb_day comes
-    * from the dir names; filters on it show as PartitionFilters). */
-  def readScheduled: DataFrame =
-    if (hasData(scheduledDir))
+    * from the dir names; filters on it show as PartitionFilters).
+    * Manifest-aware: live files only, resolved against basePath so the
+    * partition column still derives from the paths. */
+  def readScheduled: DataFrame = {
+    val files = resolveDataFiles(scheduledDir)
+    if (files.nonEmpty)
       spark.read.option("basePath", scheduledDir)
-        .schema(scheduledSchemaP).parquet(scheduledDir)
+        .option("ignoreMissingFiles", "true")
+        .schema(scheduledSchemaP).parquet(files: _*)
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scheduledSchemaP)
+  }
 
   /** Materialize df into a private staging dir and read it back: a
     * stable snapshot decoupled from live-table recomputation, so
@@ -242,10 +389,29 @@ class QueueStore(val spark: SparkSession, val root: String) {
       tombSchema)
   }
 
+  /** Tombstones of `table` still in force: the listing minus the files
+    * a committed compaction already folded into `dir`'s snapshot (they
+    * stay on disk for the GC grace period; re-applying them would be
+    * harmless — their rows are gone — but excluding them keeps the
+    * anti-join side minimal). ignoreMissingFiles: the claim fold / GC
+    * may delete a listed file mid-read; any row it suppressed has no
+    * surviving copy (the fold proves that before deleting), so dropping
+    * it cannot resurrect anything. */
+  private def readTombsInForce(dir: String, table: String): DataFrame = {
+    val folded = readManifest(dir).map(_.folded).getOrElse(Set.empty)
+    val files = listPartFilesRec(tombDir(table)).collect {
+      case (rel, st) if !folded(rel) => st.getPath.toString
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+    else spark.read.schema(tombSchema).option("ignoreMissingFiles", "true")
+      .parquet(files: _*)
+  }
+
   /** rows minus tombstones; idCol names the row's tombstone key. */
   def live(dir: String, table: String, schema: StructType, idCol: String): DataFrame = {
     val rows = readOrEmpty(dir, schema)
-    val tombs = readOrEmpty(tombDir(table), tombSchema)
+    val tombs = readTombsInForce(dir, table)
     rows.join(broadcast(tombs), rows(idCol) === tombs("id"), "left_anti")
   }
 
@@ -258,11 +424,20 @@ class QueueStore(val spark: SparkSession, val root: String) {
     * nb_day partition column so callers' date predicates prune. */
   def liveScheduled: DataFrame = {
     val rows = readScheduled
-    val tombs = readOrEmpty(tombDir("scheduled"), tombSchema)
+    val tombs = readTombsInForce(scheduledDir, "scheduled")
     rows.join(broadcast(tombs), rows("sched_id") === tombs("id"), "left_anti")
       .dropDuplicates("sched_id")
   }
-  def liveProcessing: DataFrame = live(processingDir, "processing", processingSchema, "claim_id")
+  /** Deduped on claim_id: a replayed micro-batch re-appends the same
+    * deterministic claim ids (duplicate rows differ only in
+    * claimed_at), and a compaction interrupted between snapshot move-in
+    * and manifest commit leaves the snapshot's copies beside the
+    * originals — in both cases one copy per claim is the truth, and
+    * without the dedupe requeueStuck would requeue a stuck claim once
+    * per copy. */
+  def liveProcessing: DataFrame =
+    live(processingDir, "processing", processingSchema, "claim_id")
+      .dropDuplicates("claim_id")
   /** Deduped on jid for the same replayed-append reason as
     * liveScheduled (jid is the dead row's natural identity). */
   def deadRows: DataFrame = readOrEmpty(deadDir, deadSchema).dropDuplicates("jid")
@@ -393,8 +568,12 @@ class QueueStore(val spark: SparkSession, val root: String) {
     * The age gate keeps the fold clear of streaming-replay horizons: a
     * replayed micro-batch re-appends the same deterministic claim ids,
     * which distinct-count as no-ops only while they are still visible
-    * as tombstones. Returns files folded. */
-  def foldClaimCounters(olderThanMs: Long = 600000): Long = {
+    * as tombstones. Returns files folded. Serialized with compaction:
+    * both read-then-delete the same tombstone files. */
+  def foldClaimCounters(olderThanMs: Long = 600000): Long =
+    withMaintenance(foldClaimCountersLocked(olderThanMs))
+
+  private def foldClaimCountersLocked(olderThanMs: Long): Long = {
     recoverClaimFold()
     val cutoff = System.currentTimeMillis() - olderThanMs
     val all = listTombFiles("processing")
@@ -553,48 +732,63 @@ class QueueStore(val spark: SparkSession, val root: String) {
     else fs.delete(pausedFlag(name), false)
   def isPaused(name: String): Boolean = fs.exists(pausedFlag(name))
 
-  /** Fold tombstones into the row files. Crash-safe swap: the old dir
-    * is renamed ASIDE (never deleted before the new data is in place),
-    * so every crash point leaves a recoverable table — see
-    * `recoverCompaction`, which runs on store construction and on
-    * entry here. Order matters: the aside copy is removed BEFORE the
-    * tombstones, so a merge-recovery always still has the tombstones
-    * it needs to re-suppress resurrected rows. */
+  /** Fold tombstones into the row files UNDER LIVE WRITERS — no
+    * directory swap, no quiesce requirement. Protocol (serialized by
+    * the maintenance lock; concurrent APPENDS are always safe because
+    * they create new files this pass never listed):
+    *
+    *   1. snapshot the live row-file list R and in-force tombstone
+    *      file list T (tombstones appended concurrently are not in T
+    *      and stay in force — they suppress their rows in every read);
+    *   2. write rows(R) ANTI-JOIN tombs(T), deduped on idCol, to
+    *      staging; move the files INTO the live dir (additive — until
+    *      commit, readers see both copies, which the id-dedup readers
+    *      collapse: the same dedup replayed micro-batches already
+    *      require);
+    *   3. COMMIT: publish a manifest epoch marking R (and T, unless
+    *      keepTombstones) superseded — readers now resolve
+    *      listing-minus-superseded;
+    *   4. GC superseded files after `compactionGraceMs`, so read plans
+    *      listed before the commit never lose a file mid-job.
+    *
+    * Every crash point converges: before commit, duplicates are
+    * dedup-invisible and the next pass folds them; after commit, the
+    * next pass finishes the GC. Nothing is ever deleted before the
+    * committed snapshot covers it. */
   def compact(dir: String, table: String, schema: StructType, idCol: String,
-      keepTombstones: Boolean = false): Unit = {
-    recoverCompaction(dir)
-    val tmp = s"$dir.compact.tmp"
-    val old = s"$dir.compact.old"
-    fs.delete(new Path(tmp), true)
-    // Snapshot the tombstone FILE LIST up front: tombstones appended
-    // concurrently (e.g. promoteDue tombstoning while compaction runs)
-    // must survive — a blanket dir delete would destroy them while
-    // their rows survive in the compacted output, resurrecting
-    // already-consumed jobs. We read exactly the snapshotted files and
-    // later delete exactly those files.
-    val tombPath = new Path(tombDir(table))
-    val tombFiles: Array[Path] =
-      if (fs.exists(tombPath))
-        fs.listStatus(tombPath).map(_.getPath).filter(!_.getName.startsWith("_"))
-      else Array.empty
-    if (!fs.exists(new Path(dir))) {
-      // never-written table: no rows to fold — tombstones suppress
-      // nothing, so drop them (unless a later fold still needs them)
-      // and skip the swap (renaming a missing dir aside would throw)
-      if (!keepTombstones) tombFiles.foreach(f => fs.delete(f, false))
-      return
+      keepTombstones: Boolean = false): Unit = withMaintenance {
+    recoverCompaction(dir) // heal any legacy swap-based crash state
+    gcSuperseded(dir, table)
+    val manifest = readManifest(dir)
+    val replaced0 = manifest.map(_.replaced).getOrElse(Set.empty)
+    val folded0 = manifest.map(_.folded).getOrElse(Set.empty)
+    val tombFiles = listPartFilesRec(tombDir(table)).filterNot(f => folded0(f._1))
+    val rowFiles = listPartFilesRec(dir).filterNot(f => replaced0(f._1))
+    if (rowFiles.isEmpty) {
+      // empty table: tombstones suppress nothing, so they can go now
+      // (unless the claim fold still needs them); nothing to rewrite
+      if (!keepTombstones) tombFiles.foreach { case (_, st) => fs.delete(st.getPath, false) }
+    } else {
+      val tombs =
+        if (tombFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+        // no ignoreMissingFiles here: T must be read completely or the
+        // pass must fail — a silently dropped tombstone file would
+        // resurrect its rows INTO the durable snapshot (deleters all
+        // hold the maintenance lock, so this cannot race)
+        else spark.read.schema(tombSchema).parquet(tombFiles.map(_._2.getPath.toString): _*)
+      val rows = spark.read.schema(schema).parquet(rowFiles.map(_._2.getPath.toString): _*)
+      val staging = s"$root/.staging/compact-${java.util.UUID.randomUUID()}"
+      rows.join(broadcast(tombs), rows(idCol) === tombs("id"), "left_anti")
+        .dropDuplicates(idCol)
+        .write.mode("overwrite").parquet(staging)
+      moveStagedPartsIn(staging, new Path(dir))
+      fs.delete(new Path(staging), true)
+      writeManifest(dir, Manifest(manifest.map(_.epoch + 1).getOrElse(0L),
+        replaced0 ++ rowFiles.map(_._1),
+        if (keepTombstones) folded0 else folded0 ++ tombFiles.map(_._1)))
+      gcSuperseded(dir, table) // immediate when compactionGraceMs == 0
     }
-    val tombs =
-      if (tombFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-      else spark.read.schema(tombSchema).parquet(tombFiles.map(_.toString).toSeq: _*)
-    val rows = readOrEmpty(dir, schema)
-    rows.join(broadcast(tombs), rows(idCol) === tombs("id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp)
-    fs.rename(new Path(dir), new Path(old)) // aside, not deleted
-    fs.rename(new Path(tmp), new Path(dir))
-    fs.delete(new Path(old), true)
-    if (!keepTombstones) tombFiles.foreach(f => fs.delete(f, false))
   }
 
   /** Heal an interrupted compact():
@@ -630,37 +824,37 @@ class QueueStore(val spark: SparkSession, val root: String) {
     fs.delete(new Path(s"$dir.compact.tmp"), true)
   }
 
-  /** compact() for the partitioned scheduled table: same snapshot +
-    * aside-swap protocol, but the rewrite preserves the nb_day
-    * partition layout. */
-  def compactScheduled(): Unit = {
+  /** compact() for the partitioned scheduled table: same additive
+    * manifest-commit protocol, but the snapshot rewrite preserves the
+    * nb_day partition layout (files move into their partition subdir
+    * and the manifest tracks partition-relative paths). */
+  def compactScheduled(): Unit = withMaintenance {
     recoverCompaction(scheduledDir)
-    val tmp = s"$scheduledDir.compact.tmp"
-    val old = s"$scheduledDir.compact.old"
-    fs.delete(new Path(tmp), true)
-    val tombPath = new Path(tombDir("scheduled"))
-    val tombFiles: Array[Path] =
-      if (fs.exists(tombPath))
-        fs.listStatus(tombPath).map(_.getPath).filter(!_.getName.startsWith("_"))
-      else Array.empty
-    if (!fs.exists(new Path(scheduledDir))) {
-      // never-written table: no rows to fold — tombstones suppress
-      // nothing, so drop them and skip the swap (renaming a missing
-      // dir aside would throw)
-      tombFiles.foreach(f => fs.delete(f, false))
-      return
+    gcSuperseded(scheduledDir, "scheduled")
+    val manifest = readManifest(scheduledDir)
+    val replaced0 = manifest.map(_.replaced).getOrElse(Set.empty)
+    val folded0 = manifest.map(_.folded).getOrElse(Set.empty)
+    val tombFiles = listPartFilesRec(tombDir("scheduled")).filterNot(f => folded0(f._1))
+    val rowFiles = listPartFilesRec(scheduledDir).filterNot(f => replaced0(f._1))
+    if (rowFiles.isEmpty) {
+      tombFiles.foreach { case (_, st) => fs.delete(st.getPath, false) }
+    } else {
+      val tombs =
+        if (tombFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+        else spark.read.schema(tombSchema).parquet(tombFiles.map(_._2.getPath.toString): _*)
+      val rows = spark.read.option("basePath", scheduledDir)
+        .schema(scheduledSchemaP).parquet(rowFiles.map(_._2.getPath.toString): _*)
+      val staging = s"$root/.staging/compact-${java.util.UUID.randomUUID()}"
+      rows.join(broadcast(tombs), rows("sched_id") === tombs("id"), "left_anti")
+        .dropDuplicates("sched_id")
+        .write.mode("overwrite").partitionBy("nb_day").parquet(staging)
+      movePartitioned(staging, "nb_day", d => new Path(s"$scheduledDir/nb_day=$d"))
+      writeManifest(scheduledDir, Manifest(manifest.map(_.epoch + 1).getOrElse(0L),
+        replaced0 ++ rowFiles.map(_._1),
+        folded0 ++ tombFiles.map(_._1)))
+      gcSuperseded(scheduledDir, "scheduled")
     }
-    val tombs =
-      if (tombFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-      else spark.read.schema(tombSchema).parquet(tombFiles.map(_.toString).toSeq: _*)
-    val rows = readScheduled
-    rows.join(broadcast(tombs), rows("sched_id") === tombs("id"), "left_anti")
-      .write.mode("overwrite").partitionBy("nb_day").parquet(tmp)
-    fs.rename(new Path(scheduledDir), new Path(old))
-    fs.rename(new Path(tmp), new Path(scheduledDir))
-    fs.delete(new Path(old), true)
-    tombFiles.foreach(f => fs.delete(f, false))
   }
 
   /** Archive fully-consumed queue files: move every part file (older
@@ -695,7 +889,10 @@ class QueueStore(val spark: SparkSession, val root: String) {
     * exactly that). Rows are attributed to queues by their `queue`
     * column, which every engine write path keeps equal to the
     * directory's queue. */
-  def archiveConsumedAll(qs: Seq[String], olderThanMs: Long = 600000): Long = {
+  def archiveConsumedAll(qs: Seq[String], olderThanMs: Long = 600000): Long =
+    withMaintenance(archiveConsumedAllLocked(qs, olderThanMs))
+
+  private def archiveConsumedAllLocked(qs: Seq[String], olderThanMs: Long): Long = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val oldByQueue: Map[String, Array[org.apache.hadoop.fs.FileStatus]] =
       qs.distinct.filter(q => fs.exists(new Path(queueDir(q)))).map { q =>
@@ -759,8 +956,10 @@ class QueueStore(val spark: SparkSession, val root: String) {
       keepTombstones = true)
 
   // heal any compaction or claim fold interrupted by a crash in a
-  // previous process
+  // previous process, and finish any pending post-commit GC
   recoverCompaction(processingDir)
   recoverCompaction(scheduledDir)
   recoverClaimFold()
+  gcSuperseded(processingDir, "processing")
+  gcSuperseded(scheduledDir, "scheduled")
 }

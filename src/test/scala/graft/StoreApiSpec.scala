@@ -36,7 +36,7 @@ class StoreApiSpec extends AnyFunSuite {
 
   test("tombstone + live + compact roundtrip") {
     import spark.implicits._
-    val store = new QueueStore(spark, TestSpark.tmpRoot("store"))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("store"), compactionGraceMs = 0)
     val api = new DefaultQueueApi(store)
     api.bulkEnqueue("q", (1 to 4).map(i => JobSpec("W", args = s"[$i]")))
     // claim two rows into processing, then ack one via tombstone
@@ -103,7 +103,7 @@ class StoreApiSpec extends AnyFunSuite {
 
   test("housekeeper compaction folds tombstones past the threshold") {
     import spark.implicits._
-    val store = new QueueStore(spark, TestSpark.tmpRoot("compact2"))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("compact2"), compactionGraceMs = 0)
     val api = new DefaultQueueApi(store)
     api.bulkEnqueue("cq", (1 to 20).map(i => JobSpec("W", args = s"[$i]")))
     val claimed = store.queueRows("cq")
@@ -128,9 +128,9 @@ class StoreApiSpec extends AnyFunSuite {
     assert(api.jobCounts(Seq("cq"))("cq") === 0)
   }
 
-  test("auto-compaction is pause-guarded: active pipeline defers, quiesced folds") {
+  test("auto-compaction folds UNDER a live pipeline; off switch honored") {
     import spark.implicits._
-    val store = new QueueStore(spark, TestSpark.tmpRoot("autocompact"))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("autocompact"), compactionGraceMs = 0)
     val api = new DefaultQueueApi(store)
     api.bulkEnqueue("acq", (1 to 20).map(i => JobSpec("W", args = s"[$i]")))
     val claimed = store.queueRows("acq")
@@ -143,34 +143,72 @@ class StoreApiSpec extends AnyFunSuite {
         .orderBy("claim_id").limit(15))
     assert(spark.read.parquet(store.processingDir).count() === 20)
 
-    // the live query runs on a separate EMPTY queue: it must hold the
-    // quiesce gate shut by existing, without consuming the staged
-    // claims this test asserts on
     graft.pipeline.WorkerRegistry.register("W", (_, _) => ())
     val runner = new graft.pipeline.PipelineRunner(store,
       graft.model.PipelineConfig("acp", "ac_idle", pollIntervalMs = 100))
-    // tombstones over threshold + ACTIVE pipeline → the quiesce gate
-    // stays shut and the table is untouched
+    // ACTIVE pipeline: the manifest-commit protocol makes the fold safe
+    // under live queries — the tick-path call compacts immediately, no
+    // quiesce gate
     val hk = new graft.scheduler.Housekeeper(store, autoCompactMinTombstones = 10)
     val q = runner.start().get
     try {
-      assert(!hk.maybeCompact(), "compacted under a live streaming query")
-      assert(spark.read.parquet(store.processingDir).count() === 20)
+      assert(hk.maybeCompact(), "tick-path compaction deferred under a live query")
+      assert(spark.read.parquet(store.processingDir).count() === 5)
+      assert(store.liveProcessing.count() === 5)
+      assert(api.jobCounts(Seq("acq"))("acq") === 0) // folded history preserved
     } finally { runner.stop(); q.awaitTermination(30000) }
-    // stopped (quiesced) → the same tick-path call folds, counts intact
-    assert(hk.maybeCompact(), "quiesced engine still deferred")
-    assert(spark.read.parquet(store.processingDir).count() === 5)
-    assert(store.liveProcessing.count() === 5)
-    assert(api.jobCounts(Seq("acq"))("acq") === 0) // folded history preserved
-    // PAUSED (drained, not stopped) also opens the gate: pause claims
-    // the query and the drain completes synchronously here
-    val q2 = runner.start().get
-    try {
-      assert(!hk.maybeCompact(), "compacted under the restarted query")
-      runner.pause(graft.pipeline.ControlOptions(async = false,
-        timeoutMs = graft.pipeline.ControlOptions.Infinity))
-      assert(hk.maybeCompact(), "paused-and-drained engine still deferred")
-    } finally { runner.stop(); q2.awaitTermination(30000) }
+    // the off switch: autoCompact = false skips the tick path entirely
+    store.tombstone("processing",
+      store.liveProcessing.select(col("claim_id"), col("queue"))
+        .orderBy("claim_id").limit(3))
+    val hkOff = new graft.scheduler.Housekeeper(store,
+      autoCompactMinTombstones = 0, autoCompact = false)
+    assert(!hkOff.maybeCompact(), "autoCompact=false still compacted")
+    assert(spark.read.parquet(store.processingDir).count() === 5, "off switch ignored")
+    // ...while manual compaction stays available
+    hkOff.compactStateTables(minTombstones = 0)
+    assert(store.liveProcessing.count() === 2)
+  }
+
+  test("compaction commit is invisible mid-protocol: duplicates dedup, grace-window reads exclude replaced") {
+    import spark.implicits._
+    // grace LARGE: after a commit the superseded files stay on disk and
+    // readers must exclude them via the manifest
+    val root = TestSpark.tmpRoot("graceful")
+    val store = new QueueStore(spark, root, compactionGraceMs = 3600000)
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("gq", (1 to 10).map(i => JobSpec("W", args = s"[$i]")))
+    val claimed = store.queueRows("gq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
+    store.append(store.processingDir, claimed, store.processingSchema)
+    store.tombstone("processing",
+      store.liveProcessing.select(col("claim_id"), col("queue"))
+        .orderBy("claim_id").limit(6))
+    // crash-state A: snapshot files moved in but no manifest committed
+    // (simulated by copying a live part file under a fresh part- name):
+    // readers dedup on claim_id, so the duplicate copies are invisible
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val aPart = fs.listStatus(new org.apache.hadoop.fs.Path(store.processingDir))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, aPart, fs,
+      new org.apache.hadoop.fs.Path(store.processingDir, "part-9999999999999-dup-0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(store.liveProcessing.count() === 4, "pre-commit duplicate copies leaked into reads")
+    // a real commit now: physical files KEEP the old copies (grace) but
+    // manifest-aware reads see exactly the folded table
+    store.compactProcessing()
+    assert(store.liveProcessing.count() === 4)
+    assert(spark.read.parquet(store.processingDir).count() > 4,
+      "superseded files deleted before the grace period")
+    assert(store.readOrEmpty(store.processingDir, store.processingSchema).count() === 4,
+      "manifest-aware read double-counted replaced files")
+    // crash-state B: a fresh store (≈ restart) with grace 0 finishes the
+    // GC at boot — only the committed snapshot remains on disk
+    val store2 = new QueueStore(spark, root, compactionGraceMs = 0)
+    assert(spark.read.parquet(store2.processingDir).count() === 4)
+    assert(store2.liveProcessing.count() === 4)
   }
 
   test("interrupted compaction is recoverable (crash-safe swap)") {
