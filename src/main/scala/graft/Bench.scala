@@ -65,8 +65,13 @@ object Bench {
     val qbJson = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
+    // Measurement protocol, embedded so cross-round consumers can
+    // detect a protocol break (the r5→r6 best-of-N switch made totals
+    // incomparable with single-pass rounds and was misreadable as a
+    // code-driven speedup)
+    val proto = """"protocol":{"samples":"2+adaptive3rd","aggregation":"min","warmup":1,"cacheCleared":true}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,$hw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,$hw,$proto,"sf":"$sfDir"}"""
     // The driver captures only a short stdout tail and sbt appends a
     // "[success] Total time: ..." line after the program exits, so the
     // LAST line we print must be a complete, COMPACT JSON object

@@ -270,14 +270,27 @@ class PipelineRunner(
           // irrelevant). The loop re-enters only if new foreign
           // admissions landed while we slept, so a blocked batch costs
           // ≤2 limit-log reads in the common case, not one per 100 ms.
+          //
+          // The sleep itself is sliced (≤100 ms, NO extra log reads) and
+          // pause-aware: a pause() landing mid-block aborts the wait and
+          // falls through to the defer path below — the runner must not
+          // sit out a closed window after being told to stop fetching.
+          // This mirrors the reference's producer, which re-polls its
+          // locked queue every 500 ms and reacts to pause between polls
+          // (producer.ex:174-178).
           val waitDeadline = nowMs + scale
-          while (allowed <= 0 && System.currentTimeMillis() < waitDeadline) {
+          var abort = false
+          while (allowed <= 0 && !abort && System.currentTimeMillis() < waitDeadline) {
             val now = System.currentTimeMillis()
             val reopenMs = store.limitEarliestSince(cfg.limitKey,
               now - scale, ownSuffix).map(_ + scale).getOrElse(now + 100L)
-            Thread.sleep(math.max(1L,
-              math.min(reopenMs, waitDeadline) - now + 1L))
-            allowed = allowedNow()
+            val sleepUntil = math.min(reopenMs, waitDeadline) + 1L
+            while (!abort && System.currentTimeMillis() < sleepUntil) {
+              Thread.sleep(math.max(1L,
+                math.min(100L, sleepUntil - System.currentTimeMillis())))
+              if (effectivelyPaused) abort = true
+            }
+            if (!abort) allowed = allowedNow()
           }
         }
         val at = new Timestamp(System.currentTimeMillis())

@@ -73,8 +73,7 @@ object DedupQueries {
     * But an unconditional broadcast turns a bloated holdout (e.g.
     * decontaminating against another corpus slice) into an executor
     * OOM, so the holdout is size-probed first — limit(max+1).count(),
-    * bounded and holdout-side only, with the probed frame persisted so
-    * the join reuses it — and above `broadcastMaxShingles` the join
+    * bounded and holdout-side only — and above `broadcastMaxShingles` the join
     * degrades to a sort-merge shuffle join instead of failing.
     * n_shingles is computed row-locally (size of the distinct array)
     * before the explode, so no corpus-sized count agg or join-back
@@ -88,11 +87,15 @@ object DedupQueries {
         array_distinct(
           call_function("graft_shingles3", split(col("text"), " "))).as("shs"))
       .withColumn("bucket", bucket)
-    // persisted: the size probe and the join both consume it (Bench's
-    // per-query clearCache unpersists it between measurements)
+    // NOT persisted: the probe is limit-bounded (stops at max+1 rows)
+    // and cheap to recompute, while a persist here would outlive the
+    // returned plan — callers outside the bench harness (which
+    // clearCaches between queries) had no way to release it, leaking
+    // executor storage for the session lifetime. Recomputing the
+    // holdout once more in the join costs one bounded re-shingle of
+    // the ~20% holdout slice.
     val hold = base.where(col("bucket") >= 80)
       .select(explode(col("shs")).as("s")).distinct()
-      .persist()
     val fitsBroadcast =
       hold.limit(math.min(broadcastMaxShingles.toLong + 1L, Int.MaxValue.toLong).toInt)
         .count() <= broadcastMaxShingles

@@ -955,6 +955,45 @@ class QueueStore(val spark: SparkSession, val root: String,
     compact(processingDir, "processing", processingSchema, "claim_id",
       keepTombstones = true)
 
+  // -- single-driver ownership guard (SURVEY §2 E3) -----------------------
+  // The FIFO part-stamp clock, the runner quiesce registry and the
+  // maintenance lock are all per-driver state: a SECOND driver writing
+  // the same root would interleave FIFO stamps non-monotonically and
+  // delete files the other driver's passes still hold listed. The
+  // reference gets this exclusivity from the single Redis server; here
+  // a lockfile records the owning JVM and a second live owner on the
+  // same host is refused loudly. (Cross-host detection on a shared
+  // filesystem would need lease renewal — out of scope for the
+  // documented single-driver deployment; the lock then still documents
+  // the owner.) A lock whose process is gone — crashed driver — is
+  // taken over silently; re-opening from the owning JVM (restart-style
+  // tests, engine + ad-hoc store on one root) is always allowed.
+  private def acquireOwnership(): Unit = {
+    val lock = new Path(root, "_owner.lock")
+    val selfPid = ProcessHandle.current().pid()
+    if (fs.exists(lock)) {
+      val in = fs.open(lock)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      content.split("\\s+").headOption.flatMap(_.toLongOption).foreach { pid =>
+        if (pid != selfPid &&
+          java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
+            .orElse(java.lang.Boolean.FALSE).booleanValue())
+          throw new IllegalStateException(
+            s"QueueStore root $root is owned by live driver pid $pid " +
+              s"(this driver: pid $selfPid) — one driver per store root; " +
+              "a second writer would corrupt FIFO stamps and race maintenance")
+      }
+    }
+    fs.mkdirs(new Path(root))
+    val out = fs.create(lock, true)
+    try out.write(s"$selfPid ${java.util.UUID.randomUUID()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  acquireOwnership()
   // heal any compaction or claim fold interrupted by a crash in a
   // previous process, and finish any pending post-commit GC
   recoverCompaction(processingDir)

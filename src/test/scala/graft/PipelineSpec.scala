@@ -209,6 +209,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(earliestReads <= 2, s"reopen recomputed: $earliestReads reads")
   }
 
+  test("pause during a blocked admission window aborts the wait and defers (B2,D1)") {
+    WorkerRegistry.register("EchoWorker", (args, _) => Buffers.echo.add(args))
+    val store = new QueueStore(spark, TestSpark.tmpRoot("pauseblock"))
+    val api = new DefaultQueueApi(store)
+    import spark.implicits._
+    // 10 foreign admissions NOW fill the 10-slot / 10 s window (short
+    // regime: scale == max(4*poll, 10 s) block bound) — reopen is a
+    // full 10 s away, far longer than a pause should have to wait
+    val t0 = System.currentTimeMillis()
+    store.limitLogAppend("pk",
+      (1 to 10).map(i => s"foreign$i").toDF("id"), new java.sql.Timestamp(t0))
+    api.bulkEnqueue("pbq", (1 to 3).map(i => JobSpec("EchoWorker", args = s"[b$i]")))
+    val runner = new PipelineRunner(store,
+      PipelineConfig("pb", "pbq", rateLimitCount = Some(10),
+        rateLimitScaleMs = Some(10000), rateLimitKey = Some("pk"),
+        pollIntervalMs = 500))
+    val rows = store.queueRows("pbq")
+    val th = new Thread(() => runner.processBatch(rows, 0), "test-blocked-batch")
+    th.start()
+    Thread.sleep(700) // let the batch enter (or head toward) the block
+    assert(th.isAlive, "batch returned before the pause — the window was not closed")
+    runner.pause(graft.pipeline.ControlOptions(async = true)) // no query to stop: flips the local override
+    th.join(20000)
+    assert(!th.isAlive, "blocked admission sat out the window despite the pause")
+    // the abort fell through to the defer path: nothing dispatched,
+    // the whole batch re-appended to the tail, claim arithmetic exact
+    assert(Buffers.echo.size === 0, "paused runner dispatched through the closed window")
+    assert(store.queueRows("pbq").count() === 6) // originals + requeued copies
+    assert(api.jobCounts(Seq("pbq"))("pbq") === 3) // 6 copies - 3 deferred claims
+  }
+
   test("group-by-class batching dispatches BulkEvents of batch_size (B3,B6)") {
     WorkerRegistry.registerBulk("BulkWorker", argsList => { Buffers.bulk.add(argsList); () })
     val store = new QueueStore(spark, TestSpark.tmpRoot("bulk"))

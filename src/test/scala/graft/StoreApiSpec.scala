@@ -211,6 +211,24 @@ class StoreApiSpec extends AnyFunSuite {
     assert(store2.liveProcessing.count() === 4)
   }
 
+  test("second live driver on the same root is refused; stale locks are taken over (E3)") {
+    val root = TestSpark.tmpRoot("own")
+    new QueueStore(spark, root) // we own it
+    new QueueStore(spark, root) // owning-JVM re-open (≈ restart / engine + ad-hoc store) is fine
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def forgeLock(content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, "_owner.lock"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // a DIFFERENT live process (pid 1 is always alive) holds the root
+    forgeLock("1 forged-uuid")
+    val ex = intercept[IllegalStateException](new QueueStore(spark, root))
+    assert(ex.getMessage.contains("owned by live driver pid 1"))
+    // a crashed driver's lock (dead pid) is taken over silently
+    forgeLock("999999999 stale-uuid")
+    new QueueStore(spark, root) // no throw
+  }
+
   test("interrupted compaction is recoverable (crash-safe swap)") {
     import spark.implicits._
     val store = new QueueStore(spark, TestSpark.tmpRoot("crash"))
