@@ -92,7 +92,7 @@ class DefaultQueueApi(
         df.withColumn("__seq", monotonically_increasing_id())
           .repartition(1).sortWithinPartitions(c("__seq")).drop("__seq")
       } else df.coalesce(1)
-    store.append(store.queueDir(queue), one, Schemas.event)
+    store.appendQueue(queue, one)
     // [queue, :enqueue] payload-size telemetry (manager.ex:23-27,45-49)
     handler.handle("enqueue", queue, Map(
       "count" -> jobs.size.toDouble,
@@ -167,7 +167,7 @@ class DefaultQueueApi(
       val nGood = good.count()
       val nBad = bad.count()
       if (nGood > 0)
-        store.append(store.queueDir(queue), good.coalesce(1), Schemas.event)
+        store.appendQueue(queue, good.coalesce(1))
       if (nBad > 0) store.append(store.deadDir, bad.coalesce(1), store.deadSchema)
       (nGood, nBad)
     } finally { decoded.unpersist(); () }

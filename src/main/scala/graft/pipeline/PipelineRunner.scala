@@ -84,7 +84,10 @@ class PipelineRunner(
         // moved (possible only when every row in it was already acked)
         // — skip it instead of failing the query
         .option("ignoreMissingFiles", "true")
-        .parquet(store.queueDir(cfg.queue))
+        // day-partition glob: batch analytics prune on day; the stream
+        // lists data files across the day subdirs each trigger, FIFO
+        // still rides the per-writer stamp discipline
+        .parquet(store.queueStreamPath(cfg.queue))
       val q = src.writeStream
         .queryName(s"graft-pipeline-${cfg.name}")
         .option("checkpointLocation", store.checkpointDir(cfg.name))
@@ -328,7 +331,7 @@ class PipelineRunner(
               .withColumn("not_before", lit(new Timestamp(reopenMs)))
               .withColumn("kind", lit("deferred")))
           } else {
-            store.append(store.queueDir(cfg.queue), deferred, Schemas.event)
+            store.appendQueue(cfg.queue, deferred)
           }
           adm
         }

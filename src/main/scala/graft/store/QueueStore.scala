@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * | Redis key                    | dir                    |
   * |------------------------------|------------------------|
-  * | ns:queue:q        (LIST)     | queue/q/   append-only |
+  * | ns:queue:q        (LIST)     | queue/q/day=… append-only |
   * | ns:scheduled + ns:retry (ZSET)| scheduled/ + tombstones|
   * | ns:queue:processing:q (ZSET) | processing/ + tombstones|
   * | ns:dead           (ZSET)     | dead/      append-only |
@@ -305,15 +305,24 @@ class QueueStore(val spark: SparkSession, val root: String,
     * Spark job total; same atomic-rename protocol as append(). */
   private def movePartitioned(staging: String, prefix: String,
       targetFor: String => Path): Unit = {
+    movePartitionDirs(new Path(staging), prefix, targetFor)
+    fs.delete(new Path(staging), true)
+  }
+
+  private def movePartitionDirs(base: Path, prefix: String,
+      targetFor: String => Path): Unit = {
     val id = java.util.UUID.randomUUID().toString
-    fs.listStatus(new Path(staging))
+    val partIdx = "part-(\\d+)".r
+    fs.listStatus(base)
       .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$prefix="))
       .foreach { d =>
         val value = unescapePath(d.getPath.getName.stripPrefix(s"$prefix="))
         val target = targetFor(value)
         fs.mkdirs(target)
         fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName) // same stamp-in-name-order contract as append()
+          // same parsed-numeric-index order contract as append()
+          .sortBy(f => partIdx.findFirstMatchIn(f.getPath.getName)
+            .map(_.group(1).toLong).getOrElse(Long.MaxValue))
           .zipWithIndex.foreach { case (f, i) =>
             val stamp = nextPartStampMs()
             val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")
@@ -322,19 +331,44 @@ class QueueStore(val spark: SparkSession, val root: String,
             fs.setTimes(dest, stamp, -1)
           }
       }
-    fs.delete(new Path(staging), true)
+  }
+
+  private def enqueueDayCol = date_format(col("enqueued_at"), "yyyy-MM-dd")
+
+  /** Append rows to a queue dir under its `day=<UTC enqueue date>`
+    * partition (one staged dynamic-partition write + file moves). Queue
+    * dirs are date-partitioned so BATCH reads over queue history prune
+    * on day (the streaming source globs `day=*` and is indifferent —
+    * it lists the whole glob per trigger either way); the day derives
+    * from enqueued_at, so replays land the same rows in the same
+    * partition. FIFO is untouched: the part-stamp discipline stamps
+    * name+mtime across partition subdirs from ONE per-writer clock. */
+  def appendQueue(q: String, df: DataFrame): Unit = {
+    val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
+    df.select(Schemas.event.fieldNames.map(col).toSeq: _*)
+      .withColumn("__day", enqueueDayCol)
+      .write.mode("overwrite").partitionBy("__day").parquet(staging)
+    movePartitioned(staging, "__day", d => new Path(s"${queueDir(q)}/day=$d"))
   }
 
   /** Append rows to every destination queue dir in ONE Spark job
-    * (dynamic-partition staging write keyed on `queue`, then file
-    * moves). Replaces per-queue job loops — at thousands of queues a
-    * loop is thousands of Spark jobs per housekeeping tick. */
+    * (dynamic-partition staging write keyed on `queue` then enqueue
+    * day, then file moves). Replaces per-queue job loops — at
+    * thousands of queues a loop is thousands of Spark jobs per
+    * housekeeping tick. */
   def appendToQueues(df: DataFrame): Unit = {
     val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
     df.select(Schemas.event.fieldNames.map(col).toSeq: _*)
       .withColumn("__q", col("queue"))
-      .write.mode("overwrite").partitionBy("__q").parquet(staging)
-    movePartitioned(staging, "__q", q => new Path(queueDir(q)))
+      .withColumn("__day", enqueueDayCol)
+      .write.mode("overwrite").partitionBy("__q", "__day").parquet(staging)
+    fs.listStatus(new Path(staging))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("__q="))
+      .foreach { qd =>
+        val q = unescapePath(qd.getPath.getName.stripPrefix("__q="))
+        movePartitionDirs(qd.getPath, "__day", d => new Path(s"${queueDir(q)}/day=$d"))
+      }
+    fs.delete(new Path(staging), true)
   }
 
   /** The scheduled table is hive-partitioned on nb_day (the UTC date of
@@ -417,6 +451,27 @@ class QueueStore(val spark: SparkSession, val root: String,
 
   // -- typed views of the state tables ------------------------------------
   def queueRows(q: String): DataFrame = readOrEmpty(queueDir(q), Schemas.event)
+
+  /** The streaming source's path for a queue: the day-partition glob.
+    * Globbed, not the bare dir, so the file-stream source lists data
+    * files only (day subdirs appear under the glob as they are
+    * created). */
+  def queueStreamPath(q: String): String = s"${queueDir(q)}/day=*"
+
+  private val eventSchemaP: StructType = Schemas.event.add("day", StringType)
+
+  /** Partition-discovering batch read of a queue's history: carries the
+    * `day` partition column, so date predicates prune whole day dirs
+    * (PartitionFilters) instead of footer-scanning years of history.
+    * The analytics/audit path; the pipeline itself streams the glob. */
+  def queueHistory(q: String): DataFrame = {
+    val files = resolveDataFiles(queueDir(q))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchemaP)
+    else spark.read.option("basePath", queueDir(q))
+      .option("ignoreMissingFiles", "true")
+      .schema(eventSchemaP).parquet(files: _*)
+  }
   /** Deduped on sched_id: a micro-batch that crashes after the
     * scheduled-table append replays and re-appends the same
     * deterministic sched_id; without the dedupe, promoteDue would
@@ -595,8 +650,14 @@ class QueueStore(val spark: SparkSession, val root: String,
     val srcRefs = candDF
       .where(col("src_file").isNotNull && col("queue").isNotNull)
       .select(col("queue"), col("src_file"), col("f")).distinct().collect()
+    // src_file records the BASENAME; queue files live under day=
+    // subdirs, so liveness is a recursive basename lookup (one listing
+    // per referenced queue, not one exists() per file)
+    val liveNames: Map[String, Set[String]] =
+      srcRefs.map(_.getString(0)).distinct.map(q =>
+        q -> listPartFilesRec(queueDir(q)).map(_._2.getPath.getName).toSet).toMap
     val srcLive = srcRefs.map(r => (r.getString(0), r.getString(1))).distinct
-      .filter { case (q, sf) => fs.exists(new Path(queueDir(q), sf)) }.toSet
+      .filter { case (q, sf) => liveNames.getOrElse(q, Set.empty)(sf) }.toSet
     val blockedSrc = srcRefs
       .filter(r => srcLive((r.getString(0), r.getString(1))))
       .map(_.getString(2)).toSet
@@ -645,7 +706,7 @@ class QueueStore(val spark: SparkSession, val root: String,
   def footerRowCount(dir: String): Long = {
     val p = new Path(dir)
     if (!fs.exists(p)) 0L
-    else fs.listStatus(p).filter(f => f.getPath.getName.startsWith("part-")).map { f =>
+    else listPartFilesRec(dir).map(_._2).map { f =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(f, spark.sparkContext.hadoopConfiguration)
@@ -894,11 +955,13 @@ class QueueStore(val spark: SparkSession, val root: String,
 
   private def archiveConsumedAllLocked(qs: Seq[String], olderThanMs: Long): Long = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val oldByQueue: Map[String, Array[org.apache.hadoop.fs.FileStatus]] =
-      qs.distinct.filter(q => fs.exists(new Path(queueDir(q)))).map { q =>
-        q -> fs.listStatus(new Path(queueDir(q)))
-          .filter(f => f.getPath.getName.startsWith("part-") &&
-            f.getModificationTime < cutoff)
+    // recursive: queue files live under day= partition subdirs; the
+    // archive move preserves the relative path so history stays
+    // day-partitioned under .archive/ too
+    val oldByQueue: Map[String, Seq[(String, org.apache.hadoop.fs.FileStatus)]] =
+      qs.distinct.map { q =>
+        q -> listPartFilesRec(queueDir(q))
+          .filter(_._2.getModificationTime < cutoff)
       }.toMap.filter(_._2.nonEmpty)
     if (oldByQueue.isEmpty) return 0L
     val targets = oldByQueue.keys.toSeq
@@ -923,7 +986,7 @@ class QueueStore(val spark: SparkSession, val root: String,
         col("src_file"))
       .distinct()
     // files with any row copy not covered by a same-file ack stay
-    val oldPaths = oldByQueue.values.flatten.map(_.getPath.toString).toSeq
+    val oldPaths = oldByQueue.values.flatten.map(_._2.getPath.toString).toSeq
     val pending = spark.read.schema(Schemas.event).parquet(oldPaths: _*)
       .select(col("queue"), col("jid"),
         regexp_extract(input_file_name(), "[^/]+$", 0).as("src_file"))
@@ -932,12 +995,13 @@ class QueueStore(val spark: SparkSession, val root: String,
     var moved = 0L
     oldByQueue.foreach { case (q, files) =>
       val archive = new Path(s"${queueDir(q)}/.archive")
-      fs.mkdirs(archive)
-      files.foreach { f =>
+      files.foreach { case (rel, f) =>
         // part names carry a UUID — unique across queues, so the
         // basename is a safe key
         if (!pending.contains(f.getPath.getName)) {
-          if (fs.rename(f.getPath, new Path(archive, f.getPath.getName))) moved += 1
+          val dest = new Path(archive, rel)
+          fs.mkdirs(dest.getParent)
+          if (fs.rename(f.getPath, dest)) moved += 1
           else graft.GraftLog.current.warn(
             s"archive rename failed for ${f.getPath.toUri}")
         }

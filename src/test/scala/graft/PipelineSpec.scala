@@ -263,7 +263,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     (1 to 6).foreach(i => api.enqueue("fq", JobSpec("EchoWorker", args = s"[f$i]")))
     val dir = new org.apache.hadoop.fs.Path(store.queueDir("fq"))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "day=*/part-*"))
     // (1) lexicographic NAME order == enqueue order (durable evidence)
     val byName = files.sortBy(_.getPath.getName)
     // (2) forced MTIME stamps strictly increase in that same order even
@@ -492,8 +492,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     val moved = store.archiveConsumed("aq", olderThanMs = 0)
     assert(moved === 1) // only the fully-acked file moved
     // live dir holds just the unconsumed file; archive holds the other
-    val live = new java.io.File(store.queueDir("aq")).listFiles
-      .filter(_.getName.startsWith("part-"))
+    val live = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .globStatus(new org.apache.hadoop.fs.Path(store.queueDir("aq"), "day=*/part-*"))
     assert(live.length === 1)
     assert(store.footerRowCount(s"${store.queueDir("aq")}/.archive") === 5)
     // jobCounts arithmetic survives archiving
@@ -617,6 +618,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(handler.jobs.isEmpty)
     // and the jobs were still processed (claims tombstoned)
     assert(api.jobCounts(Seq("jq"))("jq") === 0)
+  }
+
+  test("queue dirs are day-partitioned and history reads partition-prune (E1 at scale)") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("qpart"))
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("pq", (1 to 4).map(i => JobSpec("W", args = s"[$i]")))
+    // an old-day batch (promotions keep original enqueued_at, so old
+    // days genuinely occur): lands under its own day= dir
+    import spark.implicits._
+    val oldTs = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    store.appendQueue("pq", Seq(
+      graft.model.GraftEvent("W", "perform", "pq", "old-1", "[]", 0, oldTs),
+      graft.model.GraftEvent("W", "perform", "pq", "old-2", "[]", 0, oldTs)).toDF())
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(store.queueDir("pq")))
+      .map(_.getPath.getName).filter(_.startsWith("day="))
+    assert(dayDirs.length === 2, s"expected 2 day partitions, got ${dayDirs.mkString(",")}")
+    // date predicates prune whole day dirs in the batch-history plan
+    val recent = store.queueHistory("pq").where(col("day") > "2025-01-01")
+    val plan = recent.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
+    assert(recent.count() === 4)
+    assert(store.queueHistory("pq").count() === 6)
+    // the flat readers still see everything (recursive, partition-blind)
+    assert(store.queueRows("pq").count() === 6)
+    assert(store.footerRowCount(store.queueDir("pq")) === 6)
   }
 
   test("scheduled table is nb_day-partitioned and the due scan partition-prunes (C1 at scale)") {

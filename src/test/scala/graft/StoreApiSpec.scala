@@ -373,8 +373,8 @@ class StoreApiSpec extends AnyFunSuite {
     val api = new DefaultQueueApi(store)
     api.enqueue("pcq", JobSpec("W", args = "[1]"))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    def liveParts = fs.listStatus(new org.apache.hadoop.fs.Path(store.queueDir("pcq")))
-      .count(_.getPath.getName.startsWith("part-"))
+    def liveParts = fs.globStatus(
+      new org.apache.hadoop.fs.Path(store.queueDir("pcq"), "day=*/part-*")).length
     val rowSnapshot = store.queueRows("pcq").collect()
     // consume copy 1 (file F1): claim records F1, ack inherits it
     val c1 = store.queueRows("pcq")
@@ -389,9 +389,8 @@ class StoreApiSpec extends AnyFunSuite {
     // has not consumed the evidence yet
     assert(store.foldClaimCounters(olderThanMs = 0) === 0L)
     // the requeue/promotion move: the SAME jid gains a new copy in a NEW file F2
-    store.append(store.queueDir("pcq"), spark.createDataFrame(
-      java.util.Arrays.asList(rowSnapshot: _*), graft.model.Schemas.event),
-      graft.model.Schemas.event)
+    store.appendQueue("pcq", spark.createDataFrame(
+      java.util.Arrays.asList(rowSnapshot: _*), graft.model.Schemas.event))
     assert(liveParts === 2)
     // F1 is covered by its exact-copy ack; F2 must stay (no ack names it)
     assert(store.archiveConsumedAll(Seq("pcq"), olderThanMs = 0) === 1L)
