@@ -125,6 +125,9 @@ class GraftEngine(
     // sooner would strand consumed files in the live dir (counts would
     // stay exact, but the listing-cost bound would erode).
     store.foldClaimCounters(math.max(claimFoldOlderThanMs, 2 * archiveOlderThanMs))
+    // last: sweep staging dirs orphaned by crashed writes (age-bounded,
+    // lock-serialized with compaction so its snapshot write is safe)
+    store.pruneStaleStaging()
     (archived, pruned)
   }
 

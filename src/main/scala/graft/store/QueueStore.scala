@@ -787,6 +787,26 @@ class QueueStore(val spark: SparkSession, val root: String,
     deleted
   }
 
+  /** Sweep orphaned staging dirs — a crashed write leaves its private
+    * `.staging/<uuid>` dir behind forever (completed writes always
+    * delete their own). Age-bounded so live writes are untouched (a
+    * staging dir lives for the duration of one write), and serialized
+    * with compaction via the maintenance lock, so a compaction
+    * snapshot mid-write can never be swept no matter how long it
+    * takes. Returns dirs deleted. */
+  def pruneStaleStaging(olderThanMs: Long = 3600000): Long = withMaintenance {
+    val base = new Path(s"$root/.staging")
+    if (!fs.exists(base)) 0L
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      var n = 0L
+      fs.listStatus(base).filter(_.getModificationTime < cutoff).foreach { d =>
+        if (fs.delete(d.getPath, true)) n += 1
+      }
+      n
+    }
+  }
+
   // -- durable pause flag (pipeline/event.ex:41-55) -----------------------
   def setPaused(name: String, paused: Boolean): Unit =
     if (paused) { fs.mkdirs(pausedFlag(name).getParent); fs.create(pausedFlag(name), true).close() }

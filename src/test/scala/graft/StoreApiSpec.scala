@@ -414,6 +414,19 @@ class StoreApiSpec extends AnyFunSuite {
     assert(api.jobCounts(Seq("pcq")) === Map("pcq" -> 0L)) // 2 copies, 2 claims
   }
 
+  test("stale staging sweep deletes only old orphan dirs") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("staging"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(store.root + "/.staging")
+    val old = new org.apache.hadoop.fs.Path(base, "orphan-old")
+    val fresh = new org.apache.hadoop.fs.Path(base, "orphan-new")
+    fs.mkdirs(old); fs.mkdirs(fresh)
+    fs.setTimes(old, System.currentTimeMillis() - 7200000, -1)
+    assert(store.pruneStaleStaging(3600000) === 1)
+    assert(!fs.exists(old), "old orphan survived the sweep")
+    assert(fs.exists(fresh), "swept a staging dir inside the age bound (live-write hazard)")
+  }
+
   test("recording api buffers instead of writing (D6)") {
     val api = new RecordingQueueApi
     api.enqueue("q", JobSpec("W", args = "[1]"))
