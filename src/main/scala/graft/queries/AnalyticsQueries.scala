@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** General analytics breadth over the TPC-H-ish fixture tables: hash
   * aggregation, broadcast joins, window functions, semi/anti joins and
@@ -13,15 +12,15 @@ import org.apache.spark.sql.types.DecimalType
   * Scale notes (100 TB design):
   *   - dimension joins (region/nation/supplier/part/customer) are
   *     explicitly `broadcast()` — no shuffle of the fact table;
-  *   - double sums go through DECIMAL(18,4) so partial aggregation is
-  *     associative and the plan keeps map-side combine;
+  *   - double sums are quantized to integers and folded through
+  *     [[ExactAgg.chunkedSums]] (long-speed chunk partials, decimal
+  *     final fold) so partial aggregation is exact, associative and
+  *     overflow-safe at 100 TB while staying on the codegen fast path;
   *   - window queries partition by their natural key and would rely on
   *     range-partitioned shuffle; skewed users would need salting.
   */
 object AnalyticsQueries {
   import Tables.t
-
-  private val sumDec = DecimalType(38, 0)
 
   /** Quantize a double at 10^s via ROUND: both engines perform the
     * identical IEEE multiply and round-half-away-from-zero on the same
@@ -38,22 +37,27 @@ object AnalyticsQueries {
     QueryDef(
       "q1_pricing_summary",
       (s, dir) => {
-        val qQty = quant(col("l_quantity"), 10000).cast(sumDec)
-        val qExt = quant(col("l_extendedprice"), 10000).cast(sumDec)
-        val qDisc = quant(col("l_discount"), 10000).cast(sumDec)
-        // product of two quantized ints stays exact in double (< 2^53)
-        val qDiscPrice =
-          (quant(col("l_extendedprice"), 10000) * quant(lit(1) - col("l_discount"), 10000))
-            .cast(sumDec)
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(
-            (sum(qQty).cast("double") / 10000).as("sum_qty"),
-            (sum(qExt).cast("double") / 10000).as("sum_base_price"),
-            (sum(qDiscPrice).cast("double") / 100000000).as("sum_disc_price"),
-            (sum(qQty).cast("double") / 10000 / count("*")).as("avg_qty"),
-            (sum(qDisc).cast("double") / 10000 / count("*")).as("avg_disc"),
-            count("*").as("count_order"))
+        // per-row magnitudes: qty*1e4 <= 5e5, ext*1e4 <= 1.1e9,
+        // disc*1e4 <= 1e4, ext*1e4*(1-disc)*1e4 <= 1.1e13 — all under
+        // ExactAgg's 2^44 chunk-safety bound
+        val pre = t(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"),
+          quant(col("l_quantity"), 10000).cast("long").as("q_qty"),
+          quant(col("l_extendedprice"), 10000).cast("long").as("q_ext"),
+          quant(col("l_discount"), 10000).cast("long").as("q_disc"),
+          (quant(col("l_extendedprice"), 10000) *
+            quant(lit(1) - col("l_discount"), 10000)).cast("long").as("q_dp"))
+        ExactAgg
+          .chunkedSums(pre, Seq("l_returnflag", "l_linestatus"),
+            Seq("q_qty", "q_ext", "q_disc", "q_dp"))
+          .select(
+            col("l_returnflag"), col("l_linestatus"),
+            (col("q_qty").cast("double") / 10000).as("sum_qty"),
+            (col("q_ext").cast("double") / 10000).as("sum_base_price"),
+            (col("q_dp").cast("double") / 100000000).as("sum_disc_price"),
+            (col("q_qty").cast("double") / 10000 / col("_cnt")).as("avg_qty"),
+            (col("q_disc").cast("double") / 10000 / col("_cnt")).as("avg_disc"),
+            col("_cnt").as("count_order"))
       },
       Some(
         """SELECT l_returnflag, l_linestatus,
@@ -72,14 +76,15 @@ object AnalyticsQueries {
         val orders = t(s, dir, "orders")
         val customer = t(s, dir, "customer")
         val nation = t(s, dir, "nation")
-        orders
+        val pre = orders
           .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-          .groupBy(col("n_name").as("nation"))
-          .agg(
-            (sum(quant(col("o_totalprice"), 10000).cast(sumDec)).cast("double") / 10000)
-              .as("revenue"),
-            count("*").as("n_orders"))
+          .select(col("n_name").as("nation"),
+            quant(col("o_totalprice"), 10000).cast("long").as("q_tp"))
+        ExactAgg.chunkedSums(pre, Seq("nation"), Seq("q_tp"))
+          .select(col("nation"),
+            (col("q_tp").cast("double") / 10000).as("revenue"),
+            col("_cnt").as("n_orders"))
       },
       Some(
         """SELECT n_name AS nation,
@@ -92,15 +97,17 @@ object AnalyticsQueries {
 
     QueryDef(
       "q_brand_volume",
-      (s, dir) =>
-        t(s, dir, "lineitem")
+      (s, dir) => {
+        val pre = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part").where(col("p_size") > 25)),
             col("l_partkey") === col("p_partkey"))
-          .groupBy(col("p_brand").as("brand"))
-          .agg(
-            (sum(quant(col("l_quantity"), 10000).cast(sumDec)).cast("double") / 10000)
-              .as("sum_qty"),
-            count("*").as("n_lines")),
+          .select(col("p_brand").as("brand"),
+            quant(col("l_quantity"), 10000).cast("long").as("q_qty"))
+        ExactAgg.chunkedSums(pre, Seq("brand"), Seq("q_qty"))
+          .select(col("brand"),
+            (col("q_qty").cast("double") / 10000).as("sum_qty"),
+            col("_cnt").as("n_lines"))
+      },
       Some(
         """SELECT p_brand AS brand,
           |CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_qty,
@@ -285,8 +292,8 @@ object AnalyticsQueries {
         // broadcast dimensions, with the Q5 local-supplier condition
         // (c_nationkey = s_nationkey) folded into the supplier join.
         val qRev = (quant(col("l_extendedprice"), 10000) *
-          quant(lit(1) - col("l_discount"), 10000)).cast(sumDec)
-        t(s, dir, "lineitem")
+          quant(lit(1) - col("l_discount"), 10000)).cast("long")
+        val pre = t(s, dir, "lineitem")
           .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, dir, "supplier")),
@@ -294,10 +301,11 @@ object AnalyticsQueries {
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name").as("region"))
-          .agg(
-            (sum(qRev).cast("double") / 100000000).as("revenue"),
-            count("*").as("n_items"))
+          .select(col("r_name").as("region"), qRev.as("q_rev"))
+        ExactAgg.chunkedSums(pre, Seq("region"), Seq("q_rev"))
+          .select(col("region"),
+            (col("q_rev").cast("double") / 100000000).as("revenue"),
+            col("_cnt").as("n_items"))
       },
       Some(
         """SELECT r_name AS region,
@@ -351,13 +359,14 @@ object AnalyticsQueries {
         // aggregate. Exact: the quantized integer partials re-sum
         // associatively across levels.
         val qRev = (quant(col("l_extendedprice"), 10000) *
-          quant(lit(1) - col("l_discount"), 10000)).cast(sumDec)
-        val base = t(s, dir, "lineitem")
+          quant(lit(1) - col("l_discount"), 10000)).cast("long")
+        val pre = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
-          .agg(sum(qRev).as("rev_q"), count("*").as("n"))
+          .select(col("r_name").as("region"), col("n_name").as("nation"),
+            qRev.as("rev_q"))
+        val base = ExactAgg.chunkedSums(pre, Seq("region", "nation"), Seq("rev_q"), "n")
         base
           .rollup(col("region"), col("nation"))
           .agg(
@@ -612,18 +621,24 @@ object AnalyticsQueries {
       (s, dir) =>
         // CUBE grouping sets: revenue at (priority, status), each
         // one-dimension margin, and the grand total — the full 2^2
-        // lattice in one pass. Expand replicates each input row 4×,
-        // which is fine here because the input is the orders table
-        // reduced by map-side combine before the shuffle; quantized
-        // integer partials re-sum associatively across levels.
-        t(s, dir, "orders")
-          .cube(col("o_orderpriority").as("priority"),
-            col("o_orderstatus").as("status"))
-          .agg(
-            grouping_id().cast("int").as("lvl"),
-            (sum(quant(col("o_totalprice"), 100).cast(sumDec))
-              .cast("double") / 100).as("revenue"),
-            count(lit(1)).as("n_orders")),
+        // lattice. Two-level shape: the orders table FIRST collapses to
+        // one exact partial per (priority, status) — Expand otherwise
+        // replicates every fact row 4x before the shuffle — and the
+        // cube lattice re-sums the (priority x status)-cardinality
+        // partials; quantized integer partials re-sum associatively
+        // across levels.
+        {
+          val pre = t(s, dir, "orders")
+            .select(col("o_orderpriority").as("priority"),
+              col("o_orderstatus").as("status"),
+              quant(col("o_totalprice"), 100).cast("long").as("q_tp"))
+          ExactAgg.chunkedSums(pre, Seq("priority", "status"), Seq("q_tp"))
+            .cube(col("priority"), col("status"))
+            .agg(
+              grouping_id().cast("int").as("lvl"),
+              (sum(col("q_tp")).cast("double") / 100).as("revenue"),
+              sum(col("_cnt")).as("n_orders"))
+        },
       Some(
         """SELECT o_orderpriority AS priority, o_orderstatus AS status,
           |CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT) AS lvl,
@@ -642,12 +657,15 @@ object AnalyticsQueries {
         // is ONE double division of two exactly-represented integers
         // (quantized cents, < 2^53), so both engines produce the
         // identical IEEE-754 quotient.
-        val rev = t(s, dir, "orders")
+        val pre = t(s, dir, "orders")
           .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
-          .agg(sum(quant(col("o_totalprice"), 100).cast(sumDec)).as("rev_c"))
+          .select(col("r_name").as("region"), col("n_name").as("nation"),
+            quant(col("o_totalprice"), 100).cast("long").as("rev_c"))
+        val rev = ExactAgg
+          .chunkedSums(pre, Seq("region", "nation"), Seq("rev_c"))
+          .drop("_cnt")
         val w = Window.partitionBy("region")
         rev.select(col("region"), col("nation"),
           (col("rev_c").cast("double") / 100).as("revenue"),

@@ -4,7 +4,6 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -44,6 +43,25 @@ object SimilarityQueries {
       |un AS (SELECT vec_id, label,
       |  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM v)""".stripMargin
 
+  /** Exact 1e-9-ROUND-quantized per-group mean of `v`, folded through
+    * [[ExactAgg.chunkedSums]] (long-speed partials, decimal final) —
+    * bit-identical to the direct decimal sum, ~3x faster over the
+    * posexploded (rows x dims) element table. Per-row magnitude
+    * |v|*1e9 stays ~1e9 for unit-scale embeddings, far under the 2^44
+    * chunk-safety bound. */
+  private def quantMean(
+      df: DataFrame,
+      keys: Seq[(org.apache.spark.sql.Column, String)],
+      v: org.apache.spark.sql.Column,
+      as: String): DataFrame = {
+    val pre = df.select(
+      keys.map { case (c, n) => c.as(n) } :+
+        round(v * 1000000000).cast("long").as("_qv"): _*)
+    ExactAgg.chunkedSums(pre, keys.map(_._2), Seq("_qv"))
+      .select(keys.map { case (_, n) => col(n) } :+
+        (col("_qv").cast("double") / 1000000000 / col("_cnt")).as(as): _*)
+  }
+
   /** All (vector, centroid) distances RANKED per vector: rank 1 is the
     * IVF assignment; ranks 2..n are the probe order for nprobe>1
     * search. Distances via the dot identity |x-c|² = x·x - 2x·c + c·c
@@ -53,11 +71,10 @@ object SimilarityQueries {
     graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-    val cents = e
-      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy(col("label").as("c_label"), (col("pos") + 1).as("dim"))
-      .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
-        .cast("double") / 1000000000 / count("*")).as("cv"))
+    val cents = quantMean(
+      e.select(col("label"), posexplode(col("e")).as(Seq("pos", "v"))),
+      Seq(col("label") -> "c_label", (col("pos") + 1) -> "dim"),
+      col("v"), "cv")
       .groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
       .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("c"))
@@ -161,11 +178,10 @@ object SimilarityQueries {
         array((0 until 8).map(m => slice(col("e"), m * 8 + 1, 8)): _*))
         .as(Seq("m", "sub")))
       .cache() // shared: codebook build + assignment + query tables
-    val cb = subs
-      .select(col("label"), col("m"), posexplode(col("sub")).as(Seq("pos", "x")))
-      .groupBy(col("m"), col("label").as("cw"), (col("pos") + 1).as("dim"))
-      .agg((sum(round(col("x") * 1000000000).cast(DecimalType(38, 0)))
-        .cast("double") / 1000000000 / count("*")).as("cv"))
+    val cb = quantMean(
+      subs.select(col("label"), col("m"), posexplode(col("sub")).as(Seq("pos", "x"))),
+      Seq(col("m") -> "m", col("label") -> "cw", (col("pos") + 1) -> "dim"),
+      col("x"), "cv")
       .groupBy("m", "cw")
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
       .select(col("m"), col("cw"),
@@ -682,12 +698,12 @@ object SimilarityQueries {
     QueryDef(
       "sim_label_centroid",
       (s, dir) =>
-        t(s, dir, "embeddings")
-          .select(col("label"),
-            posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
-          .groupBy(col("label"), (col("pos") + 1).as("dim"))
-          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
-            .cast("double") / 1000000000 / count("*")).as("centroid")),
+        quantMean(
+          t(s, dir, "embeddings")
+            .select(col("label"),
+              posexplode(asDouble(col("embedding"))).as(Seq("pos", "v"))),
+          Seq(col("label") -> "label", (col("pos") + 1) -> "dim"),
+          col("v"), "centroid"),
       Some(
         """SELECT label, CAST(dim AS INT) AS dim,
           |CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 / COUNT(*) AS centroid
@@ -715,21 +731,19 @@ object SimilarityQueries {
         graft.functions.VectorFunctions.register(s)
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-        val centsOld = e
-          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-          .groupBy(col("label").as("c_label"), (col("pos") + 1).as("dim"))
-          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
-            .cast("double") / 1000000000 / count("*")).as("cv"))
+        val centsOld = quantMean(
+          e.select(col("label"), posexplode(col("e")).as(Seq("pos", "v"))),
+          Seq(col("label") -> "c_label", (col("pos") + 1) -> "dim"),
+          col("v"), "cv")
           .groupBy("c_label")
           .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
           .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("co"))
         val asg = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
         val members = e.select(col("vec_id"), col("e")).join(asg, "vec_id")
-        val centsNew = members
-          .select(col("assigned"), posexplode(col("e")).as(Seq("pos", "v")))
-          .groupBy(col("assigned").as("c_label"), (col("pos") + 1).as("dim"))
-          .agg((sum(round(col("v") * 1000000000).cast(DecimalType(38, 0)))
-            .cast("double") / 1000000000 / count("*")).as("cv"))
+        val centsNew = quantMean(
+          members.select(col("assigned"), posexplode(col("e")).as(Seq("pos", "v"))),
+          Seq(col("assigned") -> "c_label", (col("pos") + 1) -> "dim"),
+          col("v"), "cv")
           .groupBy("c_label")
           .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
           .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("cn"))
