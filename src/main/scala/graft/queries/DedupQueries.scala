@@ -551,5 +551,91 @@ object DedupQueries {
            |$iters
            |SELECT doc_id, rq, CAST(rq AS DOUBLE) / 1000000000 AS rank FROM r5""".stripMargin
       },
-      "PageRank-style quality propagation over near-dup pairs: 5 quantized iterations, oracle-exact."))
+      "PageRank-style quality propagation over near-dup pairs: 5 quantized iterations, oracle-exact."),
+
+    QueryDef(
+      "dedup_substring",
+      (s, dir) => {
+        // Exact-substring dedup (the suffix-array-style pass of
+        // "Deduplicating Training Data Makes Language Models Better",
+        // Lee et al. 2021, re-expressed relationally): mark every
+        // k-token gram that appears verbatim in >=2 documents, then
+        // merge overlapping/adjacent marked positions per document
+        // into MAXIMAL duplicated spans — the unit a cleaning pipeline
+        // would cut, not the individual gram hits.
+        //
+        // Scale shape (100 TB): gram generation is row-local (explode
+        // of an in-row transform — no shuffle); the duplicate detector
+        // is one map-side-combinable count-distinct per gram that
+        // keeps NO doc list (a boilerplate hot gram costs its group
+        // size in shuffle rows, never a quadratic pair set); the span
+        // merge windows over DUP positions only, bounded per doc by
+        // document length. Gram keys travel as raw token strings for
+        // oracle bit-parity — at scale you'd key on xxhash64(gram)
+        // twice (128 bits) to shrink shuffle bytes, accepting the
+        // 2^-128 collision odds.
+        val k = 8
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val grams = docs
+          .where(size(col("ws")) >= k)
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+            explode(transform(
+              sequence(lit(1), size(col("ws")) - (k - 1)),
+              i => struct(i.cast("long").as("pos"),
+                array_join(slice(col("ws"), i, lit(k)), " ").as("gram")))).as("g"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("g.pos").as("pos"), col("g.gram").as("gram"))
+        val dupGrams = grams
+          .groupBy("gram")
+          .agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") >= 2)
+          .select("gram")
+        val dp = grams.join(dupGrams, Seq("gram"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val prevEnd = max(col("pos") + (k - 1))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+        val isl = dp
+          .withColumn("brk",
+            when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+          .withColumn("island", sum(col("brk")).over(w))
+        val spans = isl
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("n_tokens")).as("n_tokens"),
+            count(lit(1)).as("n_grams"),
+            min(col("pos")).as("s"),
+            (max(col("pos")) + (k - 1)).as("e"))
+        spans
+          .groupBy("doc_id")
+          .agg(
+            sum(col("n_grams")).as("n_dup_grams"),
+            count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + 1).as("dup_tokens"),
+            min(col("n_tokens")).as("n_tokens"))
+          .select(col("doc_id"), col("n_dup_grams"), col("n_spans"),
+            col("dup_tokens"), col("n_tokens"),
+            (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+          |      FROM w JOIN range(1, 100000) r(i) ON i <= len(ws) - 7),
+          |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+          |dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+          |isl AS (SELECT doc_id, pos,
+          |  CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1 THEN 1 ELSE 0 END AS brk
+          |  FROM dp),
+          |isl2 AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+          |spans AS (SELECT doc_id, island, COUNT(*) AS n_grams, MIN(pos) AS s, MAX(pos) + 7 AS e
+          |  FROM isl2 GROUP BY doc_id, island),
+          |per AS (SELECT doc_id, CAST(SUM(n_grams) AS BIGINT) AS n_dup_grams,
+          |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+          |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id)
+          |SELECT p.doc_id AS doc_id, p.n_dup_grams, p.n_spans, p.dup_tokens,
+          |  CAST(len(w.ws) AS BIGINT) AS n_tokens,
+          |  CAST(p.dup_tokens AS DOUBLE) / len(w.ws) AS dup_frac
+          |FROM per p JOIN w ON p.doc_id = w.doc_id""".stripMargin),
+      "Exact-substring dedup: merge cross-doc duplicated 8-gram hits into maximal spans per doc."))
 }

@@ -41,7 +41,9 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * never blocks the pipelines.
   */
 class QueueStore(val spark: SparkSession, val root: String,
-    val compactionGraceMs: Long = 600000) {
+    val compactionGraceMs: Long = 600000,
+    val leaseTimeoutMs: Long = 300000,
+    ownerHost: String = QueueStore.localHost) {
 
   val scheduledSchema: StructType = Schemas.event
     .add("sched_id", StringType).add("not_before", "timestamp").add("kind", StringType)
@@ -214,6 +216,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * correct, and for pre-compaction plans at worst a transient
     * undercount on a periodic pass. */
   def readOrEmpty(dir: String, schema: StructType): DataFrame = {
+    maybeRenewLease()
     val files = resolveDataFiles(dir)
     if (files.nonEmpty)
       spark.read.schema(schema).option("ignoreMissingFiles", "true").parquet(files: _*)
@@ -250,6 +253,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * dir) and they would share one `_temporary/0` committer dir, where
     * one job's cleanup deletes the other's in-flight task files. */
   def append(dir: String, df: DataFrame, schema: StructType): Unit = {
+    maybeRenewLease()
     val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
     df.select(schema.fieldNames.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(staging)
@@ -344,6 +348,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * partition. FIFO is untouched: the part-stamp discipline stamps
     * name+mtime across partition subdirs from ONE per-writer clock. */
   def appendQueue(q: String, df: DataFrame): Unit = {
+    maybeRenewLease()
     val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
     df.select(Schemas.event.fieldNames.map(col).toSeq: _*)
       .withColumn("__day", enqueueDayCol)
@@ -357,6 +362,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * thousands of queues a loop is thousands of Spark jobs per
     * housekeeping tick. */
   def appendToQueues(df: DataFrame): Unit = {
+    maybeRenewLease()
     val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
     df.select(Schemas.event.fieldNames.map(col).toSeq: _*)
       .withColumn("__q", col("queue"))
@@ -375,6 +381,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * not_before), so the housekeeper's due scan partition-prunes away
     * far-future days — the ZRANGEBYSCORE analog at the directory level. */
   def appendScheduled(df: DataFrame): Unit = {
+    maybeRenewLease()
     val staging = s"$root/.staging/${java.util.UUID.randomUUID()}"
     df.select(scheduledSchema.fieldNames.map(col).toSeq: _*)
       .withColumn("nb_day", date_format(col("not_before"), "yyyy-MM-dd"))
@@ -390,6 +397,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * Manifest-aware: live files only, resolved against basePath so the
     * partition column still derives from the paths. */
   def readScheduled: DataFrame = {
+    maybeRenewLease()
     val files = resolveDataFiles(scheduledDir)
     if (files.nonEmpty)
       spark.read.option("basePath", scheduledDir)
@@ -1045,37 +1053,91 @@ class QueueStore(val spark: SparkSession, val root: String,
   // the same root would interleave FIFO stamps non-monotonically and
   // delete files the other driver's passes still hold listed. The
   // reference gets this exclusivity from the single Redis server; here
-  // a lockfile records the owning JVM and a second live owner on the
-  // same host is refused loudly. (Cross-host detection on a shared
-  // filesystem would need lease renewal — out of scope for the
-  // documented single-driver deployment; the lock then still documents
-  // the owner.) A lock whose process is gone — crashed driver — is
-  // taken over silently; re-opening from the owning JVM (restart-style
-  // tests, engine + ad-hoc store on one root) is always allowed.
-  private def acquireOwnership(): Unit = {
-    val lock = new Path(root, "_owner.lock")
-    val selfPid = ProcessHandle.current().pid()
-    if (fs.exists(lock)) {
-      val in = fs.open(lock)
+  // a lockfile records the owning JVM + host.
+  //
+  // Same host: a second live owner pid is refused loudly; a lock whose
+  // process is gone — crashed driver — is taken over silently;
+  // re-opening from the owning JVM (restart-style tests, engine +
+  // ad-hoc store on one root) is always allowed.
+  //
+  // Cross host (shared filesystem, where pid liveness means nothing):
+  // the lock doubles as an MTIME LEASE. Every data-touching operation
+  // re-stamps it at most once per leaseTimeoutMs/3 (the engine's
+  // housekeeper due-scan renews it every tick even when idle); a
+  // foreign-host lock younger than leaseTimeoutMs is refused, an older
+  // one is a crashed/partitioned owner and is taken over. The renewal
+  // itself re-reads the lock first: if another host (or another live
+  // local pid) has taken over in the meantime, this driver THROWS on
+  // its next operation instead of silently double-writing — fail-stop,
+  // not fencing; a paused-then-resumed driver dies loudly rather than
+  // corrupting FIFO stamps.
+  private val ownerLockPath = new Path(root, "_owner.lock")
+  private val selfPid = ProcessHandle.current().pid()
+  @volatile private var lastLeaseRenewMs = 0L
+
+  private def pidAlive(pid: Long): Boolean =
+    java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
+      .orElse(java.lang.Boolean.FALSE).booleanValue()
+
+  private def readLock(): Option[(Option[Long], String)] =
+    if (!fs.exists(ownerLockPath)) None
+    else {
+      val in = fs.open(ownerLockPath)
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      content.split("\\s+").headOption.flatMap(_.toLongOption).foreach { pid =>
-        if (pid != selfPid &&
-          java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
-            .orElse(java.lang.Boolean.FALSE).booleanValue())
-          throw new IllegalStateException(
-            s"QueueStore root $root is owned by live driver pid $pid " +
-              s"(this driver: pid $selfPid) — one driver per store root; " +
-              "a second writer would corrupt FIFO stamps and race maintenance")
-      }
+      val toks = content.split("\\s+")
+      // pre-lease locks carried "pid uuid" only: treat as same-host
+      val host = if (toks.length >= 3) toks(2) else ownerHost
+      Some((toks.headOption.flatMap(_.toLongOption), host))
     }
+
+  private def writeLock(): Unit = {
     fs.mkdirs(new Path(root))
-    val out = fs.create(lock, true)
-    try out.write(s"$selfPid ${java.util.UUID.randomUUID()}"
+    val out = fs.create(ownerLockPath, true)
+    try out.write(s"$selfPid ${java.util.UUID.randomUUID()} $ownerHost"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    lastLeaseRenewMs = System.currentTimeMillis()
   }
+
+  private def refuseForeignOwner(pidOpt: Option[Long], host: String): Unit =
+    if (host != ownerHost) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(ownerLockPath).getModificationTime
+      if (age < leaseTimeoutMs)
+        throw new IllegalStateException(
+          s"QueueStore root $root is leased by a driver on host $host " +
+            s"(renewed ${age}ms ago, lease expires after ${leaseTimeoutMs}ms; " +
+            s"this driver: $ownerHost) — one driver per store root")
+      // else: expired foreign lease — crashed or partitioned owner
+    } else pidOpt.foreach { pid =>
+      if (pid != selfPid && pidAlive(pid))
+        throw new IllegalStateException(
+          s"QueueStore root $root is owned by live driver pid $pid " +
+            s"(this driver: pid $selfPid) — one driver per store root; " +
+            "a second writer would corrupt FIFO stamps and race maintenance")
+    }
+
+  private def acquireOwnership(): Unit = {
+    readLock().foreach { case (pidOpt, host) => refuseForeignOwner(pidOpt, host) }
+    writeLock()
+  }
+
+  /** Re-stamp the ownership lease (verifying no takeover happened),
+    * at most once per leaseTimeoutMs/3. Called from every data path. */
+  private[graft] def maybeRenewLease(): Unit =
+    if (System.currentTimeMillis() - lastLeaseRenewMs > leaseTimeoutMs / 3) {
+      readLock().foreach { case (pidOpt, host) =>
+        if (host != ownerHost || pidOpt.exists(p => p != selfPid && pidAlive(p)))
+          throw new IllegalStateException(
+            s"QueueStore root $root ownership was taken over " +
+              s"(lock now held by host $host pid ${pidOpt.getOrElse(-1L)}; " +
+              s"this driver: $ownerHost pid $selfPid) — refusing to " +
+              "double-write; restart against the root to re-acquire")
+      }
+      writeLock()
+    }
 
   acquireOwnership()
   // heal any compaction or claim fold interrupted by a crash in a
@@ -1085,4 +1147,12 @@ class QueueStore(val spark: SparkSession, val root: String,
   recoverClaimFold()
   gcSuperseded(processingDir, "processing")
   gcSuperseded(scheduledDir, "scheduled")
+}
+
+object QueueStore {
+  /** This driver's identity in the ownership lease. Hostname (not IP):
+    * stable across reconnects, comparable across a shared filesystem. */
+  lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "localhost" }
 }

@@ -229,6 +229,51 @@ class StoreApiSpec extends AnyFunSuite {
     new QueueStore(spark, root) // no throw
   }
 
+  test("cross-host lease: fresh foreign lock refused, expired taken over, ops renew (E3)") {
+    val root = TestSpark.tmpRoot("lease")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(root, "_owner.lock")
+    def forgeLock(content: String): Unit = {
+      val out = fs.create(lock, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // hostA owns the root with a FRESH lease; pid liveness is
+    // meaningless cross-host (pid 999999999 is dead HERE), so a driver
+    // on this host must still be refused until the lease ages out
+    forgeLock("999999999 some-uuid hostA")
+    val ex = intercept[IllegalStateException](
+      new QueueStore(spark, root, leaseTimeoutMs = 300000, ownerHost = "hostB"))
+    assert(ex.getMessage.contains("leased by a driver on host hostA"))
+    // the same lock PAST the lease timeout is a crashed/partitioned
+    // owner: takeover succeeds and re-stamps the lock with our host
+    fs.setTimes(lock, System.currentTimeMillis() - 400000, -1)
+    val store = new QueueStore(spark, root, leaseTimeoutMs = 300000, ownerHost = "hostB")
+    val in = fs.open(lock)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    assert(content.endsWith(" hostB"), content)
+    // data operations RENEW the lease once the renewal interval
+    // (leaseTimeoutMs/3, tracked in-memory) is past due
+    def forceRenewalDue(): Unit = {
+      val f = store.getClass.getDeclaredMethods
+        .find(_.getName.endsWith("lastLeaseRenewMs_$eq")).get
+      f.setAccessible(true); f.invoke(store, Long.box(0L))
+    }
+    fs.setTimes(lock, System.currentTimeMillis() - 400000, -1)
+    forceRenewalDue()
+    store.readOrEmpty(store.processingDir, store.processingSchema)
+    val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+    assert(age < 60000, s"lease not renewed by a read (age ${age}ms)")
+    // split-brain fail-stop: hostC takes the root (our lease expired
+    // from ITS point of view); our next op must throw, not double-write
+    forgeLock("7 other-uuid hostC")
+    fs.setTimes(lock, System.currentTimeMillis(), -1)
+    forceRenewalDue()
+    val ex2 = intercept[IllegalStateException](
+      store.readOrEmpty(store.processingDir, store.processingSchema))
+    assert(ex2.getMessage.contains("taken over"), ex2.getMessage)
+  }
+
   test("interrupted compaction is recoverable (crash-safe swap)") {
     import spark.implicits._
     val store = new QueueStore(spark, TestSpark.tmpRoot("crash"))
