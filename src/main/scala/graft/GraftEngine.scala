@@ -100,7 +100,8 @@ class GraftEngine(
       limitLogOlderThanMs: Long = 3600000,
       minTombstones: Long = 10000,
       claimFoldOlderThanMs: Long = 3600000,
-      gateCompaction: Boolean = false): (Long, Long) = {
+      gateCompaction: Boolean = false,
+      deadFoldMinFiles: Long = 64): (Long, Long) = {
     val archived =
       store.archiveConsumedAll(pipelines.map(_.queue).distinct, archiveOlderThanMs)
     // never prune entries a configured admission window could still
@@ -125,6 +126,11 @@ class GraftEngine(
     // sooner would strand consumed files in the live dir (counts would
     // stay exact, but the listing-cost bound would erode).
     store.foldClaimCounters(math.max(claimFoldOlderThanMs, 2 * archiveOlderThanMs))
+    // dead-letter fold: file-count gated (the rewrite always runs when
+    // invoked), so an idle deployment never churns it, and a noisy one
+    // collapses all-time failure history to one deduped snapshot
+    // instead of paying dropDuplicates over it on every deadRows read
+    if (store.deadPartFileCount() >= deadFoldMinFiles) store.compactDead()
     // last: sweep staging dirs orphaned by crashed writes (age-bounded,
     // lock-serialized with compaction so its snapshot write is safe)
     store.pruneStaleStaging()

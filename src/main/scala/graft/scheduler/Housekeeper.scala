@@ -140,12 +140,14 @@ class Housekeeper(
     * goes through compactProcessing, which preserves the acked-claim
     * tombstones that job_counts depends on. */
   def compactStateTables(minTombstones: Long = 10000): Unit = {
-    def tombCount(table: String): Long =
-      store.readOrEmpty(store.tombDir(table),
-        new org.apache.spark.sql.types.StructType().add("id", "string")).count()
-    if (tombCount("processing") >= minTombstones)
+    // gauge from parquet footers, driver-side only (no Spark job per
+    // tick), and counting only tombstones a committed fold has NOT
+    // already absorbed — folded files stay on disk for the GC grace
+    // window and kept (processing) ones until the claim fold, but
+    // neither justifies re-rewriting the table every tick
+    if (store.tombstoneRowCountUnabsorbed(store.processingDir, "processing") >= minTombstones)
       store.compactProcessing()
-    if (tombCount("scheduled") >= minTombstones)
+    if (store.tombstoneRowCountUnabsorbed(store.scheduledDir, "scheduled") >= minTombstones)
       store.compactScheduled()
   }
 

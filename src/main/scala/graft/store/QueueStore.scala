@@ -108,7 +108,19 @@ class QueueStore(val spark: SparkSession, val root: String,
   // older epoch is deleted, and readers take the highest epoch. The
   // `_` prefix keeps every parquet listing (Spark's and ours) blind to
   // it.
-  private case class Manifest(epoch: Long, replaced: Set[String], folded: Set[String])
+  /** `replaced`: row files a committed snapshot superseded (excluded
+    * from reads, GC'd after grace). `folded`: tombstone files whose
+    * suppression the snapshot absorbed AND whose files may be deleted
+    * (excluded from the anti-join, GC'd after grace). `applied`:
+    * tombstone files the snapshot absorbed but that must STAY in force
+    * — the keepTombstones path (processing acks), where the tombstone
+    * remains the durable ack record and must keep suppressing replayed
+    * row copies; `applied` exists so the auto-compaction gauge and the
+    * rewrite-skip see only tombstones NOT yet reflected in the
+    * snapshot, instead of re-rewriting the table every tick for as
+    * long as the kept tombstones sit on disk. */
+  private case class Manifest(epoch: Long, replaced: Set[String], folded: Set[String],
+      applied: Set[String] = Set.empty)
 
   private def manifestFiles(dir: String): Array[(Long, Path)] = {
     val p = new Path(dir)
@@ -129,27 +141,47 @@ class QueueStore(val spark: SparkSession, val root: String,
         finally in.close()
       Manifest(epoch,
         replaced = lines.collect { case l if l.startsWith("replaced ") => l.stripPrefix("replaced ") }.toSet,
-        folded = lines.collect { case l if l.startsWith("folded ") => l.stripPrefix("folded ") }.toSet)
+        folded = lines.collect { case l if l.startsWith("folded ") => l.stripPrefix("folded ") }.toSet,
+        applied = lines.collect { case l if l.startsWith("applied ") => l.stripPrefix("applied ") }.toSet)
     }
 
   /** Publish a new manifest epoch (or retire the manifest entirely when
-    * nothing is superseded any more). Old epochs deleted AFTER the new
-    * one exists — a crash in between leaves two epochs and readers take
-    * the highest. */
+    * nothing is superseded any more). The body is written to a
+    * dot-prefixed temp name and RENAMED into place: readers take the
+    * highest epoch lock-free, so a create-then-write at the final name
+    * would expose a truncated manifest mid-write — a reader parsing it
+    * would lose `replaced` entries and see old files beside the
+    * snapshot. Rename is the same atomic-visibility primitive every
+    * other publish in this file relies on. Old epochs deleted AFTER
+    * the new one exists — a crash in between leaves two epochs and
+    * readers take the highest. */
   private def writeManifest(dir: String, m: Manifest): Unit = {
     val olds = manifestFiles(dir)
-    if (m.replaced.isEmpty && m.folded.isEmpty) {
+    if (m.replaced.isEmpty && m.folded.isEmpty && m.applied.isEmpty) {
       olds.foreach { case (_, p) => fs.delete(p, false) }
       return
     }
     fs.mkdirs(new Path(dir))
-    val out = fs.create(new Path(dir, f"_manifest-${m.epoch}%09d"), true)
+    // sweep temp manifests orphaned by a crash mid-publish (age-bounded:
+    // a live publish lasts milliseconds, and another store instance on
+    // this root could in principle hold a younger one)
+    val tmpCutoff = System.currentTimeMillis() - 3600000L
+    fs.listStatus(new Path(dir))
+      .filter(f => f.getPath.getName.startsWith(".manifest-tmp-") &&
+        f.getModificationTime < tmpCutoff)
+      .foreach(f => fs.delete(f.getPath, false))
+    val tmp = new Path(dir, s".manifest-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try {
       val body = ("graft-manifest-v1" +:
         (m.replaced.toSeq.sorted.map("replaced " + _) ++
-          m.folded.toSeq.sorted.map("folded " + _))).mkString("\n")
+          m.folded.toSeq.sorted.map("folded " + _) ++
+          m.applied.toSeq.sorted.map("applied " + _))).mkString("\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    val dest = new Path(dir, f"_manifest-${m.epoch}%09d")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest publish: rename $tmp -> $dest failed")
     olds.filter(_._1 != m.epoch).foreach { case (_, p) => fs.delete(p, false) }
   }
 
@@ -179,14 +211,19 @@ class QueueStore(val spark: SparkSession, val root: String,
   }
 
   /** GC a table's superseded files once they are older than the grace
-    * period (measured from file mtime — strictly later than the commit
-    * that superseded them), then shrink or retire the manifest. Any
-    * read plan still holding a GC'd file in its listing was built
-    * before the compaction committed; the grace period outlives such
-    * plans, and state-table readers additionally pass
-    * ignoreMissingFiles as a last-resort (a dropped file's rows are in
-    * the committed snapshot, so the worst case is one transient
-    * undercount on a periodic pass — same stance as footerRowCount). */
+    * period, measured from the COMMIT that superseded them: compact()
+    * re-stamps every file it supersedes to the commit instant when it
+    * publishes the manifest, because the files' own mtimes carry the
+    * enqueue-time part stamp and can be arbitrarily old — grace
+    * measured from those would delete an hours-old table the moment it
+    * is superseded, out from under readers whose listing predates the
+    * commit. Then shrink or retire the manifest. Any read plan still
+    * holding a GC'd file in its listing was built before the
+    * compaction committed; the grace period outlives such plans, and
+    * state-table readers additionally pass ignoreMissingFiles as a
+    * last-resort (a dropped file's rows are in the committed snapshot,
+    * so the worst case is one transient undercount on a periodic pass —
+    * same stance as footerRowCount). */
   private def gcSuperseded(dir: String, table: String): Unit =
     readManifest(dir).foreach { m =>
       val cutoff = System.currentTimeMillis() - compactionGraceMs
@@ -196,9 +233,29 @@ class QueueStore(val spark: SparkSession, val root: String,
       val (foldGone, foldKept) = m.folded.partition(n => ripe(new Path(tombDir(table), n)))
       repGone.foreach(rel => fs.delete(new Path(dir, rel), false))
       foldGone.foreach(n => fs.delete(new Path(tombDir(table), n), false))
-      if (repGone.nonEmpty || foldGone.nonEmpty)
-        writeManifest(dir, Manifest(m.epoch + 1, repKept, foldKept))
+      // applied entries are never GC'd here (their files must stay in
+      // force), but the claim fold deletes absorbed tombstone files —
+      // drop entries whose file is gone so the set shrinks with it
+      val appKept = m.applied.filter(n => fs.exists(new Path(tombDir(table), n)))
+      if (repGone.nonEmpty || foldGone.nonEmpty || appKept != m.applied)
+        writeManifest(dir, Manifest(m.epoch + 1, repKept, foldKept, appKept))
     }
+
+  /** Re-stamp files a compaction is about to supersede to NOW, so the
+    * GC grace period runs from the commit rather than from the files'
+    * enqueue-time part stamps (see gcSuperseded). Called BEFORE the
+    * manifest publishes: a crash in between leaves live files with a
+    * bumped mtime, which is harmless — state-table mtimes carry no
+    * FIFO meaning (queue dirs are never compacted), and processing
+    * tombstones are kept (never stamped) on the compactProcessing
+    * path, so the claim fold's age gate is untouched. */
+  private def stampCommitTime(paths: Iterable[Path]): Unit = {
+    val now = System.currentTimeMillis()
+    paths.foreach { p =>
+      try fs.setTimes(p, now, -1)
+      catch { case _: java.io.IOException => () } // already gone: nothing to protect
+    }
+  }
 
   private def hasData(dir: String): Boolean = {
     val p = new Path(dir)
@@ -279,6 +336,7 @@ class QueueStore(val spark: SparkSession, val root: String,
       .sortBy(f => partIdx.findFirstMatchIn(f.getPath.getName)
         .map(_.group(1).toLong).getOrElse(Long.MaxValue))
     parts.zipWithIndex.foreach { case (f, i) =>
+      fenceCheck() // die before publishing if ownership was taken over
       val stamp = nextPartStampMs()
       val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")
       // a silently failed rename (quota, concurrent delete, cross-FS)
@@ -328,6 +386,7 @@ class QueueStore(val spark: SparkSession, val root: String,
           .sortBy(f => partIdx.findFirstMatchIn(f.getPath.getName)
             .map(_.group(1).toLong).getOrElse(Long.MaxValue))
           .zipWithIndex.foreach { case (f, i) =>
+            fenceCheck() // die before publishing if ownership was taken over
             val stamp = nextPartStampMs()
             val dest = new Path(target, f"part-$stamp%013d-$id-$i.parquet")
             if (!fs.rename(f.getPath, dest))
@@ -465,6 +524,89 @@ class QueueStore(val spark: SparkSession, val root: String,
     * files only (day subdirs appear under the glob as they are
     * created). */
   def queueStreamPath(q: String): String = s"${queueDir(q)}/day=*"
+
+  /** One-time layout upgrade: part files at a queue dir's ROOT (the
+    * pre-day-partition flat layout) are invisible to the streaming
+    * source's `day=*` glob, so an upgraded store root would silently
+    * strand undrained jobs — queueRows/pendingJobs (recursive listing)
+    * still count them, but no pipeline would ever process them. Runs
+    * at store init, before any new write:
+    *
+    *  - a file whose rows share one enqueue day is RENAMED into that
+    *    day's partition — name (the FIFO part stamp) and mtime
+    *    preserved, so drain order is untouched;
+    *  - a midnight-spanning file is SPLIT per day; the splits reuse
+    *    the original stamp with day-ordered indices and mtimes
+    *    stamp+dayIdx, so they drain in enqueue-day order in the
+    *    original file's position. If stamp+dayIdx collides with the
+    *    next file's stamp the relative order inside that millisecond
+    *    is arbitrary — the same within-batch reorder the part-stamp
+    *    contract already permits across writer JVMs.
+    *
+    * Cost on a non-upgrading boot: one listing per queue dir, zero
+    * Spark jobs. */
+  private def migrateFlatQueueLayouts(): Unit = {
+    val qbase = new Path(s"$root/queue")
+    if (!fs.exists(qbase)) return
+    fs.listStatus(qbase).filter(_.isDirectory).foreach { qd =>
+      val flat = fs.listStatus(qd.getPath)
+        .filter(f => !f.isDirectory && f.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      flat.foreach { f =>
+        val name = f.getPath.getName
+        val stamp = "part-(\\d{13})".r.findFirstMatchIn(name)
+          .map(_.group(1).toLong).getOrElse(f.getModificationTime)
+        val df = spark.read.schema(Schemas.event).parquet(f.getPath.toString)
+        val days = df.select(enqueueDayCol.as("d")).distinct()
+          .collect().map(_.getString(0)).sorted
+        if (days.length <= 1) {
+          val day = days.headOption.getOrElse(
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+              .withZone(java.time.ZoneId.of(
+                spark.sessionState.conf.sessionLocalTimeZone))
+              .format(java.time.Instant.ofEpochMilli(stamp)))
+          val target = new Path(qd.getPath, s"day=$day")
+          fs.mkdirs(target)
+          val dest = new Path(target, name)
+          if (!fs.rename(f.getPath, dest))
+            throw new java.io.IOException(
+              s"layout migration: rename ${f.getPath} -> $dest failed")
+          fs.setTimes(dest, stamp, -1)
+        } else {
+          val staging = s"$root/.staging/migrate-${java.util.UUID.randomUUID()}"
+          df.withColumn("__day", enqueueDayCol)
+            .write.mode("overwrite").partitionBy("__day").parquet(staging)
+          days.zipWithIndex.foreach { case (day, di) =>
+            val src = new Path(staging, s"__day=$day")
+            val target = new Path(qd.getPath, s"day=$day")
+            fs.mkdirs(target)
+            val s = stamp + di
+            fs.listStatus(src).filter(_.getPath.getName.startsWith("part-"))
+              .zipWithIndex.foreach { case (p, i) =>
+                // DETERMINISTIC name: a crash between split move-in and
+                // the original's delete re-runs this migration on next
+                // boot, and the exists-check converges it instead of
+                // duplicating rows (the original is deleted LAST, so no
+                // crash point loses data)
+                val dest = new Path(target, f"part-$s%013d-migr$di-$i.parquet")
+                if (fs.exists(dest)) fs.delete(p.getPath, false)
+                else {
+                  if (!fs.rename(p.getPath, dest))
+                    throw new java.io.IOException(
+                      s"layout migration: rename ${p.getPath} -> $dest failed")
+                  fs.setTimes(dest, s, -1)
+                }
+              }
+          }
+          fs.delete(new Path(staging), true)
+          fs.delete(f.getPath, false)
+        }
+      }
+      if (flat.nonEmpty)
+        graft.GraftLog.current.info("queue layout migrated to day partitions",
+          Map("queue" -> qd.getPath.getName, "files" -> flat.length.toString))
+    }
+  }
 
   private val eventSchemaP: StructType = Schemas.event.add("day", StringType)
 
@@ -714,43 +856,120 @@ class QueueStore(val spark: SparkSession, val root: String,
   def footerRowCount(dir: String): Long = {
     val p = new Path(dir)
     if (!fs.exists(p)) 0L
-    else listPartFilesRec(dir).map(_._2).map { f =>
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(f, spark.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      } catch {
-        // a concurrent archiveConsumed may move a listed file before we
-        // open it; its rows are (or will be) counted under the archive
-        case _: java.io.FileNotFoundException => 0L
-      }
+    else listPartFilesRec(dir).map(f => footerCount(f._2)).sum
+  }
+
+  // a concurrently deleted/moved listed file opens as 0 rows: for queue
+  // dirs the archiver counts its rows under the archive, for tombstones
+  // a fold counted them into the counters — either way not lost
+  private def footerCount(f: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch {
+      case _: java.io.FileNotFoundException => 0L
+    }
+
+  /** Row count of `table`'s tombstones a committed snapshot has NOT
+    * yet absorbed — the listing minus `folded` (deleted-after-grace)
+    * minus `applied` (kept in force but already reflected in the
+    * snapshot) — from parquet footers only (driver-side metadata, no
+    * Spark job). This is the auto-compaction trigger's gauge: counting
+    * every file on disk would keep re-triggering full-table rewrites —
+    * folded files sit out the GC grace window, applied files sit on
+    * disk until the claim fold absorbs them, and neither justifies
+    * another rewrite. */
+  def tombstoneRowCountUnabsorbed(dir: String, table: String): Long = {
+    val m = readManifest(dir)
+    val excluded = m.map(x => x.folded ++ x.applied).getOrElse(Set.empty)
+    listPartFilesRec(tombDir(table)).collect {
+      case (rel, st) if !excluded(rel) => footerCount(st)
     }.sum
   }
+
+  // -- driver-side rate-limit window mirror -------------------------------
+  // Every rate-limited trigger needs the window's consumption count,
+  // and a blocked short window its next-reopen instant. Answering
+  // those from the parquet limit log is a Spark job PER TRIGGER
+  // (~10-20 scheduler round-trips/second at a 100 ms trigger); the
+  // reference answers the same question with a server-side O(log n)
+  // ZCOUNT (bulk_dequeue.ex:196-219). The mirror keeps, per key, each
+  // admitted id's LATEST processed_at in a driver hash map: rebuilt
+  // from the log on first access (one Spark job per key per process),
+  // updated synchronously by limitLogAppend AFTER the durable append
+  // succeeds, pruned to the widest window any caller asked about. The
+  // LOG stays the durable truth — the mirror is a cache of it, and a
+  // restart rebuilds exactly the log's state (single-driver ownership
+  // is enforced, so no other writer can grow the log behind it).
+  private final class LimitWindow {
+    val byId = new scala.collection.mutable.HashMap[String, Long]()
+    var retainMs: Long = 0L // widest (now - sinceMs) any caller used
+    def prune(nowMs: Long): Unit =
+      if (retainMs > 0) {
+        val cutoff = nowMs - retainMs - 60000L // slack for caller clock skew
+        byId.filterInPlace((_, ts) => ts >= cutoff)
+      }
+  }
+  private val limitMirror =
+    new java.util.concurrent.ConcurrentHashMap[String, LimitWindow]()
+
+  private def limitWindow(key: String): LimitWindow =
+    limitMirror.computeIfAbsent(key, _ => {
+      val w = new LimitWindow
+      // rebuild from the durable log: per-id latest admission (the log
+      // holds replayed duplicates of an id; only the newest bounds its
+      // window membership). Disk is pruned hourly, so this is bounded.
+      readOrEmpty(limitDir(key), limitSchema)
+        .groupBy("id").agg(max("processed_at").as("processed_at"))
+        .collect()
+        .foreach(r => w.byId.update(r.getString(0), r.getTimestamp(1).getTime))
+      w
+    })
 
   /** Jobs admitted through a rate-limit window (B2's ns:limit ZSET).
     * Rows carry the deterministic claim id of the admission, so a
     * REPLAYED micro-batch re-appends the same ids and the distinct
     * count — the window state — is unchanged (replay-idempotent,
     * unlike a bare row count). Durable: rebuilt from disk on restart
-    * exactly as the reference rebuilds from the limit ZSET. */
+    * exactly as the reference rebuilds from the limit ZSET. The ids
+    * are collected driver-side (bounded by the per-trigger admission,
+    * itself capped by the rate limit) — they feed both the durable
+    * append and, only after it succeeds, the driver mirror. */
   def limitLogAppend(key: String, admissionIds: DataFrame, at: Timestamp): Unit = {
-    val rows = admissionIds.toDF("id").withColumn("processed_at", lit(at))
+    val ids = admissionIds.toDF("id").collect().map(_.getString(0))
+    import spark.implicits._
+    val rows = ids.toSeq.toDF("id").withColumn("processed_at", lit(at))
     append(limitDir(key), rows, limitSchema)
+    val w = limitWindow(key)
+    w.synchronized {
+      ids.foreach(id =>
+        w.byId.update(id, math.max(w.byId.getOrElse(id, 0L), at.getTime)))
+      w.prune(System.currentTimeMillis())
+    }
   }
-  /** Window consumption since `sinceMs`. `excludeIdSuffix` lets a
+
+  /** Window consumption since `sinceMs`, answered from the driver
+    * mirror — ZERO Spark jobs on the steady-state admission path (the
+    * one rebuild on first access aside). `excludeIdSuffix` lets a
     * replayed micro-batch ignore its OWN previous attempt's entries
     * (ids end in :batchId), so replays recompute the same admission
-    * split instead of counting themselves as foreign consumption. */
+    * split instead of counting themselves as foreign consumption.
+    * Equivalent to the log-based distinct count: an id is in-window
+    * iff ANY of its log rows is, iff its LATEST is — which is what the
+    * mirror stores. */
   def limitCountSince(key: String, sinceMs: Long,
       excludeIdSuffix: Option[String] = None): Long = {
-    val base = readOrEmpty(limitDir(key), limitSchema)
-      .where(col("processed_at") > new Timestamp(sinceMs))
-    val scoped = excludeIdSuffix match {
-      case Some(sfx) => base.where(!col("id").endsWith(sfx))
-      case None => base
+    val w = limitWindow(key)
+    w.synchronized {
+      val now = System.currentTimeMillis()
+      w.retainMs = math.max(w.retainMs, now - sinceMs)
+      w.prune(now)
+      w.byId.iterator.count { case (id, ts) =>
+        ts > sinceMs && !excludeIdSuffix.exists(id.endsWith)
+      }.toLong
     }
-    scoped.select("id").distinct().count()
   }
 
   /** Earliest admission timestamp still inside the window (> sinceMs) —
@@ -762,17 +981,20 @@ class QueueStore(val spark: SparkSession, val root: String,
     * promote parked rows before the window can admit them).
     * `excludeIdSuffix` exists for limitCountSince-style replay
     * recomputation only. None ⇔ the window holds no (non-excluded)
-    * entries. */
+    * entries. Mirror-answered; over per-id LATEST admissions, which is
+    * the exact instant an id stops counting against the window (an
+    * older replayed row of the same id expiring frees nothing). */
   def limitEarliestSince(key: String, sinceMs: Long,
       excludeIdSuffix: Option[String] = None): Option[Long] = {
-    val base = readOrEmpty(limitDir(key), limitSchema)
-      .where(col("processed_at") > new Timestamp(sinceMs))
-    val scoped = excludeIdSuffix match {
-      case Some(sfx) => base.where(!col("id").endsWith(sfx))
-      case None => base
+    val w = limitWindow(key)
+    w.synchronized {
+      val now = System.currentTimeMillis()
+      w.retainMs = math.max(w.retainMs, now - sinceMs)
+      val vals = w.byId.iterator.collect {
+        case (id, ts) if ts > sinceMs && !excludeIdSuffix.exists(id.endsWith) => ts
+      }
+      if (vals.isEmpty) None else Some(vals.min)
     }
-    val r = scoped.agg(min("processed_at")).collect()(0)
-    if (r.isNullAt(0)) None else Some(r.getTimestamp(0).getTime)
   }
 
   /** Prune rate-limit window logs: a part file whose mtime is older
@@ -787,10 +1009,22 @@ class QueueStore(val spark: SparkSession, val root: String,
     val cutoff = System.currentTimeMillis() - olderThanMs
     var deleted = 0L
     fs.listStatus(base).filter(_.isDirectory).foreach { keyDir =>
+      var lost = 0L
       fs.listStatus(keyDir.getPath)
         .filter(f => f.getPath.getName.startsWith("part-") &&
           f.getModificationTime < cutoff)
-        .foreach { f => if (fs.delete(f.getPath, false)) deleted += 1 }
+        .foreach { f => if (fs.delete(f.getPath, false)) { deleted += 1; lost += 1 } }
+      // the prune mutated the durable log, so the driver mirror of any
+      // key mapping to this dir is stale — drop it; the next admission
+      // rebuilds from the surviving files (mirror keys are raw, dir
+      // names sanitized, hence the limitDir-basename match)
+      if (lost > 0) {
+        val it = limitMirror.keySet().iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          if (new Path(limitDir(k)).getName == keyDir.getPath.getName) it.remove()
+        }
+      }
     }
     deleted
   }
@@ -843,20 +1077,38 @@ class QueueStore(val spark: SparkSession, val root: String,
     * Every crash point converges: before commit, duplicates are
     * dedup-invisible and the next pass folds them; after commit, the
     * next pass finishes the GC. Nothing is ever deleted before the
-    * committed snapshot covers it. */
+    * committed snapshot covers it.
+    *
+    * With NO unfolded tombstones the rewrite is skipped (the GC /
+    * recovery legs still run): a compaction that folds nothing would
+    * churn a full table rewrite per call — the auto-compaction tick
+    * fires on the in-force tombstone count, so a skip here is what
+    * makes the grace window quiet (folded-but-not-yet-GC'd tombstone
+    * files must not retrigger rewrites). `rewriteWithoutTombstones`
+    * forces the rewrite anyway — the dead-table fold uses it to
+    * collapse an append-only table's files and replay duplicates
+    * even though nothing tombstones dead rows. */
   def compact(dir: String, table: String, schema: StructType, idCol: String,
-      keepTombstones: Boolean = false): Unit = withMaintenance {
+      keepTombstones: Boolean = false,
+      rewriteWithoutTombstones: Boolean = false): Unit = withMaintenance {
     recoverCompaction(dir) // heal any legacy swap-based crash state
     gcSuperseded(dir, table)
     val manifest = readManifest(dir)
     val replaced0 = manifest.map(_.replaced).getOrElse(Set.empty)
     val folded0 = manifest.map(_.folded).getOrElse(Set.empty)
+    val applied0 = manifest.map(_.applied).getOrElse(Set.empty)
+    // in-force tombstones all participate in the anti-join (applied
+    // ones must keep suppressing replayed row copies), but only files
+    // the snapshot has NOT yet absorbed justify a rewrite
     val tombFiles = listPartFilesRec(tombDir(table)).filterNot(f => folded0(f._1))
+    val tombFilesNew = tombFiles.filterNot(f => applied0(f._1))
     val rowFiles = listPartFilesRec(dir).filterNot(f => replaced0(f._1))
     if (rowFiles.isEmpty) {
       // empty table: tombstones suppress nothing, so they can go now
       // (unless the claim fold still needs them); nothing to rewrite
       if (!keepTombstones) tombFiles.foreach { case (_, st) => fs.delete(st.getPath, false) }
+    } else if (tombFilesNew.isEmpty && !rewriteWithoutTombstones) {
+      () // nothing to fold — leave the table untouched
     } else {
       val tombs =
         if (tombFiles.isEmpty)
@@ -873,9 +1125,13 @@ class QueueStore(val spark: SparkSession, val root: String,
         .write.mode("overwrite").parquet(staging)
       moveStagedPartsIn(staging, new Path(dir))
       fs.delete(new Path(staging), true)
+      stampCommitTime(rowFiles.map { case (rel, _) => new Path(dir, rel) } ++
+        (if (keepTombstones) Nil
+         else tombFiles.map { case (rel, _) => new Path(tombDir(table), rel) }))
       writeManifest(dir, Manifest(manifest.map(_.epoch + 1).getOrElse(0L),
         replaced0 ++ rowFiles.map(_._1),
-        if (keepTombstones) folded0 else folded0 ++ tombFiles.map(_._1)))
+        if (keepTombstones) folded0 else folded0 ++ tombFiles.map(_._1),
+        if (keepTombstones) tombFiles.map(_._1).toSet else Set.empty))
       gcSuperseded(dir, table) // immediate when compactionGraceMs == 0
     }
   }
@@ -927,6 +1183,8 @@ class QueueStore(val spark: SparkSession, val root: String,
     val rowFiles = listPartFilesRec(scheduledDir).filterNot(f => replaced0(f._1))
     if (rowFiles.isEmpty) {
       tombFiles.foreach { case (_, st) => fs.delete(st.getPath, false) }
+    } else if (tombFiles.isEmpty) {
+      () // nothing to fold — see compact()
     } else {
       val tombs =
         if (tombFiles.isEmpty)
@@ -939,6 +1197,9 @@ class QueueStore(val spark: SparkSession, val root: String,
         .dropDuplicates("sched_id")
         .write.mode("overwrite").partitionBy("nb_day").parquet(staging)
       movePartitioned(staging, "nb_day", d => new Path(s"$scheduledDir/nb_day=$d"))
+      stampCommitTime(
+        rowFiles.map { case (rel, _) => new Path(scheduledDir, rel) } ++
+          tombFiles.map { case (rel, _) => new Path(tombDir("scheduled"), rel) })
       writeManifest(scheduledDir, Manifest(manifest.map(_.epoch + 1).getOrElse(0L),
         replaced0 ++ rowFiles.map(_._1),
         folded0 ++ tombFiles.map(_._1)))
@@ -1047,6 +1308,28 @@ class QueueStore(val spark: SparkSession, val root: String,
     compact(processingDir, "processing", processingSchema, "claim_id",
       keepTombstones = true)
 
+  /** Fold the dead-letter table to one deduped snapshot. The dead
+    * table is append-only — nothing tombstones a dead row (parity: the
+    * reference's ns:dead ZSET also only grows, dead_letter.ex path) —
+    * but at always-on scale the per-read dropDuplicates("jid") in
+    * deadRows pays for every replayed append since the dawn of the
+    * deployment. The fold reuses the manifest-commit protocol
+    * (`rewriteWithoutTombstones`: there are no tombstones to justify
+    * the rewrite — collapsing files and replay duplicates IS the
+    * point), so it is safe under live writers and crash-healing like
+    * every other compaction. Call gated by deadPartFileCount, not
+    * unconditionally: the rewrite always runs when invoked. */
+  def compactDead(): Unit =
+    compact(deadDir, "dead", deadSchema, "jid", rewriteWithoutTombstones = true)
+
+  /** Live (non-replaced) part files in the dead dir — the driver-side
+    * listing-only gauge that arms compactDead. Grows with appends
+    * since the last fold, collapses to the snapshot's width after. */
+  def deadPartFileCount(): Long = {
+    val replaced = readManifest(deadDir).map(_.replaced).getOrElse(Set.empty)
+    listPartFilesRec(deadDir).count { case (rel, _) => !replaced(rel) }.toLong
+  }
+
   // -- single-driver ownership guard (SURVEY §2 E3) -----------------------
   // The FIFO part-stamp clock, the runner quiesce registry and the
   // maintenance lock are all per-driver state: a SECOND driver writing
@@ -1073,13 +1356,16 @@ class QueueStore(val spark: SparkSession, val root: String,
   // corrupting FIFO stamps.
   private val ownerLockPath = new Path(root, "_owner.lock")
   private val selfPid = ProcessHandle.current().pid()
+  private val selfUuid = java.util.UUID.randomUUID().toString
   @volatile private var lastLeaseRenewMs = 0L
+  @volatile private var lastOwnerCheckMs = 0L
+  private val leaseWriteMutex = new Object
 
   private def pidAlive(pid: Long): Boolean =
     java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
       .orElse(java.lang.Boolean.FALSE).booleanValue()
 
-  private def readLock(): Option[(Option[Long], String)] =
+  private def readLock(): Option[(Option[Long], String, String)] =
     if (!fs.exists(ownerLockPath)) None
     else {
       val in = fs.open(ownerLockPath)
@@ -1087,18 +1373,45 @@ class QueueStore(val spark: SparkSession, val root: String,
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       val toks = content.split("\\s+")
+      val uuid = if (toks.length >= 2) toks(1) else ""
       // pre-lease locks carried "pid uuid" only: treat as same-host
       val host = if (toks.length >= 3) toks(2) else ownerHost
-      Some((toks.headOption.flatMap(_.toLongOption), host))
+      Some((toks.headOption.flatMap(_.toLongOption), uuid, host))
     }
 
-  private def writeLock(): Unit = {
+  /** Publish this driver's lease record. Staged to a temp name and
+    * RENAMED onto the lock, then READ BACK: rename is atomic, so two
+    * drivers that both believed an expired lease was takeable end up
+    * with exactly one record in the file (never torn content), and the
+    * read-back makes the loser die HERE — milliseconds after the race
+    * — instead of double-writing for up to leaseTimeoutMs/3 until its
+    * next renewal noticed. A same-JVM instance (restart-style tests,
+    * engine + ad-hoc store on one root) holds a different uuid but the
+    * same pid/host and is a permitted co-owner, as before. */
+  private def writeLock(): Unit = leaseWriteMutex.synchronized {
     fs.mkdirs(new Path(root))
-    val out = fs.create(ownerLockPath, true)
-    try out.write(s"$selfPid ${java.util.UUID.randomUUID()} $ownerHost"
+    val tmp = new Path(root, s".owner-tmp-$selfUuid")
+    val out = fs.create(tmp, true)
+    try out.write(s"$selfPid $selfUuid $ownerHost"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    lastLeaseRenewMs = System.currentTimeMillis()
+    if (fs.exists(ownerLockPath)) fs.delete(ownerLockPath, false)
+    if (!fs.rename(tmp, ownerLockPath))
+      fs.delete(tmp, false) // lost an HDFS-style dest-exists race: read-back decides
+    readLock() match {
+      case Some((_, uuid, _)) if uuid == selfUuid => () // won
+      case Some((pidOpt, _, host))
+          if host == ownerHost && pidOpt.contains(selfPid) => () // same-JVM co-owner
+      case other =>
+        throw new IllegalStateException(
+          s"QueueStore root $root ownership race lost during acquire/renewal " +
+            s"(lock now: ${other.map(t => s"pid ${t._1.getOrElse(-1L)} host ${t._3}")
+              .getOrElse("missing")}; this driver: $ownerHost pid $selfPid) — " +
+            "refusing to double-write")
+    }
+    val now = System.currentTimeMillis()
+    lastLeaseRenewMs = now
+    lastOwnerCheckMs = now
   }
 
   private def refuseForeignOwner(pidOpt: Option[Long], host: String): Unit =
@@ -1120,22 +1433,50 @@ class QueueStore(val spark: SparkSession, val root: String,
     }
 
   private def acquireOwnership(): Unit = {
-    readLock().foreach { case (pidOpt, host) => refuseForeignOwner(pidOpt, host) }
+    readLock().foreach { case (pidOpt, _, host) => refuseForeignOwner(pidOpt, host) }
     writeLock()
+  }
+
+  /** Throw if the lock is now held by a FOREIGN owner — another host,
+    * or another live pid on this one. Shared by lease renewal and the
+    * publish-time fence check. */
+  private def assertStillOwner(): Unit =
+    readLock().foreach { case (pidOpt, _, host) =>
+      if (host != ownerHost || pidOpt.exists(p => p != selfPid && pidAlive(p)))
+        throw new IllegalStateException(
+          s"QueueStore root $root ownership was taken over " +
+            s"(lock now held by host $host pid ${pidOpt.getOrElse(-1L)}; " +
+            s"this driver: $ownerHost pid $selfPid) — refusing to " +
+            "double-write; restart against the root to re-acquire")
+    }
+
+  /** Publish-time fence (best-effort): before a staged part file is
+    * renamed into a live table, re-verify ownership if more than a
+    * second has passed since the last verification. A driver paused
+    * past leaseTimeoutMs and then resumed would otherwise land its
+    * in-flight renames AFTER a new owner took over (the renewal path
+    * checks at most every leaseTimeoutMs/3); with this check it dies
+    * within ~1 s of resuming, BEFORE the rename publishes. This is not
+    * true fencing — a pause that begins in the instruction gap between
+    * this check and the rename syscall still lands one file; closing
+    * that needs a compare-and-swap primitive the filesystem does not
+    * offer (the full design — lease epochs in part names, readers
+    * ignoring revoked epochs — costs a listing-schema change and is
+    * not warranted while single-driver deployment is the documented
+    * contract). Cost: one ~60-byte FS read per second at most. */
+  private def fenceCheck(): Unit = {
+    val now = System.currentTimeMillis()
+    if (now - lastOwnerCheckMs > 1000L) {
+      assertStillOwner()
+      lastOwnerCheckMs = System.currentTimeMillis()
+    }
   }
 
   /** Re-stamp the ownership lease (verifying no takeover happened),
     * at most once per leaseTimeoutMs/3. Called from every data path. */
   private[graft] def maybeRenewLease(): Unit =
     if (System.currentTimeMillis() - lastLeaseRenewMs > leaseTimeoutMs / 3) {
-      readLock().foreach { case (pidOpt, host) =>
-        if (host != ownerHost || pidOpt.exists(p => p != selfPid && pidAlive(p)))
-          throw new IllegalStateException(
-            s"QueueStore root $root ownership was taken over " +
-              s"(lock now held by host $host pid ${pidOpt.getOrElse(-1L)}; " +
-              s"this driver: $ownerHost pid $selfPid) — refusing to " +
-              "double-write; restart against the root to re-acquire")
-      }
+      assertStillOwner()
       writeLock()
     }
 
@@ -1147,6 +1488,9 @@ class QueueStore(val spark: SparkSession, val root: String,
   recoverClaimFold()
   gcSuperseded(processingDir, "processing")
   gcSuperseded(scheduledDir, "scheduled")
+  // upgrade any pre-day-partition flat queue layout before pipelines
+  // start (root-level part files are invisible to the day=* stream glob)
+  migrateFlatQueueLayouts()
 }
 
 object QueueStore {

@@ -560,6 +560,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.limitCountSince("k1", 0) < 3) // survivors only
   }
 
+  test("limit window is answered by the driver mirror: zero Spark jobs, log-equivalent") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("limmirror"))
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    // appends warm the mirror (the one rebuild job runs here, outside
+    // the measured group); ids: two in-window, one replayed duplicate,
+    // one out-of-window
+    store.limitLogAppend("mk", Seq("a:p:0", "b:p:0").toDF("id"),
+      new java.sql.Timestamp(now - 2000))
+    store.limitLogAppend("mk", Seq("a:p:0").toDF("id"),
+      new java.sql.Timestamp(now - 1000)) // replay: same id, newer stamp
+    store.limitLogAppend("mk", Seq("old:p:9").toDF("id"),
+      new java.sql.Timestamp(now - 3600000))
+    val sc = spark.sparkContext
+    sc.setJobGroup("limmirror-check", "steady-state admission checks")
+    try {
+      (1 to 25).foreach { _ =>
+        assert(store.limitCountSince("mk", now - 60000) === 2)
+        assert(store.limitCountSince("mk", now - 60000, Some(":0")) === 0)
+      }
+      // earliest = per-id LATEST admission (the instant the id stops
+      // counting): a's replay moved it to now-1000, so earliest is b
+      assert(store.limitEarliestSince("mk", now - 60000) === Some(now - 2000))
+      // sentinel job: proves the tracker observes this group at all —
+      // and is the ONLY job the group may contain. RDD-level on
+      // purpose: a DataFrame count goes through AQE, which
+      // materializes its shuffle as a SEPARATE job and would count 2.
+      sc.parallelize(Seq(1)).count()
+    } finally sc.clearJobGroup()
+    val deadline = System.currentTimeMillis() + 10000
+    var ids = sc.statusTracker.getJobIdsForGroup("limmirror-check")
+    while (ids.length < 1 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); ids = sc.statusTracker.getJobIdsForGroup("limmirror-check")
+    }
+    assert(ids.length === 1,
+      s"expected only the sentinel job in the group; admission checks ran ${ids.length - 1} Spark jobs")
+    // the mirror is a CACHE of the log: a log-based recompute agrees
+    val disk = spark.read
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("id", "string").add("processed_at", "timestamp"))
+      .parquet(store.limitDir("mk"))
+      .where(col("processed_at") > new java.sql.Timestamp(now - 60000))
+      .select("id").distinct().count()
+    assert(disk === 2)
+    // restart (fresh store): the mirror rebuilds from the durable log
+    val fresh = new QueueStore(spark, store.root)
+    assert(fresh.limitCountSince("mk", now - 60000) === 2)
+    assert(fresh.limitEarliestSince("mk", now - 60000) === Some(now - 2000))
+  }
+
   test("pluggable logger captures engine log events (D7)") {
     val buf = new graft.BufferingGraftLogger
     val prev = graft.GraftLog.current

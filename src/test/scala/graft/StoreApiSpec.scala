@@ -472,6 +472,172 @@ class StoreApiSpec extends AnyFunSuite {
     assert(fs.exists(fresh), "swept a staging dir inside the age bound (live-write hazard)")
   }
 
+  test("GC grace runs from the COMMIT, not the superseded file's enqueue-time stamp") {
+    import spark.implicits._
+    // files whose part-stamp mtime is hours old must still survive the
+    // grace window after the compaction that supersedes them — grace
+    // protects readers whose listing predates the COMMIT, and the
+    // commit is now, regardless of how old the data is
+    val store = new QueueStore(spark, TestSpark.tmpRoot("commitgrace"),
+      compactionGraceMs = 3600000)
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("ggq", (1 to 8).map(i => JobSpec("W", args = s"[$i]")))
+    val claimed = store.queueRows("ggq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
+    store.append(store.processingDir, claimed, store.processingSchema)
+    store.tombstone("processing",
+      store.liveProcessing.select(col("claim_id"), col("queue")).orderBy("claim_id").limit(5))
+    // age every processing part file far past the grace period —
+    // simulating a table that accumulated for hours before compacting
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(store.processingDir)
+    val preFiles = fs.listStatus(dirP).filter(_.getPath.getName.startsWith("part-"))
+    preFiles.foreach(f => fs.setTimes(f.getPath, System.currentTimeMillis() - 7200000L, -1))
+    store.compactProcessing()
+    // the superseded (old-stamped) files must still be on disk: a
+    // pre-commit reader's listing may hold them
+    val post = fs.listStatus(dirP).filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSet
+    assert(preFiles.map(_.getPath.getName).forall(post),
+      "superseded files GC'd immediately despite the grace period (grace ran from file age)")
+    assert(store.liveProcessing.count() === 3)
+  }
+
+  test("applied tombstones do not re-trigger or re-run processing compaction") {
+    import spark.implicits._
+    val store = new QueueStore(spark, TestSpark.tmpRoot("applied"),
+      compactionGraceMs = 3600000) // grace long: superseded files stay on disk
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("apq", (1 to 10).map(i => JobSpec("W", args = s"[$i]")))
+    val claimed = store.queueRows("apq")
+      .withColumn("claim_id", concat_ws(":", col("jid"), lit(0)))
+      .withColumn("claimed_at", current_timestamp())
+      .withColumn("src_file", lit(null).cast("string"))
+    store.append(store.processingDir, claimed, store.processingSchema)
+    store.tombstone("processing",
+      store.liveProcessing.select(col("claim_id"), col("queue")).orderBy("claim_id").limit(6))
+    val hk = new graft.scheduler.Housekeeper(store)
+    assert(store.tombstoneRowCountUnabsorbed(store.processingDir, "processing") === 6)
+    hk.compactStateTables(minTombstones = 5) // folds: 6 unabsorbed >= 5
+    assert(store.liveProcessing.count() === 4)
+    // the kept (applied) tombstones remain in force for reads but no
+    // longer count toward the trigger...
+    assert(store.tombstoneRowCountUnabsorbed(store.processingDir, "processing") === 0)
+    // ...and a second pass must not rewrite the table again: same
+    // physical files before and after
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(new org.apache.hadoop.fs.Path(store.processingDir))
+      .map(_.getPath.getName).toSet
+    val before = listing
+    store.compactProcessing() // direct call: the skip is in compact() itself
+    assert(listing === before, "compaction rewrote the table with no new tombstones")
+    // new acks re-arm the trigger and the fold applies ALL in-force
+    // tombstones (old applied + new) to the fresh snapshot
+    store.tombstone("processing",
+      store.liveProcessing.select(col("claim_id"), col("queue")).orderBy("claim_id").limit(2))
+    assert(store.tombstoneRowCountUnabsorbed(store.processingDir, "processing") === 2)
+    hk.compactStateTables(minTombstones = 1)
+    assert(store.liveProcessing.count() === 2)
+    assert(store.tombstoneRowCountUnabsorbed(store.processingDir, "processing") === 0)
+  }
+
+  test("publish-time fence: an append after a takeover dies BEFORE landing a file") {
+    val root = TestSpark.tmpRoot("fence")
+    val store = new QueueStore(spark, root, leaseTimeoutMs = 300000)
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("fq", Seq(JobSpec("W", args = "[1]")))
+    assert(store.queueRows("fq").count() === 1)
+    // another host takes the root with a FRESH lease (as it would after
+    // this driver sat paused past the lease timeout)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(root, "_owner.lock")
+    val out = fs.create(lock, true)
+    try out.write("7 usurper-uuid hostZ".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(lock, System.currentTimeMillis(), -1)
+    Thread.sleep(1100) // pass the 1 s fence-check horizon
+    // the lease RENEWAL path is not due for another ~100 s
+    // (leaseTimeoutMs/3) — the old behavior would land this append as a
+    // zombie write; the publish-time fence must refuse it instead
+    val ex = intercept[IllegalStateException](
+      api.bulkEnqueue("fq", Seq(JobSpec("W", args = "[2]"))))
+    assert(ex.getMessage.contains("taken over"), ex.getMessage)
+    assert(store.queueRows("fq").count() === 1, "zombie append landed after takeover")
+  }
+
+  test("flat (pre-day-partition) queue layout migrates into day= at store init") {
+    import spark.implicits._
+    val root = TestSpark.tmpRoot("migrate")
+    val store1 = new QueueStore(spark, root)
+    val api = new DefaultQueueApi(store1)
+    // build real event rows, then write them the way the OLD layout
+    // did: directly at the queue dir root (append() is layout-agnostic)
+    api.bulkEnqueue("scratch", (1 to 6).map(i => JobSpec("W", args = s"[$i]")))
+    val rows = store1.queueRows("scratch").cache()
+    store1.append(store1.queueDir("legacy"), rows, graft.model.Schemas.event)
+    // a midnight-spanning file: one specific row enqueued "yesterday"
+    val j0 = rows.select("jid").orderBy("jid").limit(1).collect()(0).getString(0)
+    val mixed = rows.withColumn("enqueued_at",
+      when(col("jid") === j0,
+        col("enqueued_at") - expr("INTERVAL 1 DAY")).otherwise(col("enqueued_at")))
+    store1.append(store1.queueDir("legacy"), mixed, graft.model.Schemas.event)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val legacyDir = new org.apache.hadoop.fs.Path(store1.queueDir("legacy"))
+    def rootLevelParts = fs.listStatus(legacyDir)
+      .filter(f => !f.isDirectory && f.getPath.getName.startsWith("part-"))
+    val flatNames = rootLevelParts.map(_.getPath.getName).toSet
+    assert(flatNames.nonEmpty, "setup failed: no flat files written")
+    val beforeJids = store1.queueRows("legacy").select("jid", "enqueued_at")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1))).sortBy(_.toString)
+
+    // re-open the root: init migrates the flat files
+    val store2 = new QueueStore(spark, root)
+    assert(rootLevelParts.isEmpty, "flat files survived migration")
+    val afterJids = store2.queueRows("legacy").select("jid", "enqueued_at")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1))).sortBy(_.toString)
+    assert(afterJids.toSeq === beforeJids.toSeq, "migration changed the row set")
+    // the stream glob now lists every migrated file
+    val globbed = fs.globStatus(
+      new org.apache.hadoop.fs.Path(store2.queueStreamPath("legacy") + "/part-*"))
+    assert(globbed.length >= 2)
+    // single-day files keep their FIFO part-stamp name verbatim
+    val migratedNames = globbed.map(_.getPath.getName).toSet
+    assert(flatNames.exists(migratedNames), "single-day file was renamed in migration")
+    // the day partition value agrees with each row's enqueue day
+    // (pruning on day must never miss rows)
+    val mismatches = store2.queueHistory("legacy")
+      .where(col("day") =!= date_format(col("enqueued_at"), "yyyy-MM-dd"))
+      .count()
+    assert(mismatches === 0, s"$mismatches rows landed in the wrong day partition")
+    rows.unpersist()
+  }
+
+  test("dead-letter fold collapses replay duplicates to one deduped snapshot") {
+    val store = new QueueStore(spark, TestSpark.tmpRoot("deadfold"), compactionGraceMs = 0)
+    val api = new DefaultQueueApi(store)
+    api.bulkEnqueue("dfq", (1 to 6).map(i => JobSpec("W", args = s"[$i]")))
+    val rows = store.queueRows("dfq")
+    // three replayed appends of the same dead rows (same jids) — the
+    // at-least-once dead-letter path re-appends on micro-batch replay
+    (1 to 3).foreach(_ => store.append(store.deadDir, rows, store.deadSchema))
+    val before = store.deadRows.select("jid").collect().map(_.getString(0)).sorted
+    assert(before.length === 6)
+    assert(store.deadPartFileCount() >= 3)
+    store.compactDead()
+    // grace 0: superseded files GC at commit — all-time history is now
+    // ONE deduped snapshot, and the read view is unchanged
+    assert(store.deadPartFileCount() < 3)
+    assert(spark.read.parquet(store.deadDir).count() === 6,
+      "snapshot still carries replay duplicates")
+    val after = store.deadRows.select("jid").collect().map(_.getString(0)).sorted
+    assert(after.toSeq === before.toSeq)
+    // appends after the fold stay visible beside the snapshot
+    api.bulkEnqueue("dfq2", Seq(JobSpec("W", args = "[7]")))
+    store.append(store.deadDir, store.queueRows("dfq2"), store.deadSchema)
+    assert(store.deadRows.count() === 7)
+  }
+
   test("recording api buffers instead of writing (D6)") {
     val api = new RecordingQueueApi
     api.enqueue("q", JobSpec("W", args = "[1]"))
