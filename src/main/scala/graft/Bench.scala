@@ -27,6 +27,17 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // JSON string escape for error messages (quotes/control chars would
+    // corrupt the one-line BENCH.json the driver parses)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // Best-of-N per query: a single cold pass is hostage to GC pauses,
     // page-cache state, and background load — identical code swung
     // individual queries 6-10x across round drivers. The min of two
@@ -36,32 +47,63 @@ object Bench {
     // measurement standalone (queries cache stage-shared frames
     // internally), so every repeat re-executes the full plan rather
     // than riding the previous run's cache.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
+    //
+    // A query that THROWS is recorded as {"err": msg} — never as a
+    // timing: round 9's fixture break was timed as time-to-exception and
+    // read as bench data. Errored queries are excluded from the total
+    // and surfaced as n_errors in the summary line.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          val r = try { run(fn); Right(()) } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: $e")
+              Left(e.toString.take(300))
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          r.map(_ => dt)
+        }
+        once() match {
+          case Left(e1) =>
+            // one retry distinguishes a transient (OOM-adjacent GC, late
+            // executor) from a deterministic failure
+            name -> once().left.map(_ => e1)
+          case Right(t1) =>
+            once() match {
+              case Left(_) => name -> Right(t1)
+              case Right(t2) =>
+                // third sample when the two disagree (>1.5x) or the query
+                // sits in the sub-second noise floor where GC jitter rules
+                val needThird =
+                  math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9) > 1.5 ||
+                    math.min(t1, t2) < 1.0
+                val best =
+                  if (needThird)
+                    once().fold(_ => math.min(t1, t2),
+                      t3 => math.min(math.min(t1, t2), t3))
+                  else math.min(t1, t2)
+                name -> Right(best)
+            }
+        }
       }
-      val (t1, t2) = (once(), once())
-      // third sample when the two disagree (>1.5x) or the query sits in
-      // the sub-second noise floor where scheduler/GC jitter dominates
-      val needThird =
-        math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9) > 1.5 ||
-          math.min(t1, t2) < 1.0
-      val best =
-        if (needThird) math.min(math.min(t1, t2), once())
-        else math.min(t1, t2)
-      name -> best
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = results.collect { case (k, Left(e)) => k -> e }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(e)) => s"\"" + k + "\":{\"err\":" + jq(e) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
     // Queue-engine throughput (BASELINE.md harness shape): enqueue /
     // round-trip / interleaved jobs/s + e2e latency on the real
     // streaming pipeline.
-    val qb = try QueueBench.run(spark) catch { case _: Throwable => Map.empty[String, Double] }
+    var qbErr = ""
+    val qb = try QueueBench.run(spark) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] queue_bench failed: $e")
+        qbErr = e.toString.take(300)
+        Map.empty[String, Double]
+    }
     val qbJson = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
@@ -70,8 +112,14 @@ object Bench {
     // incomparable with single-pass rounds and was misreadable as a
     // code-driven speedup)
     val proto = """"protocol":{"samples":"2+adaptive3rd","aggregation":"min","warmup":1,"cacheCleared":true}"""
+    val errJson =
+      if (errs.isEmpty && qbErr.isEmpty) ""
+      else {
+        val qbPart = if (qbErr.isEmpty) "" else s""","queue_bench_err":${jq(qbErr)}"""
+        s""","n_errors":${errs.size}$qbPart"""
+      }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,$hw,$proto,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson$errJson,$hw,$proto,"sf":"$sfDir"}"""
     // The driver captures only a short stdout tail and sbt appends a
     // "[success] Total time: ..." line after the program exits, so the
     // LAST line we print must be a complete, COMPACT JSON object
@@ -82,7 +130,7 @@ object Bench {
     val qbCompact = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queue_bench":$qbCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"queue_bench":$qbCompact,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser (round-1 failure mode:
     // async executor ERROR lines landed after the JSON): (1) persist the
     // full metrics to BENCH.json, (2) fully stop Spark so no log line can

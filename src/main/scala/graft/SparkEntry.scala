@@ -5,10 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * NOTE: queries reading `events.parquet` require
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (the fixture stores
-  * nanosecond timestamps, which Spark otherwise refuses to read; the
-  * engine treats `ts` as an epoch-nanos BIGINT). Verify/Bench set it.
+  * NOTE: `events.ts` has shipped as either epoch-ns INT64 or µs
+  * TIMESTAMP_NTZ across fixture generations. Queries adapt via
+  * `Tables.tsUs`/`tsTimestamp` (schema-inspecting); sessions must set
+  * `spark.sql.session.timeZone=UTC` and should keep
+  * `spark.sql.legacy.parquet.nanosAsLong=true` so the ns generation
+  * still reads as BIGINT. Verify/Bench/TestSpark set both.
   */
 object SparkEntry {
 

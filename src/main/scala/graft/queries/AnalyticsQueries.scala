@@ -228,8 +228,8 @@ object AnalyticsQueries {
       "q_user_sessions",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-        t(s, dir, "events")
-          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+        val ev = t(s, dir, "events")
+        ev.select(col("user_id"), col("event_id"), Tables.tsUs(ev).as("ts_us"))
           .withColumn("prev_us", lag("ts_us", 1).over(w))
           .groupBy("user_id")
           .agg(
@@ -258,10 +258,10 @@ object AnalyticsQueries {
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts_us"), col("event_type"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, dir, "events")
-          .where(col("event_type").isin("click", "purchase"))
+        val ev = t(s, dir, "events")
+        ev.where(col("event_type").isin("click", "purchase"))
           .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"))
+            Tables.tsUs(ev).as("ts_us"))
           .withColumn("last_click_us",
             last(when(col("event_type") === "click", col("ts_us")),
               ignoreNulls = true).over(w))
@@ -466,10 +466,12 @@ object AnalyticsQueries {
         // over day-cardinality data (thousands of rows per key at
         // 100 TB, not billions); revenue is quantized to integer cents
         // before any sum so the window total is order-independent.
-        val daily = t(s, dir, "events")
-          .select(col("event_type"),
-            expr("ts div 1000 div 86400000000").as("day"),
+        val evF = t(s, dir, "events")
+        val daily = evF
+          .select(col("event_type"), Tables.tsUs(evF).as("ts_us"),
             round(col("value") * 100).cast("long").as("v_c"))
+          .select(col("event_type"),
+            expr("ts_us div 86400000000").as("day"), col("v_c"))
           .groupBy("event_type", "day")
           .agg(sum("v_c").as("rev_c"), count(lit(1)).as("n"))
         val w = Window.partitionBy("event_type").orderBy("day")
@@ -533,9 +535,10 @@ object AnalyticsQueries {
         // on µs timestamps keeps both engines' stage boundaries
         // identical.
         val W = 86400000000L // 24 h conversion window in µs
-        val ev = t(s, dir, "events")
+        val evRaw = t(s, dir, "events")
+        val ev = evRaw
           .select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"))
+            Tables.tsUs(evRaw).as("ts_us"))
         val s1 = ev.where(col("event_type") === "signup")
           .groupBy("user_id").agg(min("ts_us").as("t1"))
         val s2 = ev.where(col("event_type") === "click")
@@ -591,10 +594,11 @@ object AnalyticsQueries {
         // purchase in the true previous bin. Floor semantics would need
         // `floor(ts_us / W)` on doubles or a sign-corrected div.
         val W = 600L * 1000000L // 10-minute window in microseconds
-        val ev = t(s, dir, "events")
+        val evRaw = t(s, dir, "events")
+        val ev = evRaw
           .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"),
-            expr(s"ts div 1000 div $W").as("bin"))
+            Tables.tsUs(evRaw).as("ts_us"))
+          .withColumn("bin", expr(s"ts_us div $W"))
         val clicks = ev.where(col("event_type") === "click")
           .select(col("user_id"), col("ts_us").as("c_us"), col("bin"))
         val purchases = ev.where(col("event_type") === "purchase")

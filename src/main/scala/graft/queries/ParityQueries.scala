@@ -45,12 +45,13 @@ object ParityQueries {
 
     QueryDef(
       "p_oldest_job",
-      (s, dir) =>
-        t(s, dir, "events")
-          .groupBy(col("event_type").as("queue"))
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.groupBy(col("event_type").as("queue"))
           .agg(
-            min(expr("ts div 1000")).as("oldest_us"),
-            max(expr("ts div 1000")).as("newest_us")),
+            min(Tables.tsUs(ev)).as("oldest_us"),
+            max(Tables.tsUs(ev)).as("newest_us"))
+      },
       Some(
         """SELECT event_type AS queue, MIN(epoch_us(ts)) AS oldest_us,
           |MAX(epoch_us(ts)) AS newest_us FROM events GROUP BY event_type""".stripMargin),
@@ -58,13 +59,14 @@ object ParityQueries {
 
     QueryDef(
       "p_due_scan",
-      (s, dir) =>
-        t(s, dir, "events")
-          .where(col("ts") <= lit(DueUs * 1000L + 999L)) // pushable: raw-ns predicate
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.where(Tables.tsAtMostUs(ev, DueUs)) // pushable: native-type predicate
           .select(
             col("event_id").as("jid"),
             col("event_type").as("queue"),
-            expr("ts div 1000").as("due_us")),
+            Tables.tsUs(ev).as("due_us"))
+      },
       Some(
         s"""SELECT event_id AS jid, event_type AS queue, epoch_us(ts) AS due_us
            |FROM events WHERE epoch_us(ts) <= $DueUs""".stripMargin),
@@ -72,11 +74,12 @@ object ParityQueries {
 
     QueryDef(
       "p_scheduled_promotion",
-      (s, dir) =>
-        t(s, dir, "events")
-          .where(col("ts") <= lit(DueUs * 1000L + 999L)) // pushable: raw-ns predicate
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.where(Tables.tsAtMostUs(ev, DueUs)) // pushable: native-type predicate
           .groupBy(col("event_type").as("queue"))
-          .agg(count("*").as("promoted")),
+          .agg(count("*").as("promoted"))
+      },
       Some(
         s"""SELECT event_type AS queue, COUNT(*) AS promoted FROM events
            |WHERE epoch_us(ts) <= $DueUs GROUP BY event_type""".stripMargin),
@@ -84,14 +87,15 @@ object ParityQueries {
 
     QueryDef(
       "p_window_admission",
-      (s, dir) =>
-        t(s, dir, "events")
-          .where(col("ts") >= lit((WinStartUs + 1) * 1000L) &&
-            col("ts") <= lit(WinEndUs * 1000L + 999L)) // pushable: raw-ns predicates
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.where(Tables.tsAtLeastUs(ev, WinStartUs + 1) &&
+            Tables.tsAtMostUs(ev, WinEndUs)) // pushable: native-type predicates
           .groupBy(col("event_type").as("queue"))
           .agg(
             count("*").as("in_window"),
-            least(count("*"), lit(1000L)).as("admitted")),
+            least(count("*"), lit(1000L)).as("admitted"))
+      },
       Some(
         s"""SELECT event_type AS queue, COUNT(*) AS in_window,
            |LEAST(COUNT(*), 1000) AS admitted FROM events
@@ -101,12 +105,13 @@ object ParityQueries {
 
     QueryDef(
       "p_rate_key_window",
-      (s, dir) =>
-        t(s, dir, "events")
-          .where(col("ts") >= lit((WinStartUs + 1) * 1000L) &&
-            col("ts") <= lit(WinEndUs * 1000L + 999L)) // pushable: raw-ns predicates
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.where(Tables.tsAtLeastUs(ev, WinStartUs + 1) &&
+            Tables.tsAtMostUs(ev, WinEndUs)) // pushable: native-type predicates
           .groupBy(col("user_id"))
-          .agg(count("*").as("n_in_window")),
+          .agg(count("*").as("n_in_window"))
+      },
       Some(
         s"""SELECT user_id, COUNT(*) AS n_in_window FROM events
            |WHERE epoch_us(ts) > $WinStartUs AND epoch_us(ts) <= $WinEndUs
@@ -115,14 +120,15 @@ object ParityQueries {
 
     QueryDef(
       "p_visibility_requeue",
-      (s, dir) =>
-        t(s, dir, "events")
-          .where(col("ts") >= lit(VisStartUs * 1000L) &&
-            col("ts") < lit(VisCutUs * 1000L)) // pushable: raw-ns predicates
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.where(Tables.tsAtLeastUs(ev, VisStartUs) &&
+            Tables.tsBeforeUs(ev, VisCutUs)) // pushable: native-type predicates
           .select(
             col("event_id").as("jid"),
             col("event_type").as("queue"),
-            expr("ts div 1000").as("claimed_us")),
+            Tables.tsUs(ev).as("claimed_us"))
+      },
       Some(
         s"""SELECT event_id AS jid, event_type AS queue, epoch_us(ts) AS claimed_us
            |FROM events WHERE epoch_us(ts) >= $VisStartUs AND epoch_us(ts) < $VisCutUs""".stripMargin),
@@ -137,8 +143,11 @@ object ParityQueries {
         // survivors — the full-table sort+shuffle never happens
         import s.implicits._
         val k = 10
-        val partial = t(s, dir, "events")
-          .select(col("event_type"), col("event_id"), col("ts"))
+        val ev = t(s, dir, "events")
+        val partial = ev
+          // ts normalized to epoch-µs BIGINT up front: the heap and the
+          // window then rank identical integers on either fixture schema
+          .select(col("event_type"), col("event_id"), Tables.tsUs(ev).as("ts"))
           .as[(String, Long, Long)]
           .mapPartitions { it =>
             val ord = Ordering.Tuple2[Long, Long](Ordering.Long, Ordering.Long)
@@ -164,7 +173,7 @@ object ParityQueries {
             col("event_type").as("queue"),
             col("pos").cast("int").as("pos"),
             col("event_id").as("jid"),
-            expr("ts div 1000").as("enqueued_us"))
+            col("ts").as("enqueued_us"))
       },
       Some(
         """SELECT event_type AS queue, CAST(pos AS INT) AS pos, event_id AS jid,
@@ -233,16 +242,17 @@ object ParityQueries {
 
     QueryDef(
       "p_enqueue_envelope",
-      (s, dir) =>
-        t(s, dir, "events")
-          .select(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.select(
             col("event_id").cast("string").as("jid"),
             col("event_type").as("queue"),
             lit("GenericWorker").as("class"),
             lit("perform").as("function"),
             col("props").as("args"),
             lit(0).as("retry_count"),
-            expr("ts div 1000").as("enqueued_us")),
+            Tables.tsUs(ev).as("enqueued_us"))
+      },
       Some(
         """SELECT CAST(event_id AS VARCHAR) AS jid, event_type AS queue,
           |'GenericWorker' AS class, 'perform' AS function, props AS args,

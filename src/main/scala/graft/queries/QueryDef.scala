@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** One verifiable operator: a Spark DataFrame program plus (when the
   * semantics are SQL-expressible) an equivalent DuckDB oracle query over
@@ -8,10 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rows-only check.
   *
   * Determinism contract (so the driver's sorted-hash compare is exact):
-  *   - timestamps are exported as epoch microseconds (BIGINT) — the
-  *     `events.ts` column is nanosecond-precision parquet, which Spark
-  *     reads as a nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong)
-  *     and DuckDB truncates to micros; `ts div 1000` == `epoch_us(ts)`.
+  *   - timestamps are exported as epoch microseconds (BIGINT) — see the
+  *     `Tables.ts*` schema adapter; the DuckDB oracles use `epoch_us(ts)`,
+  *     which is valid for every fixture generation.
   *   - double aggregations go through DECIMAL(18,4) (exact, associative)
   *     and are cast back to DOUBLE at the end, so Spark's parallel
   *     partial aggregation and DuckDB's serial sum agree bit-for-bit.
@@ -28,4 +29,53 @@ object Tables {
   /** Read one of the driver-provided parquet tables. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  // --- events.ts schema adapter ---------------------------------------
+  // The driver fixture has stored `events.ts` two ways across
+  // generations: epoch-NANOS INT64 (read as BIGINT under
+  // spark.sql.legacy.parquet.nanosAsLong) and microsecond TIMESTAMP_NTZ.
+  // Every query funnels timestamp access through these helpers so both
+  // generations produce identical epoch-µs results, and range predicates
+  // stay expressed on the NATIVE column type so they push down to the
+  // parquet scan either way. Sessions pin spark.sql.session.timeZone=UTC,
+  // so the NTZ→instant cast is the identity wall-clock mapping DuckDB's
+  // epoch_us(ts) applies.
+
+  private def tsIsLong(df: DataFrame): Boolean =
+    df.schema("ts").dataType == LongType
+
+  /** epoch-µs BIGINT view of `events.ts` (== DuckDB `epoch_us(ts)`). */
+  def tsUs(df: DataFrame): Column =
+    if (tsIsLong(df)) expr("ts div 1000")
+    else unix_micros(col("ts").cast(TimestampType))
+
+  /** µs-precision TimestampType (UTC instant) view of `events.ts`. */
+  def tsTimestamp(df: DataFrame): Column =
+    if (tsIsLong(df)) timestamp_micros(expr("ts div 1000"))
+    else col("ts").cast(TimestampType)
+
+  /** TIMESTAMP_NTZ literal at epoch-µs `us` (UTC wall clock) — a literal
+    * of the column's own type keeps the comparison pushdown-eligible
+    * (an implicit NTZ→LTZ coercion would wrap the COLUMN in a cast and
+    * kill the scan filter). */
+  private def ntzLit(us: Long): Column =
+    lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+
+  /** Pushdown-eligible `epoch_us(ts) <= us` on the native column type. */
+  def tsAtMostUs(df: DataFrame, us: Long): Column =
+    if (tsIsLong(df)) col("ts") <= lit(us * 1000L + 999L)
+    else col("ts") <= ntzLit(us)
+
+  /** Pushdown-eligible `epoch_us(ts) >= us` on the native column type. */
+  def tsAtLeastUs(df: DataFrame, us: Long): Column =
+    if (tsIsLong(df)) col("ts") >= lit(us * 1000L)
+    else col("ts") >= ntzLit(us)
+
+  /** Pushdown-eligible `epoch_us(ts) < us` on the native column type. */
+  def tsBeforeUs(df: DataFrame, us: Long): Column =
+    if (tsIsLong(df)) col("ts") < lit(us * 1000L)
+    else col("ts") < ntzLit(us)
 }

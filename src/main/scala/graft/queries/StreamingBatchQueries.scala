@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * is executed here over the events fixture and hash-compared against a
   * DuckDB oracle — the one component that was previously spec-only.
   *
-  * Timestamp discipline: `events.ts` is epoch-NANOS (read as BIGINT
-  * under nanosAsLong); operators get a µs-truncated real timestamp
-  * (`timestamp_micros(ts div 1000)`), outputs convert back to epoch-µs
-  * BIGINT so both engines hash identical integers (DuckDB's
-  * `epoch_us(ts)` applies the same truncation).
+  * Timestamp discipline: operators get a µs-precision real timestamp
+  * via the `Tables.tsTimestamp` schema adapter (ns-BIGINT and µs
+  * TIMESTAMP_NTZ fixture generations both normalize to the same UTC
+  * instant); outputs convert back to epoch-µs BIGINT so both engines
+  * hash identical integers (DuckDB's `epoch_us(ts)` applies the same
+  * truncation).
   *
   * `value` sums are pre-quantized to integer cents, so the windowed
   * SUM is exact in both engines (the QueryDef double-sum contract). */
@@ -26,8 +27,9 @@ object StreamingBatchQueries {
     QueryDef(
       "s_windowed_counts",
       (s, dir) => {
-        val ev = t(s, dir, "events").select(
-          timestamp_micros(expr("ts div 1000")).as("ts"),
+        val raw = t(s, dir, "events")
+        val ev = raw.select(
+          Tables.tsTimestamp(raw).as("ts"),
           col("event_type"),
           // integer cents: the windowed SUM stays associative + exact
           round(col("value") * 100).cast("long").as("value"))
@@ -48,8 +50,9 @@ object StreamingBatchQueries {
     QueryDef(
       "s_sessions",
       (s, dir) => {
-        val ev = t(s, dir, "events").select(
-          timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+        val raw = t(s, dir, "events")
+        val ev = raw.select(
+          Tables.tsTimestamp(raw).as("ts"), col("user_id"))
         StreamingAnalytics.sessionCounts(ev, "30 minutes")
           .select(col("user_id"),
             unix_micros(col("session_start")).as("session_start_us"),
@@ -76,8 +79,9 @@ object StreamingBatchQueries {
     QueryDef(
       "s_interval_join",
       (s, dir) => {
-        val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+        val raw = t(s, dir, "events")
+        val ev = raw.select(col("user_id"), col("event_id"),
+          Tables.tsTimestamp(raw).as("ts"), col("event_type"))
         StreamingAnalytics.intervalJoin(
             ev.where(col("event_type") === "click"),
             ev.where(col("event_type") === "purchase"), maxGapSec = 1800)

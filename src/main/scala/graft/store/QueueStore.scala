@@ -576,12 +576,21 @@ class QueueStore(val spark: SparkSession, val root: String,
           val staging = s"$root/.staging/migrate-${java.util.UUID.randomUUID()}"
           df.withColumn("__day", enqueueDayCol)
             .write.mode("overwrite").partitionBy("__day").parquet(staging)
+          val partIdx = "part-(\\d+)".r
           days.zipWithIndex.foreach { case (day, di) =>
             val src = new Path(staging, s"__day=$day")
             val target = new Path(qd.getPath, s"day=$day")
             fs.mkdirs(target)
             val s = stamp + di
             fs.listStatus(src).filter(_.getPath.getName.startsWith("part-"))
+              // sort by the PARSED part index, not listStatus order: the
+              // crash-rerun convergence below keys on `i`, and an
+              // enumeration-order index could pair a rerun's staged file
+              // with a first-run dest holding DIFFERENT rows — the
+              // exists-check would then delete the staged file and lose
+              // its rows. Spark's own part numbering is the stable key.
+              .sortBy(p => partIdx.findFirstMatchIn(p.getPath.getName)
+                .map(_.group(1).toLong).getOrElse(Long.MaxValue))
               .zipWithIndex.foreach { case (p, i) =>
                 // DETERMINISTIC name: a crash between split move-in and
                 // the original's delete re-runs this migration on next
@@ -906,14 +915,35 @@ class QueueStore(val spark: SparkSession, val root: String,
   private final class LimitWindow {
     val byId = new scala.collection.mutable.HashMap[String, Long]()
     var retainMs: Long = 0L // widest (now - sinceMs) any caller used
+    // entries with ts < this may already be discarded: a later caller
+    // whose window reaches back past it must NOT answer from this
+    // mirror (it would undercount until restart) — see limitWindowCovering
+    var prunedBeforeMs: Long = Long.MinValue
     def prune(nowMs: Long): Unit =
       if (retainMs > 0) {
         val cutoff = nowMs - retainMs - 60000L // slack for caller clock skew
+        if (cutoff > prunedBeforeMs) prunedBeforeMs = cutoff
         byId.filterInPlace((_, ts) => ts >= cutoff)
       }
   }
   private val limitMirror =
     new java.util.concurrent.ConcurrentHashMap[String, LimitWindow]()
+
+  /** Mirror for `key` guaranteed to cover entries back to `sinceMs`:
+    * when a caller's window reaches past what earlier (narrower)
+    * callers let prune() discard, the mirror key is invalidated and
+    * rebuilt from the durable log (one Spark job — the same cost as
+    * the first access; the log itself retains at least the hourly
+    * disk-prune horizon, which bounds every supported window). */
+  private def limitWindowCovering(key: String, sinceMs: Long): LimitWindow = {
+    val w = limitWindow(key)
+    val stale = w.synchronized(sinceMs < w.prunedBeforeMs)
+    if (!stale) w
+    else {
+      limitMirror.remove(key, w)
+      limitWindow(key)
+    }
+  }
 
   private def limitWindow(key: String): LimitWindow =
     limitMirror.computeIfAbsent(key, _ => {
@@ -961,7 +991,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * mirror stores. */
   def limitCountSince(key: String, sinceMs: Long,
       excludeIdSuffix: Option[String] = None): Long = {
-    val w = limitWindow(key)
+    val w = limitWindowCovering(key, sinceMs)
     w.synchronized {
       val now = System.currentTimeMillis()
       w.retainMs = math.max(w.retainMs, now - sinceMs)
@@ -986,7 +1016,7 @@ class QueueStore(val spark: SparkSession, val root: String,
     * older replayed row of the same id expiring frees nothing). */
   def limitEarliestSince(key: String, sinceMs: Long,
       excludeIdSuffix: Option[String] = None): Option[Long] = {
-    val w = limitWindow(key)
+    val w = limitWindowCovering(key, sinceMs)
     w.synchronized {
       val now = System.currentTimeMillis()
       w.retainMs = math.max(w.retainMs, now - sinceMs)
@@ -1365,19 +1395,31 @@ class QueueStore(val spark: SparkSession, val root: String,
     java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
       .orElse(java.lang.Boolean.FALSE).booleanValue()
 
-  private def readLock(): Option[(Option[Long], String, String)] =
-    if (!fs.exists(ownerLockPath)) None
-    else {
-      val in = fs.open(ownerLockPath)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      val toks = content.split("\\s+")
-      val uuid = if (toks.length >= 2) toks(1) else ""
-      // pre-lease locks carried "pid uuid" only: treat as same-host
-      val host = if (toks.length >= 3) toks(2) else ownerHost
-      Some((toks.headOption.flatMap(_.toLongOption), uuid, host))
-    }
+  /** Read the ownership lease. A MISSING lock is re-checked once after
+    * a short pause: writeLock's delete→rename publish has a
+    * milliseconds-wide gap where the path legitimately vanishes
+    * mid-renewal, and a reader that concluded "no owner" inside that
+    * blink could acquire over a LIVE lease (acquireOwnership) or skip
+    * a takeover it should have refused (assertStillOwner/fenceCheck).
+    * One retry outlasts the gap — the rename is the writer's very next
+    * syscall — and costs nothing on the steady-state path where the
+    * lock exists on the first read. */
+  private def readLock(): Option[(Option[Long], String, String)] = {
+    def once(): Option[(Option[Long], String, String)] =
+      if (!fs.exists(ownerLockPath)) None
+      else {
+        val in = fs.open(ownerLockPath)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val toks = content.split("\\s+")
+        val uuid = if (toks.length >= 2) toks(1) else ""
+        // pre-lease locks carried "pid uuid" only: treat as same-host
+        val host = if (toks.length >= 3) toks(2) else ownerHost
+        Some((toks.headOption.flatMap(_.toLongOption), uuid, host))
+      }
+    once().orElse { Thread.sleep(50L); once() }
+  }
 
   /** Publish this driver's lease record. Staged to a temp name and
     * RENAMED onto the lock, then READ BACK: rename is atomic, so two

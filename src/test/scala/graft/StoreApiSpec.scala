@@ -647,4 +647,106 @@ class StoreApiSpec extends AnyFunSuite {
     assert(api.recorded.last._3 === 5000)
     assert(api.jobCounts(Seq("q"))("q") === 3) // enqueueIn not counted as queued
   }
+
+  test("flat-layout migration converges after a crash between move-in and delete") {
+    import spark.implicits._
+    val rootA = TestSpark.tmpRoot("migrate-full")
+    val storeA = new QueueStore(spark, rootA)
+    val api = new DefaultQueueApi(storeA)
+    api.bulkEnqueue("scratch", (1 to 8).map(i => JobSpec("W", args = s"[$i]")))
+    val rows = storeA.queueRows("scratch").cache()
+    // a midnight-spanning flat file: half the rows enqueued "yesterday",
+    // so migration takes the multi-day SPLIT path (staging + per-day
+    // deterministic part names), not the single-day rename
+    val jids = rows.select("jid").orderBy("jid").collect().map(_.getString(0))
+    val backdated = jids.take(4).toSet
+    val mixed = rows.withColumn("enqueued_at",
+      when(col("jid").isin(backdated.toSeq: _*),
+        col("enqueued_at") - expr("INTERVAL 1 DAY")).otherwise(col("enqueued_at")))
+      .coalesce(1) // ONE flat file holding both days
+    storeA.append(storeA.queueDir("legacy"), mixed, graft.model.Schemas.event)
+    rows.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val legacyA = new org.apache.hadoop.fs.Path(storeA.queueDir("legacy"))
+    // snapshot the pre-migration flat state before store init migrates it
+    val rootB = TestSpark.tmpRoot("migrate-crash")
+    val legacyB = new org.apache.hadoop.fs.Path(
+      legacyA.toString.replace(rootA, rootB))
+    fs.mkdirs(legacyB.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, legacyA, fs, legacyB, false,
+      spark.sparkContext.hadoopConfiguration)
+    // rootA: the clean full migration — the reference row set + layout
+    val storeA2 = new QueueStore(spark, rootA)
+    val expect = storeA2.queueRows("legacy").select("jid", "enqueued_at")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime)).sorted.toSeq
+    assert(expect.size === 8)
+    val dayDirs = fs.listStatus(legacyA).filter(d =>
+      d.isDirectory && d.getPath.getName.startsWith("day="))
+    assert(dayDirs.length === 2, "setup: expected a two-day split")
+    // rootB: reproduce the CRASH state — one day's split file already
+    // moved in (its deterministic migrated name), the flat original
+    // still present, the other day not yet migrated
+    val firstDay = dayDirs.minBy(_.getPath.getName)
+    val migrated = fs.listStatus(firstDay.getPath)
+      .filter(_.getPath.getName.contains("-migr"))
+    assert(migrated.nonEmpty, "setup: expected -migr split names")
+    migrated.foreach { f =>
+      val dst = new org.apache.hadoop.fs.Path(
+        f.getPath.toString.replace(rootA, rootB))
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    // re-run the migration on the crash state: the exists-check must
+    // converge (skip the already-landed split) — identical row set, no
+    // duplicates, no loss
+    val storeB = new QueueStore(spark, rootB)
+    val got = storeB.queueRows("legacy").select("jid", "enqueued_at")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime)).sorted.toSeq
+    assert(got === expect, "crash-rerun migration changed the row set")
+    val flatLeft = fs.listStatus(legacyB).filter(f =>
+      !f.isDirectory && f.getPath.getName.startsWith("part-"))
+    assert(flatLeft.isEmpty, "flat original survived the converged migration")
+  }
+
+  test("rate-limit mirror: a wider window after narrow-caller pruning recounts from the log") {
+    import spark.implicits._
+    val store = new QueueStore(spark, TestSpark.tmpRoot("limitwide"))
+    val now = System.currentTimeMillis()
+    store.limitLogAppend("wk", Seq("old:0").toDF("id"),
+      new java.sql.Timestamp(now - 600000L)) // 10 min ago
+    store.limitLogAppend("wk", Seq("new:1").toDF("id"),
+      new java.sql.Timestamp(now - 30000L))
+    // narrow caller (2-minute window): sees only the recent admission,
+    // and its retain horizon lets prune() discard the old entry
+    assert(store.limitCountSince("wk", now - 120000L) === 1)
+    // wider caller (30-minute window) must count BOTH — before the
+    // widening invalidation the mirror answered 1 until restart
+    assert(store.limitCountSince("wk", now - 1800000L) === 2)
+    assert(store.limitEarliestSince("wk", now - 1800000L)
+      .exists(ts => ts <= now - 590000L), "earliest must be the old admission")
+    // narrow view stays correct after the rebuild
+    assert(store.limitCountSince("wk", now - 120000L) === 1)
+  }
+
+  test("acquire during another writer's lock-renewal blink refuses instead of stealing") {
+    val root = TestSpark.tmpRoot("blink")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val lock = new org.apache.hadoop.fs.Path(root, "_owner.lock")
+    // a live FOREIGN owner is mid-renewal: its delete has happened and
+    // the rename lands a few ms later — exactly the window where a
+    // single missing-lock read used to conclude "no owner"
+    val writer = new Thread(() => {
+      Thread.sleep(15)
+      val out = fs.create(lock, true)
+      try out.write("7 foreign-uuid hostZ".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(lock, System.currentTimeMillis(), -1)
+    })
+    writer.start()
+    val ex = intercept[IllegalStateException](
+      new QueueStore(spark, root, leaseTimeoutMs = 300000))
+    writer.join()
+    assert(ex.getMessage.contains("hostZ"), ex.getMessage)
+  }
 }
