@@ -570,10 +570,12 @@ object DedupQueries {
         // keeps NO doc list (a boilerplate hot gram costs its group
         // size in shuffle rows, never a quadratic pair set); the span
         // merge windows over DUP positions only, bounded per doc by
-        // document length. Gram keys travel as raw token strings for
-        // oracle bit-parity — at scale you'd key on xxhash64(gram)
-        // twice (128 bits) to shrink shuffle bytes, accepting the
-        // 2^-128 collision odds.
+        // document length. Gram keys travel as a 128-bit double
+        // xxhash64 (two independent seeds), never the raw ~50-byte
+        // token string: both shuffles (the count-distinct and the
+        // semi-join) carry 16 bytes per gram (~4× fewer shuffle
+        // bytes), at 2^-128-scale collision odds — far below the
+        // corruption rate of the hardware running the job.
         val k = 8
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -584,14 +586,18 @@ object DedupQueries {
               sequence(lit(1), size(col("ws")) - (k - 1)),
               i => struct(i.cast("long").as("pos"),
                 array_join(slice(col("ws"), i, lit(k)), " ").as("gram")))).as("g"))
+          // hash immediately and DROP the gram string before anything
+          // wide: only (doc_id, n_tokens, pos, h1, h2) ever shuffles
           .select(col("doc_id"), col("n_tokens"),
-            col("g.pos").as("pos"), col("g.gram").as("gram"))
+            col("g.pos").as("pos"),
+            xxhash64(col("g.gram")).as("h1"),
+            xxhash64(lit(1), col("g.gram")).as("h2"))
         val dupGrams = grams
-          .groupBy("gram")
+          .groupBy("h1", "h2")
           .agg(countDistinct("doc_id").as("nd"))
           .where(col("nd") >= 2)
-          .select("gram")
-        val dp = grams.join(dupGrams, Seq("gram"), "left_semi")
+          .select("h1", "h2")
+        val dp = grams.join(dupGrams, Seq("h1", "h2"), "left_semi")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos")
         val prevEnd = max(col("pos") + (k - 1))

@@ -26,9 +26,24 @@ final case class QueryDef(
     doc: String = "")
 
 object Tables {
-  /** Read one of the driver-provided parquet tables. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one of the driver-provided parquet tables, with an
+    * input-parallelism floor.
+    *
+    * The round-9 fixture regeneration ships each table as ONE parquet
+    * file holding ONE row group — an unsplittable scan that collapses
+    * every downstream row-local stage (minhash signatures, media
+    * decode, JSON extraction) onto a single core of local[32] (measured
+    * 10-30x slowdowns). At production scale input arrives as thousands
+    * of files/row groups and this branch never engages; when the scan
+    * would yield pathologically few partitions, one round-robin
+    * redistribution restores parallelism. Predicate pushdown and column
+    * pruning still reach the scan — Catalyst pushes both through
+    * Repartition — so PushedFilters/ReadSchema are unchanged. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= target) df.repartition(target) else df
+  }
 
   // --- events.ts schema adapter ---------------------------------------
   // The driver fixture has stored `events.ts` two ways across

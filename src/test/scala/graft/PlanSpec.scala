@@ -100,14 +100,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_revenue_by_nation").contains("PushedFilters: ["))
   }
 
-  // --- map-only ops stay shuffle-free ---
+  // --- map-only ops stay key-shuffle-free ---
+  // (the input-parallelism floor in Tables.t may add ONE round-robin
+  // redistribution over a single-row-group fixture file; the invariant
+  // these guard is that the OPERATOR itself never shuffles on a key —
+  // a hash/range exchange would mean the map-only design regressed)
+
+  private def assertMapOnly(q: String): Unit = {
+    val p = plan(q)
+    val pl = p.toLowerCase
+    assert(!pl.contains("hashpartitioning") && !pl.contains("rangepartitioning"),
+      s"key shuffle in map-only op:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"more than the input-floor exchange in:\n$p")
+  }
 
   for (q <- Seq("dedup_minhash_sig", "dedup_simhash", "t_split_assign",
       "sim_sq8_error", "t_repetition"))
-    test(s"$q is exchange-free (pure map)") {
-      val p = plan(q)
-      assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
-    }
+    test(s"$q is key-shuffle-free (pure map)") { assertMapOnly(q) }
 
   test("t_tfidf_topk joins the vocabulary model as a broadcast") {
     val p = plan("t_tfidf_topk")
@@ -186,10 +196,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "fact-side shuffle join in:\n" + p)
   }
 
-  test("t_ttr is exchange-free (pure map)") {
-    val p = plan("t_ttr")
-    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
-  }
+  test("t_ttr is key-shuffle-free (pure map)") { assertMapOnly("t_ttr") }
 
   test("sim_ivfpq_knn prunes candidates by cell equi-join (no cartesian ADC scan)") {
     val p = plan("sim_ivfpq_knn")
@@ -218,6 +225,16 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
     assert(p.contains("HashAggregate"), "hash aggregation missing:\n" + p)
+  }
+
+  test("dedup_substring shuffles 128-bit gram hashes, never gram strings") {
+    val p = plan("dedup_substring")
+    // both wide stages (count-distinct + semi-join) must partition on
+    // the double-xxhash64 key — a raw 8-token gram string in the
+    // exchange key is ~4x the shuffle bytes at 100 TB
+    assert(!p.contains("hashpartitioning(gram"),
+      "gram strings travel the shuffle:\n" + p)
+    assert(p.contains("xxhash64"), "gram hash key missing:\n" + p)
   }
 
   // --- no corpus-sized broadcast builds in the Jaccard verification ---
