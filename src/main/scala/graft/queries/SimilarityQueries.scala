@@ -536,6 +536,88 @@ object SimilarityQueries {
       "Embedding-cosine near-dup dedup over documents: bucketed LSH candidates, exact cosine, keeper election."),
 
     QueryDef(
+      "dedup_semdedup",
+      (s, dir) => {
+        // SemDeDup-style SEMANTIC dedup (Abbas et al., arXiv:2303.09540):
+        // cluster the embedding space with the exact-mean IVF centroids,
+        // generate candidate pairs only WITHIN a cell, and among vectors
+        // whose cosine exceeds the dup threshold keep the one FARTHEST
+        // from its centroid (the paper's keep-low-centroid-similarity
+        // rule — it preserves the cluster's diverse tail, where min-id
+        // keeper election would keep arbitrary representatives). The
+        // per-edge dominance rule — x is dropped iff some dup-neighbor y
+        // sits strictly farther out (tie: lower vec_id wins) — is the
+        // greedy local form: one aggregation over the pair list, no
+        // iterative connected components, SQL-expressible without
+        // recursion.
+        //
+        // Scale shape (100 TB): centroids BROADCAST (nlist-sized); the
+        // pair join is keyed on the cell, so the quadratic stage is
+        // bounded per-cell — nlist must grow ~sqrt(n) with the corpus
+        // (the fixture's 10 label-cells stand in for a production
+        // nlist) exactly as an IVF index scales; the dominance
+        // aggregation and the join back to the assignment shuffle
+        // id-sized frames keyed on vec_id. Nothing corpus² exists in
+        // the plan.
+        val au = ivfAssigned(s, dir)
+          .join(unitEmb(s, dir).select(col("vec_id"), col("u")), "vec_id")
+          .select(col("vec_id"), col("assigned"), col("dist2"), col("u"))
+        val dp = au.as("x").join(au.as("y"),
+            col("x.assigned") === col("y.assigned") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+            col("x.dist2").as("da"), col("y.dist2").as("db"),
+            dot(col("x.u"), col("y.u")).as("cos"))
+          .where(col("cos") >= 0.35)
+          .cache()
+        val dominated = dp
+          .where(col("db") > col("da") ||
+            (col("db") === col("da") && col("id_b") < col("id_a")))
+          .select(col("id_a").as("vec_id"))
+          .unionAll(dp
+            .where(col("da") > col("db") ||
+              (col("da") === col("db") && col("id_a") < col("id_b")))
+            .select(col("id_b").as("vec_id")))
+          .distinct()
+          .withColumn("dom", lit(1))
+        val ndup = dp.select(col("id_a").as("vec_id"))
+          .unionAll(dp.select(col("id_b").as("vec_id")))
+          .groupBy("vec_id").agg(count(lit(1)).as("n_dup"))
+        ivfAssigned(s, dir)
+          .join(ndup, Seq("vec_id"), "left_outer")
+          .join(dominated, Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("assigned").as("cell"), col("dist2"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_neighbors"),
+            when(col("dom").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |au AS (SELECT a.vec_id, a.assigned, a.dist2, un.u
+           |  FROM assign a JOIN un ON a.vec_id = un.vec_id),
+           |dp AS (SELECT id_a, id_b, da, db, cos FROM (
+           |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.dist2 AS da,
+           |    y.dist2 AS db, list_dot_product(x.u, y.u) AS cos
+           |  FROM au x JOIN au y
+           |  ON x.assigned = y.assigned AND x.vec_id < y.vec_id)
+           |  WHERE cos >= 0.35),
+           |dom AS (SELECT DISTINCT vec_id FROM (
+           |  SELECT id_a AS vec_id FROM dp
+           |    WHERE db > da OR (db = da AND id_b < id_a)
+           |  UNION ALL
+           |  SELECT id_b AS vec_id FROM dp
+           |    WHERE da > db OR (da = db AND id_a < id_b))),
+           |ndup AS (SELECT vec_id, COUNT(*) AS n_dup FROM (
+           |  SELECT id_a AS vec_id FROM dp
+           |  UNION ALL SELECT id_b AS vec_id FROM dp) GROUP BY vec_id)
+           |SELECT a.vec_id, a.assigned AS cell, a.dist2,
+           |  COALESCE(n.n_dup, 0) AS n_dup_neighbors,
+           |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM assign a
+           |LEFT JOIN ndup n ON a.vec_id = n.vec_id
+           |LEFT JOIN dom d ON a.vec_id = d.vec_id""".stripMargin),
+      "SemDeDup: IVF-cell-bounded cosine dup pairs, keep the vector farthest from its centroid."),
+
+    QueryDef(
       "sim_sq8_error",
       (s, dir) => {
         // int8 scalar quantization — the memory-reduction step an ANN

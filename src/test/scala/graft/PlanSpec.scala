@@ -33,6 +33,16 @@ class PlanSpec extends AnyFunSuite {
         s"BroadcastNestedLoopJoin in:\n$p")
     }
 
+  test("dedup_semdedup pair stage is cell-keyed, centroids broadcast") {
+    val p = plan("dedup_semdedup")
+    // the quadratic stage must be bounded per IVF cell: an equi-join on
+    // the assigned cell (shuffle or broadcast hash), never a corpus²
+    // cartesian; the only nested-loop join allowed is the vector ×
+    // broadcast-centroid scoring of the assignment stage
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   // the IVF/PQ family deliberately cross-joins every vector against the
   // BROADCAST centroid/codebook table (nlist-sized — that IS the
   // algorithm); a BroadcastNestedLoopJoin is expected there, but a
