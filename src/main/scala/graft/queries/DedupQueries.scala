@@ -110,6 +110,62 @@ object DedupQueries {
         (col("n_shared").cast("double") / col("n_shingles")).as("contam_frac"))
   }
 
+  /** Decontamination for the regime where the holdout outgrows a raw
+    * broadcast but its BLOOM FILTER does not — the standard sketch
+    * semi-join reduction. A holdout of 10⁹ distinct shingles is tens
+    * of GBs as strings (unbroadcastable; `decontaminate` degrades to a
+    * full shuffle of every train shingle) but ~1 GB as a 1%-FP Bloom
+    * filter, and here a few MBs. The filter is built DISTRIBUTEDLY by
+    * Spark's own BloomFilterAggregate (map-side partial filters,
+    * OR-merged — only the fixed-size bitmap ever reaches the driver),
+    * probed by the codegen'd BloomFilterMightContain fused into the
+    * train-side scan, and the surviving ~FP+match fraction is confirmed
+    * by the same exact merge join — so the output is row-identical to
+    * `decontaminate` while the shuffle carries only might-contain
+    * survivors instead of every train shingle.
+    *
+    * estItems/numBits are FIXED here (fixture-sized, 8 Mbit ≈ 1 MB); a
+    * production run sizes them from the holdout's approx count the way
+    * it sizes any sketch. */
+  def decontaminateBloom(s: SparkSession, dir: String,
+      estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    graft.functions.expr.TextExpressions.register(s)
+    graft.functions.expr.BloomExpressions.register(s)
+    val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(
+          call_function("graft_shingles3", split(col("text"), " "))).as("shs"))
+      .withColumn("bucket", bucket)
+    val hold = base.where(col("bucket") >= 80)
+      .select(explode(col("shs")).as("s")).distinct()
+    // one bounded job at plan-construction time (same policy as
+    // decontaminate's broadcast-size probe): the aggregate's result is
+    // the serialized bitmap, numBits/8 bytes however large the holdout
+    val bloomBytes = hold
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col("s")), lit(estItems), lit(numBits)))
+      .head.getAs[Array[Byte]](0)
+    // empty holdout → aggregate yields null → nothing can match; keep
+    // the plan valid with a constant-false probe (result stays empty,
+    // exactly what the exact join would produce)
+    val probe =
+      if (bloomBytes == null) lit(false)
+      else call_function("graft_bloom_contains",
+        lit(bloomBytes), xxhash64(col("s")))
+    base.where(col("bucket") < 80)
+      .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+        explode(col("shs")).as("s"))
+      .where(probe)
+      // exact confirm on the survivors; merge hint = the at-scale path
+      // this variant exists for (the broadcast regime is decontaminate's)
+      .join(hold.hint("merge"), "s")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count("*").as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contam_frac"))
+  }
+
   private val ShingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -410,6 +466,25 @@ object DedupQueries {
            |  CAST(n_shared AS DOUBLE) / n AS contam_frac
            |FROM tr JOIN cnt ON tr.doc_id = cnt.doc_id""".stripMargin),
       "Eval-set decontamination: train docs sharing 3-gram shingles with held-out docs."),
+
+    QueryDef(
+      "dedup_decontaminate_bloom",
+      (s, dir) => decontaminateBloom(s, dir),
+      // IDENTICAL oracle to dedup_decontaminate: the Bloom pre-filter
+      // has no false negatives and the exact join removes its false
+      // positives, so the sketch changes the plan, never the rows.
+      Some(
+        s"""$ShingleCte,
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |hold AS (SELECT DISTINCT s FROM sh
+           |  WHERE doc_id % 1000003 * 2654435761 % 100 >= 80),
+           |tr AS (SELECT sh.doc_id, COUNT(*) AS n_shared
+           |  FROM sh JOIN hold ON sh.s = hold.s
+           |  WHERE sh.doc_id % 1000003 * 2654435761 % 100 < 80 GROUP BY 1)
+           |SELECT tr.doc_id, n_shared, CAST(n AS INT) AS n_shingles,
+           |  CAST(n_shared AS DOUBLE) / n AS contam_frac
+           |FROM tr JOIN cnt ON tr.doc_id = cnt.doc_id""".stripMargin),
+      "Bloom-prefiltered decontamination: sketch semi-join reduction + exact confirm (same rows, scale plan)."),
 
     QueryDef(
       "dedup_lsh_recall",

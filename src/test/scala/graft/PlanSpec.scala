@@ -33,6 +33,20 @@ class PlanSpec extends AnyFunSuite {
         s"BroadcastNestedLoopJoin in:\n$p")
     }
 
+  test("dedup_decontaminate_bloom probes the sketch before the exact join, same rows") {
+    val p = plan("dedup_decontaminate_bloom")
+    // the codegen'd membership probe must sit on the train side ahead
+    // of the shuffle, and the confirm join must be the non-broadcast
+    // at-scale path this variant exists for
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bloom = SparkEntry.queries("dedup_decontaminate_bloom")(spark, sf)
+    val exact = SparkEntry.queries("dedup_decontaminate")(spark, sf)
+    assert(bloom.except(exact).isEmpty, "bloom path emitted extra rows")
+    assert(exact.except(bloom).isEmpty, "bloom path dropped rows")
+  }
+
   test("dedup_semdedup pair stage is cell-keyed, centroids broadcast") {
     val p = plan("dedup_semdedup")
     // the quadratic stage must be bounded per IVF cell: an equi-join on
