@@ -175,13 +175,13 @@ object DedupQueries {
   /** 4 bands carved from ONE md5 per shingle (8 hex chars = 32 bits
     * each) — the standard way to get k hash functions for the price of
     * one digest. (name, 1-based hex offset). */
-  private val MinhashBands =
+  private[queries] val MinhashBands =
     Seq("mh0" -> 1, "mh1" -> 9, "mh2" -> 17, "mh3" -> 25)
 
   /** Shuffle-free signatures via the native MinHashBands expression:
     * shingle + digest + band minima in one pass per row — pure map,
     * no explode, no shuffle. */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashSig(s: SparkSession, dir: String): DataFrame = {
     graft.functions.expr.TextExpressions.register(s)
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -196,7 +196,7 @@ object DedupQueries {
   private def bandMinSql: Seq[String] =
     MinhashBands.map { case (name, off) => s"MIN(substr(md5(s), $off, 8)) AS $name" }
 
-  private val MinhashSigSql =
+  private[queries] val MinhashSigSql =
     s"""$ShingleCte
        |SELECT doc_id, ${bandMinSql.mkString(", ")}
        |FROM sh GROUP BY doc_id""".stripMargin

@@ -129,5 +129,49 @@ object StreamingBatchQueries {
         |'DedupWorker' AS clazz, 'dq' AS queue,
         |'["' || CAST(user_id AS VARCHAR) || '"]' AS args
         |FROM events""".stripMargin),
-    "Stateful first-occurrence dedup (flatMapGroupsWithState) run in batch mode."))
+    "Stateful first-occurrence dedup (flatMapGroupsWithState) run in batch mode."),
+
+    QueryDef(
+      "s_lsh_dedup",
+      (s, dir) => {
+        // Streaming MinHash-LSH near-dedup under the oracle gate: the
+        // SAME stateful operator a stream runs (one long of state per
+        // LSH bucket, flatMapGroupsWithState) executed over the batch
+        // corpus. Signature is the shuffle-free native graft_minhash4
+        // (shared with dedup_minhash_*); a doc is a near-dup iff ANY of
+        // its 4 band buckets already holds a smaller doc_id. In batch
+        // mode each bucket group sees all its docs at once, so the
+        // canonical id is the exact bucket min — which is precisely the
+        // converged fix-point the streaming run reaches once every doc
+        // has flowed through, and what the SQL oracle computes. The
+        // per-doc fold after the stateful stage is a map-side-
+        // combinable min; at 100 TB state is |buckets| × 8 B sharded
+        // across executors, evictable by timeout.
+        import s.implicits._
+        val sig = DedupQueries.minhashSig(s, dir)
+        val bands = sig.select(col("doc_id"), posexplode(
+            array(DedupQueries.MinhashBands.map(b => col(b._1)): _*))
+            .as(Seq("band", "bkey")))
+          .select(col("band"), col("bkey"), col("doc_id"))
+          .as[(Int, String, Long)]
+        graft.streaming.StreamingAnalytics.lshBucketCanon(bands)
+          .groupBy("doc_id")
+          .agg(min("bucket_canon").as("canon_id"))
+          .select(col("doc_id"), col("canon_id"),
+            (col("canon_id") < col("doc_id")).cast("int").as("is_dup"))
+      },
+      Some(
+        s"""WITH sig AS (${DedupQueries.MinhashSigSql}),
+           |u AS (
+           |  SELECT doc_id, 0 AS band, mh0 AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, mh1 FROM sig UNION ALL
+           |  SELECT doc_id, 2, mh2 FROM sig UNION ALL
+           |  SELECT doc_id, 3, mh3 FROM sig),
+           |m AS (SELECT band, bkey, MIN(doc_id) AS bmin
+           |  FROM u GROUP BY band, bkey)
+           |SELECT u.doc_id, MIN(m.bmin) AS canon_id,
+           |  CAST(MIN(m.bmin) < u.doc_id AS INT) AS is_dup
+           |FROM u JOIN m ON u.band = m.band AND u.bkey = m.bkey
+           |GROUP BY u.doc_id""".stripMargin),
+      "Streaming LSH near-dedup (stateful band buckets) run in batch mode."))
 }

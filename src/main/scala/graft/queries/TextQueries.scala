@@ -778,5 +778,135 @@ object TextQueries {
           |CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
           |  / len(string_split(text, ' ')) AS ttr
           |FROM documents""".stripMargin),
-      "Type-token ratio: lexical-diversity quality score (map-only)."))
+      "Type-token ratio: lexical-diversity quality score (map-only)."),
+
+    QueryDef(
+      "t_domain_cap",
+      (s, dir) =>
+        // Per-domain document cap — the Common-Crawl-pipeline step that
+        // bounds any one domain's contribution to the corpus: keep only
+        // the top-50 docs per source, ranked by length (quality proxy,
+        // doc_id tiebreak). Runs on the custom TopKPerKey operator, so
+        // each scan partition is heap-pruned to ≤50 rows per source
+        // BEFORE the shuffle — at 100 TB the exchange carries
+        // k × |domains| rows, never the corpus, and no per-partition
+        // full sort exists in the plan (contrast the window-rank form
+        // the oracle uses).
+        graft.plans.GraftOps.topKPerKey(
+          t(s, dir, "documents").select(
+            col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), 50, "-n_chars", "+doc_id"),
+      Some(
+        """SELECT source, doc_id, n_chars FROM (
+          |SELECT source, doc_id, n_chars,
+          |ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+          |FROM documents) WHERE rk <= 50""".stripMargin),
+      "Per-domain cap: heap-pruned exact top-50 docs per source (TopKPerKey, no sort)."),
+
+    QueryDef(
+      "t_mix_weights",
+      (s, dir) => {
+        // Temperature-smoothed source mixing (the multilingual-training
+        // p_i ∝ c_i^α rule, α=1/2): per-source token counts → smoothed
+        // weight → share of a 10⁹-token training budget. Scale shape:
+        // one map-side-combinable count shuffle to source cardinality,
+        // then the source-sized frame crossjoins a broadcast 1-row
+        // total — no global window, no single-partition stage.
+        // Determinism: sqrt(exact long) is correctly rounded in IEEE
+        // 754, quantized ONCE to integer 1e-6 units, so the total is an
+        // integer sum (any order) and share/alloc are single exact-input
+        // double ops in both engines; floor (not cast) avoids the
+        // truncate-vs-round-half-even cast mismatch.
+        val c = t(s, dir, "documents")
+          .groupBy("source")
+          .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .select(col("source"), col("n_tokens"),
+            round(sqrt(col("n_tokens").cast("double")) * 1000000)
+              .cast("long").as("wq"))
+        val tot = c.agg(sum("wq").as("tw"))
+        c.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            (col("wq").cast("double") / col("tw")).as("share"),
+            floor(col("wq").cast("double") / col("tw") * 1000000000L)
+              .cast("long").as("alloc_tokens"))
+      },
+      Some(
+        """WITH c AS (SELECT source,
+          |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |w AS (SELECT source, n_tokens,
+          |    CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+          |  FROM c)
+          |SELECT source, n_tokens,
+          |  CAST(wq AS DOUBLE) / (SELECT SUM(wq) FROM w) AS share,
+          |  CAST(FLOOR(CAST(wq AS DOUBLE) / (SELECT SUM(wq) FROM w)
+          |    * 1000000000) AS BIGINT) AS alloc_tokens
+          |FROM w""".stripMargin),
+      "Temperature-smoothed (α=1/2) source mixing weights and token-budget allocation."),
+
+    QueryDef(
+      "t_dsir_weights",
+      (s, dir) => {
+        // DSIR-style importance weights (Xie et al., arXiv:2302.03169):
+        // score each doc by sum over its tokens of
+        // log p_target(w) − log p_raw(w), with the target distribution
+        // estimated from the in-domain slice (lang = 'en') and the raw
+        // distribution from the whole corpus. High-weight docs are the
+        // ones importance resampling keeps. Scale shape: identical to
+        // t_unigram_logppl — both unigram models are capped-vocab
+        // broadcast maps (top-K raw words; at web scale the cap bounds
+        // the broadcast regardless of corpus size), and the per-doc
+        // score is a map-side-combinable (doc_id) sum. Determinism:
+        // each word's log-ratio is quantized to a 1e-9 integer ONCE in
+        // the model (ln of exact-count ratios, add-one smoothing on the
+        // target slice so absent words stay finite), so doc sums are
+        // integer arithmetic — bit-exact under any aggregation order.
+        val vocabCap = 65536
+        val w = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+        val raw = w.groupBy("word").agg(count("*").as("cr"))
+        val top = raw.orderBy(col("cr").desc, col("word").asc).limit(vocabCap)
+        val tgt = w.where(col("lang") === "en")
+          .groupBy("word").agg(count("*").as("ct"))
+        val totals = w.agg(
+          count("*").as("tr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+        val nv = top.agg(count("*").as("v"))
+        val model = top.join(tgt, Seq("word"), "left")
+          .crossJoin(broadcast(totals)).crossJoin(broadcast(nv))
+          .select(col("word"),
+            round((log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+                (col("tt") + col("v")).cast("double")) -
+              log(col("cr").cast("double") / col("tr").cast("double")))
+              * 1000000000).cast("long").as("qlr"))
+        w.join(broadcast(model), Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("qlr"), lit(0L))).as("s"),
+            count("*").cast("int").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("s").cast("double") / 1000000000 / col("n_tokens"))
+              .as("dsir_weight"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, lang,
+          |    unnest(string_split(text, ' ')) AS word FROM documents),
+          |raw AS (SELECT word, COUNT(*) AS cr FROM w GROUP BY word),
+          |top AS (SELECT word, cr FROM raw ORDER BY cr DESC, word LIMIT 65536),
+          |tgt AS (SELECT word, COUNT(*) AS ct FROM w WHERE lang = 'en' GROUP BY word),
+          |tot AS (SELECT COUNT(*) AS tr,
+          |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM w),
+          |nv AS (SELECT COUNT(*) AS v FROM top),
+          |model AS (SELECT top.word,
+          |    CAST(ROUND((ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+          |        / CAST(tot.tt + nv.v AS DOUBLE))
+          |      - ln(CAST(top.cr AS DOUBLE) / CAST(tot.tr AS DOUBLE)))
+          |      * 1000000000) AS BIGINT) AS qlr
+          |  FROM top LEFT JOIN tgt ON top.word = tgt.word, tot, nv)
+          |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+          |  CAST(SUM(COALESCE(qlr, 0)) AS DOUBLE) / 1000000000 / COUNT(*)
+          |    AS dsir_weight
+          |FROM w LEFT JOIN model ON w.word = model.word
+          |GROUP BY doc_id""".stripMargin),
+      "DSIR importance weights: quantized log p_target/p_raw unigram ratio per doc."))
 }

@@ -103,4 +103,40 @@ object StreamingAnalytics {
           }
       }
   }
+
+  /** Streaming MinHash-LSH near-dedup: cross-batch stateful banding.
+    * Input is the exploded band view of each doc's signature — one row
+    * per (band, bkey, doc_id). State per LSH bucket is ONE long (the
+    * smallest doc_id ever seen in it), sharded across executors by the
+    * groupByKey shuffle — at 100 TB that is |buckets| × 8 bytes, never
+    * the corpus, and a processing-time timeout can evict cold buckets
+    * the same way dedupByJid bounds its state. Each input doc emits
+    * (doc_id, the bucket's canonical id); the caller folds the 4 band
+    * verdicts per doc with `min` (a doc is a near-dup iff ANY of its
+    * buckets already held a smaller doc). Works on batch frames too:
+    * each bucket's group then carries all its docs at once and the
+    * canonical id is the global bucket min — the exact-batch semantics
+    * the oracle checks. */
+  def lshBucketCanon(
+      bands: Dataset[(Int, String, Long)],
+      stateTimeout: Option[String] = None): DataFrame = {
+    import bands.sparkSession.implicits._
+    val timeoutConf = if (stateTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    bands
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Long)](OutputMode.Append(), timeoutConf) {
+        (_: (Int, String), it: Iterator[(Int, String, Long)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = it.map(_._3).toVector
+            val canon = math.min(ids.min, state.getOption.getOrElse(Long.MaxValue))
+            state.update(canon)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            ids.iterator.map(id => (id, canon))
+          }
+      }
+      .toDF("doc_id", "bucket_canon")
+  }
 }

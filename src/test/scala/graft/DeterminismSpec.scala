@@ -26,7 +26,10 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_ivfpq_knn", "s_windowed_counts", "q_funnel_3step",
     "mm_video_frames",
     // round 6: size-probed holdout join + per-doc shared-shingle counts
-    "dedup_decontaminate")
+    "dedup_decontaminate",
+    // round 10: quantized sqrt mixing weights, dual-model broadcast
+    // log-ratio scores, stateful LSH bucket canon under regrouping
+    "t_mix_weights", "t_dsir_weights", "s_lsh_dedup")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -279,4 +279,34 @@ class PlanSpec extends AnyFunSuite {
           s"$q broadcasts a non-aggregated (corpus-sized) frame:\n${h.child}")
       }
     }
+
+  test("t_domain_cap plans heap passes, no per-partition sort") {
+    val p = plan("t_domain_cap")
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2,
+      "expected partial+final TopKPerKeyExec:\n" + p)
+    assert(!p.toLowerCase.contains("sort"), "heap operator must not sort:\n" + p)
+  }
+
+  test("t_mix_weights broadcasts the 1-row total, no global window") {
+    val p = plan("t_mix_weights")
+    assert(p.contains("BroadcastExchange"), "total must broadcast:\n" + p)
+    assert(!p.contains("Window"), "no single-partition window allowed:\n" + p)
+  }
+
+  test("t_dsir_weights joins both capped models as broadcasts") {
+    val p = plan("t_dsir_weights")
+    // the scored corpus-side join must be broadcast (model is K-capped);
+    // the cap itself must plan as TakeOrdered, never a full sort+limit
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s_lsh_dedup state stage shuffles bucket keys only, no cartesian") {
+    val p = plan("s_lsh_dedup")
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"),
+      "stateful band stage missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
