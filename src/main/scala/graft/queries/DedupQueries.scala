@@ -279,6 +279,88 @@ object DedupQueries {
        |JOIN cnt cb ON shr.doc_b = cb.doc_id
        |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3)""".stripMargin
 
+  /** Pointer-jumping connected components over a bidirectional edge
+    * frame (src, dst): labels start as each node's min neighbor and
+    * each round folds in neighbors' labels AND the label of the label,
+    * so chains collapse in O(log diameter) rounds. Only id-sized
+    * frames shuffle; every round is local-checkpointed so plan
+    * analysis stays O(1) per round. Returns
+    * (doc_id, cluster_id = component min, is_keeper). */
+  private[graft] def pointerJumpCC(edges: DataFrame): DataFrame = {
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("doc_id"),
+        least(col("mn"), col("src")).as("lbl")).localCheckpoint(true)
+    // labels only ever DECREASE, so fixpoint ⇔ sum(lbl) unchanged —
+    // one aggregation per round instead of a join + count. Empty
+    // graph → sum is null → ZERO (stable), so a corpus with no
+    // verified pairs converges immediately to an empty result.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = prevSum.signum == 0 && labels.head(1).isEmpty
+    while (!converged && rounds < 30) {
+      val viaEdges = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val viaPointer = labels.as("l1")
+        .join(labels.as("l2"), col("l1.lbl") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.lbl").as("lbl"))
+      val next = labels.unionAll(viaEdges).unionAll(viaPointer)
+        .groupBy("doc_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
+  }
+
+  /** Partition-local union-find contraction: replace each partition's
+    * edge set by the star edges of its LOCAL components (node →
+    * partition-local min). Connectivity is preserved — a local spanning
+    * star connects exactly the nodes the partition's edges connected —
+    * while chains that fit inside one partition collapse to depth 1
+    * before the global fixpoint ever runs. This is the knob NOTES.md's
+    * 100× memo names for chain-structured dup graphs: global rounds
+    * become O(log diameter-of-contracted-graph) ≈ O(log #partitions a
+    * chain spans) instead of O(log corpus-chain length). Memory is
+    * bounded by one partition's edge count (the map is per-partition,
+    * never global); path-halving keeps find() amortized near-constant. */
+  private[graft] def localUnionFindEdges(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            parent(x) = parent.getOrElse(p, p) // path halving
+            x = parent(x)
+          }
+          x
+        }
+        def union(a: Long, b: Long): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            // min-id root, so find() yields the local component min
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        it.foreach { case (s, d) => union(s, d) }
+        // materialize keys before the find() sweep: path halving
+        // rewrites values mid-iteration
+        parent.keys.toArray.iterator.flatMap { n =>
+          val r = find(n)
+          Iterator((n, r), (r, n)) // bidirectional, as pointerJumpCC expects
+        }
+      }
+      .toDF("src", "dst")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -407,35 +489,7 @@ object DedupQueries {
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint(true)
-        var labels = edges.groupBy("src").agg(min("dst").as("mn"))
-          .select(col("src").as("doc_id"),
-            least(col("mn"), col("src")).as("lbl")).localCheckpoint(true)
-        // labels only ever DECREASE, so fixpoint ⇔ sum(lbl) unchanged —
-        // one aggregation per round instead of a join + count. Empty
-        // graph → sum is null → ZERO (stable), so a corpus with no
-        // verified pairs converges immediately to an empty result.
-        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-          Option(df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-            .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-        var prevSum = labelSum(labels)
-        var rounds = 0
-        var converged = prevSum.signum == 0 && labels.head(1).isEmpty
-        while (!converged && rounds < 30) {
-          val viaEdges = edges.join(labels, col("src") === col("doc_id"))
-            .select(col("dst").as("doc_id"), col("lbl"))
-          val viaPointer = labels.as("l1")
-            .join(labels.as("l2"), col("l1.lbl") === col("l2.doc_id"))
-            .select(col("l1.doc_id").as("doc_id"), col("l2.lbl").as("lbl"))
-          val next = labels.unionAll(viaEdges).unionAll(viaPointer)
-            .groupBy("doc_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
-          val curSum = labelSum(next)
-          converged = curSum.compareTo(prevSum) == 0
-          prevSum = curSum
-          labels = next
-          rounds += 1
-        }
-        labels.select(col("doc_id"), col("lbl").as("cluster_id"),
-          (col("doc_id") === col("lbl")).cast("int").as("is_keeper"))
+        pointerJumpCC(edges)
       },
       Some(
         s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -450,6 +504,37 @@ object DedupQueries {
            |  CAST(CASE WHEN doc_id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS is_keeper
            |FROM reach GROUP BY doc_id""".stripMargin),
       "Near-dup cluster resolution: connected components over verified pairs, keeper per cluster."),
+
+    QueryDef(
+      "dedup_clusters_prepass",
+      (s, dir) => {
+        // dedup_clusters' chain-diameter scale sibling: the SAME
+        // pointer-jumping fixpoint, seeded from partition-locally
+        // union-find-contracted edges instead of the raw pair graph.
+        // On near-clique dup graphs (replication-style dups) both run
+        // the same 3-5 rounds; on chain-structured graphs the
+        // contraction collapses every within-partition chain segment to
+        // depth 1 first, so the global rounds scale with the number of
+        // partitions a chain SPANS, not its length. Same components,
+        // same keeper, identical oracle — the plan is the difference.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        pointerJumpCC(localUnionFindEdges(edges).localCheckpoint(true))
+      },
+      Some(
+        s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$LshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+           |SELECT doc_id, MIN(lbl) AS cluster_id,
+           |  CAST(CASE WHEN doc_id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS is_keeper
+           |FROM reach GROUP BY doc_id""".stripMargin),
+      "Cluster resolution with partition-local union-find contraction before pointer jumping (chain-diameter scale path)."),
 
     QueryDef(
       "dedup_decontaminate",

@@ -908,5 +908,114 @@ object TextQueries {
           |    AS dsir_weight
           |FROM w LEFT JOIN model ON w.word = model.word
           |GROUP BY doc_id""".stripMargin),
-      "DSIR importance weights: quantized log p_target/p_raw unigram ratio per doc."))
+      "DSIR importance weights: quantized log p_target/p_raw unigram ratio per doc."),
+
+    QueryDef(
+      "t_bigram_logppl",
+      (s, dir) => {
+        // Interpolated bigram-LM perplexity — the KenLM-shaped upgrade
+        // of t_unigram_logppl's filter (CCNet scores with a 5-gram LM;
+        // the 2-gram with unigram interpolation is the same machinery
+        // at Spark-testable size). Token score at position i ≥ 2:
+        //   ln(0.75·c(prev,w)/c(prev) + 0.25·c(w)/T)   [bigram in model]
+        //   ln(0.25·c(w)/T)                            [backoff]
+        // Both models are capped: top-K unigrams (OOV words score
+        // against a residual-mass bucket, as in t_unigram_logppl) and
+        // top-K2 bigrams whose prev is in the capped vocab — so the two
+        // broadcasts stay O(K) however large the corpus, and every
+        // log-prob is quantized to a 1e-9 integer ONCE in the model
+        // (all inputs are exact counts, so both engines interpolate the
+        // identical double and quantize identically; per-doc sums are
+        // then integer arithmetic, bit-exact under any aggregation
+        // order). Scale shape: one (bigram) + one (word) broadcast
+        // join over the exploded positions, one map-side-combinable
+        // (doc_id) sum.
+        // fixture-sized caps, same policy as the registered
+        // t_unigram_logppl: small enough to BIND on the ~31-word
+        // synthetic vocab so the OOV/backoff paths are exercised (and
+        // the residual mass stays non-zero); production sizes them to
+        // executor memory
+        val vocabCap = 16
+        val bigramCap = 64
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .where(size(col("ws")) >= 2)
+        val pos = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(2, size(ws)), i -> " +
+              "struct(element_at(ws, i - 1) AS prev, element_at(ws, i) AS w))"))
+            .as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+        val uni = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count("*").as("cu"))
+        val topU = uni.orderBy(col("cu").desc, col("word").asc).limit(vocabCap)
+        val tot = uni.agg(sum("cu").as("t"))
+        // backoff term per capped word: qu = round(ln(0.25·cu/T)·1e9)
+        val uniModel = topU.crossJoin(broadcast(tot))
+          .select(col("word"), col("cu"),
+            round(log(lit(0.25) * (col("cu").cast("double") / col("t")))
+              * 1000000000).cast("long").as("qu"))
+        val oov = topU.agg(sum("cu").as("ck")).crossJoin(tot)
+          .select(round(log(lit(0.25) *
+            ((col("t") - col("ck")).cast("double") / col("t")))
+            * 1000000000).cast("long").as("quoov"))
+        val big = pos.groupBy("prev", "w").agg(count("*").as("cb"))
+        val topB = big.orderBy(col("cb").desc, col("prev").asc, col("w").asc)
+          .limit(bigramCap)
+        // interpolated term needs c(prev) and c(w) from the CAPPED
+        // vocab: bigrams whose prev or w fell out of it back off
+        val bigModel = topB
+          .join(uniModel.select(col("word").as("prev"), col("cu").as("cp")), "prev")
+          .join(uniModel.select(col("word").as("w"), col("cu").as("cw")), "w")
+          .crossJoin(broadcast(tot))
+          .select(col("prev"), col("w"),
+            round(log(lit(0.75) * (col("cb").cast("double") / col("cp")) +
+              lit(0.25) * (col("cw").cast("double") / col("t")))
+              * 1000000000).cast("long").as("qb"))
+        pos
+          .join(broadcast(bigModel), Seq("prev", "w"), "left")
+          .join(broadcast(uniModel.select(col("word").as("w"), col("qu"))),
+            Seq("w"), "left")
+          .crossJoin(broadcast(oov))
+          .select(col("doc_id"),
+            coalesce(col("qb"), col("qu"), col("quoov")).as("q"))
+          .groupBy("doc_id")
+          .agg(sum("q").as("sq"), count("*").cast("int").as("n_scored"))
+          .select(col("doc_id"), col("n_scored"),
+            (-(col("sq").cast("double") / 1000000000) / col("n_scored"))
+              .as("avg_neg_logp"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+          |    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+          |pos AS (SELECT doc_id, ws[i - 1] AS prev, ws[i] AS w
+          |  FROM (SELECT doc_id, ws, unnest(range(2, len(ws) + 1)) AS i FROM d)),
+          |uni AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |uc AS (SELECT word, COUNT(*) AS cu FROM uni GROUP BY word),
+          |topu AS (SELECT word, cu FROM uc ORDER BY cu DESC, word LIMIT 16),
+          |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM uc),
+          |um AS (SELECT word, cu,
+          |    CAST(ROUND(ln(0.25 * (CAST(cu AS DOUBLE) / t)) * 1000000000)
+          |      AS BIGINT) AS qu
+          |  FROM topu, tot),
+          |oov AS (SELECT CAST(ROUND(ln(0.25 *
+          |      (CAST(t - (SELECT SUM(cu) FROM topu) AS DOUBLE) / t))
+          |      * 1000000000) AS BIGINT) AS quoov FROM tot),
+          |bc AS (SELECT prev, w, COUNT(*) AS cb FROM pos GROUP BY prev, w),
+          |topb AS (SELECT prev, w, cb FROM bc ORDER BY cb DESC, prev, w LIMIT 64),
+          |bm AS (SELECT topb.prev, topb.w,
+          |    CAST(ROUND(ln(0.75 * (CAST(cb AS DOUBLE) / up.cu)
+          |      + 0.25 * (CAST(uw.cu AS DOUBLE) / t)) * 1000000000)
+          |      AS BIGINT) AS qb
+          |  FROM topb JOIN um up ON topb.prev = up.word
+          |  JOIN um uw ON topb.w = uw.word, tot)
+          |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scored,
+          |  -(CAST(SUM(COALESCE(bm.qb, um.qu, (SELECT quoov FROM oov)))
+          |      AS DOUBLE) / 1000000000) / COUNT(*) AS avg_neg_logp
+          |FROM pos
+          |LEFT JOIN bm ON pos.prev = bm.prev AND pos.w = bm.w
+          |LEFT JOIN um ON pos.w = um.word
+          |GROUP BY doc_id""".stripMargin),
+      "Interpolated bigram-LM perplexity filter: capped broadcast models, quantized scores."))
 }

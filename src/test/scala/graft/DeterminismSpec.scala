@@ -29,7 +29,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_decontaminate",
     // round 10: quantized sqrt mixing weights, dual-model broadcast
     // log-ratio scores, stateful LSH bucket canon under regrouping
-    "t_mix_weights", "t_dsir_weights", "s_lsh_dedup")
+    "t_mix_weights", "t_dsir_weights", "s_lsh_dedup",
+    // partition-count sweep IS the contraction sweep here: 4/3/17
+    // partitions contract the edge graph completely differently
+    "dedup_clusters_prepass", "t_bigram_logppl")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

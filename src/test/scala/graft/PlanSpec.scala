@@ -302,6 +302,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t_bigram_logppl joins both capped models as broadcasts") {
+    val p = plan("t_bigram_logppl")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s_lsh_dedup state stage shuffles bucket keys only, no cartesian") {
     val p = plan("s_lsh_dedup")
     assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"),
