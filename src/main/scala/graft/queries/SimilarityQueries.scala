@@ -849,5 +849,63 @@ object SimilarityQueries {
            |  list_dot_product(cn, cn) - 2.0 * list_dot_product(cn, c) + list_dot_product(c, c) AS shift2
            |FROM occ JOIN ncent ON occ.c_label = ncent.c_label
            |JOIN cent ON occ.c_label = cent.c_label""".stripMargin),
-      "One Lloyd iteration: re-assign, recompute exact-mean centroids, per-cell occupancy + shift."))
+      "One Lloyd iteration: re-assign, recompute exact-mean centroids, per-cell occupancy + shift."),
+
+    QueryDef(
+      "sim_mrl_recall",
+      (s, dir) => {
+        // Matryoshka-style truncation recall: score with only the FIRST
+        // 16 of 64 dims (re-normalized) and measure top-5 overlap with
+        // full-dim brute force — the eval that prices the 4× dot-product
+        // cost cut MRL embeddings promise before a pipeline adopts the
+        // truncated index. Same machinery as sim_recall_eval: ground
+        // truth and truncated ranking both run the fused AllPairsCosine
+        // exec + TopKPerKey heaps (nothing sorted, nothing cartesian);
+        // at 100 TB this runs on a sampled query set exactly like any
+        // recall eval.
+        graft.functions.VectorFunctions.register(s)
+        val bf = bruteTop5(s, dir).select("query_id", "neighbor_id")
+        val tcorp = t(s, dir, "embeddings")
+          .select(col("vec_id").as("neighbor_id"),
+            call_function("graft_unit",
+              slice(asDouble(col("embedding")), 1, 16)).as("u"))
+        val tq = t(s, dir, "embeddings")
+          .where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"),
+            call_function("graft_unit",
+              slice(asDouble(col("embedding")), 1, 16)).as("qu"))
+        val scored = graft.plans.GraftOps
+          .allPairsCosine(tcorp, tq, -2.0, ltOnly = false)
+          .where(col("neighbor_id") =!= col("query_id"))
+        val mrl = graft.plans.GraftOps.topKPerKey(
+            scored, Seq("query_id"), 5, "-cos", "+neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        bf.join(mrl, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).cast("int").as("n_hits"),
+            (count(col("hit")) / lit(5.0)).as("recall_at_5"))
+      },
+      Some(
+        s"""$UnitCte,
+           |bfp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  list_dot_product(a.u, b.u) AS cos
+           |  FROM (SELECT * FROM un WHERE vec_id < 20) a JOIN un b ON a.vec_id <> b.vec_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM bfp) WHERE rk <= 5),
+           |tsl AS (SELECT vec_id, list_slice(e, 1, 16) AS sl FROM v),
+           |tun AS (SELECT vec_id,
+           |  list_transform(sl, x -> x / sqrt(list_dot_product(sl, sl))) AS u FROM tsl),
+           |mrp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  list_dot_product(a.u, b.u) AS cos
+           |  FROM (SELECT * FROM tun WHERE vec_id < 20) a JOIN tun b ON a.vec_id <> b.vec_id),
+           |mrl AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM mrp) WHERE rk <= 5)
+           |SELECT bf.query_id, CAST(COUNT(mrl.neighbor_id) AS INT) AS n_hits,
+           |  COUNT(mrl.neighbor_id) / 5.0 AS recall_at_5
+           |FROM bf LEFT JOIN mrl
+           |  ON bf.query_id = mrl.query_id AND bf.neighbor_id = mrl.neighbor_id
+           |GROUP BY bf.query_id""".stripMargin),
+      "Recall@5 of truncated-16-dim (re-normalized) cosine vs full-dim brute force."))
 }

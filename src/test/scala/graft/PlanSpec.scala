@@ -186,6 +186,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sim_mrl_recall runs both rankings on fused scoring, no BNLJ") {
+    val p = plan("sim_mrl_recall")
+    // ground truth (full-dim) and truncated ranking each plan the fused
+    // exec; the truncated side also gets the heap pair
+    assert("AllPairsCosine".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TopKPerKey ["), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_seq_pack windows per source, never a global single partition") {
     val p = plan("t_seq_pack")
     assert(p.contains("Window"), p)
