@@ -204,7 +204,12 @@ object DedupQueries {
   /** The verified near-dup pairs (shared by dedup_lsh_verified and the
     * cluster-resolution query): banded MinHash candidates, hot-bucket
     * cap, exact Jaccard >= 0.3 on candidates' shingles only. */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** LSH candidate pairs with their exact overlap counts —
+    * (doc_a, doc_b, shared, na, nb) — the stage every verified-dedup
+    * metric (Jaccard, containment) derives from. Candidates come from
+    * the banded MinHash buckets (hot buckets capped), overlap from the
+    * candidates-only shingle join; nothing corpus² in the plan. */
+  private def lshCandidateOverlap(s: SparkSession, dir: String): DataFrame = {
     val capN = 100
     val bands = minhashSig(s, dir)
       .select(col("doc_id"), posexplode(
@@ -239,12 +244,18 @@ object DedupQueries {
         col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy("doc_a", "doc_b")
       .agg(count("*").as("shared"))
-    val result = shared
+    shared
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("ca.n").as("na"), col("cb.n").as("nb"))
+  }
+
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val result = lshCandidateOverlap(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") /
-          (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
+          (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .where(col("jaccard") >= 0.3)
     // cache, don't checkpoint: construction stays lazy (no job until a
     // consumer acts), the LSH plan stays inspectable end-to-end, and an
@@ -461,6 +472,36 @@ object DedupQueries {
            |$LshPairsCtes
            |SELECT doc_a, doc_b, shared, jaccard FROM pairs""".stripMargin),
       "MinHash-LSH candidates (hot buckets capped) + exact Jaccard verification of candidates' shingles only (the scale path)."),
+
+    QueryDef(
+      "dedup_containment",
+      (s, dir) =>
+        // Asymmetric containment over the SAME LSH candidate path:
+        // C(A→B) = |A∩B| / |A|. Catches subset duplication — a short
+        // doc quoted wholesale inside a long one scores near-zero
+        // Jaccard (the union is dominated by the long doc) but
+        // containment ≈ 1 from the short side; the standard second
+        // verdict next to Jaccard in CC-scale dedup. Identical plan
+        // shape to dedup_lsh_verified (banded candidates, hot-bucket
+        // cap, candidates-only shingle overlap) — only the final
+        // row-local arithmetic differs, so the 100 TB story is already
+        // proven by that query's skew probe.
+        lshCandidateOverlap(s, dir)
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            (col("shared").cast("double") / col("na")).as("cont_a"),
+            (col("shared").cast("double") / col("nb")).as("cont_b"))
+          .where(greatest(col("cont_a"), col("cont_b")) >= 0.6),
+      Some(
+        s"""$ShingleCte,
+           |$LshPairsCtes
+           |SELECT shr.doc_a, shr.doc_b, shared,
+           |  CAST(shared AS DOUBLE) / ca.n AS cont_a,
+           |  CAST(shared AS DOUBLE) / cb.n AS cont_b
+           |FROM shr JOIN cnt ca ON shr.doc_a = ca.doc_id
+           |JOIN cnt cb ON shr.doc_b = cb.doc_id
+           |WHERE greatest(CAST(shared AS DOUBLE) / ca.n,
+           |  CAST(shared AS DOUBLE) / cb.n) >= 0.6""".stripMargin),
+      "Asymmetric shingle containment over LSH candidates: subset-duplication verdict Jaccard misses."),
 
     QueryDef(
       "dedup_clusters",
