@@ -687,5 +687,65 @@ object AnalyticsQueries {
           |SELECT region, nation, CAST(rev_c AS DOUBLE) / 100 AS revenue,
           |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER (PARTITION BY region) AS DOUBLE) AS share
           |FROM rev""".stripMargin),
-      "Ratio-to-report window: nation share of region revenue."))
+      "Ratio-to-report window: nation share of region revenue."),
+
+    QueryDef(
+      "q_trending_topk",
+      (s, dir) => {
+        // Windowed heavy hitters: top-3 event types per hour by count.
+        // Two-level shape: the stream is FIRST reduced to one row per
+        // (hour, type) — a map-side-combinable count — and the heap
+        // operator then prunes THAT frame, so the exchange carries
+        // ≤ 3·hours rows however hot a type gets. The all-in-one window
+        // rank would instead sort every (hour, type) group per
+        // partition; the heap never sorts.
+        val evRaw = t(s, dir, "events")
+        val pre = evRaw
+          .select(Tables.tsUs(evRaw).as("ts_us"), col("event_type"))
+          .select(expr("ts_us div 3600000000").as("hour"), col("event_type"))
+          .groupBy("hour", "event_type").agg(count("*").as("n"))
+        graft.plans.GraftOps.topKPerKey(
+          pre, Seq("hour"), 3, "-n", "+event_type")
+      },
+      Some(
+        """SELECT hour, event_type, n FROM (
+          |SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+          |  COUNT(*) AS n,
+          |  ROW_NUMBER() OVER (PARTITION BY (epoch_us(ts) // 3600000000)
+          |    ORDER BY COUNT(*) DESC, event_type) AS rk
+          |FROM events GROUP BY 1, 2) WHERE rk <= 3""".stripMargin),
+      "Hourly trending top-3 event types: pre-agg + heap operator, no window sort."),
+
+    QueryDef(
+      "q_cohort_retention",
+      (s, dir) => {
+        // Cohort retention matrix — the canonical product-analytics
+        // rollup: users grouped by first-seen day (cohort), counted on
+        // each later day they return, as (cohort_day, day_offset,
+        // n_users). Scale shape: first-seen is a map-side-combinable
+        // min per user; the join-back is keyed on user_id (id-sized
+        // frames both sides — AQE broadcasts when small); the matrix
+        // agg is a distinct-count over (cohort, offset, user) — at
+        // 100 TB the pre-distinct bounds the final shuffle to the
+        // active-days output, never raw events.
+        val evRaw = t(s, dir, "events")
+        val ev = evRaw.select(col("user_id"),
+          Tables.tsUs(evRaw).as("ts_us"))
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ev.join(first, "user_id")
+          .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+            col("user_id"))
+          .distinct()
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+          |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+          |SELECT cohort_day, day - cohort_day AS day_offset,
+          |  COUNT(DISTINCT ev.user_id) AS n_users
+          |FROM ev JOIN f ON ev.user_id = f.user_id
+          |GROUP BY cohort_day, day - cohort_day""".stripMargin),
+      "Cohort retention matrix: first-seen-day cohorts x day-offset distinct-user counts."))
 }

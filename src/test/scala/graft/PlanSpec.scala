@@ -290,6 +290,20 @@ class PlanSpec extends AnyFunSuite {
       }
     }
 
+  test("q_trending_topk heap-prunes the pre-aggregated frame, no window sort") {
+    val p = plan("q_trending_topk")
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2,
+      "expected partial+final TopKPerKeyExec:\n" + p)
+    assert(p.contains("HashAggregate"), "pre-agg missing:\n" + p)
+    assert(!p.toLowerCase.contains("sort"), "heap operator must not sort:\n" + p)
+  }
+
+  test("q_cohort_retention joins id-sized frames, no cartesian") {
+    val p = plan("q_cohort_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t_domain_cap plans heap passes, no per-partition sort") {
     val p = plan("t_domain_cap")
     assert("TopKPerKey \\[".r.findAllIn(p).length == 2,
