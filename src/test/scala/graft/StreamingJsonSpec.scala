@@ -315,4 +315,28 @@ class StreamingJsonSpec extends AnyFunSuite {
     val jids = spark.table("dedupout").select("jid").as[String].collect().sorted
     assert(jids.toSeq === Seq("a", "b", "c")) // the replayed b dropped
   }
+
+  test("lshBucketCanon carries bucket state across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lshst").toString + "/bands"
+    // batch 1: bucket B1 sees docs 7, 9 → canon 7 for both.
+    // batch 2: the SAME bucket sees 5 and 8 → 5 becomes the new canon
+    // (emitted as (5,5)); 8 must get canon 5 from min(batch, STATE).
+    // The batch-1 emissions carrying canon 7 (not 5) prove the batches
+    // really ran separately; (8 → 5) proves state carried forward.
+    appendStamped(Seq((0, "B1", 7L), (0, "B1", 9L)).toDF("band", "bkey", "doc_id"),
+      dir, 1000000L)
+    appendStamped(Seq((0, "B1", 5L), (0, "B1", 8L)).toDF("band", "bkey", "doc_id"),
+      dir, 2000000L)
+    val src = spark.readStream.schema("band int, bkey string, doc_id long")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[(Int, String, Long)]
+    val out = StreamingAnalytics.lshBucketCanon(src)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lshcanon").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("lshcanon")
+      .select("doc_id", "bucket_canon").as[(Long, Long)].collect().toSet
+    assert(rows === Set((7L, 7L), (9L, 7L), (5L, 5L), (8L, 5L)), rows.toString)
+  }
 }
