@@ -504,6 +504,43 @@ object DedupQueries {
       "Asymmetric shingle containment over LSH candidates: subset-duplication verdict Jaccard misses."),
 
     QueryDef(
+      "t_ngram_novelty",
+      (s, dir) => {
+        // Novelty scoring — the curriculum/sampling signal dedup-aware
+        // pipelines order ingestion by: the fraction of a doc's
+        // distinct 3-gram shingles whose FIRST corpus appearance
+        // (min doc_id) is this doc. Replayed/boilerplate content scores
+        // near 0, fresh content near 1. Scale shape: per-gram first-doc
+        // is ONE map-side-combinable min keyed on the gram's 128-bit
+        // double xxhash64 (16 bytes/gram in both shuffles — the
+        // dedup_substring policy — never the ~50-byte string); the
+        // join-back is the same hash-keyed semi shape, and the per-doc
+        // fold is a (doc_id) sum. No pair set, no quadratic stage.
+        val sh = shingleDF(s, dir)
+          .select(col("doc_id"),
+            xxhash64(col("s")).as("h1"),
+            xxhash64(lit(1), col("s")).as("h2"))
+        val first = sh.groupBy("h1", "h2").agg(min("doc_id").as("first_doc"))
+        sh.join(first, Seq("h1", "h2"))
+          .groupBy("doc_id")
+          .agg(count("*").cast("int").as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      },
+      Some(
+        s"""$ShingleCte,
+           |f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+           |SELECT sh.doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+           |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS novelty
+           |FROM sh JOIN f ON sh.s = f.s
+           |GROUP BY sh.doc_id""".stripMargin),
+      "N-gram novelty: fraction of a doc's shingles first seen in it (hash-keyed shuffles)."),
+
+    QueryDef(
       "dedup_clusters",
       (s, dir) => {
         // Cluster resolution — the step that turns near-dup PAIRS into

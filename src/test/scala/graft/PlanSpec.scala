@@ -271,6 +271,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), "gram hash key missing:\n" + p)
   }
 
+  test("t_ngram_novelty shuffles 128-bit shingle hashes, never strings") {
+    val p = plan("t_ngram_novelty")
+    assert(!p.contains("hashpartitioning(s#") &&
+      !p.contains("hashpartitioning(s,"),
+      "shingle strings travel the shuffle:\n" + p)
+    assert(p.contains("xxhash64"), "hash key missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // --- no corpus-sized broadcast builds in the Jaccard verification ---
   // A broadcast() hint over a map-only projection of `documents` (e.g.
   // the per-doc shingle-count frame) is correct at test SF and a driver
