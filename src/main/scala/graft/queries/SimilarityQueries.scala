@@ -164,6 +164,38 @@ object SimilarityQueries {
         col("rk").cast("int").as("rk"))
   }
 
+  /** IVF nprobe=2 top-5 per query (shared by sim_ivf_knn_probe2 and
+    * sim_recall_eval_probe2). nprobe=2 — the recall/latency knob of IVF
+    * search: each query probes its TWO nearest cells (ranked by
+    * centroid distance) and the candidate set is the union of those
+    * cells. The plan stays cell-bounded: candidates join on the cell
+    * key against the broadcast (query, probed-cell) list — one corpus
+    * row never scores against a query whose probe list misses its
+    * cell, and a corpus vector lives in exactly one cell so the union
+    * is duplicate-free by construction. */
+  private def ivfTop5Probe2(s: SparkSession, dir: String): DataFrame = {
+    val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
+    // one ranked centroid pass serves both the corpus assignment
+    // (rk=1) and the query probe lists (rk<=2)
+    val ranked = ivfRanked(s, dir)
+      .select(col("vec_id"), col("c_label"), col("rk"))
+      .cache()
+    val probes = ranked.where(col("vec_id") < 20 && col("rk") <= 2)
+      .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
+      .join(u.select(col("vec_id").as("query_id"), col("u").as("qu")), "query_id")
+    val cands = ranked.where(col("rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("c_label").as("cell"))
+      .join(u.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
+    val scored = cands.join(broadcast(probes), "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Per-(vector, subspace, codeword) squared distances — the shared PQ
     * primitive (codebook build + scoring): 64-dim vectors split into 8
     * 8-dim subspaces, per-(subspace, label) exact-mean codebooks
@@ -349,36 +381,7 @@ object SimilarityQueries {
 
     QueryDef(
       "sim_ivf_knn_probe2",
-      (s, dir) => {
-        // nprobe=2 — the recall/latency knob of IVF search: each query
-        // probes its TWO nearest cells (ranked by centroid distance)
-        // and the candidate set is the union of those cells. The plan
-        // stays cell-bounded: candidates join on the cell key against
-        // the broadcast (query, probed-cell) list — one corpus row
-        // never scores against a query whose probe list misses its
-        // cell, and a corpus vector lives in exactly one cell so the
-        // union is duplicate-free by construction.
-        val u = unitEmb(s, dir).select(col("vec_id"), col("u"))
-        // one ranked centroid pass serves both the corpus assignment
-        // (rk=1) and the query probe lists (rk<=2)
-        val ranked = ivfRanked(s, dir)
-          .select(col("vec_id"), col("c_label"), col("rk"))
-          .cache()
-        val probes = ranked.where(col("vec_id") < 20 && col("rk") <= 2)
-          .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
-          .join(u.select(col("vec_id").as("query_id"), col("u").as("qu")), "query_id")
-        val cands = ranked.where(col("rk") === 1)
-          .select(col("vec_id").as("neighbor_id"), col("c_label").as("cell"))
-          .join(u.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), "neighbor_id")
-        val scored = cands.join(broadcast(probes), "cell")
-          .where(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
-          .select(col("query_id"), col("neighbor_id"), col("cos"),
-            col("rk").cast("int").as("rk"))
-      },
+      (s, dir) => ivfTop5Probe2(s, dir),
       Some(
         s"""$IvfAssignCte,
            |qc AS (SELECT vec_id AS query_id, c_label AS cell FROM (
@@ -435,6 +438,50 @@ object SimilarityQueries {
            |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
            |GROUP BY bf.query_id""".stripMargin),
       "Recall@5 of IVF nprobe=1 vs brute-force ground truth per sampled query."),
+
+    QueryDef(
+      "sim_recall_eval_probe2",
+      (s, dir) => {
+        // The second row of the recall/latency table: recall@5 of
+        // nprobe=2 against the same brute-force ground truth — together
+        // with sim_recall_eval this turns the nprobe knob into a
+        // measured quality CURVE (1 vs 2 probed cells), which is how an
+        // IVF deployment picks its operating point. Same sampled-query
+        // evaluation shape; both sides reuse the shared top-5 helpers.
+        val bf = bruteTop5(s, dir).select("query_id", "neighbor_id")
+        val iv = ivfTop5Probe2(s, dir)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).cast("int").as("n_hits"),
+            (count(col("hit")) / lit(5.0)).as("recall_at_5"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |bfp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  list_dot_product(a.u, b.u) AS cos
+           |  FROM (SELECT * FROM un WHERE vec_id < 20) a JOIN un b ON a.vec_id <> b.vec_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM bfp) WHERE rk <= 5),
+           |qc AS (SELECT vec_id AS query_id, c_label AS cell FROM (
+           |  SELECT vec_id, c_label,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
+           |  FROM iscore WHERE vec_id < 20) WHERE rk <= 2),
+           |au AS (SELECT a.vec_id, a.assigned, un.u FROM assign a JOIN un ON a.vec_id = un.vec_id),
+           |p AS (SELECT qc.query_id, c.vec_id AS neighbor_id,
+           |  list_dot_product(q.u, c.u) AS cos
+           |  FROM qc JOIN au q ON q.vec_id = qc.query_id
+           |  JOIN au c ON c.assigned = qc.cell AND c.vec_id <> qc.query_id),
+           |iv2 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM p) WHERE rk <= 5)
+           |SELECT bf.query_id, CAST(COUNT(iv2.neighbor_id) AS INT) AS n_hits,
+           |  COUNT(iv2.neighbor_id) / 5.0 AS recall_at_5
+           |FROM bf LEFT JOIN iv2
+           |  ON bf.query_id = iv2.query_id AND bf.neighbor_id = iv2.neighbor_id
+           |GROUP BY bf.query_id""".stripMargin),
+      "Recall@5 of IVF nprobe=2 vs brute force: the second point of the recall/latency curve."),
 
     QueryDef(
       "sim_hamming_rerank",
