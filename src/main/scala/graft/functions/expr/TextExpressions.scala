@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-pipeline expressions.
@@ -227,10 +227,47 @@ case class MaxFreq(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Length in bytes of the zlib-DEFLATE stream of the input string's
+  * UTF-8 bytes, at FIXED level 6 / default strategy — the
+  * compression-ratio quality signal (CCNet/RefinedWeb-style): highly
+  * repetitive text deflates far below its raw size. Deterministic for
+  * a fixed input on a fixed zlib build (the JDK bundles one), and a
+  * pure per-row loop in one JVM call — no UDF boxing. NOT
+  * oracle-reproducible in SQL engines (no DEFLATE there), so consumers
+  * get the rows-only driver check plus property specs. */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object TextExpressions {
   /** Register SQL-callable forms once per session; idempotent.
     * graft_minhash4 = 4 bands of 8 hex chars at offsets 1/9/17/25. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_len", exprs => DeflateLen(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles3", exprs => Shingles3(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

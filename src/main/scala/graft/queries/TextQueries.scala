@@ -1017,5 +1017,31 @@ object TextQueries {
           |LEFT JOIN bm ON pos.prev = bm.prev AND pos.w = bm.w
           |LEFT JOIN um ON pos.w = um.word
           |GROUP BY doc_id""".stripMargin),
-      "Interpolated bigram-LM perplexity filter: capped broadcast models, quantized scores."))
+      "Interpolated bigram-LM perplexity filter: capped broadcast models, quantized scores."),
+
+    QueryDef(
+      "t_compression_ratio",
+      (s, dir) => {
+        // Compression-ratio quality signal (the CCNet/RefinedWeb
+        // heuristic): deflate_len / raw_len. Boilerplate and template
+        // spam deflate to a small fraction of their size; diverse prose
+        // does not — a one-number repetition detector orthogonal to
+        // t_repetition's n-gram counts. Pure map stage (the native
+        // DeflateLen expression runs the whole zlib pass in one JVM
+        // call per row), fused into the scan — zero shuffle at any
+        // scale. No SQL oracle exists for DEFLATE, so this entry takes
+        // the driver's rows-only check; ExpressionSpec pins the
+        // signal's properties (determinism, repetitive < diverse,
+        // exact length on a known vector).
+        graft.functions.expr.TextExpressions.register(s)
+        val raw = length(col("text").cast("binary"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          raw.as("n_bytes"),
+          call_function("graft_deflate_len", col("text")).as("deflate_bytes"),
+          (call_function("graft_deflate_len", col("text")).cast("double") /
+            raw).as("compression_ratio"))
+      },
+      None,
+      "Compression-ratio quality signal: zlib-deflate length per doc (map-only, rows-only check)."))
 }

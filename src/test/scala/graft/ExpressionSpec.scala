@@ -68,4 +68,19 @@ class ExpressionSpec extends AnyFunSuite {
     val (s0, r0) = sq8(Nil)
     assert(s0 === null && r0 === Nil)
   }
+
+  test("deflate_len: zlib-exact on a known vector, repetitive << diverse, stable") {
+    import spark.implicits._
+    graft.functions.expr.TextExpressions.register(spark)
+    def dl(s: String): Int =
+      one[Int](Seq(s).toDF("t").select(call_function("graft_deflate_len", col("t"))))
+    // cross-implementation vector: python zlib.compress(_, 6) lengths
+    val rep = ("the quick brown fox jumps over the lazy dog " * 10).trim
+    assert(dl(rep) === 56) // 439 raw bytes -> 56
+    assert(dl("spark group query row data slow small filter customer line") === 60)
+    // the quality signal's core property: repetition deflates, diversity doesn't
+    assert(dl(rep).toDouble / rep.length < 0.2)
+    // deterministic across evaluations
+    assert(dl(rep) === dl(rep))
+  }
 }
