@@ -747,5 +747,48 @@ object AnalyticsQueries {
           |  COUNT(DISTINCT ev.user_id) AS n_users
           |FROM ev JOIN f ON ev.user_id = f.user_id
           |GROUP BY cohort_day, day - cohort_day""".stripMargin),
-      "Cohort retention matrix: first-seen-day cohorts x day-offset distinct-user counts."))
+      "Cohort retention matrix: first-seen-day cohorts x day-offset distinct-user counts."),
+
+    QueryDef(
+      "q_value_zscore",
+      (s, dir) => {
+        // Per-type z-score outlier detection — the standard anomaly
+        // gate in metrics pipelines. Exactness: moments are EXACT
+        // integer sums over quantized cents (count/sum/sum-of-squares,
+        // all map-side combinable), and the z formula is the identical
+        // IEEE expression tree in both engines, so the doubles agree
+        // bit-for-bit (the jaccard precedent). Scale shape: one
+        // map-side-combinable aggregation to |event_type| rows, then an
+        // explicit broadcast join back — the fact table never shuffles.
+        // sum(cents^2) holds to ~1e18; beyond that the partials would go
+        // through ExactAgg's decimal chunked sums.
+        val evRaw = t(s, dir, "events")
+        val ev = evRaw.select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val stats = ev.groupBy("event_type").agg(
+          count("*").as("n"), sum("cents").as("s"),
+          sum(col("cents") * col("cents")).as("sq"))
+        val mean = col("s").cast("double") / col("n").cast("double")
+        val varS = (col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("cents").cast("double") - mean) / sqrt(varS))
+          .where(abs(col("z")) > 2.0)
+          .select(col("event_id"), col("event_type"), col("cents"), col("z"))
+      },
+      Some(
+        """WITH ev AS (SELECT event_id, event_type,
+          |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+          |st AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+          |  SUM(cents * cents) AS sq FROM ev GROUP BY event_type)
+          |SELECT event_id, ev.event_type, cents,
+          |  (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |    / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |      / (CAST(n AS DOUBLE) - 1.0)) AS z
+          |FROM ev JOIN st ON ev.event_type = st.event_type
+          |WHERE abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |    / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |      / (CAST(n AS DOUBLE) - 1.0))) > 2.0""".stripMargin),
+      "Per-type z-score outliers from exact integer moments (sample stddev)."))
 }

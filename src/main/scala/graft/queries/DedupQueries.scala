@@ -881,5 +881,135 @@ object DedupQueries {
           |  CAST(len(w.ws) AS BIGINT) AS n_tokens,
           |  CAST(p.dup_tokens AS DOUBLE) / len(w.ws) AS dup_frac
           |FROM per p JOIN w ON p.doc_id = w.doc_id""".stripMargin),
-      "Exact-substring dedup: merge cross-doc duplicated 8-gram hits into maximal spans per doc."))
+      "Exact-substring dedup: merge cross-doc duplicated 8-gram hits into maximal spans per doc."),
+
+    QueryDef(
+      "dedup_lines",
+      (s, dir) => {
+        // C4-style duplicate-LINE removal with document reconstruction
+        // (Raffel et al. 2020 keep-one-occurrence line dedup; the
+        // fixture text has no newlines, so "lines" are the fixed
+        // 8-word segmentation — the operator shape is unchanged).
+        // Unlike dedup_substring (which only MEASURES duplicated
+        // spans), this REWRITES each document: every segment is kept
+        // only at its globally first occurrence (min (doc_id, pos))
+        // and each doc's surviving segments are re-joined in order.
+        //
+        // Scale shape (100 TB): segmentation is row-local (no
+        // shuffle); the keeper election groups 24-byte (h1, h2,
+        // doc_id, pos) tuples — the dedup_substring hash-key policy,
+        // never the segment text — with a map-side-combinable
+        // min(struct); the verdict join is hash-keyed the same way;
+        // and the reconstruction shuffle carries each segment exactly
+        // once, keyed by doc_id — the same bytes any rewrite of the
+        // corpus must move, so the text shuffle is the algorithm's
+        // floor, not overhead.
+        val segs = expr(
+          "transform(sequence(0, (size(split(text, ' ')) + 7) div 8 - 1), " +
+            "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))")
+        val seg = t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(segs).as(Seq("pos", "seg")))
+        val keyed = seg.select(col("doc_id"), col("pos"), col("seg"),
+          xxhash64(col("seg")).as("h1"), xxhash64(lit(1), col("seg")).as("h2"))
+        val firsts = keyed.groupBy("h1", "h2")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        keyed.join(firsts, Seq("h1", "h2"))
+          .withColumn("keep",
+            (col("k.doc_id") === col("doc_id") && col("k.pos") === col("pos"))
+              .cast("int"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_segs"),
+            sum("keep").cast("long").as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("keep") === 1, struct(col("pos"), col("seg"))))),
+                x => x.getField("seg")),
+              " ").as("clean_text"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |seg AS (SELECT doc_id, CAST(i AS INT) AS pos,
+          |    array_to_string(ws[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 8 AS BIGINT)], ' ') AS seg
+          |  FROM w, LATERAL (SELECT unnest(range(0, (len(ws) + 7) // 8)) AS i) t),
+          |k AS (SELECT doc_id, pos, seg, CASE WHEN ROW_NUMBER() OVER
+          |    (PARTITION BY seg ORDER BY doc_id, pos) = 1 THEN 1 ELSE 0 END AS keep FROM seg)
+          |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segs,
+          |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+          |  COALESCE(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+          |FROM k GROUP BY doc_id""".stripMargin),
+      "C4-style line dedup: keep each segment at its first global occurrence, rebuild docs."),
+
+    QueryDef(
+      "dedup_cross_source",
+      (s, dir) => {
+        // Cross-source contamination matrix: for every source pair,
+        // how many canonical documents (bag-of-words fingerprint, the
+        // t_corpus_clean dedup key) appear in BOTH — the standard
+        // "which crawls overlap" audit before mixing corpora.
+        // Scale shape: the fingerprint frame is pre-distinct'd to one
+        // row per (fp, source), so each fp's join group is bounded by
+        // |sources| BY CONSTRUCTION (tens, not documents) — the
+        // self-join can never go quadratic in the corpus, and the
+        // output is |sources|² rows. Only 48-byte fp/source pairs
+        // shuffle, never text.
+        val fp = t(s, dir, "documents").select(
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"),
+          col("source")).distinct()
+        fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(
+        """WITH fp AS (SELECT DISTINCT
+          |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+          |  source FROM documents)
+          |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+          |GROUP BY 1, 2""".stripMargin),
+      "Cross-source overlap matrix over canonical bag-of-words fingerprints."),
+
+    QueryDef(
+      "dedup_minhash_est",
+      (s, dir) => {
+        // MinHash estimator calibration: for every LSH candidate pair,
+        // the signature-agreement estimate (fraction of the 4 band
+        // minima that match) next to the EXACT shingle Jaccard — the
+        // standard audit before trusting banding parameters at corpus
+        // scale ("how wrong is r=4 on OUR data"). Plan shape is the
+        // proven lshCandidateOverlap path plus two id-keyed joins
+        // against the 48-byte/doc signature frame; nothing new
+        // shuffles text, nothing is corpus².
+        val sig = minhashSig(s, dir)
+        val nEq = MinhashBands.map(_._1)
+          .map(n => (col(s"sa.$n") === col(s"sb.$n")).cast("int"))
+          .reduce(_ + _)
+        val est = nEq.cast("double") / 4.0
+        val jac = col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))
+        lshCandidateOverlap(s, dir)
+          .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            est.as("est_jaccard"), jac.as("jaccard"),
+            abs(est - jac).as("abs_err"))
+      },
+      Some {
+        val estSql = MinhashBands.map(_._1)
+          .map(n => s"CAST(sa.$n = sb.$n AS INT)").mkString(" + ")
+        val jacSql = "CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)"
+        s"""$ShingleCte,
+           |$LshPairsCtes
+           |SELECT shr.doc_a, shr.doc_b,
+           |  CAST($estSql AS DOUBLE) / 4.0 AS est_jaccard,
+           |  $jacSql AS jaccard,
+           |  abs(CAST($estSql AS DOUBLE) / 4.0 - $jacSql) AS abs_err
+           |FROM shr JOIN cnt ca ON shr.doc_a = ca.doc_id
+           |JOIN cnt cb ON shr.doc_b = cb.doc_id
+           |JOIN sig sa ON shr.doc_a = sa.doc_id
+           |JOIN sig sb ON shr.doc_b = sb.doc_id""".stripMargin
+      },
+      "MinHash signature-agreement estimate vs exact Jaccard per LSH candidate pair."))
 }

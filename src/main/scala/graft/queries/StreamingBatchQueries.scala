@@ -173,5 +173,35 @@ object StreamingBatchQueries {
            |  CAST(MIN(m.bmin) < u.doc_id AS INT) AS is_dup
            |FROM u JOIN m ON u.band = m.band AND u.bkey = m.bkey
            |GROUP BY u.doc_id""".stripMargin),
-      "Streaming LSH near-dedup (stateful band buckets) run in batch mode."))
+      "Streaming LSH near-dedup (stateful band buckets) run in batch mode."),
+
+    QueryDef(
+      "s_enrich",
+      (s, dir) => {
+        // Stream-static enrichment: events stream joined against the
+        // customer dimension (user_id+1 = c_custkey is the fixture's
+        // id bridge), counted per (hour window, market segment). The
+        // join is stateless and broadcast — the 100 TB fact stream
+        // never shuffles; only the windowed count keeps (bounded)
+        // state. Batch mode runs the identical operator.
+        val raw = t(s, dir, "events")
+        val ev = raw.select(
+          Tables.tsTimestamp(raw).as("ts"),
+          (col("user_id") + 1).as("c_custkey"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        StreamingAnalytics.enrichedWindowedCounts(
+            ev, dim, "c_custkey", "c_mktsegment", "1 hour")
+          .select(
+            unix_micros(col("window_start")).as("window_start_us"),
+            unix_micros(col("window_end")).as("window_end_us"),
+            col("c_mktsegment"), col("n"))
+      },
+      Some(
+        """SELECT (epoch_us(e.ts) // 3600000000) * 3600000000 AS window_start_us,
+          |(epoch_us(e.ts) // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+          |c.c_mktsegment, COUNT(*) AS n
+          |FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+          |GROUP BY 1, 2, 3""".stripMargin),
+      "Stream-static broadcast enrichment join + windowed counts, run in batch mode."))
 }

@@ -1043,5 +1043,76 @@ object TextQueries {
             raw).as("compression_ratio"))
       },
       None,
-      "Compression-ratio quality signal: zlib-deflate length per doc (map-only, rows-only check)."))
+      "Compression-ratio quality signal: zlib-deflate length per doc (map-only, rows-only check)."),
+
+    QueryDef(
+      "t_rule_funnel",
+      (s, dir) => {
+        // Gopher-style quality-rule FUNNEL observability: apply the
+        // filter cascade in order (min length → type-token ratio →
+        // top-word frequency → mean word length) and report, per
+        // stage, how many docs entered, failed, and survived — the
+        // per-rule attrition table every corpus-cleaning run publishes
+        // before anyone trusts its output size. Exactness: every
+        // threshold is an INTEGER cross-ratio (ttr < 0.35 ⟺ 20·u <
+        // 7·n) so both engines compare exact integers, never doubles.
+        // Scale shape: all flags are row-local (top-word frequency via
+        // the native one-pass MaxFreq expression — not the interpreted
+        // O(words²) HOF composition), folded by ONE map-side-combinable
+        // aggregation into a single row; the 4-stage unpivot is
+        // driver-trivial.
+        graft.functions.expr.TextExpressions.register(s)
+        val ws = split(col("text"), " ")
+        val flags = t(s, dir, "documents")
+          .select(
+            size(ws).as("n"),
+            size(array_distinct(ws)).as("u"),
+            (length(col("text")) - (size(ws) - 1)).as("chars"),
+            call_function("graft_maxfreq", ws).as("top"))
+          .select(
+            (col("n") < 20).cast("int").as("f1"),
+            (col("u") * 20 < col("n") * 7).cast("int").as("f2"),
+            (col("top") * 25 > col("n") * 3).cast("int").as("f3"),
+            (col("chars") > col("n") * 5).cast("int").as("f4"))
+        val a = flags.agg(
+          count(lit(1)).as("n0"),
+          sum("f1").as("x1"),
+          sum(when(col("f1") === 0 && col("f2") === 1, 1L)
+            .otherwise(0L)).as("x2"),
+          sum(when(col("f1") === 0 && col("f2") === 0 && col("f3") === 1, 1L)
+            .otherwise(0L)).as("x3"),
+          sum(when(col("f1") === 0 && col("f2") === 0 && col("f3") === 0 &&
+            col("f4") === 1, 1L).otherwise(0L)).as("x4"))
+        a.select(explode(array(
+            struct(lit(1).as("stage"), lit("min_len").as("rule"),
+              col("n0").as("n_in"), col("x1").as("n_fail")),
+            struct(lit(2).as("stage"), lit("ttr").as("rule"),
+              (col("n0") - col("x1")).as("n_in"), col("x2").as("n_fail")),
+            struct(lit(3).as("stage"), lit("top_freq").as("rule"),
+              (col("n0") - col("x1") - col("x2")).as("n_in"),
+              col("x3").as("n_fail")),
+            struct(lit(4).as("stage"), lit("mean_wlen").as("rule"),
+              (col("n0") - col("x1") - col("x2") - col("x3")).as("n_in"),
+              col("x4").as("n_fail")))).as("r"))
+          .select(col("r.stage"), col("r.rule"), col("r.n_in"),
+            col("r.n_fail"), (col("r.n_in") - col("r.n_fail")).as("n_out"))
+      },
+      Some(
+        """WITH d AS (SELECT len(string_split(text, ' ')) AS n,
+          |    len(list_distinct(string_split(text, ' '))) AS u,
+          |    length(text) - (len(string_split(text, ' ')) - 1) AS chars,
+          |    list_max(list_transform(list_distinct(string_split(text, ' ')),
+          |      w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS top
+          |  FROM documents),
+          |f AS (SELECT CAST(n < 20 AS INT) AS f1, CAST(u * 20 < n * 7 AS INT) AS f2,
+          |    CAST(top * 25 > n * 3 AS INT) AS f3, CAST(chars > n * 5 AS INT) AS f4 FROM d),
+          |a AS (SELECT COUNT(*) AS n0, CAST(SUM(f1) AS BIGINT) AS x1,
+          |    CAST(SUM(CASE WHEN f1 = 0 AND f2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+          |    CAST(SUM(CASE WHEN f1 = 0 AND f2 = 0 AND f3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x3,
+          |    CAST(SUM(CASE WHEN f1 = 0 AND f2 = 0 AND f3 = 0 AND f4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x4 FROM f)
+          |SELECT 1 AS stage, 'min_len' AS rule, n0 AS n_in, x1 AS n_fail, n0 - x1 AS n_out FROM a
+          |UNION ALL SELECT 2, 'ttr', n0 - x1, x2, n0 - x1 - x2 FROM a
+          |UNION ALL SELECT 3, 'top_freq', n0 - x1 - x2, x3, n0 - x1 - x2 - x3 FROM a
+          |UNION ALL SELECT 4, 'mean_wlen', n0 - x1 - x2 - x3, x4, n0 - x1 - x2 - x3 - x4 FROM a""".stripMargin),
+      "Quality-rule funnel: per-stage entered/failed/survived counts for the filter cascade."))
 }

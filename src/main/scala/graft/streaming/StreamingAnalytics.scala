@@ -78,6 +78,34 @@ object StreamingAnalytics {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static enrichment join + windowed counts: join each stream
+    * event against a static dimension table on `key`, then count per
+    * (tumbling window, dim attribute). The stream-static join is
+    * STATELESS — Spark re-plans the static side per micro-batch and the
+    * explicit broadcast ships the dimension to every task, so no join
+    * state accumulates and the fact stream never shuffles for the join;
+    * the only stateful operator is the watermarked window aggregation,
+    * whose state the watermark bounds. This is the standard "enrich a
+    * 100 TB/day event stream with a small dimension" shape. Input needs
+    * (ts: timestamp, `key`); works on batch and streaming frames (the
+    * watermark node is a no-op in batch). */
+  def enrichedWindowedCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      attr: String,
+      window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq(key))
+      .groupBy(window(col("ts"), window_), col(attr))
+      .agg(count("*").as("n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(attr), col("n"))
+
   /** Cross-micro-batch exact dedup by jid: keeps the first occurrence
     * ever seen, drops replays (at-least-once delivery → effectively-once
     * processing). State is one boolean per jid; pass a processing-time

@@ -349,4 +349,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("s_enrich joins the dimension as a broadcast (stateless stream-static shape)") {
+    val p = plan("s_enrich")
+    // the fact stream must never shuffle for the join — a SortMergeJoin
+    // here means join state / a fact-side exchange at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_value_zscore broadcasts the per-type moments, fact never shuffles twice") {
+    val p = plan("q_value_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_lines keeper election shuffles 128-bit segment hashes, never text") {
+    val p = plan("dedup_lines")
+    // the election + verdict-join exchanges must key on the double
+    // xxhash64, not the ~50-byte segment string; only the final
+    // doc_id-keyed reassembly may carry text (the algorithm's floor)
+    assert(!p.contains("hashpartitioning(seg#"),
+      "segment strings key a shuffle:\n" + p)
+    assert(p.contains("xxhash64"), "hash key missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_cross_source self-join is fp-keyed (group size bounded by |sources|)") {
+    val p = plan("dedup_cross_source")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_minhash_est reuses the candidate path, joins signatures by id") {
+    val p = plan("dedup_minhash_est")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t_rule_funnel flags via native maxfreq, one aggregation pass") {
+    val p = plan("t_rule_funnel")
+    assert(p.contains("maxfreq"), "native MaxFreq missing:\n" + p)
+    assert(!p.contains("LambdaFunction"),
+      "interpreted HOF on the flag path:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
