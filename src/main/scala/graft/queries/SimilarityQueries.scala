@@ -954,5 +954,100 @@ object SimilarityQueries {
            |FROM bf LEFT JOIN mrl
            |  ON bf.query_id = mrl.query_id AND bf.neighbor_id = mrl.neighbor_id
            |GROUP BY bf.query_id""".stripMargin),
-      "Recall@5 of truncated-16-dim (re-normalized) cosine vs full-dim brute force."))
+      "Recall@5 of truncated-16-dim (re-normalized) cosine vs full-dim brute force."),
+
+    QueryDef(
+      "sim_mmr_rerank",
+      (s, dir) => {
+        // MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+        // diversified re-ranking: greedily pick 3 of each query's top-8
+        // cosine candidates, each step maximizing
+        // 0.5·relevance − 0.5·max-similarity-to-already-picked — the
+        // standard "don't return 3 near-copies" pass after ANN
+        // retrieval. Scale shape: candidate generation is the proven
+        // fused AllPairsCosine + TopKPerKey path (heap-bounded, never
+        // corpus²); the greedy is ROW-LOCAL per query over ≤8
+        // candidates (flatMapGroups — the engine-dispatch precedent for
+        // per-group imperative logic), so the re-rank shuffle carries
+        // ≤ 8·|queries| rows of (id, score, 64 doubles). Determinism:
+        // dots fold ascending (= list_dot_product), the MMR arithmetic
+        // is the identical IEEE tree, ties break on lowest id — the
+        // unrolled 3-step SQL greedy matches bit-for-bit.
+        import s.implicits._
+        val corpus = unitEmb(s, dir)
+          .select(col("vec_id").as("neighbor_id"), col("u"))
+        val q = unitEmb(s, dir).where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("u").as("qu"))
+        val scored = graft.plans.GraftOps
+          .allPairsCosine(corpus, q, -2.0, ltOnly = false)
+          .where(col("neighbor_id") =!= col("query_id"))
+        val top8 = graft.plans.GraftOps.topKPerKey(
+          scored, Seq("query_id"), 8, "-cos", "+neighbor_id")
+        val cand = top8.join(corpus, Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), col("cos"), col("u"))
+          .as[(Long, Long, Double, Seq[Double])]
+        cand.groupByKey(_._1)
+          .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+            def dot(a: Array[Double], b: Array[Double]): Double = {
+              var acc = 0.0; var i = 0
+              while (i < a.length) { acc += a(i) * b(i); i += 1 }
+              acc
+            }
+            val remaining = collection.mutable.ArrayBuffer(
+              it.map(c => (c._2, c._3, c._4.toArray)).toSeq: _*)
+            var selected = List.empty[Array[Double]]
+            val out = collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+            var rank = 1
+            while (rank <= 3 && remaining.nonEmpty) {
+              var bestIdx = -1
+              var bestM = Double.NegativeInfinity
+              var bestId = Long.MaxValue
+              for (i <- remaining.indices) {
+                val (id, cos, u) = remaining(i)
+                val m =
+                  if (selected.isEmpty) cos
+                  else {
+                    var mx = Double.NegativeInfinity
+                    selected.foreach { su =>
+                      val d = dot(u, su); if (d > mx) mx = d
+                    }
+                    0.5 * cos - 0.5 * mx
+                  }
+                if (m > bestM || (m == bestM && id < bestId)) {
+                  bestM = m; bestIdx = i; bestId = id
+                }
+              }
+              val picked = remaining.remove(bestIdx)
+              selected ::= picked._3
+              out += ((qid, rank, picked._1, bestM))
+              rank += 1
+            }
+            out.iterator
+          }
+          .toDF("query_id", "rank", "neighbor_id", "mmr")
+      },
+      Some(
+        s"""$UnitCte,
+           |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  list_dot_product(a.u, b.u) AS cos, b.u AS u
+           |  FROM (SELECT * FROM un WHERE vec_id < 20) a JOIN un b ON a.vec_id <> b.vec_id),
+           |cand AS (SELECT * FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM p) WHERE rk <= 8),
+           |s1 AS (SELECT query_id, neighbor_id, cos, u, cos AS mmr FROM cand WHERE rk = 1),
+           |r2 AS (SELECT c.query_id, c.neighbor_id, c.cos, c.u,
+           |   0.5 * c.cos - 0.5 * list_dot_product(c.u, s1.u) AS mmr
+           |   FROM cand c JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id <> s1.neighbor_id),
+           |s2 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+           |  (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rk2 FROM r2) WHERE rk2 = 1),
+           |r3 AS (SELECT c.query_id, c.neighbor_id, c.cos,
+           |   0.5 * c.cos - 0.5 * greatest(list_dot_product(c.u, s1.u), list_dot_product(c.u, s2.u)) AS mmr
+           |   FROM cand c JOIN s1 ON c.query_id = s1.query_id JOIN s2 ON c.query_id = s2.query_id
+           |   WHERE c.neighbor_id <> s1.neighbor_id AND c.neighbor_id <> s2.neighbor_id),
+           |s3 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+           |  (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rk3 FROM r3) WHERE rk3 = 1)
+           |SELECT query_id, 1 AS rank, neighbor_id, mmr FROM s1
+           |UNION ALL SELECT query_id, 2 AS rank, neighbor_id, mmr FROM s2
+           |UNION ALL SELECT query_id, 3 AS rank, neighbor_id, mmr FROM s3""".stripMargin),
+      "MMR diversified top-3 re-rank of each query's top-8 cosine candidates."))
 }

@@ -203,5 +203,38 @@ object StreamingBatchQueries {
           |c.c_mktsegment, COUNT(*) AS n
           |FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
           |GROUP BY 1, 2, 3""".stripMargin),
-      "Stream-static broadcast enrichment join + windowed counts, run in batch mode."))
+      "Stream-static broadcast enrichment join + windowed counts, run in batch mode."),
+
+    QueryDef(
+      "s_sliding_counts",
+      (s, dir) => {
+        // SLIDING windows (1 h wide, 15 min slide — each event lands in
+        // 4 overlapping windows), exercising the overlap path of the
+        // same windowedCounts operator s_windowed_counts runs tumbling.
+        // Spark expands each row into width/slide window copies BEFORE
+        // the aggregation — state and shuffle scale by the overlap
+        // factor, which is why production slides are a small multiple
+        // of the width; the oracle replays the identical 4-way
+        // expansion with a LATERAL range join.
+        val raw = t(s, dir, "events")
+        val ev = raw.select(
+          Tables.tsTimestamp(raw).as("ts"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value"))
+        StreamingAnalytics.windowedCounts(ev, "1 hour", "15 minutes")
+          .select(
+            unix_micros(col("window_start")).as("window_start_us"),
+            unix_micros(col("window_end")).as("window_end_us"),
+            col("event_type"), col("n"), col("total"))
+      },
+      Some(
+        """SELECT ws AS window_start_us, ws + 3600000000 AS window_end_us, event_type,
+          |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total
+          |FROM (SELECT epoch_us(ts) AS e, event_type,
+          |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+          | LATERAL (SELECT (e // 900000000 - j) * 900000000 AS ws
+          |          FROM (SELECT unnest(range(0, 4)) AS j) tt) t
+          |WHERE e < ws + 3600000000
+          |GROUP BY 1, 2, 3""".stripMargin),
+      "Sliding-window counts/sums (1h window, 15min slide) run in batch mode."))
 }

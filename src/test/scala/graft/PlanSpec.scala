@@ -389,6 +389,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sim_mmr_rerank: fused candidate gen + heap + per-query local greedy") {
+    val p = plan("sim_mmr_rerank")
+    assert(p.contains("AllPairsCosine"), "fused scorer missing:\n" + p)
+    assert(p.contains("TopKPerKey") || p.contains("GraftTopK"),
+      "heap prune missing:\n" + p)
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      "row-local greedy stage missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s_sliding_counts expands rows per overlapping window, no join") {
+    val p = plan("s_sliding_counts")
+    assert(!p.contains("Join"), "sliding windows must not plan a join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_rule_funnel flags via native maxfreq, one aggregation pass") {
     val p = plan("t_rule_funnel")
     assert(p.contains("maxfreq"), "native MaxFreq missing:\n" + p)
