@@ -1114,5 +1114,35 @@ object TextQueries {
           |UNION ALL SELECT 2, 'ttr', n0 - x1, x2, n0 - x1 - x2 FROM a
           |UNION ALL SELECT 3, 'top_freq', n0 - x1 - x2, x3, n0 - x1 - x2 - x3 FROM a
           |UNION ALL SELECT 4, 'mean_wlen', n0 - x1 - x2 - x3, x4, n0 - x1 - x2 - x3 - x4 FROM a""".stripMargin),
-      "Quality-rule funnel: per-stage entered/failed/survived counts for the filter cascade."))
+      "Quality-rule funnel: per-stage entered/failed/survived counts for the filter cascade."),
+
+    QueryDef(
+      "t_weighted_sample",
+      (s, dir) => {
+        // Weight-proportional corpus sampling without replacement —
+        // Efraimidis-Spirakis (2006) via the Gumbel-exponent trick:
+        // priority = ln(u)/w for a per-doc deterministic uniform u,
+        // global top-k by priority IS a w-proportional sample. u comes
+        // from the t_split_assign integer hash recipe (identical
+        // arithmetic in both engines, never a float RNG), priorities
+        // are 1e-9-quantized to integers (the t_dsir_weights ln-ulp
+        // policy), and the top-100 runs as TakeOrderedAndProject —
+        // per-partition heaps + a k-row driver merge, no global sort,
+        // the same plan shape at any corpus size. At 100 TB-scale ids
+        // the multiplier hash would move to the 128-bit xxhash64 pair.
+        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L) /
+          lit(1000003.0)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(log(u) / col("n_chars") * 1e9).cast("long").as("pq"))
+          .orderBy(col("pq").desc, col("doc_id").asc)
+          .limit(100)
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, source, n_chars,
+          |    ((doc_id * 2654435761) % 1000003 + 1) / 1000003.0 AS u FROM documents)
+          |SELECT doc_id, source, n_chars,
+          |  CAST(ROUND(ln(u) / n_chars * 1000000000) AS BIGINT) AS pq
+          |FROM d ORDER BY pq DESC, doc_id LIMIT 100""".stripMargin),
+      "Weight-proportional sample (Efraimidis-Spirakis top-k, deterministic hash uniforms)."))
 }

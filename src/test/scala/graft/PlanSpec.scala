@@ -405,6 +405,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t_weighted_sample plans a heap top-k, never a global sort") {
+    val p = plan("t_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), "heap top-k missing:\n" + p)
+    assert(!p.contains("Sort "), "global sort in the sample path:\n" + p)
+  }
+
   test("t_rule_funnel flags via native maxfreq, one aggregation pass") {
     val p = plan("t_rule_funnel")
     assert(p.contains("maxfreq"), "native MaxFreq missing:\n" + p)

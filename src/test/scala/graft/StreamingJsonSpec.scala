@@ -35,6 +35,46 @@ class StreamingJsonSpec extends AnyFunSuite {
       .foreach(s => fs.setTimes(s.getPath, mtimeMs, -1))
   }
 
+  test("stream-static enrichment over a real file stream: dim joined per micro-batch, closed window emits enriched counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("enrich").toString + "/data"
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val dim = Seq((1L, "AUTO"), (2L, "BUILD"), (3L, "HOME"))
+      .toDF("c_custkey", "c_mktsegment")
+    // batch 1: hour-0 events for keys 1,1,2 plus a sentinel 3 h ahead —
+    // after it the 1 h watermark stands at +2 h, closing hour 0
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 1000L), 1L),
+      (new java.sql.Timestamp(base + 2000L), 1L),
+      (new java.sql.Timestamp(base + 3000L), 2L),
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000), 3L))
+      .toDF("ts", "c_custkey"), dir, base)
+    // batch 2: spacer — emission engages the batch after the watermark
+    // advances; the static side is re-joined in THIS micro-batch too
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000 + 60000L), 3L))
+      .toDF("ts", "c_custkey"), dir, base + 60000)
+
+    val src = spark.readStream
+      .schema("ts timestamp, c_custkey long")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = StreamingAnalytics.enrichedWindowedCounts(
+      src, dim, "c_custkey", "c_mktsegment", "1 hour", "1 hour")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("enrichout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("enrichout")
+      .orderBy("window_start", "c_mktsegment").collect()
+    // only the closed hour-0 window emitted, enriched with the dim attr
+    assert(out.map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("n")))
+      .toSeq === Seq(("AUTO", 2L), ("BUILD", 1L)), out.mkString(","))
+    assert(out.forall(_.getAs[java.sql.Timestamp]("window_start").getTime == base))
+    // the join kept ZERO state: the only stateful operator is the window
+    assert(q.recentProgress.forall(_.stateOperators.length <= 1),
+      "unexpected second stateful operator (join state?)")
+  }
+
   test("lenient JSON decode matches reference semantics (event.ex:60-89)") {
     import spark.implicits._
     val rows = Seq(
