@@ -383,6 +383,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_edit_verified runs the DP on candidates only, no corpus² join") {
+    val p = plan("dedup_edit_verified")
+    assert(p.contains("levenshtein"), "edit-distance stage missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_minhash_est reuses the candidate path, joins signatures by id") {
     val p = plan("dedup_minhash_est")
     assert(!p.contains("CartesianProduct"), p)
