@@ -132,6 +132,24 @@ object StreamingAnalytics {
       }
   }
 
+  /** Watermark-bounded dedup via Spark's native
+    * dropDuplicatesWithinWatermark: replays of a key arriving within
+    * the watermark horizon are dropped, and — unlike plain
+    * dropDuplicates, whose state grows forever on a stream — key state
+    * is EVICTED once the watermark passes it, so a replay far in the
+    * future is re-admitted. That trade (bounded state for a bounded
+    * dedup horizon) is the production default for at-least-once
+    * sources whose replays cluster near the original; the engine's
+    * dedupByJid keeps the exact-forever alternative with explicit
+    * timeout eviction. Input needs (ts: timestamp, `keys`...). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming MinHash-LSH near-dedup: cross-batch stateful banding.
     * Input is the exploded band view of each doc's signature — one row
     * per (band, bkey, doc_id). State per LSH bucket is ONE long (the

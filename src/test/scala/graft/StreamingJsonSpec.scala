@@ -75,6 +75,51 @@ class StreamingJsonSpec extends AnyFunSuite {
       "unexpected second stateful operator (join state?)")
   }
 
+  test("dedupWithinWatermark drops replays inside the horizon, re-admits after eviction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ddww").toString + "/data"
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // batch 1: key A plus a replay 1 min later (inside the 10 min
+    // watermark) — the replay must drop
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base), "A"),
+      (new java.sql.Timestamp(base + 60000L), "A"))
+      .toDF("ts", "k"), dir, base)
+    // batch 2: sentinel 3 h ahead — the watermark (computed from the
+    // PREVIOUS batch's max event time) advances on the NEXT batch
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000), "B"))
+      .toDF("ts", "k"), dir, base + 60000)
+    // batch 3: spacer — runs with the sentinel-advanced watermark, and
+    // its end-of-batch eviction removes key A's expired state
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000 + 60000L), "C"))
+      .toDF("ts", "k"), dir, base + 120000)
+    // batch 4: key A again — state was evicted, so this is re-admitted
+    // (the bounded-horizon contract)
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000 + 120000L), "A"))
+      .toDF("ts", "k"), dir, base + 180000)
+
+    val src = spark.readStream
+      .schema("ts timestamp, k string")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = StreamingAnalytics.dedupWithinWatermark(src, Seq("k"), "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ddwwout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("ddwwout").orderBy("ts").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime - base, r.getAs[String]("k")))
+    assert(rows.toSeq === Seq(
+      (0L, "A"),                          // first occurrence
+      (3L * 3600 * 1000, "B"),            // sentinel
+      (3L * 3600 * 1000 + 60000L, "C"),   // spacer
+      (3L * 3600 * 1000 + 120000L, "A")   // re-admitted after eviction
+    ), rows.mkString(","))
+    assert(sumRemoved(q) >= 1, "expired dedup state was not evicted")
+  }
+
   test("lenient JSON decode matches reference semantics (event.ex:60-89)") {
     import spark.implicits._
     val rows = Seq(
