@@ -790,5 +790,70 @@ object AnalyticsQueries {
           |WHERE abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
           |    / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
           |      / (CAST(n AS DOUBLE) - 1.0))) > 2.0""".stripMargin),
-      "Per-type z-score outliers from exact integer moments (sample stddev)."))
+      "Per-type z-score outliers from exact integer moments (sample stddev)."),
+
+    QueryDef(
+      "q_value_mad",
+      (s, dir) => {
+        // Robust outliers via Median Absolute Deviation — the
+        // heavy-tail-safe sibling of q_value_zscore (one fat outlier
+        // inflates a stddev and hides its peers; the median pair is
+        // insensitive to half the data going bad). Two aggregation
+        // passes (median, then median of |x − med|), each joined back
+        // as an explicit |event_type|-row broadcast — the fact table
+        // never shuffles; Spark's exact `percentile` and DuckDB's
+        // quantile_cont share the same linear interpolation, and the
+        // 3·1.4826·mad gate is the identical IEEE tree in both.
+        val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(first("med").as("med"), first("mad").as("mad"),
+            count(lit(1)).as("n"),
+            sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+      },
+      Some(
+        """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          |    FROM events GROUP BY event_type),
+          |d AS (SELECT e.event_type, e.value, med, abs(e.value - med) AS adev
+          |    FROM events e JOIN med ON e.event_type = med.event_type),
+          |m2 AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type)
+          |SELECT d.event_type, ANY_VALUE(d.med) AS med, ANY_VALUE(m2.mad) AS mad,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM d JOIN m2 ON d.event_type = m2.event_type
+          |GROUP BY d.event_type""".stripMargin),
+      "Robust MAD outlier gate per event type (median + median-absolute-deviation)."),
+
+    QueryDef(
+      "q_value_histogram",
+      (s, dir) => {
+        // Fixed-width value histogram per event type (50.00-wide bins)
+        // — the distribution-shape observability every metrics UI draws.
+        // Binning is INTEGER division over quantized cents, so bucket
+        // assignment is exact in both engines (no float floor at bin
+        // edges); one map-side-combinable aggregation, output is
+        // |types|·|buckets| rows.
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ROUND(value * 100) AS BIGINT) div 5000").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("bucket"),
+            (col("bucket") * 50.0).as("lo"),
+            ((col("bucket") + 1L) * 50.0).as("hi"), col("n"))
+      },
+      Some(
+        """SELECT event_type, bucket, bucket * 50.0 AS lo,
+          |  (bucket + 1) * 50.0 AS hi, COUNT(*) AS n
+          |FROM (SELECT event_type,
+          |  CAST(ROUND(value * 100) AS BIGINT) // 5000 AS bucket FROM events)
+          |GROUP BY event_type, bucket""".stripMargin),
+      "Exact fixed-width value histogram per event type (integer binning)."))
 }

@@ -366,6 +366,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_value_mad joins both median frames as broadcasts") {
+    val p = plan("q_value_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_lines keeper election shuffles 128-bit segment hashes, never text") {
     val p = plan("dedup_lines")
     // the election + verdict-join exchanges must key on the double
