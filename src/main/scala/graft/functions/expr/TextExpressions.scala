@@ -262,6 +262,54 @@ case class DeflateLen(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Quantized Shannon word entropy: Σ_w round(p_w · ln(p_w) · 1e9) over
+  * the DISTINCT words of a string array, as one BIGINT per row (null
+  * for an empty array). The caller derives H = −sum/1e9.
+  *
+  * Quantizing each TERM to an integer before summing makes the fold
+  * order-free (associative integer adds — no float-sum ordering
+  * contract between engines), and 1e-9 absorbs any ln() ulp skew (the
+  * t_dsir_weights policy). Rounding is half-away-from-zero on the
+  * magnitude — the ROUND semantics of both Spark and DuckDB — because
+  * p·ln(p) is negative. One hash pass + one loop per row replaces the
+  * interpreted O(distinct × n) HOF composition. */
+case class WordEntropyQ(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"entropy expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val counts = new java.util.HashMap[UTF8String, java.lang.Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val k = xs.getUTF8String(i)
+      val prev = counts.get(k)
+      counts.put(k, if (prev == null) 1 else prev.intValue() + 1)
+      i += 1
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().intValue().toDouble / n
+      val v = p * math.log(p) * 1e9
+      sum += (if (v >= 0) math.round(v) else -math.round(-v))
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object TextExpressions {
   /** Register SQL-callable forms once per session; idempotent.
     * graft_minhash4 = 4 bands of 8 hex chars at offsets 1/9/17/25. */
@@ -278,5 +326,7 @@ object TextExpressions {
       "graft_simhash16", exprs => SimHash16(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_maxfreq", exprs => MaxFreq(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_entropy_q", exprs => WordEntropyQ(exprs.head), "built-in")
   }
 }

@@ -1034,17 +1034,23 @@ object DedupQueries {
         // Scale shape: candidates come from the SAME banded path
         // (hot-cap, deduped); text joins back id-keyed (AQE broadcasts
         // the candidate frame when small), and the O(len²) DP runs
-        // row-local ONLY on candidate pairs — never corpus². Long docs
-        // would first gate on |len_a - len_b| (a free lower bound on
-        // the distance); fixture docs are short enough not to need it.
+        // row-local ONLY on candidate pairs — never corpus². The
+        // length-difference gate ahead of the DP is semantically FREE:
+        // |len_a − len_b| lower-bounds the distance, so any pair it
+        // drops could never reach edit_sim ≥ 0.4 — at scale it prunes
+        // the skewed-length candidates before their O(len²) cost.
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         lshCandidates(s, dir)
           .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
           .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("da.text"), col("db.text")).as("edit_dist"),
-            greatest(length(col("da.text")), length(col("db.text")))
-              .as("max_len"))
+            length(col("da.text")).as("la"), length(col("db.text")).as("lb"),
+            col("da.text").as("ta"), col("db.text").as("tb"))
+          .where(abs(col("la") - col("lb")).cast("double") <=
+            lit(0.6) * greatest(col("la"), col("lb")))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).as("edit_dist"),
+            greatest(col("la"), col("lb")).as("max_len"))
           .withColumn("edit_sim",
             lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
           .where(col("edit_sim") >= 0.4)

@@ -1144,5 +1144,33 @@ object TextQueries {
           |SELECT doc_id, source, n_chars,
           |  CAST(ROUND(ln(u) / n_chars * 1000000000) AS BIGINT) AS pq
           |FROM d ORDER BY pq DESC, doc_id LIMIT 100""".stripMargin),
-      "Weight-proportional sample (Efraimidis-Spirakis top-k, deterministic hash uniforms)."))
+      "Weight-proportional sample (Efraimidis-Spirakis top-k, deterministic hash uniforms)."),
+
+    QueryDef(
+      "t_word_entropy",
+      (s, dir) => {
+        // Shannon word entropy per doc — the lexical-diversity signal
+        // that, unlike TTR, weighs HOW unevenly words repeat (spam
+        // with one word looping scores near 0 at any length). Zero
+        // shuffle: the native WordEntropyQ expression does the count
+        // map + quantized fold in one pass per row; per-TERM 1e-9
+        // integer quantization makes the sum order-free, so no
+        // float-sum ordering contract is needed between engines.
+        graft.functions.expr.TextExpressions.register(s)
+        val ws = split(col("text"), " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(ws).as("n_tokens"),
+            call_function("graft_entropy_q", ws).as("q"))
+          .select(col("doc_id"), col("n_tokens"),
+            (-col("q").cast("double") / lit(1000000000.0)).as("entropy"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          |SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+          |  -CAST(CAST(list_sum(list_transform(list_distinct(ws),
+          |    t -> CAST(ROUND(len(list_filter(ws, x -> x = t)) / CAST(len(ws) AS DOUBLE)
+          |      * ln(len(list_filter(ws, x -> x = t)) / CAST(len(ws) AS DOUBLE))
+          |      * 1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1000000000.0 AS entropy
+          |FROM w""".stripMargin),
+      "Shannon word entropy per doc (native one-pass expression, quantized order-free fold)."))
 }

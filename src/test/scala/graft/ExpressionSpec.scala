@@ -37,6 +37,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(mf(Seq("x", "x", "x", "y")) === 3)
   }
 
+  test("entropy_q: null on empty, known values, order-free, uniform = ln(k)") {
+    import spark.implicits._
+    graft.functions.expr.TextExpressions.register(spark)
+    def eq(xs: Seq[String]): Any =
+      Seq(xs).toDF("xs").select(call_function("graft_entropy_q", col("xs")))
+        .collect().head.get(0)
+    assert(eq(Nil) === null)
+    assert(eq(Seq("a")) === 0L) // p=1 → 1·ln(1) = 0
+    // uniform over 4 distinct: H = ln(4); each term = 0.25·ln(0.25)·1e9
+    val term = { val v = 0.25 * math.log(0.25) * 1e9; -math.round(-v) }
+    assert(eq(Seq("a", "b", "c", "d")) === 4 * term)
+    // permutation invariance (the order-free quantized fold)
+    assert(eq(Seq("a", "a", "b", "c")) === eq(Seq("c", "b", "a", "a")))
+    // skewed: (3/4)ln(3/4) + (1/4)ln(1/4), per-term half-away rounding
+    val t1 = { val v = 0.75 * math.log(0.75) * 1e9; -math.round(-v) }
+    val t2 = { val v = 0.25 * math.log(0.25) * 1e9; -math.round(-v) }
+    assert(eq(Seq("x", "x", "x", "y")) === t1 + t2)
+  }
+
   test("unit vector: normalized, empty passthrough, zero vector → NaN (as before)") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
