@@ -1049,5 +1049,79 @@ object SimilarityQueries {
            |SELECT query_id, 1 AS rank, neighbor_id, mmr FROM s1
            |UNION ALL SELECT query_id, 2 AS rank, neighbor_id, mmr FROM s2
            |UNION ALL SELECT query_id, 3 AS rank, neighbor_id, mmr FROM s3""".stripMargin),
-      "MMR diversified top-3 re-rank of each query's top-8 cosine candidates."))
+      "MMR diversified top-3 re-rank of each query's top-8 cosine candidates."),
+
+    QueryDef(
+      "sim_pca_power",
+      (s, dir) => {
+        // Top principal component of the embedding corpus via two
+        // QUANTIZED power-iteration rounds (v0 = all-ones): the
+        // dimensionality-analysis primitive behind whitening, ABTT
+        // ("all-but-the-top") embedding post-processing, and OPQ
+        // rotation training. w_{k+1} = Σ_x x̃ (x̃ᵀ v_k) with x̃ = x − μ,
+        // normalized by n between rounds (keeps magnitudes bounded
+        // without a norm, whose cross-engine float fold would not be
+        // order-free).
+        //
+        // Scale shape (100 TB): μ and each w_k are d-sized (64 rows) —
+        // every per-dim model joins BROADCAST; the corpus-scale stages
+        // are (vec_id)-keyed — the dot-product agg map-side combines
+        // n×d rows down to one row per vector, and the scatter join
+        // reuses the same hash partitioning across both rounds (one
+        // exchange, Catalyst reuse). Nothing ever shuffles by dim
+        // except the d-row model aggs themselves. Determinism: every
+        // cross-row fold (μ, per-row dots, per-dim scatters) is a
+        // ROUND-quantized BIGINT sum — order-free; the doubles between
+        // folds are identical scalar chains on identical inputs in
+        // both engines.
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val x = e.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "xv")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"), col("xv"))
+        val nd = e.agg(count("*").as("n"))
+        val mu = quantMean(x, Seq(col("dim") -> "dim"), col("xv"), "mu")
+        val xc = x.join(broadcast(mu), "dim")
+          .select(col("vec_id"), col("dim"), (col("xv") - col("mu")).as("xc"))
+          .cache()
+        def round_(c: org.apache.spark.sql.Column) = round(c).cast("long")
+        val d1 = xc.groupBy("vec_id")
+          .agg(sum(round_(col("xc") * 1000000)).as("d1q"))
+        val s1 = xc.join(d1, "vec_id")
+          .groupBy("dim")
+          .agg(sum(round_(col("xc") * (col("d1q").cast("double") / 1000000)
+            * 1000)).as("s1"))
+        val v1 = s1.crossJoin(broadcast(nd))
+          .select(col("dim"), (col("s1").cast("double") / 1000 / col("n")).as("v1"))
+        val d2 = xc.join(broadcast(v1), "dim")
+          .groupBy("vec_id")
+          .agg(sum(round_(col("xc") * col("v1") * 1000000)).as("d2q"))
+        val s2 = xc.join(d2, "vec_id")
+          .groupBy("dim")
+          .agg(sum(round_(col("xc") * (col("d2q").cast("double") / 1000000)
+            * 1000)).as("s2"))
+        s2.crossJoin(broadcast(nd))
+          .select(col("dim").cast("int").as("dim"),
+            (col("s2").cast("double") / 1000 / col("n")).as("pc"))
+      },
+      Some(
+        """WITH x AS (SELECT vec_id, unnest(range(1, 65)) AS dim,
+          |    unnest(CAST(embedding AS DOUBLE[])) AS xv FROM embeddings),
+          |nd AS (SELECT COUNT(*) AS n FROM embeddings),
+          |mu AS (SELECT dim, CAST(SUM(CAST(ROUND(xv * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / 1000000000 / COUNT(*) AS mu FROM x GROUP BY dim),
+          |xc AS (SELECT vec_id, x.dim, xv - mu AS xc FROM x JOIN mu USING (dim)),
+          |d1 AS (SELECT vec_id, SUM(CAST(ROUND(xc * 1000000) AS BIGINT)) AS d1q
+          |   FROM xc GROUP BY vec_id),
+          |s1 AS (SELECT dim,
+          |    SUM(CAST(ROUND(xc * (CAST(d1q AS DOUBLE) / 1000000) * 1000) AS BIGINT)) AS s1
+          |   FROM xc JOIN d1 USING (vec_id) GROUP BY dim),
+          |v1 AS (SELECT dim, CAST(s1 AS DOUBLE) / 1000 / n AS v1 FROM s1, nd),
+          |d2 AS (SELECT vec_id, SUM(CAST(ROUND(xc * v1 * 1000000) AS BIGINT)) AS d2q
+          |   FROM xc JOIN v1 USING (dim) GROUP BY vec_id),
+          |s2 AS (SELECT dim,
+          |    SUM(CAST(ROUND(xc * (CAST(d2q AS DOUBLE) / 1000000) * 1000) AS BIGINT)) AS s2
+          |   FROM xc JOIN d2 USING (vec_id) GROUP BY dim)
+          |SELECT CAST(dim AS INT) AS dim, CAST(s2 AS DOUBLE) / 1000 / n AS pc
+          |FROM s2, nd""".stripMargin),
+      "Top principal component: two quantized power-iteration rounds over centered embeddings."))
 }

@@ -1172,5 +1172,132 @@ object TextQueries {
           |      * ln(len(list_filter(ws, x -> x = t)) / CAST(len(ws) AS DOUBLE))
           |      * 1000000000.0) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1000000000.0 AS entropy
           |FROM w""".stripMargin),
-      "Shannon word entropy per doc (native one-pass expression, quantized order-free fold)."))
+      "Shannon word entropy per doc (native one-pass expression, quantized order-free fold)."),
+
+    QueryDef(
+      "t_bpe_merge",
+      (s, dir) => {
+        // One distributed BPE merge iteration — the inner loop of
+        // tokenizer TRAINING (Sennrich et al. 2016), as opposed to
+        // t_token_bpe which only counts with a trained-tokenizer-shaped
+        // segmentation. Classic formulation: collapse the corpus to a
+        // (word → frequency) table, extract every adjacent symbol pair
+        // from each vocabulary entry, weight by the word's corpus
+        // frequency, and rank pairs by total count; the top pair is the
+        // merge the trainer would apply next (we emit the top 10 — the
+        // full candidate list a batched trainer merges per round).
+        //
+        // Scale shape (100 TB): the ONLY corpus-scale stage is the
+        // (word) count — map-side combinable, shuffling one (word,
+        // partial) row per distinct word per partition. Pair extraction
+        // runs on the REDUCED vocabulary (millions of rows, not
+        // trillions of tokens), so the higher-order transform's
+        // CodegenFallback cost is vocabulary-bounded; the pair count is
+        // again map-side combinable over a ~|alphabet|² key space, and
+        // the final ranking is TakeOrderedAndProject (K-bounded, no
+        // global sort). Determinism: pure integer counts; ties break on
+        // the pair string in both engines.
+        val wf = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 2)
+          .groupBy("word").agg(count("*").as("f"))
+        val pc = wf
+          .select(
+            explode(expr(
+              "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+              .as("pair"),
+            col("f"))
+          .groupBy("pair").agg(sum("f").as("cnt"))
+        val top = pc.orderBy(col("cnt").desc, col("pair").asc).limit(10)
+        top.withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("pair").asc)).cast("int"))
+      },
+      Some(
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |wf AS (SELECT word, COUNT(*) AS f FROM w WHERE len(word) >= 2 GROUP BY word),
+          |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, f FROM
+          |  (SELECT word, f, unnest(generate_series(1, len(word) - 1)) AS i FROM wf)),
+          |pc AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p GROUP BY pair),
+          |r AS (SELECT pair, cnt,
+          |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk FROM pc)
+          |SELECT pair, cnt, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin),
+      "One BPE merge iteration: vocabulary-weighted adjacent-pair counts, top-10 merges."),
+
+    QueryDef(
+      "t_bm25_topk",
+      (s, dir) => {
+        // BM25 retrieval (k1=1.2, b=0.75, Lucene idf) — the ranking
+        // side of a training-data search/inspection index, vs
+        // t_tfidf_topk's per-doc keyword EXTRACTION. The query is
+        // self-contained: the corpus's 3 highest-document-frequency
+        // words of length >= 4 (a deterministic stand-in for a user
+        // query; the operator is the same for any term set).
+        //
+        // Scale shape (100 TB): term frequencies and doc lengths are
+        // each ONE map-side-combinable shuffle of the corpus; the query
+        // model (3 terms + idf) and the corpus stats (one row) are
+        // broadcast, so scoring touches only the posting rows of the
+        // query terms (tf ⋈ broadcast qterms), never the full matrix;
+        // the doc-length join co-partitions on doc_id with the tf agg;
+        // the final top-10 is TakeOrderedAndProject. Determinism: idf
+        // is 1e-9-ROUND-quantized once in the model; the per-(doc,term)
+        // BM25 kernel is a scalar IEEE chain with IDENTICAL
+        // parenthesization in both engines (exact-rounded ops on equal
+        // inputs ⇒ equal doubles) that is ROUND-quantized to a BIGINT,
+        // so the per-doc sum is integer arithmetic — order-free.
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = tok.groupBy("doc_id", "word").agg(count("*").as("tf"))
+        val dfq = tf.groupBy("word").agg(count("*").as("df"))
+        val qt = dfq.where(length(col("word")) >= 4)
+          .orderBy(col("df").desc, col("word").asc).limit(3)
+        val dl = tok.groupBy("doc_id").agg(count("*").as("dl"))
+        val st = dl.agg(
+          (sum("dl").cast("double") / count("*").cast("double")).as("avgdl"),
+          count("*").as("nd"))
+        val idf = qt.crossJoin(broadcast(st))
+          .select(col("word"),
+            round(log(lit(1.0) + (col("nd") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5))) * 1000000000).cast("long").as("idf_q"))
+        val sc = tf.join(broadcast(idf), "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st.select("avgdl")))
+          .select(col("doc_id"),
+            round(col("idf_q").cast("double") * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+                + lit(0.75) * col("dl") / col("avgdl")))).cast("long").as("cq"))
+          .groupBy("doc_id")
+          .agg(sum("cq").as("score_q"), count("*").as("n_terms"))
+        sc.orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score_q").desc, col("doc_id").asc)).cast("int"))
+          .select(col("doc_id"),
+            (col("score_q").cast("double") / 1000000000).as("bm25"),
+            col("n_terms").cast("int").as("n_terms"), col("rk"))
+      },
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+          |dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+          |qt AS (SELECT word, df FROM dfq WHERE len(word) >= 4
+          |  ORDER BY df DESC, word LIMIT 3),
+          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+          |st AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+          |  COUNT(*) AS nd FROM dl),
+          |idf AS (SELECT word, CAST(ROUND(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+          |  * 1000000000) AS BIGINT) AS idf_q FROM qt, st),
+          |sc AS (SELECT tf.doc_id,
+          |    SUM(CAST(ROUND(CAST(idf_q AS DOUBLE) * (tf * 2.2)
+          |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS BIGINT)) AS score_q,
+          |    COUNT(*) AS n_terms
+          |  FROM tf JOIN idf USING (word) JOIN dl ON tf.doc_id = dl.doc_id, st
+          |  GROUP BY tf.doc_id),
+          |r AS (SELECT doc_id, score_q, n_terms,
+          |  ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rk FROM sc)
+          |SELECT doc_id, CAST(score_q AS DOUBLE) / 1000000000 AS bm25,
+          |  CAST(n_terms AS INT) AS n_terms, CAST(rk AS INT) AS rk
+          |FROM r WHERE rk <= 10""".stripMargin),
+      "BM25 top-10 retrieval: broadcast 3-term query model, quantized order-free scoring."))
 }
