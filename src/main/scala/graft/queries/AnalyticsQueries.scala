@@ -855,5 +855,40 @@ object AnalyticsQueries {
           |FROM (SELECT event_type,
           |  CAST(ROUND(value * 100) AS BIGINT) // 5000 AS bucket FROM events)
           |GROUP BY event_type, bucket""".stripMargin),
-      "Exact fixed-width value histogram per event type (integer binning)."))
+      "Exact fixed-width value histogram per event type (integer binning)."),
+
+    QueryDef(
+      "q_grouping_sets",
+      (s, dir) =>
+        // Arbitrary GROUPING SETS — the general form CUBE/ROLLUP are
+        // sugar for: each one-dimension margin plus the grand total,
+        // WITHOUT the (priority, status) cross cell a full cube would
+        // also compute. Same two-level shape as q_cube_orders: collapse
+        // the fact table to one exact partial per (priority, status)
+        // first — Expand otherwise replicates every fact row once per
+        // grouping set before the shuffle — then re-sum the tiny
+        // partial table across the requested sets; quantized integer
+        // partials re-sum associatively across levels.
+        {
+          val pre = t(s, dir, "orders")
+            .select(col("o_orderpriority").as("priority"),
+              col("o_orderstatus").as("status"),
+              quant(col("o_totalprice"), 100).cast("long").as("q_tp"))
+          ExactAgg.chunkedSums(pre, Seq("priority", "status"), Seq("q_tp"))
+            .groupingSets(
+              Seq(Seq(col("priority")), Seq(col("status")), Seq.empty),
+              col("priority"), col("status"))
+            .agg(
+              grouping_id().cast("int").as("lvl"),
+              (sum(col("q_tp")).cast("double") / 100).as("revenue"),
+              sum(col("_cnt")).as("n_orders"))
+        },
+      Some(
+        """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+          |CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT) AS lvl,
+          |CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+          |COUNT(*) AS n_orders
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin),
+      "GROUPING SETS margins: per-priority, per-status, and grand total in one pass."))
 }

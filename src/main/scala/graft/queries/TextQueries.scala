@@ -1299,5 +1299,92 @@ object TextQueries {
           |SELECT doc_id, CAST(score_q AS DOUBLE) / 1000000000 AS bm25,
           |  CAST(n_terms AS INT) AS n_terms, CAST(rk AS INT) AS rk
           |FROM r WHERE rk <= 10""".stripMargin),
-      "BM25 top-10 retrieval: broadcast 3-term query model, quantized order-free scoring."))
+      "BM25 top-10 retrieval: broadcast 3-term query model, quantized order-free scoring."),
+
+    QueryDef(
+      "t_ppl_buckets",
+      (s, dir) => {
+        // CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+        // the corpus into head / middle / tail THIRDS of the
+        // unigram-LM quality score — the partition CCNet feeds to
+        // downstream sampling (train mostly on head+middle, keep tail
+        // for diversity). Scale shape: the tertile CUTOFFS come from
+        // ONE percentile aggregate (a single broadcast row), and
+        // assignment is a row-local comparison — deliberately NOT an
+        // ntile window, whose global sort moves the whole corpus to
+        // one partition. The exact `percentile` here buffers the
+        // group's values in one reducer — the oracle-verifiable
+        // stand-in; at 100 TB the cutoff source is the mergeable
+        // `approx_percentile` t-digest (CCNet itself uses sampled
+        // thresholds), with the rest of the plan unchanged.
+        // Determinism: avg_neg_logp is the integer-
+        // quantized unigram score (bit-exact both engines); Spark's
+        // exact `percentile` and DuckDB's `quantile_cont` share the
+        // same linear interpolation on identical doubles.
+        val sc = unigramLogPpl(s, dir, vocabCap = 16)
+        val cuts = sc.agg(
+          expr("percentile(avg_neg_logp, 1.0/3)").as("p33"),
+          expr("percentile(avg_neg_logp, 2.0/3)").as("p66"))
+        sc.crossJoin(broadcast(cuts))
+          .select(col("doc_id"), col("avg_neg_logp"),
+            when(col("avg_neg_logp") <= col("p33"), "head")
+              .when(col("avg_neg_logp") <= col("p66"), "middle")
+              .otherwise("tail").as("bucket"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+          |tot AS (SELECT SUM(c) AS t FROM freq),
+          |top AS (SELECT word, c FROM freq ORDER BY c DESC, word LIMIT 16),
+          |q AS (SELECT word, CAST(ROUND(ln(CAST(c AS DOUBLE) / t) * 1000000000) AS BIGINT) AS ql
+          |  FROM top, tot),
+          |oov AS (SELECT CAST(ROUND(ln(CAST(t - (SELECT SUM(c) FROM top) AS DOUBLE) / t)
+          |    * 1000000000) AS BIGINT) AS qloov FROM tot),
+          |sc AS (SELECT doc_id, -(CAST(CAST(SUM(COALESCE(ql, qloov)) AS BIGINT) AS DOUBLE)
+          |    / 1000000000) / COUNT(*) AS avg_neg_logp
+          |  FROM w LEFT JOIN q USING (word), oov GROUP BY doc_id),
+          |cuts AS (SELECT quantile_cont(avg_neg_logp, 1.0/3) AS p33,
+          |    quantile_cont(avg_neg_logp, 2.0/3) AS p66 FROM sc)
+          |SELECT doc_id, avg_neg_logp,
+          |  CASE WHEN avg_neg_logp <= p33 THEN 'head'
+          |       WHEN avg_neg_logp <= p66 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM sc, cuts""".stripMargin),
+      "CCNet perplexity thirds: one percentile aggregate broadcast, row-local assignment."),
+
+    QueryDef(
+      "mm_manifest",
+      (s, dir) => {
+        // Multimodal training-record assembly: the manifest join that
+        // packs one training sample per document — text metadata, the
+        // aligned embedding's norm, the media-presence flag, and a
+        // deterministic shard assignment for the downstream writer.
+        // Scale shape: ONE equi-join on the id (both sides shuffle by
+        // the key once — or zero times when the lake bucketed them);
+        // everything else is row-local arithmetic. Determinism: the
+        // norm is the codegen'd sequential-fold dot (== DuckDB
+        // list_dot_product, the verified convention); sqrt is an
+        // exact-rounded IEEE op on an identical double; the shard is a
+        // Knuth multiplicative hash on the id — pure integers.
+        graft.functions.VectorFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            call_function("graft_dot",
+              col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>")).as("e2"))
+        t(s, dir, "documents")
+          .join(emb, col("doc_id") === col("vec_id"), "left")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (col("doc_id") % 3 === 0).cast("int").as("has_image"),
+            sqrt(col("e2")).as("emb_norm"),
+            (col("doc_id") * 2654435761L % 16).cast("int").as("shard"))
+      },
+      Some(
+        """SELECT doc_id, source, n_chars,
+          |CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS has_image,
+          |sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+          |  CAST(embedding AS DOUBLE[]))) AS emb_norm,
+          |CAST(doc_id * 2654435761 % 16 AS INT) AS shard
+          |FROM documents LEFT JOIN embeddings ON doc_id = vec_id""".stripMargin),
+      "Training-manifest assembly: doc ⋈ embedding, media flag, norm, shard routing."))
 }
