@@ -1067,5 +1067,58 @@ object DedupQueries {
            |JOIN documents db ON doc_b = db.doc_id
            |WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
            |    / greatest(length(da.text), length(db.text)) >= 0.4""".stripMargin),
-      "Levenshtein verification of LSH candidates: the order-sensitive near-dup verdict."))
+      "Levenshtein verification of LSH candidates: the order-sensitive near-dup verdict."),
+
+    QueryDef(
+      "dedup_winnow",
+      (s, dir) => {
+        // Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+        // the MOSS local fingerprinting scheme): hash every k-gram,
+        // slide a w-gram window, keep each window's minimal hash
+        // (leftmost on ties). Guarantees any shared substring of
+        // length ≥ w+k-1 contributes a shared fingerprint, at ~2/(w+1)
+        // the k-gram density — the position-aware complement to the
+        // whole-doc MinHash path (dedup_minhash_*): joining on fp
+        // finds WHERE two docs overlap, not just that they do.
+        //
+        // Scale shape (100 TB): fingerprint selection is entirely
+        // row-local (nested higher-order transforms over in-row
+        // arrays — a map stage fused into the scan; a hot path would
+        // lower it into one native expression like the minhash
+        // signatures). The (h, pos) pair is packed into one BIGINT
+        // (h·10⁶ + pos, pos < 10⁶ by the same per-doc length cap every
+        // gram stage here assumes) so window selection is a plain
+        // integer min and per-doc dedup is array_distinct — no struct
+        // comparisons, no shuffle. Downstream bucket-joins shuffle
+        // (fp)-keyed 16-byte rows. Determinism: md5-derived 32-bit
+        // hashes, integer min, leftmost tiebreak — identical in both
+        // engines; docs shorter than w+k-1 chars (no full window)
+        // are excluded by both.
+        val k = 4; val w = 5
+        t(s, dir, "documents")
+          .where(length(col("text")) >= k + w - 1)
+          .select(col("doc_id"), expr(
+            s"""transform(sequence(1, length(text) - $k + 1), i ->
+               |  cast(conv(substring(md5(cast(substring(text, i, $k) as binary)),
+               |    1, 8), 16, 10) as bigint) * 1000000 + i)""".stripMargin).as("enc"))
+          .select(col("doc_id"), explode(array_distinct(expr(
+            s"transform(sequence(1, size(enc) - $w + 1), j -> array_min(slice(enc, j, $w)))")))
+            .as("u"))
+          .select(col("doc_id"),
+            (col("u") % 1000000).cast("int").as("pos"),
+            expr("u div 1000000").as("fp"))
+      },
+      Some(
+        """WITH g AS (SELECT doc_id,
+          |    list_transform(generate_series(1, len(text) - 4 + 1), i ->
+          |      CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 8)) AS BIGINT)
+          |        * 1000000 + i) AS enc
+          |  FROM documents WHERE len(text) >= 8),
+          |sel AS (SELECT doc_id,
+          |    list_distinct(list_transform(generate_series(1, len(enc) - 5 + 1), j ->
+          |      list_aggregate(list_slice(enc, j, j + 4), 'min'))) AS fps
+          |  FROM g)
+          |SELECT doc_id, CAST(u % 1000000 AS INT) AS pos, u // 1000000 AS fp
+          |FROM (SELECT doc_id, unnest(fps) AS u FROM sel)""".stripMargin),
+      "Winnowing (MOSS) fingerprints: windowed-min k-gram hashes, position-aware local dedup."))
 }
