@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-pipeline expressions.
@@ -310,6 +310,71 @@ case class WordEntropyQ(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003) in
+  * one pass: hash every k-char gram (first 8 hex chars of md5, as a
+  * 32-bit int), encode (hash, 1-based position) as hash·10⁶ + pos,
+  * take each w-gram window's minimum with a monotonic deque — O(n)
+  * total vs the O(n·w) interpreted nested-HOF formulation — and emit
+  * the DISTINCT selections in first-occurrence order.
+  *
+  * Exactly matches the relational form (and the DuckDB oracle):
+  * `array_distinct(transform(sequence(1, n-w+1), j ->
+  *   array_min(slice(enc, j, w))))` over
+  * `enc = transform(sequence(1, length(text)-k+1), i ->
+  *   conv(substring(md5(substring(text, i, k)), 1, 8), 16, 10)·10⁶ + i)`.
+  * Gram positions count CODE POINTS (Spark `length`/`substring` and
+  * DuckDB `len`/`substr` semantics), bytes are UTF-8 for the md5.
+  * Returns an empty array when the text is shorter than w+k-1 (no
+  * full window) — callers filter those rows to mirror the oracle. */
+case class WinnowEnc(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val enc = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val gram = new String(cps, i, k).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = md.digest(gram)
+      // first 4 digest bytes == first 8 lowercase hex chars
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      enc(i) = h * 1000000L + (i + 1)
+      i += 1
+    }
+    // monotonic ascending deque of candidate minima over the w-window
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    val out = new java.util.ArrayList[Any]()
+    val seen = new java.util.HashSet[Long]()
+    var j = 0
+    while (j < n) {
+      while (tail > head && enc(deque(tail - 1)) >= enc(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) {
+        val m = enc(deque(head))
+        if (seen.add(m)) out.add(m)
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   /** Register SQL-callable forms once per session; idempotent.
     * graft_minhash4 = 4 bands of 8 hex chars at offsets 1/9/17/25. */
@@ -328,5 +393,7 @@ object TextExpressions {
       "graft_maxfreq", exprs => MaxFreq(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_entropy_q", exprs => WordEntropyQ(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow45", exprs => WinnowEnc(exprs.head, 4, 5), "built-in")
   }
 }

@@ -1082,10 +1082,13 @@ object DedupQueries {
         // finds WHERE two docs overlap, not just that they do.
         //
         // Scale shape (100 TB): fingerprint selection is entirely
-        // row-local (nested higher-order transforms over in-row
-        // arrays — a map stage fused into the scan; a hot path would
-        // lower it into one native expression like the minhash
-        // signatures). The (h, pos) pair is packed into one BIGINT
+        // row-local — the native WinnowEnc expression does the whole
+        // hash + windowed-min (monotonic deque, O(n) vs the nested
+        // HOFs' interpreted O(n·w)) + distinct in one JVM call per
+        // row, so the stage is a pure map fused into the scan.
+        // WinnowSpec pins it element-for-element against the
+        // relational transform/slice/array_min formulation.
+        // The (h, pos) pair is packed into one BIGINT
         // (h·10⁶ + pos, pos < 10⁶ by the same per-doc length cap every
         // gram stage here assumes) so window selection is a plain
         // integer min and per-doc dedup is array_distinct — no struct
@@ -1095,15 +1098,11 @@ object DedupQueries {
         // engines; docs shorter than w+k-1 chars (no full window)
         // are excluded by both.
         val k = 4; val w = 5
+        graft.functions.expr.TextExpressions.register(s)
         t(s, dir, "documents")
           .where(length(col("text")) >= k + w - 1)
-          .select(col("doc_id"), expr(
-            s"""transform(sequence(1, length(text) - $k + 1), i ->
-               |  cast(conv(substring(md5(cast(substring(text, i, $k) as binary)),
-               |    1, 8), 16, 10) as bigint) * 1000000 + i)""".stripMargin).as("enc"))
-          .select(col("doc_id"), explode(array_distinct(expr(
-            s"transform(sequence(1, size(enc) - $w + 1), j -> array_min(slice(enc, j, $w)))")))
-            .as("u"))
+          .select(col("doc_id"),
+            explode(call_function("graft_winnow45", col("text"))).as("u"))
           .select(col("doc_id"),
             (col("u") % 1000000).cast("int").as("pos"),
             expr("u div 1000000").as("fp"))
