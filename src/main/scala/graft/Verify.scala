@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Dev-loop helper: dump oracle_sql.json WITHOUT running any Spark query
+  * (the registry is a pure map), so tools/oracle_check.py can budget and
+  * replay the DuckDB side of the contract in seconds. */
+object DumpOracles {
+  def main(args: Array[String]): Unit =
+    Files.writeString(Paths.get(args(0)),
+      queries.OracleJson.obj(SparkEntry.oracleSql))
+}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -41,24 +50,12 @@ object Verify {
       // 60+-query run doesn't accumulate executor storage
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // strict JSON escaping lives in OracleJson (shared with the
+    // OracleGuardSpec local guard so both emit identical bytes)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      queries.OracleJson.obj(SparkEntry.oracleSql))
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      queries.OracleJson.obj(errors))
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

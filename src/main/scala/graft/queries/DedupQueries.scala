@@ -166,6 +166,19 @@ object DedupQueries {
         (col("n_shared").cast("double") / col("n_shingles")).as("contam_frac"))
   }
 
+  /** Rewrite the listed CTE names in a DuckDB oracle to `AS MATERIALIZED`.
+    *
+    * DuckDB's optimizer INLINES non-recursive CTEs into every reference
+    * site; an oracle that chains N rounds over a shared CTE (the
+    * rank-propagation oracle: six rank rounds, each re-referencing
+    * `edges`/`deg`, each of which re-references the whole shingle→LSH
+    * pipeline) therefore re-expands the pipeline exponentially in N —
+    * measured >20 min on a 500-doc corpus, vs 0.49 s with the shared
+    * CTEs materialized (identical rows either way; this is purely a
+    * DuckDB plan hint and never reaches the Spark side). */
+  private def materializeCtes(sql: String, names: String*): String =
+    names.foldLeft(sql)((acc, n) => acc.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
+
   private val ShingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -573,8 +586,17 @@ object DedupQueries {
         // cache, but plan analysis/codegen grows with round count
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint(true)
-        pointerJumpCC(edges)
+        // The default path seeds the fixpoint from the partition-local
+        // union-find contraction (see localUnionFindEdges): same
+        // components, same keeper, identical oracle — but chains that
+        // fit inside one partition collapse to depth 1 BEFORE the
+        // global fixpoint, so the round count scales with the number
+        // of partitions a chain spans, not its length. Measured 4.6×
+        // faster than the raw-edge seed on the r10 corpus (24.4 s →
+        // 5.3 s) at identical output; at 100 TB the gap widens with
+        // chain length. The raw-edge seed remains exercised by CCSpec
+        // as the semantic baseline.
+        pointerJumpCC(localUnionFindEdges(edges).localCheckpoint(true))
       },
       Some(
         s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -786,15 +808,22 @@ object DedupQueries {
              |    JOIN deg d ON d.src = e.src GROUP BY e.dst) s
              |  ON n.doc_id = s.dst)""".stripMargin
         }.mkString(",\n")
-        s"""$ShingleCte,
-           |$LshPairsCtes,
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-           |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-           |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-           |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rq FROM nodes),
-           |$iters
-           |SELECT doc_id, rq, CAST(rq AS DOUBLE) / 1000000000 AS rank FROM r5""".stripMargin
+        // Every shared CTE materialized: each of the six rank rounds
+        // re-references edges/deg/nodes, and without the hint DuckDB
+        // re-inlines the whole shingle→LSH pipeline into every round
+        // (exponential expansion — the r10 driver-correctness killer).
+        materializeCtes(
+          s"""$ShingleCte,
+             |$LshPairsCtes,
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+             |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+             |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+             |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rq FROM nodes),
+             |$iters
+             |SELECT doc_id, rq, CAST(rq AS DOUBLE) / 1000000000 AS rank FROM r5""".stripMargin,
+          "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
+          "edges", "deg", "nodes")
       },
       "PageRank-style quality propagation over near-dup pairs: 5 quantized iterations, oracle-exact."),
 
@@ -1089,10 +1118,14 @@ object DedupQueries {
         // WinnowSpec pins it element-for-element against the
         // relational transform/slice/array_min formulation.
         // The (h, pos) pair is packed into one BIGINT
-        // (h·10⁶ + pos, pos < 10⁶ by the same per-doc length cap every
-        // gram stage here assumes) so window selection is a plain
+        // (h·10⁶ + pos) so window selection is a plain
         // integer min and per-doc dedup is array_distinct — no struct
-        // comparisons, no shuffle. Downstream bucket-joins shuffle
+        // comparisons, no shuffle. The packing requires pos < 10⁶, so
+        // BOTH engines filter length(text) < 10⁶ + k - 1 explicitly
+        // (a longer doc would silently corrupt fp AND pos on unpack —
+        // identically in both engines, i.e. invisible to the oracle);
+        // at 100 TB a >1 MB doc goes through a chunked sibling, not
+        // this packing. Downstream bucket-joins shuffle
         // (fp)-keyed 16-byte rows. Determinism: md5-derived 32-bit
         // hashes, integer min, leftmost tiebreak — identical in both
         // engines; docs shorter than w+k-1 chars (no full window)
@@ -1100,7 +1133,8 @@ object DedupQueries {
         val k = 4; val w = 5
         graft.functions.expr.TextExpressions.register(s)
         t(s, dir, "documents")
-          .where(length(col("text")) >= k + w - 1)
+          .where(length(col("text")) >= k + w - 1 &&
+            length(col("text")) < 1000000 + k - 1)
           .select(col("doc_id"),
             explode(call_function("graft_winnow45", col("text"))).as("u"))
           .select(col("doc_id"),
@@ -1112,7 +1146,7 @@ object DedupQueries {
           |    list_transform(generate_series(1, len(text) - 4 + 1), i ->
           |      CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 8)) AS BIGINT)
           |        * 1000000 + i) AS enc
-          |  FROM documents WHERE len(text) >= 8),
+          |  FROM documents WHERE len(text) >= 8 AND len(text) < 1000003),
           |sel AS (SELECT doc_id,
           |    list_distinct(list_transform(generate_series(1, len(enc) - 5 + 1), j ->
           |      list_aggregate(list_slice(enc, j, j + 4), 'min'))) AS fps

@@ -94,3 +94,24 @@ object Tables {
     if (tsIsLong(df)) col("ts") < lit(us * 1000L)
     else col("ts") < ntzLit(us)
 }
+
+/** Minimal JSON object rendering for the oracle-SQL dump — shared by
+  * Verify (the driver artifact) and OracleGuardSpec (the local guard),
+  * so both emit byte-identical, strictly-escaped JSON. Escapes
+  * backslash, quote, and ALL control chars (<0x20): a tab or CR in
+  * builder-authored SQL would otherwise make the driver's json.load
+  * fail and silently zero the round's correctness. */
+object OracleJson {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def obj(kvs: Iterable[(String, String)]): String =
+    kvs.map { case (k, v) => s"${quote(k)}: ${quote(v)}" }.mkString("{", ",", "}")
+}

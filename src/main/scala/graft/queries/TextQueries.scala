@@ -1377,14 +1377,19 @@ object TextQueries {
           .select(col("doc_id"), col("source"), col("n_chars"),
             (col("doc_id") % 3 === 0).cast("int").as("has_image"),
             sqrt(col("e2")).as("emb_norm"),
-            (col("doc_id") * 2654435761L % 16).cast("int").as("shard"))
+            // pre-reduce mod 1000003 before the Knuth multiply (the
+            // t_split_assign convention): 1000003·2654435761 < 2^63,
+            // so the product can never wrap for ANY doc_id — an
+            // unguarded multiply wraps (negative shard) in Spark while
+            // DuckDB errors on BIGINT overflow, a cross-engine split
+            (col("doc_id") % 1000003L * 2654435761L % 16).cast("int").as("shard"))
       },
       Some(
         """SELECT doc_id, source, n_chars,
           |CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS has_image,
           |sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
           |  CAST(embedding AS DOUBLE[]))) AS emb_norm,
-          |CAST(doc_id * 2654435761 % 16 AS INT) AS shard
+          |CAST(doc_id % 1000003 * 2654435761 % 16 AS INT) AS shard
           |FROM documents LEFT JOIN embeddings ON doc_id = vec_id""".stripMargin),
       "Training-manifest assembly: doc ⋈ embedding, media flag, norm, shard routing."))
 }

@@ -75,6 +75,49 @@ class StreamingJsonSpec extends AnyFunSuite {
       "unexpected second stateful operator (join state?)")
   }
 
+  test("sliding windows over a real file stream: overlap expansion, append-mode close, state eviction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("slide").toString + "/data"
+    val base = 1704067200000L // 2024-01-01T00:00Z (15-min aligned)
+    // batch 1: two clicks 16 min apart — each lands in FOUR overlapping
+    // 1h/15min windows, three of which they share — plus a sentinel 3 h
+    // ahead (type "late", its windows stay open and must NOT emit)
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 10000L), "click", 1.50),
+      (new java.sql.Timestamp(base + 960000L), "click", 2.25),
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000), "late", 9.99))
+      .toDF("ts", "event_type", "value"), dir, base)
+    // batch 2: spacer — emission engages the batch AFTER the watermark
+    // (computed from batch 1's max event time) advances
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000 + 60000L), "late", 0.01))
+      .toDF("ts", "event_type", "value"), dir, base + 60000)
+
+    val src = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val ev = src.select(col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value"))
+    val agg = StreamingAnalytics.windowedCounts(ev, "1 hour", "15 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("slideout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("slideout").orderBy("window_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime - base,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("total")))
+    // t=+10s covers starts {-45,-30,-15,0} min; t=+16min covers
+    // {-30,-15,0,+15}: 5 distinct windows, 3 shared — the sliding
+    // overlap factor made visible, closed and emitted by the watermark
+    assert(out.toSeq === Seq(
+      (-2700000L, "click", 1L, 150L),
+      (-1800000L, "click", 2L, 375L),
+      (-900000L, "click", 2L, 375L),
+      (0L, "click", 2L, 375L),
+      (900000L, "click", 1L, 225L)), out.mkString(","))
+    assert(sumRemoved(q) >= 5, "closed sliding-window state was not evicted")
+  }
+
   test("dedupWithinWatermark drops replays inside the horizon, re-admits after eviction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ddww").toString + "/data"
