@@ -890,5 +890,68 @@ object AnalyticsQueries {
           |COUNT(*) AS n_orders
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin),
-      "GROUPING SETS margins: per-priority, per-status, and grand total in one pass."))
+      "GROUPING SETS margins: per-priority, per-status, and grand total in one pass."),
+
+    QueryDef(
+      "q_hll_distinct",
+      (s, dir) => {
+        // HyperLogLog distinct-count per event_type — the register-max
+        // sketch that complements q_kmv_distinct's bottom-k: m=64
+        // registers, register j keeps max(rho) where rho = leading
+        // zeros of the hashed value's upper 26 bits + 1, estimate =
+        // alpha·m²/Σ2^-M_j (Flajolet et al. 2007, raw estimator).
+        // Cross-engine determinism without ANY float log: the hash is
+        // the guarded Knuth multiply (pure integers), rho comes from
+        // the BINARY STRING LENGTH of v (= floor(log2)+1 exactly, both
+        // engines), 2^-M terms are exact powers of two spanning < 53
+        // bits so the 64-term sum is EXACT in IEEE double under any
+        // order. Scale shape: register table is a map-side-combinable
+        // (type, bucket) max-agg → 64 rows per type regardless of
+        // corpus size (mergeable across any partitioning — the whole
+        // point of HLL at 100 TB); the exact countDistinct alongside is
+        // the eval yardstick.
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"),
+            (col("user_id") % 1000003L * 2654435761L % 4294967296L).as("h"))
+        val reg = ev
+          .select(col("event_type"), (col("h") % 64).as("b"),
+            expr("h DIV 64").as("v"))
+          .select(col("event_type"), col("b"),
+            when(col("v") === 0, 27)
+              .otherwise(lit(27) - length(bin(col("v")))).as("rho"))
+          .groupBy("event_type", "b").agg(max("rho").as("m"))
+        val grid = ev.select("event_type").distinct()
+          .crossJoin(s.range(64).select(col("id").as("b")))
+        val est = grid.join(reg, Seq("event_type", "b"), "left")
+          .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
+          .groupBy("event_type")
+          .agg(sum(pow(lit(2.0), -col("m"))).as("z"),
+            sum((col("m") > 0).cast("int")).as("hit"))
+          .select(col("event_type"),
+            (lit(0.709) * 4096 / col("z")).as("hll_est"),
+            col("hit").cast("int").as("n_buckets_hit"))
+        Tables.t(s, dir, "events")
+          .groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+          .join(est, "event_type")
+      },
+      Some(
+        """WITH ev AS (SELECT event_type,
+          |    user_id % 1000003 * 2654435761 % 4294967296 AS h FROM events),
+          |r AS (SELECT event_type, h % 64 AS b,
+          |    CASE WHEN h // 64 = 0 THEN 27
+          |         ELSE 27 - length(printf('%b', h // 64)) END AS rho FROM ev),
+          |reg AS (SELECT event_type, b, MAX(rho) AS m FROM r GROUP BY 1, 2),
+          |g2 AS (SELECT event_type, i AS b
+          |  FROM (SELECT DISTINCT event_type FROM events), unnest(range(64)) AS ti(i)),
+          |fb AS (SELECT g2.event_type, COALESCE(reg.m, 0) AS m FROM g2
+          |  LEFT JOIN reg ON g2.event_type = reg.event_type AND g2.b = reg.b),
+          |agg AS (SELECT event_type, SUM(power(2.0, -m)) AS z,
+          |    SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS hit FROM fb GROUP BY 1),
+          |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          |  FROM events GROUP BY 1)
+          |SELECT ex.event_type, n_exact,
+          |  CAST(0.709 AS DOUBLE) * 4096 / z AS hll_est,
+          |  CAST(hit AS INT) AS n_buckets_hit
+          |FROM ex JOIN agg USING (event_type)""".stripMargin),
+      "HyperLogLog (m=64) distinct users per event type vs exact, log-free registers."))
 }

@@ -1153,5 +1153,66 @@ object DedupQueries {
           |  FROM g)
           |SELECT doc_id, CAST(u % 1000000 AS INT) AS pos, u // 1000000 AS fp
           |FROM (SELECT doc_id, unnest(fps) AS u FROM sel)""".stripMargin),
-      "Winnowing (MOSS) fingerprints: windowed-min k-gram hashes, position-aware local dedup."))
+      "Winnowing (MOSS) fingerprints: windowed-min k-gram hashes, position-aware local dedup."),
+
+    QueryDef(
+      "dedup_incremental",
+      (s, dir) => {
+        // Incremental (delta-vs-corpus) dedup — the production shape:
+        // a new ingest batch (doc_id%5==0 here) is checked against the
+        // EXISTING corpus index without ever re-joining the corpus with
+        // itself. Two probes per batch doc: (1) exact — content
+        // fingerprint against the base fp index; (2) near — the doc's
+        // 4 MinHash band keys against the base's distinct band-bucket
+        // set (any collision = LSH candidate, same banding as
+        // dedup_lsh_verified). Scale shape: both probes are
+        // (key)-shuffle joins where one side is O(delta) — AQE
+        // broadcasts the batch side when the delta is small; the
+        // corpus-side fp and band indexes are exactly what a 100 TB
+        // lake would keep materialized between ingests, so the
+        // per-batch cost is O(delta + index lookups), never O(corpus²)
+        // and never a corpus rescan per batch.
+        val d = t(s, dir, "documents")
+        val baseFp = d.where(col("doc_id") % 5 =!= 0)
+          .select(md5(col("text").cast("binary")).as("fp"))
+          .groupBy("fp").agg(count("*").as("n_fp"))
+        val bands = minhashSig(s, dir)
+          .select(col("doc_id"), posexplode(
+            array(MinhashBands.map(b => col(b._1)): _*)).as(Seq("band", "bkey")))
+        val baseBands = bands.where(col("doc_id") % 5 =!= 0)
+          .select("band", "bkey").distinct()
+        val near = bands.where(col("doc_id") % 5 === 0)
+          .join(baseBands, Seq("band", "bkey"), "left_semi")
+          .select("doc_id").distinct().withColumn("hit", lit(1))
+        d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+          .join(baseFp, Seq("fp"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("n_fp").isNotNull.cast("int").as("is_exact_dup"),
+            coalesce(col("n_fp"), lit(0L)).as("n_exact_matches"),
+            coalesce(col("hit"), lit(0)).cast("int").as("is_near_candidate"))
+      },
+      Some(materializeCtes(
+        s"""$ShingleCte,
+           |sig AS (SELECT doc_id, ${bandMinSql.mkString(", ")} FROM sh GROUP BY doc_id),
+           |bands AS (${MinhashBands.map(_._1).zipWithIndex.map { case (n, b) =>
+          s"SELECT doc_id, $b AS band, $n AS bkey FROM sig" }.mkString(" UNION ALL ")}),
+           |baseb AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 5 <> 0),
+           |near AS (SELECT DISTINCT b.doc_id FROM bands b
+           |  JOIN baseb ON b.band = baseb.band AND b.bkey = baseb.bkey
+           |  WHERE b.doc_id % 5 = 0),
+           |basefp AS (SELECT md5(text) AS fp, COUNT(*) AS n_fp
+           |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(CASE WHEN basefp.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_exact_dup,
+           |  CAST(COALESCE(basefp.n_fp, 0) AS BIGINT) AS n_exact_matches,
+           |  CAST(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           |    AS is_near_candidate
+           |FROM documents d
+           |LEFT JOIN basefp ON md5(d.text) = basefp.fp
+           |LEFT JOIN near ON d.doc_id = near.doc_id
+           |WHERE d.doc_id % 5 = 0""".stripMargin,
+        "sh", "sig", "bands")),
+      "Incremental dedup: delta batch probed against corpus fp + LSH band indexes."))
 }

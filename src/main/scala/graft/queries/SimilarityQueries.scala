@@ -1123,5 +1123,46 @@ object SimilarityQueries {
           |   FROM xc JOIN d2 USING (vec_id) GROUP BY dim)
           |SELECT CAST(dim AS INT) AS dim, CAST(s2 AS DOUBLE) / 1000 / n AS pc
           |FROM s2, nd""".stripMargin),
-      "Top principal component: two quantized power-iteration rounds over centered embeddings."))
+      "Top principal component: two quantized power-iteration rounds over centered embeddings."),
+
+    QueryDef(
+      "sim_hard_negatives",
+      (s, dir) => {
+        // Hard-negative mining for contrastive training: per query, the
+        // top-3 most-similar vectors whose LABEL DIFFERS — the
+        // highest-value negatives for a batch sampler. Scale shape:
+        // both custom operators again (fused AllPairsCosine scoring ×
+        // broadcast queries, then TopKPerKey heap-pruning per scan
+        // partition BEFORE the shuffle), with one twist: AllPairsCosine
+        // children are exactly (id, vec), so the label rides INSIDE the
+        // id (id·16+label, labels are 0..9 < 16) and is unpacked
+        // row-locally after scoring — the label filter costs ZERO extra
+        // joins or shuffles at any scale, vs shuffling the corpus label
+        // table against |corpus|·|queries| scored pairs.
+        val u = unitEmb(s, dir)
+        val corpus = u.select((col("vec_id") * 16 + col("label")).as("id"), col("u"))
+        val q = u.where(col("vec_id") < 20)
+          .select((col("vec_id") * 16 + col("label")).as("qid"), col("u").as("qu"))
+        val scored = graft.plans.GraftOps
+          .allPairsCosine(corpus, q, -2.0, ltOnly = false)
+          .select(expr("qid DIV 16").as("query_id"), (col("qid") % 16).as("ql"),
+            expr("id DIV 16").as("neighbor_id"),
+            (col("id") % 16).cast("int").as("n_label"), col("cos"))
+          .where(col("ql") =!= col("n_label"))
+          .select("query_id", "neighbor_id", "n_label", "cos")
+        val top = graft.plans.GraftOps.topKPerKey(
+          scored, Seq("query_id"), 3, "-cos", "+neighbor_id")
+        top.withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      },
+      Some(
+        s"""$UnitCte,
+           |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  CAST(b.label AS INT) AS n_label, list_dot_product(a.u, b.u) AS cos
+           |  FROM (SELECT * FROM un WHERE vec_id < 20) a
+           |  JOIN un b ON a.label <> b.label)
+           |SELECT query_id, neighbor_id, n_label, cos, CAST(rk AS INT) AS rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, neighbor_id) AS rk FROM p) WHERE rk <= 3""".stripMargin),
+      "Hard-negative mining: top-3 cross-label cosine neighbors per query."))
 }

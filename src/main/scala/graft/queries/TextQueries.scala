@@ -1391,5 +1391,141 @@ object TextQueries {
           |  CAST(embedding AS DOUBLE[]))) AS emb_norm,
           |CAST(doc_id % 1000003 * 2654435761 % 16 AS INT) AS shard
           |FROM documents LEFT JOIN embeddings ON doc_id = vec_id""".stripMargin),
-      "Training-manifest assembly: doc ⋈ embedding, media flag, norm, shard routing."))
+      "Training-manifest assembly: doc ⋈ embedding, media flag, norm, shard routing."),
+
+    QueryDef(
+      "t_pmi_colloc",
+      (s, dir) => {
+        // Pointwise-mutual-information collocations — the classic
+        // phrase-mining signal (Church & Hanks 1990) for tokenizer
+        // vocab construction and n-gram merges:
+        //   pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )
+        //             = ln( c12·T·T / (N·c1·c2) ).
+        // Scale shape: bigram and unigram counts are both map-side
+        // combinable word-key shuffles; the min-count filter (c12>=5)
+        // runs BEFORE the two unigram joins, so only surviving
+        // collocations — a vanishing fraction of the bigram space —
+        // ever join; the two 1-row totals broadcast. Determinism: both
+        // engines evaluate ln() on the identical double built from
+        // exact integer counts with identical operand order, then
+        // quantize to a 1e-9 integer (the unigram-LM convention).
+        val d = t(s, dir, "documents")
+        val toks = d.select(explode(split(col("text"), " ")).as("word"))
+        val uc = toks.groupBy("word").agg(count("*").as("c"))
+        val tot = toks.agg(count("*").as("t"))
+        val bg = d.where(size(split(col("text"), " ")) >= 2)
+          .select(split(col("text"), " ").as("ws"))
+          .select(explode(transform(
+            sequence(lit(1), size(col("ws")) - 1),
+            i => struct(
+              element_at(col("ws"), i).as("w1"),
+              element_at(col("ws"), i + 1).as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val nTot = bg.agg(count("*").as("n"))
+        val bc = bg.groupBy("w1", "w2").agg(count("*").as("c12"))
+          .where(col("c12") >= 5)
+        bc.join(uc.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
+          .join(uc.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(nTot))
+          .select(col("w1"), col("w2"), col("c12").cast("int").as("c12"),
+            round(log(col("c12").cast("double") * col("t") * col("t") /
+              (col("n").cast("double") * col("c1") * col("c2"))) * 1000000000)
+              .cast("long").as("pmi_q"))
+      },
+      Some(
+        """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |uc AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+          |w AS (SELECT string_split(text, ' ') AS ws FROM documents
+          |      WHERE len(string_split(text, ' ')) >= 2),
+          |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+          |       FROM w, unnest(range(1, len(ws))) AS ti(i)),
+          |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+          |       HAVING COUNT(*) >= 5)
+          |SELECT w1, w2, CAST(c12 AS INT) AS c12,
+          |  CAST(ROUND(ln(CAST(c12 AS DOUBLE) * (SELECT COUNT(*) FROM toks)
+          |      * (SELECT COUNT(*) FROM toks)
+          |    / (CAST((SELECT COUNT(*) FROM bg) AS DOUBLE) * u1.c * u2.c))
+          |    * 1000000000) AS BIGINT) AS pmi_q
+          |FROM bc JOIN uc u1 ON bc.w1 = u1.word
+          |        JOIN uc u2 ON bc.w2 = u2.word""".stripMargin),
+      "PMI collocation mining: quantized ln(c12·T²/(N·c1·c2)), min-count 5."),
+
+    QueryDef(
+      "t_cms_heavy",
+      (s, dir) => {
+        // Count-min-sketch heavy hitters: a 4×512 integer sketch built
+        // from EXACT word counts (add c to cell (r, h_r(w)) for each of
+        // 4 hash rows), then the top-20 exact heavy hitters re-queried
+        // against it — est = min_r cell[r][h_r(w)], always >= exact
+        // (the CMS one-sided error). The 4 row hashes are carved from
+        // one md5 per word at hex offsets 1/9/17/25 — the same
+        // k-hashes-from-one-digest trick as the MinHash bands, and the
+        // cross-engine integer bridge is conv(hex,16,10) ==
+        // CAST('0x'||hex AS BIGINT). Scale shape: word counts are the
+        // map-side-combinable shuffle; the sketch is a CONSTANT 2048
+        // cells regardless of corpus size (the entire point of CMS at
+        // 100 TB — it broadcasts anywhere); top-k is
+        // TakeOrderedAndProject; the final probe joins 80 rows.
+        val offs = Seq(1, 9, 17, 25)
+        def buckets(w: org.apache.spark.sql.Column) =
+          posexplode(array(offs.map(o =>
+            conv(substring(md5(w), o, 8), 16, 10).cast("long") % 512): _*))
+        val wc = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count("*").as("c"))
+        val sketch = wc
+          .select(col("c"), buckets(col("w")).as(Seq("r", "bucket")))
+          .groupBy("r", "bucket").agg(sum("c").as("cell"))
+        val top = wc.orderBy(col("c").desc, col("w").asc).limit(20)
+        top.select(col("w"), col("c"), buckets(col("w")).as(Seq("r", "bucket")))
+          .join(sketch, Seq("r", "bucket"))
+          .groupBy("w", "c").agg(min("cell").as("est"))
+          .select(col("w"), col("c").as("c_exact"), col("est").as("cms_est"),
+            (col("est") - col("c")).as("overcount"))
+      },
+      Some(
+        """WITH wc AS (SELECT w, COUNT(*) AS c FROM
+          |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+          |h AS (SELECT w, c, r, CAST(concat('0x', substr(md5(w),
+          |    CASE r WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 17 ELSE 25 END, 8))
+          |    AS BIGINT) % 512 AS bucket
+          |  FROM wc, unnest([0, 1, 2, 3]) AS tr(r)),
+          |sk AS (SELECT r, bucket, SUM(c) AS cell FROM h GROUP BY 1, 2),
+          |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20)
+          |SELECT top.w, CAST(top.c AS BIGINT) AS c_exact,
+          |  CAST(MIN(cell) AS BIGINT) AS cms_est,
+          |  CAST(MIN(cell) - top.c AS BIGINT) AS overcount
+          |FROM top JOIN h ON top.w = h.w
+          |         JOIN sk ON h.r = sk.r AND h.bucket = sk.bucket
+          |GROUP BY top.w, top.c""".stripMargin),
+      "Count-min-sketch (4×512) heavy hitters: exact top-20 vs sketch estimate."),
+
+    QueryDef(
+      "t_shard_shuffle",
+      (s, dir) =>
+        // Deterministic global shuffle for training-shard writes: a
+        // seeded multiplicative hash gives every doc a pseudo-random
+        // sort key, docs route to shard = key%8, and `pos` is the
+        // within-shard write order. This is the relational statement of
+        // `repartition(nShards).sortWithinPartitions(key)` — the
+        // standard reproducible-shuffle pattern for dataset epochs
+        // (reshuffle = change the seed constant). Scale shape: ONE
+        // hash-partition shuffle + in-partition sort; no global sort,
+        // no skew (the hash is uniform); shard count scales with the
+        // corpus so each window partition is one output file's worth.
+        // The pre-reduce % 1000003 before the Knuth multiply is the
+        // t_split_assign overflow guard (product < 2^63 always).
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 1000003L * 2654435761L % 1048573L).as("k"))
+          .select(col("doc_id"), (col("k") % 8).cast("int").as("shard"),
+            row_number().over(Window.partitionBy(col("k") % 8)
+              .orderBy(col("k"), col("doc_id"))).as("pos")),
+      Some(
+        """SELECT doc_id, CAST(k % 8 AS INT) AS shard,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS INT) AS pos
+          |FROM (SELECT doc_id,
+          |        doc_id % 1000003 * 2654435761 % 1048573 AS k
+          |      FROM documents)""".stripMargin),
+      "Deterministic epoch shuffle: seeded hash key → shard route + write order."))
 }

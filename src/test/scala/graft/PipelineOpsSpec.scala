@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-11 training-pipeline operators —
+  * properties the DuckDB oracle compare can't see (it only proves both
+  * engines agree, not that the shared semantics are right). */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("t_cms_heavy: sketch estimate is a one-sided overestimate") {
+    val rows = run("t_cms_heavy").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("c_exact")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS must never undercount: $r")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+  }
+
+  test("t_cms_heavy: estimate is exact when no bucket collides at this SF") {
+    // with 512 buckets x 4 rows and a few thousand distinct words the
+    // MIN over 4 rows should usually equal the exact count for the
+    // heavy hitters; require at least half exact so a broken hash
+    // (all words in one bucket) fails loudly
+    val rows = run("t_cms_heavy").collect()
+    val nExact = rows.count(r => r.getAs[Long]("overcount") == 0L)
+    assert(nExact * 2 >= rows.length, s"only $nExact/20 CMS-exact — hash degenerate?")
+  }
+
+  test("t_pmi_colloc: every surviving bigram meets the min count and PMI is finite") {
+    val rows = run("t_pmi_colloc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("c12") >= 5)
+      // quantized ln fits well inside +-50 nats
+      assert(math.abs(r.getAs[Long]("pmi_q")) < 50L * 1000000000L)
+    }
+  }
+
+  test("t_shard_shuffle: positions are a contiguous 1..n permutation per shard") {
+    val rows = run("t_shard_shuffle").collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getAs[Int]("pos")).sorted
+      assert(pos.toSeq == (1 to rs.length), s"shard $shard write order has gaps")
+    }
+    // deterministic: same seed -> same assignment on a re-run
+    val again = run("t_shard_shuffle").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+  }
+
+  test("dedup_incremental: one verdict row per batch doc; flags consistent") {
+    val rows = run("dedup_incremental").collect()
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    assert(ids.forall(_ % 5 == 0))
+    rows.foreach { r =>
+      val exactDup = r.getAs[Int]("is_exact_dup")
+      val n = r.getAs[Long]("n_exact_matches")
+      assert((exactDup == 1) == (n > 0), s"flag/count disagree: $r")
+    }
+  }
+
+  test("dedup_incremental: near-candidate flag agrees with a direct band probe") {
+    import org.apache.spark.sql.functions._
+    // an independent formulation: any batch doc sharing a FULL minhash
+    // signature with a base doc must be flagged as a near candidate
+    // (identical signature => all 4 bands collide)
+    val sig = run("dedup_minhash_sig")
+    val base = sig.where(col("doc_id") % 5 =!= 0)
+      .select(col("mh0"), col("mh1"), col("mh2"), col("mh3")).distinct()
+    val mustHit = sig.where(col("doc_id") % 5 === 0)
+      .join(base, Seq("mh0", "mh1", "mh2", "mh3"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = run("dedup_incremental")
+      .where(col("is_near_candidate") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mustHit.subsetOf(flagged),
+      s"sig-identical batch docs missing from near candidates: ${mustHit -- flagged}")
+  }
+
+  test("sim_hard_negatives: negatives really are cross-label and ranked by cosine") {
+    import org.apache.spark.sql.functions._
+    val rows = run("sim_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    val labels = SparkEntry.queries("sim_ivf_assign")(spark, sf) // has vec_id+label
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      // cosines non-increasing in rank
+      val cos = byRk.map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      rs.foreach { r =>
+        assert(labels(r.getAs[Long]("neighbor_id")) == r.getAs[Int]("n_label"))
+        assert(r.getAs[Int]("n_label") != labels(q), s"same-label negative for query $q")
+      }
+    }
+  }
+
+  test("q_hll_distinct: raw estimator lands within the m=64 error envelope") {
+    val rows = run("q_hll_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_est")
+      val hit = r.getAs[Int]("n_buckets_hit")
+      assert(hit >= 1 && hit <= 64)
+      // raw HLL (no small-range correction) biases HIGH at n << m; the
+      // standard error at m=64 is ~13%, so accept a generous band that
+      // still catches a broken register computation (off by 2x+)
+      assert(est > 0)
+      assert(est < exact * 3 + 200, s"HLL wildly high: est=$est exact=$exact")
+      assert(est > exact / 3 - 10, s"HLL wildly low: est=$est exact=$exact")
+    }
+  }
+}
