@@ -1176,9 +1176,13 @@ object DedupQueries {
         val baseFp = d.where(col("doc_id") % 5 =!= 0)
           .select(md5(col("text").cast("binary")).as("fp"))
           .groupBy("fp").agg(count("*").as("n_fp"))
+        // cached: 4 id-sized rows per doc feed BOTH the base index and
+        // the batch probe — without it each side recomputes the full
+        // minhash signature pass (the expensive stage) separately
         val bands = minhashSig(s, dir)
           .select(col("doc_id"), posexplode(
             array(MinhashBands.map(b => col(b._1)): _*)).as(Seq("band", "bkey")))
+          .cache()
         val baseBands = bands.where(col("doc_id") % 5 =!= 0)
           .select("band", "bkey").distinct()
         val near = bands.where(col("doc_id") % 5 === 0)

@@ -1410,10 +1410,17 @@ object TextQueries {
         // exact integer counts with identical operand order, then
         // quantize to a 1e-9 integer (the unigram-LM convention).
         val d = t(s, dir, "documents")
-        val toks = d.select(explode(split(col("text"), " ")).as("word"))
-        val uc = toks.groupBy("word").agg(count("*").as("c"))
-        val tot = toks.agg(count("*").as("t"))
-        val bg = d.where(size(split(col("text"), " ")) >= 2)
+        // ONE corpus scan feeds everything unigram-side: the word-count
+        // table is cached (vocab-sized — orders of magnitude below the
+        // corpus) and re-read for T and both collocation joins; the
+        // bigram total needs NO second pass because every doc emits
+        // exactly len(ws)-1 bigrams and len(ws)>=1 always (split("")
+        // = [""]), so N = T - |docs| identically.
+        val uc = d.select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count("*").as("c")).cache()
+        val docs = d.agg(count("*").as("d"))
+        val tot = uc.agg(sum("c").as("t"))
+        val bc = d.where(size(split(col("text"), " ")) >= 2)
           .select(split(col("text"), " ").as("ws"))
           .select(explode(transform(
             sequence(lit(1), size(col("ws")) - 1),
@@ -1421,9 +1428,9 @@ object TextQueries {
               element_at(col("ws"), i).as("w1"),
               element_at(col("ws"), i + 1).as("w2")))).as("p"))
           .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        val nTot = bg.agg(count("*").as("n"))
-        val bc = bg.groupBy("w1", "w2").agg(count("*").as("c12"))
+          .groupBy("w1", "w2").agg(count("*").as("c12"))
           .where(col("c12") >= 5)
+        val nTot = tot.crossJoin(docs).select((col("t") - col("d")).as("n"))
         bc.join(uc.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
           .join(uc.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
           .crossJoin(broadcast(tot)).crossJoin(broadcast(nTot))
@@ -1470,9 +1477,11 @@ object TextQueries {
         def buckets(w: org.apache.spark.sql.Column) =
           posexplode(array(offs.map(o =>
             conv(substring(md5(w), o, 8), 16, 10).cast("long") % 512): _*))
+        // cached: the vocab-sized count table feeds both the sketch
+        // build and the exact top-k — one corpus scan, not two
         val wc = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
-          .groupBy("w").agg(count("*").as("c"))
+          .groupBy("w").agg(count("*").as("c")).cache()
         val sketch = wc
           .select(col("c"), buckets(col("w")).as(Seq("r", "bucket")))
           .groupBy("r", "bucket").agg(sum("c").as("cell"))
