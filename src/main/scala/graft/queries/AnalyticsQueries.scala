@@ -953,5 +953,122 @@ object AnalyticsQueries {
           |  CAST(0.709 AS DOUBLE) * 4096 / z AS hll_est,
           |  CAST(hit AS INT) AS n_buckets_hit
           |FROM ex JOIN agg USING (event_type)""".stripMargin),
-      "HyperLogLog (m=64) distinct users per event type vs exact, log-free registers."))
+      "HyperLogLog (m=64) distinct users per event type vs exact, log-free registers."),
+
+    QueryDef(
+      "q_quantile_sketch",
+      (s, dir) => {
+        // Mergeable histogram quantiles — the at-scale replacement for
+        // exact sort-based percentiles: a 128-bin fixed-width histogram
+        // per event_type (map-side-combinable counts, CONSTANT size per
+        // key at any corpus — mergeable across any partitioning, unlike
+        // percentile() which buffers values), then each quantile reads
+        // the cumulative histogram: first bin whose running count
+        // reaches p·n, answer = the bin's upper edge (error <= 1 bin
+        // width by construction). The exact percentile alongside is the
+        // eval yardstick (Spark percentile == DuckDB quantile_cont,
+        // verified parity). Determinism: bin ids are floor() on
+        // identically-ordered double arithmetic; cumulative counts are
+        // integers; edges re-derive from (bin, vmax) with the same op
+        // order in both engines.
+        val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        val vmax = ev.agg(max("value").as("vmax"))
+        val hist = ev.crossJoin(broadcast(vmax))
+          .select(col("event_type"),
+            least(floor(col("value") / col("vmax") * 128), lit(127))
+              .cast("int").as("bin"))
+          .groupBy("event_type", "bin").agg(count("*").as("c"))
+        val cum = hist
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy("event_type").orderBy("bin")))
+          .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        val ps = Seq(0.5, 0.9, 0.99)
+        val qb = cum
+          .select(col("event_type"), col("bin"), col("cum"), col("n"),
+            explode(array(ps.map(lit): _*)).as("p"))
+          .where(col("cum") >= col("p") * col("n"))
+          .groupBy("event_type", "p").agg(min("bin").as("qbin"))
+        val approx = qb.crossJoin(broadcast(vmax))
+          .select(col("event_type"), col("p"),
+            ((col("qbin") + 1).cast("double") * col("vmax") / 128).as("approx_q"))
+        val exact = ev.groupBy("event_type")
+          .agg(
+            expr("percentile(value, 0.5)").as("e50"),
+            expr("percentile(value, 0.9)").as("e90"),
+            expr("percentile(value, 0.99)").as("e99"))
+          .select(col("event_type"), explode(map(
+            lit(0.5), col("e50"), lit(0.9), col("e90"),
+            lit(0.99), col("e99"))).as(Seq("p", "exact_q")))
+        approx.join(exact, Seq("event_type", "p"))
+      },
+      Some(
+        """WITH vm AS (SELECT MAX(value) AS vmax FROM events),
+          |hist AS (SELECT event_type,
+          |    LEAST(CAST(FLOOR(value / vmax * 128) AS INT), 127) AS bin,
+          |    COUNT(*) AS c FROM events, vm GROUP BY 1, 2),
+          |cum AS (SELECT event_type, bin,
+          |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+          |    SUM(c) OVER (PARTITION BY event_type) AS n FROM hist),
+          |ps AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p),
+          |qb AS (SELECT event_type, p, MIN(bin) AS qbin
+          |    FROM cum, ps WHERE cum >= p * n GROUP BY 1, 2),
+          |ex AS (SELECT event_type, p,
+          |    CASE p WHEN 0.5 THEN q50 WHEN 0.9 THEN q90 ELSE q99 END AS exact_q
+          |  FROM (SELECT event_type, quantile_cont(value, 0.5) AS q50,
+          |          quantile_cont(value, 0.9) AS q90,
+          |          quantile_cont(value, 0.99) AS q99
+          |        FROM events GROUP BY 1), ps)
+          |SELECT qb.event_type, qb.p,
+          |  CAST(qbin + 1 AS DOUBLE) * vmax / 128 AS approx_q, exact_q
+          |FROM qb JOIN ex ON qb.event_type = ex.event_type AND qb.p = ex.p, vm""".stripMargin),
+      "Mergeable 128-bin histogram quantiles (p50/p90/p99) vs exact percentile."),
+
+    QueryDef(
+      "q_kmv_union",
+      (s, dir) => {
+        // KMV sketch UNION — the algebra that makes bottom-k sketches
+        // work at 100 TB: per-type sketches (8 smallest distinct-user
+        // hashes each, built with the TopKPerKey heap operator) merge
+        // by unioning the hash sets and re-taking the bottom 8; the
+        // merged sketch estimates the DISTINCT-UNION cardinality, which
+        // naive per-type summing double-counts (a user appears under
+        // many types). One output row: exact union, naive sum, and the
+        // sketch estimate from 8 longs per type — the merge itself
+        // never touches the raw data again.
+        val k = 8
+        val d = t(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        val h = d.select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 13),
+            16, 10).cast("long").as("h"))
+        val perType = graft.plans.GraftOps.topKPerKey(h, Seq("event_type"), k, "+h")
+        val kth = perType.select("h").distinct().orderBy("h").limit(k)
+          .agg(max("h").as("kth_hash"), count(lit(1)).as("nk"))
+          .where(col("nk") === k).drop("nk")
+        val exact = t(s, dir, "events")
+          .agg(countDistinct("user_id").as("n_exact"))
+        val naive = d.groupBy("event_type").agg(count("*").as("c"))
+          .agg(sum("c").as("n_naive_sum"))
+        exact.crossJoin(naive).crossJoin(kth)
+          .select(col("n_exact"), col("n_naive_sum"), col("kth_hash"),
+            (lit((k - 1).toDouble) * lit(4503599627370496L) / col("kth_hash"))
+              .as("est_union"))
+      },
+      Some(
+        """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+          |h AS (SELECT event_type,
+          |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          |  FROM d),
+          |r AS (SELECT event_type, h,
+          |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+          |sk AS (SELECT DISTINCT h FROM r WHERE rk <= 8),
+          |m AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM sk),
+          |kth AS (SELECT h AS kth_hash FROM m WHERE rk = 8),
+          |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+          |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n_naive_sum FROM
+          |  (SELECT COUNT(DISTINCT user_id) AS c FROM events GROUP BY event_type))
+          |SELECT n_exact, n_naive_sum, kth_hash,
+          |  7.0 * 4503599627370496 / kth_hash AS est_union
+          |FROM ex, nv, kth""".stripMargin),
+      "KMV sketch union: merged bottom-k estimates distinct-union vs naive sum."))
 }

@@ -107,6 +107,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quantile_sketch: approx quantile brackets the exact within one bin width") {
+    import org.apache.spark.sql.functions._
+    val vmax = SparkEntry.queries("q_value_quantiles")(spark, sf)
+      .agg(max("v_max")).collect()(0).getDouble(0)
+    val binW = vmax / 128
+    val rows = run("q_quantile_sketch").collect()
+    assert(rows.length >= 9) // >=3 types x 3 quantiles at any SF
+    // the defining CDF property of the upper-edge estimate, checked
+    // against the raw values: at least p·n values sit at or below the
+    // reported edge, and strictly fewer than p·n sit below the bin's
+    // LOWER edge (i.e. the sketch picked the first sufficient bin)
+    val vals = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val p = r.getAs[Double]("p")
+      val approx = r.getAs[Double]("approx_q")
+      val xs = vals(t)
+      val need = p * xs.length
+      assert(xs.count(_ <= approx + 1e-9) >= need, s"edge too low: $r")
+      assert(xs.count(_ < approx - binW - 1e-9) < need, s"edge too high: $r")
+    }
+  }
+
+  test("q_kmv_union: union estimate tracks exact; naive sum double-counts") {
+    val r = run("q_kmv_union").collect()(0)
+    val exact = r.getAs[Long]("n_exact")
+    val naive = r.getAs[Long]("n_naive_sum")
+    val est = r.getAs[Double]("est_union")
+    assert(naive >= exact, "per-type sum can never be below the union")
+    // k=8 KMV has ~1/sqrt(k-1) ~ 38% relative error; allow 3 sigma
+    assert(est > exact * 0.1 && est < exact * 4 + 50,
+      s"union estimate unreasonable: est=$est exact=$exact")
+  }
+
   test("q_hll_distinct: raw estimator lands within the m=64 error envelope") {
     val rows = run("q_hll_distinct").collect()
     assert(rows.nonEmpty)
