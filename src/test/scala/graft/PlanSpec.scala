@@ -432,4 +432,58 @@ class PlanSpec extends AnyFunSuite {
       "interpreted HOF on the flag path:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  // --- round-11 operators ---
+
+  test("sim_hard_negatives: packed-id label filter, no label join, fused scorer + heap") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("AllPairsCosine"), "fused scorer missing:\n" + p)
+    assert(p.contains("TopKPerKey") || p.contains("GraftTopK"),
+      "heap prune missing:\n" + p)
+    // the label rides inside the packed id: the ONLY join in the plan
+    // is the fused broadcast scorer itself — any hash/merge join means
+    // someone reintroduced a label-table shuffle over the scored pairs
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "label join reappeared over the scored pairs:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t_shard_shuffle: one hash partition + in-partition sort, no global sort") {
+    val p = plan("t_shard_shuffle")
+    // Window(partitionBy shard, orderBy key) = hashpartitioning
+    // exchange + per-partition sort; a RangePartitioning exchange here
+    // would mean a global sort crept in
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), "global sort in epoch shuffle:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t_cms_heavy: heap top-k, no nested-loop join, probe joins the tiny side") {
+    val p = plan("t_cms_heavy")
+    assert(p.contains("TakeOrderedAndProject"), "heap top-k missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_incremental: keyed probes only, band table computed once (cached)") {
+    val name = "dedup_incremental"
+    val df = SparkEntry.queries(name)(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the band frame must be a shared cached scan, not two independent
+    // minhash recomputations: exactly one InMemoryTableScan source
+    // with the minhash band filter upstream of both probe sides
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "band cache missing — minhash pass duplicated:\n" + p)
+  }
+
+  test("q_hll_distinct and q_quantile_sketch: constant-size sketch aggs, " +
+      "singleton broadcasts only") {
+    for (q <- Seq("q_hll_distinct", "q_quantile_sketch")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a shuffle join:\n$p")
+    }
+  }
 }
