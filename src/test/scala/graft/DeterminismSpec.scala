@@ -35,7 +35,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_clusters_prepass", "t_bigram_logppl",
     // no oracle exists for DEFLATE, so partition invariance is this
     // op's strongest automated correctness signal
-    "t_compression_ratio")
+    "t_compression_ratio",
+    // round 11: quantized-ln PMI, exact-power HLL register sums, and
+    // histogram-edge quantiles — the three new float-bearing aggs
+    "t_pmi_colloc", "q_hll_distinct", "q_quantile_sketch")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
