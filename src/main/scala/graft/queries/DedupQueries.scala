@@ -1218,5 +1218,59 @@ object DedupQueries {
            |LEFT JOIN near ON d.doc_id = near.doc_id
            |WHERE d.doc_id % 5 = 0""".stripMargin,
         "sh", "sig", "bands")),
-      "Incremental dedup: delta batch probed against corpus fp + LSH band indexes."))
+      "Incremental dedup: delta batch probed against corpus fp + LSH band indexes."),
+
+    QueryDef(
+      "dedup_triangles",
+      (s, dir) => {
+        // Triangle census over the verified near-dup graph — the
+        // cluster-density signal that separates tight duplicate CLIQUES
+        // (template farms: every pair matches) from loose CHAINS
+        // (drifting revisions: consecutive pairs only), which CC alone
+        // cannot distinguish. Canonical enumeration: edges keep
+        // doc_a < doc_b, a triangle a<b<c is found exactly once by
+        // joining (a,b)+(b,c) wedges with the closing (a,c) edge — two
+        // equi-joins on ids, no orientation pass needed. Scale shape:
+        // the wedge join's blowup is degree-bounded, and the LSH
+        // hot-bucket cap (<=100 docs/bucket) already bounds the dup
+        // graph's degree, so wedges <= 100·|E| by construction — the
+        // pathological star that makes triangle counting quadratic
+        // cannot reach this operator. Only id-pairs shuffle; per-doc
+        // counts are map-side-combinable.
+        val e = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val deg = e.select(col("doc_a").as("doc_id"))
+          .unionAll(e.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count("*").as("degree"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+          .join(e.as("e3"),
+            col("e3.doc_a") === col("e1.doc_a") &&
+              col("e3.doc_b") === col("e2.doc_b"))
+          .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+            col("e2.doc_b").as("c"))
+        val perDoc = tri
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count("*").as("n_tri"))
+        deg.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("degree").cast("int").as("degree"),
+            coalesce(col("n_tri"), lit(0L)).cast("int").as("n_tri"))
+      },
+      Some(materializeCtes(
+        s"""$ShingleCte,
+           |$LshPairsCtes,
+           |e AS (SELECT doc_a, doc_b FROM pairs),
+           |deg AS (SELECT doc_id, COUNT(*) AS degree FROM (
+           |  SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b AS doc_id FROM e)
+           |  GROUP BY doc_id),
+           |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+           |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+           |pd AS (SELECT doc_id, COUNT(*) AS n_tri FROM (
+           |  SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+           |  UNION ALL SELECT c FROM tri) GROUP BY doc_id)
+           |SELECT deg.doc_id, CAST(degree AS INT) AS degree,
+           |  CAST(COALESCE(n_tri, 0) AS INT) AS n_tri
+           |FROM deg LEFT JOIN pd ON deg.doc_id = pd.doc_id""".stripMargin,
+        "sh", "sig", "cand", "shc", "cnt", "shr", "pairs", "e")),
+      "Triangle census of the near-dup graph: clique-vs-chain cluster density."))
 }

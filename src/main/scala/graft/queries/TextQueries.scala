@@ -1536,5 +1536,47 @@ object TextQueries {
           |FROM (SELECT doc_id,
           |        doc_id % 1000003 * 2654435761 % 1048573 AS k
           |      FROM documents)""".stripMargin),
-      "Deterministic epoch shuffle: seeded hash key → shard route + write order."))
+      "Deterministic epoch shuffle: seeded hash key → shard route + write order."),
+
+    QueryDef(
+      "t_oov_rate",
+      (s, dir) => {
+        // Tokenizer-vocab coverage per source: the out-of-vocabulary
+        // token rate against the corpus top-K vocabulary — the
+        // first-order signal for tokenizer fit and for spotting sources
+        // (code, tables, other languages) a text tokenizer will
+        // shred. Scale shape: the vocab is K-CAPPED
+        // (TakeOrderedAndProject, never a full-vocab collect) and
+        // broadcast, so the membership probe is a map-side hash lookup
+        // fused into the token scan — one corpus pass, one
+        // (source)-keyed combinable agg; identical to how the
+        // unigram-LM quality filter bounds its model. K=16 so the cap
+        // BINDS on the 31-word synthetic fixture vocabulary (the
+        // q_kmv_distinct k=8 convention); production would use the
+        // tokenizer's real vocab size (2^15..2^18).
+        val K = 16
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        val top = toks.groupBy("word").agg(count("*").as("c"))
+          .orderBy(col("c").desc, col("word").asc).limit(K)
+          .select(col("word"), lit(1).as("inv"))
+        toks.join(broadcast(top), Seq("word"), "left")
+          .groupBy("source")
+          .agg(count("*").as("n_tokens"),
+            count(when(col("inv").isNull, 1)).as("n_oov"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      },
+      Some(
+        """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+          |  FROM documents),
+          |top AS (SELECT word FROM (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1)
+          |  ORDER BY c DESC, word LIMIT 16)
+          |SELECT source, COUNT(*) AS n_tokens,
+          |  COUNT(CASE WHEN top.word IS NULL THEN 1 END) AS n_oov,
+          |  CAST(COUNT(CASE WHEN top.word IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+          |    AS oov_rate
+          |FROM toks LEFT JOIN top ON toks.word = top.word
+          |GROUP BY source""".stripMargin),
+      "Out-of-vocabulary rate per source against the broadcast top-K vocab."))
 }

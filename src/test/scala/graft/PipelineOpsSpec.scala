@@ -144,6 +144,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"union estimate unreasonable: est=$est exact=$exact")
   }
 
+  test("dedup_triangles: incidence sums to 3 per triangle, bounded by degree pairs") {
+    val rows = run("dedup_triangles").collect()
+    assert(rows.nonEmpty)
+    val totalIncidence = rows.map(_.getAs[Int]("n_tri").toLong).sum
+    assert(totalIncidence % 3 == 0,
+      s"every triangle touches exactly 3 docs; got incidence $totalIncidence")
+    rows.foreach { r =>
+      val d = r.getAs[Int]("degree")
+      val t = r.getAs[Int]("n_tri")
+      assert(d >= 1)
+      assert(t <= d.toLong * (d - 1) / 2,
+        s"more triangles than neighbor pairs at $r")
+    }
+  }
+
+  test("dedup_triangles: doc set is exactly the verified-pair doc set") {
+    val pairDocs = run("dedup_lsh_verified").collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val triDocs = run("dedup_triangles").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(triDocs == pairDocs)
+  }
+
+  test("t_oov_rate: rates in [0,1], consistent with counts, vocab cap binds") {
+    val rows = run("t_oov_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val oov = r.getAs[Long]("n_oov")
+      val rate = r.getAs[Double]("oov_rate")
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-12)
+    }
+    // the cap must bind at this SF (otherwise the query degenerates to
+    // rate=0 everywhere and tests nothing)
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0), "vocab cap never bound")
+  }
+
   test("q_hll_distinct: raw estimator lands within the m=64 error envelope") {
     val rows = run("q_hll_distinct").collect()
     assert(rows.nonEmpty)
