@@ -478,6 +478,19 @@ class PlanSpec extends AnyFunSuite {
       "band cache missing — minhash pass duplicated:\n" + p)
   }
 
+  test("dedup_triangles: equi-joins only on the edge frame, no cartesian wedge") {
+    val p = plan("dedup_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t_oov_rate: K-capped heap vocab, broadcast membership probe") {
+    val p = plan("t_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), "heap vocab cap missing:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "vocab probe not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p)
+  }
+
   test("q_hll_distinct and q_quantile_sketch: constant-size sketch aggs, " +
       "singleton broadcasts only") {
     for (q <- Seq("q_hll_distinct", "q_quantile_sketch")) {
