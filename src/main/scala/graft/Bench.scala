@@ -52,16 +52,9 @@ object Bench {
     }
     spark.catalog.clearCache()
     // JSON string escape for error messages (quotes/control chars would
-    // corrupt the one-line BENCH.json the driver parses)
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // corrupt the one-line BENCH.json the driver parses) — the shared
+    // strict escaper, so Bench and Verify emit identical bytes
+    def jq(s: String): String = graft.queries.OracleJson.quote(s)
     // Best-of-N per query: a single cold pass is hostage to GC pauses,
     // page-cache state, and background load — identical code swung
     // individual queries 6-10x across round drivers. The min of two

@@ -920,7 +920,11 @@ object AnalyticsQueries {
             when(col("v") === 0, 27)
               .otherwise(lit(27) - length(bin(col("v")))).as("rho"))
           .groupBy("event_type", "b").agg(max("rho").as("m"))
-        val grid = ev.select("event_type").distinct()
+          // cached: 64 rows/type; feeds both the type grid and the
+          // register join — without it the grid's distinct would
+          // re-scan the whole events table just to enumerate types
+          .cache()
+        val grid = reg.select("event_type").distinct()
           .crossJoin(s.range(64).select(col("id").as("b")))
         val est = grid.join(reg, Seq("event_type", "b"), "left")
           .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))

@@ -177,7 +177,18 @@ object DedupQueries {
     * CTEs materialized (identical rows either way; this is purely a
     * DuckDB plan hint and never reaches the Spark side). */
   private def materializeCtes(sql: String, names: String*): String =
-    names.foldLeft(sql)((acc, n) => acc.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
+    names.foldLeft(sql) { (acc, n) =>
+      // word-boundary anchored so a listed name can't match the TAIL of
+      // a longer CTE name, and fail-loud when a name doesn't match at
+      // all — a silently dropped hint re-admits the exact CTE-inlining
+      // blowup (>20 min vs 0.5 s) this helper exists to prevent
+      val pat = ("(?<![A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(n) + " AS \\(").r
+      val out = pat.replaceAllIn(acc, s"$n AS MATERIALIZED (")
+      require(out != acc,
+        s"materializeCtes: no CTE named '$n' found — oracle SQL drifted")
+      out
+    }
 
   private val ShingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -50,6 +50,35 @@ class AllPairsSpec extends AnyFunSuite {
     assert(self.length == 3 && self.forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("ragged dimensions take the scalar fallback and still match BNLJ bit-for-bit") {
+    // every fixture embedding shares one dimension, so the uniform
+    // blocked kernel covers all oracle traffic — this pins the
+    // flat==null / va.length!=d scalar branch (min-length fold, lt
+    // binary-search start) against the reference formulation
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val raw = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.6, 0.8)), // shorter: min-length fold engages
+      (3L, Array(0.0, 1.0, 0.0)),
+      (4L, Array(0.5, 0.5, 0.5, 0.5)), // longer
+      (5L, Array(0.9, 0.1, 0.2)))
+    val a = raw.toDF("id_a", "ua")
+    val b = raw.toDF("id_b", "ub")
+    for (lt <- Seq(true, false)) {
+      val fused = graft.plans.GraftOps.allPairsCosine(a, b, 0.1, ltOnly = lt)
+        .select("id_a", "id_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val cond = if (lt) col("id_a") < col("id_b") else lit(true)
+      val bnlj = broadcast(a).join(b, cond)
+        .select(col("id_a"), col("id_b"), expr("graft_dot(ua, ub)").as("cos"))
+        .where(col("cos") >= 0.1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused.nonEmpty, s"lt=$lt produced no rows")
+      assert(fused == bnlj, s"lt=$lt mismatch: ${fused.diff(bnlj)} vs ${bnlj.diff(fused)}")
+    }
+  }
+
   test("plan is the fused exec over a broadcast, no nested-loop join") {
     val u = unit()
     val a = u.select(col("vec_id").as("id_a"), col("u").as("ua"))

@@ -34,7 +34,11 @@ class OracleGuardSpec extends AnyFunSuite {
   private val Tool = "tools/oracle_check.py"
 
   private lazy val duckdbAvailable: Boolean =
-    scala.util.Try(Seq("python3", "-c", "import duckdb").! == 0).getOrElse(false)
+    // pandas too: oracle_check's fetchdf()/norm() needs it and it is
+    // NOT a duckdb dependency — probing duckdb alone would turn a
+    // missing-pandas machine into 3 failures instead of a cancel
+    scala.util.Try(Seq("python3", "-c", "import duckdb, pandas").! == 0)
+      .getOrElse(false)
 
   private def checkEnv(): Unit = {
     assume(duckdbAvailable, "python3+duckdb not available (driver-side fixture)")

@@ -111,7 +111,10 @@ def main():
             n_bad += 1
             continue
         try:
-            verdict, detail = q.get_nowait()
+            # bounded get, not get_nowait: mp.Queue delivery rides a
+            # feeder thread + pipe, so the item can lag p.join() by a
+            # beat — polling would turn that race into a spurious FAIL
+            verdict, detail = q.get(timeout=5)
         except Exception:  # noqa: BLE001 - child died without a verdict
             verdict, detail = "FAIL", f"child exited rc={p.exitcode} without verdict"
         if verdict == "ok":
