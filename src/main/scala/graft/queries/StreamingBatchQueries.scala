@@ -236,5 +236,63 @@ object StreamingBatchQueries {
           |          FROM (SELECT unnest(range(0, 4)) AS j) tt) t
           |WHERE e < ws + 3600000000
           |GROUP BY 1, 2, 3""".stripMargin),
-      "Sliding-window counts/sums (1h window, 15min slide) run in batch mode."))
+      "Sliding-window counts/sums (1h window, 15min slide) run in batch mode."),
+
+    QueryDef(
+      "s_cms_topk",
+      (s, dir) => {
+        // Streaming heavy hitters via the windowed count-min sketch:
+        // cmsCells keeps a CONSTANT 4×256 cells of state per window
+        // (vs per-user windowed counts whose state grows with key
+        // cardinality — the killer for open key domains on long-running
+        // queries); the probe re-hashes the keys of interest and takes
+        // min over their 4 cells. Run here in batch mode over the same
+        // operator the stream runs (the s_* convention); the eval joins
+        // each window's exact top-5 users against their sketch estimate
+        // so the one-sided CMS error is measurable per window.
+        val raw = t(s, dir, "events")
+        val ev = raw.select(Tables.tsTimestamp(raw).as("ts"), col("user_id"))
+        val cells = graft.streaming.StreamingAnalytics.cmsCells(ev, "1 hour", 256)
+          .select(unix_micros(col("window_start")).as("ws"),
+            col("r"), col("bucket"), col("cell"))
+        val exact = ev
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count("*").as("c"))
+          .select(unix_micros(col("window.start")).as("ws"),
+            col("user_id"), col("c"))
+        val top = graft.plans.GraftOps.topKPerKey(exact, Seq("ws"), 5, "-c", "+user_id")
+        top
+          .select(col("ws"), col("user_id"), col("c"),
+            posexplode(array(Seq(1, 9, 17, 25).map(o =>
+              conv(substring(md5(col("user_id").cast("string").cast("binary")), o, 8),
+                16, 10).cast("long") % 256): _*)).as(Seq("r", "bucket")))
+          .join(cells, Seq("ws", "r", "bucket"))
+          .groupBy("ws", "user_id", "c").agg(min("cell").as("est"))
+          .select(col("ws").as("window_start_us"), col("user_id"),
+            col("c").as("c_exact"), col("est").as("cms_est"))
+      },
+      Some(
+        """WITH ev AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+          |    user_id FROM events),
+          |h AS (SELECT ws, user_id, r,
+          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+          |      CASE r WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 17 ELSE 25 END, 8))
+          |      AS BIGINT) % 256 AS bucket
+          |  FROM ev, unnest([0, 1, 2, 3]) AS tr(r)),
+          |cells AS (SELECT ws, r, bucket, COUNT(*) AS cell FROM h GROUP BY 1, 2, 3),
+          |ex AS (SELECT ws, user_id, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+          |top AS (SELECT ws, user_id, c FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ws ORDER BY c DESC, user_id)
+          |    AS rk FROM ex) WHERE rk <= 5),
+          |probe AS (SELECT t.ws, t.user_id, t.c, tr.r,
+          |    CAST(concat('0x', substr(md5(CAST(t.user_id AS VARCHAR)),
+          |      CASE tr.r WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 17 ELSE 25 END, 8))
+          |      AS BIGINT) % 256 AS bucket
+          |  FROM top t, unnest([0, 1, 2, 3]) AS tr(r))
+          |SELECT probe.ws AS window_start_us, probe.user_id,
+          |  CAST(probe.c AS BIGINT) AS c_exact, CAST(MIN(cell) AS BIGINT) AS cms_est
+          |FROM probe JOIN cells ON probe.ws = cells.ws AND probe.r = cells.r
+          |  AND probe.bucket = cells.bucket
+          |GROUP BY 1, 2, 3""".stripMargin),
+      "Streaming CMS heavy hitters: constant-state windowed sketch, top-5 probe per window."))
 }

@@ -106,6 +106,33 @@ object StreamingAnalytics {
         col("window.end").as("window_end"),
         col(attr), col("n"))
 
+  /** Windowed count-min-sketch cells: each event adds 1 to one bucket
+    * per hash row (4 rows carved from one md5 at hex offsets 1/9/17/25,
+    * the t_cms_heavy convention), aggregated per tumbling window. The
+    * streaming-native heavy-hitter substrate: state per window is a
+    * CONSTANT 4·width cells no matter how many distinct keys flow
+    * through — a per-key windowed count would grow state with key
+    * cardinality, which on an open key domain (users, IPs, urls) is
+    * exactly what kills a long-running query. Probe any key later with
+    * min over its 4 cells (one-sided overestimate). Input needs
+    * (ts: timestamp, user_id); batch and streaming. */
+  def cmsCells(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      width: Int = 256,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), posexplode(array(Seq(1, 9, 17, 25).map(o =>
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), o, 8),
+          16, 10).cast("long") % width): _*)).as(Seq("r", "bucket")))
+      .groupBy(window(col("ts"), window_), col("r"), col("bucket"))
+      .agg(count("*").as("cell"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("r"), col("bucket"), col("cell"))
+
   /** Cross-micro-batch exact dedup by jid: keeps the first occurrence
     * ever seen, drops replays (at-least-once delivery → effectively-once
     * processing). State is one boolean per jid; pass a processing-time

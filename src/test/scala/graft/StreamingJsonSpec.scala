@@ -118,6 +118,54 @@ class StreamingJsonSpec extends AnyFunSuite {
     assert(sumRemoved(q) >= 5, "closed sliding-window state was not evicted")
   }
 
+  test("windowed CMS over a real file stream: constant cells, closed-window emit, probe overestimates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cms").toString + "/data"
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // batch 1: user 7 three times, user 9 once, all in hour 0 — plus a
+    // sentinel 3 h ahead so the 10-min watermark closes hour 0
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 1000L), 7L),
+      (new java.sql.Timestamp(base + 2000L), 7L),
+      (new java.sql.Timestamp(base + 3000L), 7L),
+      (new java.sql.Timestamp(base + 4000L), 9L),
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000), 1L))
+      .toDF("ts", "user_id"), dir, base)
+    // batch 2: spacer so emission engages after the watermark advances
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000 + 60000L), 1L))
+      .toDF("ts", "user_id"), dir, base + 60000)
+
+    val src = spark.readStream
+      .schema("ts timestamp, user_id long")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = graft.streaming.StreamingAnalytics.cmsCells(src, "1 hour", 256, "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("cmsout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("cmsout").collect()
+    // only hour 0 closed: its 4 events land in exactly 4 cells per hash
+    // row unless buckets collide — sum per row is ALWAYS the event count
+    assert(out.nonEmpty, "closed CMS window emitted nothing")
+    assert(out.forall(_.getAs[java.sql.Timestamp]("window_start").getTime == base))
+    val perRow = out.groupBy(_.getAs[Int]("r"))
+      .map { case (_, cs) => cs.map(_.getAs[Long]("cell")).sum }
+    assert(perRow.forall(_ == 4L), s"row sums != event count: $perRow")
+    // probe user 7 from the EMITTED cells exactly as a consumer would:
+    // min over its 4 (r,bucket) cells must overestimate the true 3
+    val probe = Seq(7L).toDF("user_id").select(posexplode(array(
+      Seq(1, 9, 17, 25).map(o =>
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), o, 8),
+          16, 10).cast("long") % 256): _*)).as(Seq("r", "bucket")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val est = out.filter(r => probe.get(r.getAs[Int]("r"))
+        .contains(r.getAs[Long]("bucket")))
+      .map(_.getAs[Long]("cell")).min
+    assert(est >= 3L && est <= 4L, s"probe estimate $est outside [3,4]")
+    assert(sumRemoved(q) >= 1, "closed CMS window state was not evicted")
+  }
+
   test("dedupWithinWatermark drops replays inside the horizon, re-admits after eviction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ddww").toString + "/data"
