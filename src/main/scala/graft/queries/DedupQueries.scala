@@ -1283,5 +1283,99 @@ object DedupQueries {
            |  CAST(COALESCE(n_tri, 0) AS INT) AS n_tri
            |FROM deg LEFT JOIN pd ON deg.doc_id = pd.doc_id""".stripMargin,
         "sh", "sig", "cand", "shc", "cnt", "shr", "pairs", "e")),
-      "Triangle census of the near-dup graph: clique-vs-chain cluster density."))
+      "Triangle census of the near-dup graph: clique-vs-chain cluster density."),
+
+    QueryDef(
+      "dedup_cluster_sizes",
+      (s, dir) => {
+        // The dedup REPORT layer: cluster-size histogram over the
+        // resolved components — what a curation run actually publishes
+        // (how many pairs/triples/large farms, and the dedup savings
+        // |docs| - |clusters| it implies). Same CC pipeline as
+        // dedup_clusters (contraction seed + pointer jumping), then two
+        // id-sized combinable aggregations; the histogram is
+        // max-cluster-size rows at ANY corpus scale.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        pointerJumpCC(localUnionFindEdges(edges).localCheckpoint(true))
+          .groupBy("cluster_id").agg(count("*").as("sz"))
+          .groupBy("sz").agg(count("*").as("n_clusters"))
+          .select(col("sz").cast("int").as("cluster_size"), col("n_clusters"))
+      },
+      Some(materializeCtes(
+        s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$LshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+           |SELECT CAST(sz AS INT) AS cluster_size, COUNT(*) AS n_clusters
+           |FROM (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1)
+           |GROUP BY sz""".stripMargin,
+        "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs", "edges")),
+      "Cluster-size histogram of the resolved dup components (the curation report)."),
+
+    QueryDef(
+      "dedup_keep_best",
+      (s, dir) => {
+        // SURVIVOR SELECTION — the step that turns cluster labels into
+        // an actual dedup decision: per dup cluster keep the best doc
+        // (longest n_chars, ties to the lowest doc_id) and report what
+        // dropping the rest saves. Same CC pipeline as dedup_clusters
+        // (contraction seed + pointer jumping); the quality join ships
+        // only (doc_id, n_chars) — column-pruned at the scan — and the
+        // argmax is ONE max(struct) aggregation (map-side combinable,
+        // no window sort): at 100 TB everything after the pair graph
+        // shuffles id-sized rows keyed by cluster_id.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val cc = pointerJumpCC(localUnionFindEdges(edges).localCheckpoint(true))
+          .select("doc_id", "cluster_id")
+        val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+        // max(struct(n_chars, -doc_id)) == (max n_chars, tie min doc_id):
+        // struct ordering is lexicographic and doc_id >= 0 so the
+        // negation is overflow-free
+        cc.join(docs, "doc_id")
+          .groupBy("cluster_id")
+          .agg(
+            max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("best"),
+            count("*").as("nm"),
+            sum("n_chars").as("chars_total"))
+          .select(col("cluster_id"),
+            (-col("best.nd")).as("kept_doc"),
+            col("nm").cast("int").as("n_members"),
+            (col("chars_total") - col("best.n_chars")).as("chars_dropped"))
+      },
+      // `j` is referenced twice (the membership aggregate and the
+      // survivor window) — without materialization DuckDB re-inlines
+      // the whole recursive-CC + LSH pipeline into BOTH references
+      // (measured: >30 s vs ~6 s; the r10 driver-correctness killer
+      // the OracleGuardSpec budget exists to catch, and did).
+      Some(materializeCtes(
+        s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$LshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+           |j AS (SELECT cc.cluster_id, d.doc_id, d.n_chars
+           |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+           |b AS (SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |      ORDER BY n_chars DESC, doc_id) AS rk FROM j)
+           |SELECT j.cluster_id, b.kept_doc, CAST(COUNT(*) AS INT) AS n_members,
+           |  CAST(SUM(j.n_chars) - MAX(b.kept_chars) AS BIGINT) AS chars_dropped
+           |FROM j JOIN b ON j.cluster_id = b.cluster_id AND b.rk = 1
+           |GROUP BY 1, 2""".stripMargin,
+        "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
+        "edges", "cc", "j")),
+      "Per-cluster survivor selection: keep the longest doc, report chars saved."))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.streaming.StreamingAnalytics
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle coverage for the StreamingAnalytics operators: every operator
@@ -294,5 +295,123 @@ object StreamingBatchQueries {
           |FROM probe JOIN cells ON probe.ws = cells.ws AND probe.r = cells.r
           |  AND probe.bucket = cells.bucket
           |GROUP BY 1, 2, 3""".stripMargin),
-      "Streaming CMS heavy hitters: constant-state windowed sketch, top-5 probe per window."))
+      "Streaming CMS heavy hitters: constant-state windowed sketch, top-5 probe per window."),
+
+    QueryDef(
+      "s_hll_users",
+      (s, dir) => {
+        // Streaming distinct-users per window via HLL registers — the
+        // constant-state answer to the question windowed countDistinct
+        // buffers every key for. Registers come from the SAME operator
+        // the stream runs (hllRegisters: 64 rows/window of state, max
+        // merge — idempotent under replay); the eval grid re-derives
+        // the estimate and joins the exact distinct count per window.
+        val raw = t(s, dir, "events")
+        val ev = raw.select(Tables.tsTimestamp(raw).as("ts"), col("user_id"))
+        val reg = graft.streaming.StreamingAnalytics.hllRegisters(ev, "1 hour")
+          .select(unix_micros(col("window_start")).as("ws"), col("b"), col("m"))
+          .cache()
+        val grid = reg.select("ws").distinct()
+          .crossJoin(s.range(64).select(col("id").as("b")))
+        val est = grid.join(reg, Seq("ws", "b"), "left")
+          .select(col("ws"), coalesce(col("m"), lit(0)).as("m"))
+          .groupBy("ws")
+          .agg(sum(pow(lit(2.0), -col("m"))).as("z"),
+            sum((col("m") > 0).cast("int")).as("hit"))
+          .select(col("ws"), (lit(0.709) * 4096 / col("z")).as("hll_est"),
+            col("hit").cast("int").as("n_buckets_hit"))
+        ev.groupBy(window(col("ts"), "1 hour"))
+          .agg(countDistinct("user_id").as("n_exact"))
+          .select(unix_micros(col("window.start")).as("ws"), col("n_exact"))
+          .join(est, "ws")
+          .select(col("ws").as("window_start_us"), col("n_exact"),
+            col("hll_est"), col("n_buckets_hit"))
+      },
+      Some(
+        """WITH ev AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+          |    user_id, user_id % 1000003 * 2654435761 % 4294967296 AS h FROM events),
+          |r AS (SELECT ws, h % 64 AS b,
+          |    CASE WHEN h // 64 = 0 THEN 27
+          |         ELSE 27 - length(printf('%b', h // 64)) END AS rho FROM ev),
+          |reg AS (SELECT ws, b, MAX(rho) AS m FROM r GROUP BY 1, 2),
+          |g2 AS (SELECT ws, i AS b
+          |  FROM (SELECT DISTINCT ws FROM reg), unnest(range(64)) AS ti(i)),
+          |fb AS (SELECT g2.ws, COALESCE(reg.m, 0) AS m FROM g2
+          |  LEFT JOIN reg ON g2.ws = reg.ws AND g2.b = reg.b),
+          |agg AS (SELECT ws, SUM(power(2.0, -m)) AS z,
+          |    SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS hit FROM fb GROUP BY 1),
+          |ex AS (SELECT ws, COUNT(DISTINCT user_id) AS n_exact FROM ev GROUP BY 1)
+          |SELECT ex.ws AS window_start_us, n_exact,
+          |  CAST(0.709 AS DOUBLE) * 4096 / z AS hll_est,
+          |  CAST(hit AS INT) AS n_buckets_hit
+          |FROM ex JOIN agg USING (ws)""".stripMargin),
+      "Streaming HLL distinct users per window: 64 registers of state vs exact."),
+
+    QueryDef(
+      "s_log_quantiles",
+      (s, dir) => {
+        // Streaming value quantiles from the windowed log₂ histogram —
+        // the constant-state answer to windowed percentile (which
+        // buffers every value per window). Cells come from the SAME
+        // operator the stream runs (logHistCells: ≤ ~40 additive
+        // counts per window); the eval reads p50/p90/p99 off the
+        // cumulative histogram (first bucket whose running count
+        // reaches p·n; answer = the bucket's upper edge in value
+        // units, a ≤2× relative envelope by log-bin construction) and
+        // joins the exact per-window percentile as the yardstick.
+        // Per-window cumulative sums are a window function over ≤ ~40
+        // rows per key — id-sized at any corpus scale.
+        val raw = t(s, dir, "events")
+        val ev = raw.select(Tables.tsTimestamp(raw).as("ts"), col("value"))
+        val cells = StreamingAnalytics.logHistCells(ev, "1 hour")
+          .select(unix_micros(col("window_start")).as("ws"), col("bucket"), col("c"))
+        val wn = Window.partitionBy("ws")
+        val cum = cells
+          .withColumn("cum", sum("c").over(wn.orderBy("bucket")))
+          .withColumn("n", sum("c").over(wn))
+        val ps = Seq(0.5, 0.9, 0.99)
+        val qb = cum
+          .select(col("ws"), col("bucket"), col("cum"), col("n"),
+            explode(array(ps.map(lit): _*)).as("p"))
+          .where(col("cum") >= col("p") * col("n"))
+          .groupBy("ws", "p").agg(min("bucket").as("qbucket"))
+        // upper edge of bucket b in value units: cents+1 < 2^b, so
+        // cents <= 2^b - 2 → value edge (2^b - 2)/100; identical FP op
+        // order in DuckDB (power → subtract → divide)
+        val approx = qb.select(col("ws"), col("p"),
+          ((pow(lit(2.0), col("qbucket")) - 2) / 100).as("approx_q"))
+        val exact = ev.groupBy(window(col("ts"), "1 hour"))
+          .agg(
+            expr("percentile(value, 0.5)").as("e50"),
+            expr("percentile(value, 0.9)").as("e90"),
+            expr("percentile(value, 0.99)").as("e99"))
+          .select(unix_micros(col("window.start")).as("ws"), explode(map(
+            lit(0.5), col("e50"), lit(0.9), col("e90"),
+            lit(0.99), col("e99"))).as(Seq("p", "exact_q")))
+        approx.join(exact, Seq("ws", "p"))
+          .select(col("ws").as("window_start_us"), col("p"),
+            col("approx_q"), col("exact_q"))
+      },
+      Some(
+        """WITH ev AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+          |    value, GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) + 1 AS v
+          |  FROM events),
+          |cells AS (SELECT ws, length(printf('%b', v)) AS bucket, COUNT(*) AS c
+          |  FROM ev GROUP BY 1, 2),
+          |cum AS (SELECT ws, bucket,
+          |    SUM(c) OVER (PARTITION BY ws ORDER BY bucket) AS cum,
+          |    SUM(c) OVER (PARTITION BY ws) AS n FROM cells),
+          |ps AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p),
+          |qb AS (SELECT ws, p, MIN(bucket) AS qbucket
+          |  FROM cum, ps WHERE cum >= p * n GROUP BY 1, 2),
+          |ex AS (SELECT ws, p,
+          |    CASE p WHEN 0.5 THEN q50 WHEN 0.9 THEN q90 ELSE q99 END AS exact_q
+          |  FROM (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+          |          quantile_cont(value, 0.5) AS q50,
+          |          quantile_cont(value, 0.9) AS q90,
+          |          quantile_cont(value, 0.99) AS q99 FROM events GROUP BY 1), ps)
+          |SELECT qb.ws AS window_start_us, qb.p,
+          |  (power(2.0, qbucket) - 2) / 100 AS approx_q, exact_q
+          |FROM qb JOIN ex ON qb.ws = ex.ws AND qb.p = ex.p""".stripMargin),
+      "Streaming log-histogram quantiles per window: ~40 counts of state vs exact percentile."))
 }

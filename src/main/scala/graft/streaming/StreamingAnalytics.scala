@@ -133,6 +133,63 @@ object StreamingAnalytics {
         col("window.end").as("window_end"),
         col("r"), col("bucket"), col("cell"))
 
+  /** Windowed HyperLogLog registers: max(rho) per (window, bucket) —
+    * streaming DISTINCT counting with CONSTANT state (m registers per
+    * window) where windowed countDistinct would buffer every key. The
+    * register update is an idempotent, mergeable MAX, so replays and
+    * cross-micro-batch arrivals of the same key leave the registers
+    * unchanged — estimate with alpha·m²/Σ2^-M over the emitted rows.
+    * Hash/rho per the q_hll_distinct convention (guarded Knuth multiply,
+    * rho from binary-string length — no float log anywhere). Input
+    * needs (ts: timestamp, user_id); batch and streaming. */
+  def hllRegisters(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        (col("user_id") % 1000003L * 2654435761L % 4294967296L).as("h"))
+      .select(col("ts"), (col("h") % 64).as("b"), expr("h DIV 64").as("v"))
+      .select(col("ts"), col("b"),
+        when(col("v") === 0, 27)
+          .otherwise(lit(27) - length(bin(col("v")))).as("rho"))
+      .groupBy(window(col("ts"), window_), col("b"))
+      .agg(max("rho").as("m"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("b"), col("m"))
+
+  /** Windowed log₂ value histogram: count per (window, bucket) where
+    * bucket = bit-length of the value in integer cents (+1 so zero has
+    * a bucket) — streaming QUANTILE sketching with CONSTANT state: at
+    * most ~40 buckets per window no matter how many events or how wide
+    * the value range, where a windowed `percentile` would buffer every
+    * value. Counts are additive (map-side-combinable, mergeable across
+    * micro-batches and shards); any quantile reads the cumulative
+    * histogram afterwards with a ≤2× relative error by construction
+    * (log-spaced bin edges). No float log anywhere: the bucket is the
+    * bit length of an integer (Spark `length(bin(v))` == DuckDB
+    * `length(printf('%b', v))`), so both engines bin identically.
+    * Negative values clamp to the zero bucket. Input needs
+    * (ts: timestamp, value: double); batch and streaming. */
+  def logHistCells(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        length(bin(greatest(round(col("value") * 100).cast("long"), lit(0L)) + 1))
+          .as("bucket"))
+      .groupBy(window(col("ts"), window_), col("bucket"))
+      .agg(count("*").as("c"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("bucket"), col("c"))
+
   /** Cross-micro-batch exact dedup by jid: keeps the first occurrence
     * ever seen, drops replays (at-least-once delivery → effectively-once
     * processing). State is one boolean per jid; pass a processing-time

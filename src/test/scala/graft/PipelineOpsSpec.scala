@@ -182,6 +182,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_oov") > 0), "vocab cap never bound")
   }
 
+  test("dedup_cluster_sizes: histogram accounts for every clustered doc, sizes >= 2") {
+    val hist = run("dedup_cluster_sizes").collect()
+    assert(hist.nonEmpty)
+    // every component has >= 2 members (it came from a pair graph)
+    assert(hist.forall(_.getAs[Int]("cluster_size") >= 2))
+    val docsInHist = hist.map(r =>
+      r.getAs[Int]("cluster_size").toLong * r.getAs[Long]("n_clusters")).sum
+    val docsInCc = run("dedup_clusters").count()
+    assert(docsInHist == docsInCc,
+      s"histogram covers $docsInHist docs, CC labels $docsInCc")
+  }
+
+  test("s_cms_topk and s_hll_users: sketch evals are one-sided / in-envelope per window") {
+    run("s_cms_topk").collect().foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("c_exact"),
+        s"CMS undercounted: $r")
+    }
+    run("s_hll_users").collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Double]("hll_est")
+      assert(est > 0 && est < exact * 30 + 100, s"HLL unhinged: $r")
+      assert(r.getAs[Int]("n_buckets_hit") <= math.min(64, exact),
+        s"more registers hit than distinct users: $r")
+    }
+  }
+
+  test("dedup_keep_best: one survivor per cluster, consistent with the size histogram") {
+    val best = run("dedup_keep_best").collect()
+    assert(best.nonEmpty)
+    assert(best.forall(_.getAs[Int]("n_members") >= 2))
+    assert(best.forall(_.getAs[Long]("chars_dropped") >= 0))
+    // the survivor is a member of its own cluster (cluster_id = min id)
+    assert(best.forall(r =>
+      r.getAs[Long]("kept_doc") >= r.getAs[Long]("cluster_id")))
+    // membership totals agree with the independent histogram query
+    val histDocs = run("dedup_cluster_sizes").collect().map(r =>
+      r.getAs[Int]("cluster_size").toLong * r.getAs[Long]("n_clusters")).sum
+    assert(best.map(_.getAs[Int]("n_members").toLong).sum == histDocs)
+  }
+
+  test("s_log_quantiles: bucket edge brackets the disc quantile, monotone in p") {
+    val rows = run("s_log_quantiles").collect()
+    assert(rows.nonEmpty)
+    // the TRUE invariant is against the DISC quantile v_k (k-th smallest,
+    // k = ceil(p·n)) — that's the value whose bucket the cum>=p·n scan
+    // selects, so edge ∈ [v_k - 0.01, 2·v_k + 0.02] by log2-bin
+    // construction. The query's exact_q (interpolating percentile) is
+    // only a report: on a 2-event window it averages the two values and
+    // can sit arbitrarily far above the p50 bucket edge.
+    import org.apache.spark.sql.functions.col
+    val raw = graft.queries.Tables.t(spark, sf, "events")
+    val byWindow = raw
+      .select(graft.queries.Tables.tsUs(raw).as("us"), col("value"))
+      .collect()
+      .groupBy(r => Math.floorDiv(r.getLong(0), 3600000000L) * 3600000000L)
+      .map { case (ws, rs) => ws -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val vs = byWindow(r.getAs[Long]("window_start_us"))
+      val k = math.ceil(r.getAs[Double]("p") * vs.length).toInt.max(1)
+      val vk = vs(k - 1)
+      val a = r.getAs[Double]("approx_q")
+      assert(a >= vk - 0.01 && a <= 2 * vk + 0.02,
+        s"edge $a outside [${vk - 0.01}, ${2 * vk + 0.02}] for disc-q $vk: $r")
+    }
+    rows.groupBy(_.getAs[Long]("window_start_us")).foreach { case (_, ws) =>
+      val byP = ws.sortBy(_.getAs[Double]("p")).map(_.getAs[Double]("approx_q"))
+      assert(byP.sliding(2).forall(s => s.head <= s.last),
+        s"approx quantiles not monotone in p: ${ws.mkString(",")}")
+    }
+  }
+
   test("q_hll_distinct: raw estimator lands within the m=64 error envelope") {
     val rows = run("q_hll_distinct").collect()
     assert(rows.nonEmpty)

@@ -166,6 +166,89 @@ class StreamingJsonSpec extends AnyFunSuite {
     assert(sumRemoved(q) >= 1, "closed CMS window state was not evicted")
   }
 
+  test("windowed HLL registers over a real file stream: replay-idempotent, closed-window emit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hll").toString + "/data"
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // batch 1: users 7 and 9 in hour 0 + a sentinel 3 h ahead
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 1000L), 7L),
+      (new java.sql.Timestamp(base + 2000L), 9L),
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000), 1L))
+      .toDF("ts", "user_id"), dir, base)
+    // batch 2: user 7 REPLAYED in hour 0 (idempotent max must not
+    // change its register) + spacer advancing the watermark
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 5000L), 7L),
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000 + 60000L), 1L))
+      .toDF("ts", "user_id"), dir, base + 60000)
+
+    val src = spark.readStream
+      .schema("ts timestamp, user_id long")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = graft.streaming.StreamingAnalytics.hllRegisters(src, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("hllout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("hllout").collect()
+    assert(out.nonEmpty, "closed HLL window emitted nothing")
+    assert(out.forall(_.getAs[java.sql.Timestamp]("window_start").getTime == base))
+    // 2 distinct users -> at most 2 registers, NOT 3: the replayed
+    // third event left its register untouched (max is idempotent) —
+    // this is what windowed countDistinct state cannot give for free
+    assert(out.length <= 2, s"replay inflated registers: ${out.mkString(",")}")
+    // registers match the batch run of the same operator on hour-0 data
+    val batch = graft.streaming.StreamingAnalytics.hllRegisters(
+      spark.read.parquet(dir)
+        .where(col("ts") < new java.sql.Timestamp(base + 3600000L)), "1 hour")
+      .select("b", "m").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out.map(r => (r.getAs[Long]("b"), r.getAs[Int]("m"))).toSet == batch)
+    assert(sumRemoved(q) >= 1, "closed HLL window state was not evicted")
+  }
+
+  test("windowed log-histogram over a real file stream: cross-batch additive counts, closed-window emit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("loghist").toString + "/data"
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // batch 1: two values in hour 0 (1.00 -> bucket 7, 5.00 -> bucket 9)
+    // + a sentinel 3 h ahead that will close the window
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 1000L), 1.00),
+      (new java.sql.Timestamp(base + 2000L), 5.00),
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000), 0.10))
+      .toDF("ts", "value"), dir, base)
+    // batch 2: ANOTHER 1.00 in hour 0 (its bucket-7 count must merge to
+    // 2 across micro-batches) + spacer advancing the watermark
+    appendStamped(Seq(
+      (new java.sql.Timestamp(base + 5000L), 1.00),
+      (new java.sql.Timestamp(base + 3L * 3600 * 1000 + 60000L), 0.10))
+      .toDF("ts", "value"), dir, base + 60000)
+
+    val src = spark.readStream
+      .schema("ts timestamp, value double")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = graft.streaming.StreamingAnalytics.logHistCells(src, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("lhout").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("lhout").collect()
+    assert(out.nonEmpty, "closed log-hist window emitted nothing")
+    assert(out.forall(_.getAs[java.sql.Timestamp]("window_start").getTime == base))
+    val cells = out.map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("c"))).toMap
+    // 1.00 -> cents 100 -> bin(101) is 7 bits; 5.00 -> bin(501) is 9 bits
+    assert(cells == Map(7 -> 2L, 9 -> 1L),
+      s"cells $cells != Map(7 -> 2, 9 -> 1): cross-batch add or binning broke")
+    // parity with the batch run of the same operator on hour-0 data
+    val batch = graft.streaming.StreamingAnalytics.logHistCells(
+      spark.read.parquet(dir)
+        .where(col("ts") < new java.sql.Timestamp(base + 3600000L)), "1 hour")
+      .select("bucket", "c").collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(cells == batch)
+    assert(sumRemoved(q) >= 1, "closed log-hist window state was not evicted")
+  }
+
   test("dedupWithinWatermark drops replays inside the horizon, re-admits after eviction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ddww").toString + "/data"
