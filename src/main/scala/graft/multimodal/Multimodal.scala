@@ -364,6 +364,46 @@ object Multimodal {
   /** Partition-batched decode: one codec per partition, rows streamed.
     * This is the mapInPandas-shaped hot path — swap StubCodec for a
     * real decoder and nothing else changes. */
+  val resizeSchema: StructType = new StructType()
+    .add("doc_id", LongType)
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("px_sum", LongType)
+
+  /** Nearest-neighbor thumbnail resize over REAL encoded images: decode
+    * with the in-JDK ImageIO codec, sample the outW×outH grid at
+    * (x·w/outW, y·h/outH) — INTEGER arithmetic, no AWT scaling filter,
+    * so every sampled source pixel is exactly predictable — and emit a
+    * pixel checksum alongside the decoded dimensions. On lossless
+    * payloads (PNG) the checksum is arithmetic-reproducible end to end,
+    * which makes the whole decode→resize path ORACLE-checkable, not
+    * just schema-checkable. Partition-batched like decodeMeta: one
+    * image in memory at a time, the mapInPandas batch shape; a real
+    * resize kernel (area/bicubic, SIMD) replaces only the inner loop. */
+  def resizeNearest(withImages: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame = {
+    val rows: Dataset[Row] = withImages.select(col("doc_id"), col("payload"))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(resizeSchema)
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            sum += (img.getRGB(x * w / outW, y * h / outH) & 0xFFFFFF).toLong
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), w, h, sum)
+      }
+    }
+  }
+
   def decodeMeta(withPayloads: DataFrame, codec: Codec = StubCodec): DataFrame = {
     val spark = withPayloads.sparkSession
     val rows: Dataset[Row] = withPayloads.select(

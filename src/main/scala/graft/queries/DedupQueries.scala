@@ -1377,5 +1377,104 @@ object DedupQueries {
            |GROUP BY 1, 2""".stripMargin,
         "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
         "edges", "cc", "j")),
-      "Per-cluster survivor selection: keep the longest doc, report chars saved."))
+      "Per-cluster survivor selection: keep the longest doc, report chars saved."),
+
+    QueryDef(
+      "dedup_pipeline_funnel",
+      (s, dir) => {
+        // THE CURATION PIPELINE, end to end — the stage sequence a
+        // pretraining data run actually executes, as ONE query with a
+        // per-source attrition report: LSH near-dedup with survivor
+        // election (keep the longest doc per cluster) → holdout
+        // exclusion (the eval split other queries decontaminate
+        // against) → 3-gram decontamination of the remaining train
+        // docs (drop contam_frac >= 0.2, stated as the integer
+        // cross-ratio 5·n_shared >= n_shingles so no double ever
+        // crosses engines) → final doc/char counts. Composes the
+        // proven sub-plans (lshVerifiedPairs, contraction-seeded CC,
+        // decontaminate); the stage flags are id-sized left joins and
+        // the report is one map-side-combinable aggregation to
+        // |sources| rows. At 100 TB nothing here shuffles doc bodies:
+        // pairs/labels/flags are all id-keyed.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val cc = pointerJumpCC(localUnionFindEdges(edges).localCheckpoint(true))
+          .select("doc_id", "cluster_id")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val kept = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+          .groupBy("cluster_id")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("best"))
+          .select(col("cluster_id"), (-col("best.nd")).as("kept_doc"))
+        val nearDropped = cc.join(kept, "cluster_id")
+          .where(col("doc_id") =!= col("kept_doc"))
+          .select(col("doc_id"), lit(1).as("ndrop"))
+        val contam = decontaminate(s, dir)
+          .where(col("n_shared") * 5 >= col("n_shingles"))
+          .select(col("doc_id"), lit(1).as("ct"))
+        docs
+          .join(nearDropped, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .select(col("source"), col("n_chars"),
+            coalesce(col("ndrop"), lit(0)).as("ndrop"),
+            ((col("doc_id") % 1000003L * 2654435761L % 100) >= 80)
+              .cast("int").as("ho"),
+            coalesce(col("ct"), lit(0)).as("ct"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("ndrop").cast("long").as("n_near_dropped"),
+            sum(expr("(1-ndrop)*ho")).cast("long").as("n_holdout"),
+            sum(expr("(1-ndrop)*(1-ho)*ct")).cast("long").as("n_contaminated"),
+            sum(expr("(1-ndrop)*(1-ho)*(1-ct)")).cast("long").as("n_final"),
+            sum(expr("(1-ndrop)*(1-ho)*(1-ct)*n_chars")).cast("long")
+              .as("chars_final"))
+      },
+      Some(materializeCtes(
+        s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$LshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+           |jj AS (SELECT cc.cluster_id, d.doc_id, d.n_chars
+           |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+           |b AS (SELECT cluster_id, doc_id AS kept_doc,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |      ORDER BY n_chars DESC, doc_id) AS rk FROM jj),
+           |nd AS (SELECT jj.doc_id FROM jj
+           |  JOIN b ON jj.cluster_id = b.cluster_id AND b.rk = 1
+           |  WHERE jj.doc_id <> b.kept_doc),
+           |cntall AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |hold AS (SELECT DISTINCT s FROM sh
+           |  WHERE doc_id % 1000003 * 2654435761 % 100 >= 80),
+           |trc AS (SELECT tr.doc_id FROM
+           |    (SELECT sh.doc_id, COUNT(*) AS n_shared FROM sh
+           |      JOIN hold ON sh.s = hold.s
+           |      WHERE sh.doc_id % 1000003 * 2654435761 % 100 < 80
+           |      GROUP BY 1) tr
+           |  JOIN cntall c ON tr.doc_id = c.doc_id
+           |  WHERE tr.n_shared * 5 >= c.n),
+           |f AS (SELECT d.source, d.n_chars,
+           |    CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ndrop,
+           |    CASE WHEN d.doc_id % 1000003 * 2654435761 % 100 >= 80
+           |      THEN 1 ELSE 0 END AS ho,
+           |    CASE WHEN trc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ct
+           |  FROM documents d
+           |  LEFT JOIN nd ON d.doc_id = nd.doc_id
+           |  LEFT JOIN trc ON d.doc_id = trc.doc_id)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(ndrop) AS BIGINT) AS n_near_dropped,
+           |  CAST(SUM((1-ndrop)*ho) AS BIGINT) AS n_holdout,
+           |  CAST(SUM((1-ndrop)*(1-ho)*ct) AS BIGINT) AS n_contaminated,
+           |  CAST(SUM((1-ndrop)*(1-ho)*(1-ct)) AS BIGINT) AS n_final,
+           |  CAST(SUM((1-ndrop)*(1-ho)*(1-ct)*n_chars) AS BIGINT) AS chars_final
+           |FROM f GROUP BY 1""".stripMargin,
+        "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
+        "edges", "cc", "jj", "hold")),
+      "The composed curation pipeline: near-dedup survivors, holdout split, decontamination — per-source attrition."))
 }

@@ -201,6 +201,38 @@ object TextQueries {
         "by the in-JDK ImageIO codec (width/height/channels)."),
 
     QueryDef(
+      "mm_resize",
+      (s, dir) => {
+        // REAL bytes, REAL decode → RESIZE: the thumbnail stage of a
+        // multimodal ingest, oracle-checked down to the PIXELS. PNG
+        // "image" docs only (doc_id % 6 = 0: image ∧ png) — PNG is
+        // lossless, so the nearest-neighbor 8×8 sample of the decoded
+        // payload must reproduce the encoder's arithmetic pattern
+        // pixel(x,y) = (x·31 + y·17 + id) mod 2²⁴ EXACTLY, and the
+        // oracle recomputes the full 64-pixel checksum from doc_id
+        // arithmetic: a wrong decoder, a filtering resampler, or an
+        // off-by-one in the sample grid all hash-mismatch. (JPEG docs
+        // go through the same code path in MultimodalSpec, where only
+        // dimensions are asserted — lossy pixels have no oracle.)
+        val images = graft.multimodal.Multimodal.withImagePayload(
+          t(s, dir, "documents").where(col("doc_id") % 6 === 0))
+        graft.multimodal.Multimodal.resizeNearest(images, 8, 8)
+      },
+      Some(
+        """WITH img AS (SELECT doc_id,
+          |    CAST(doc_id % 48 + 16 AS INT) AS w,
+          |    CAST(doc_id % 32 + 16 AS INT) AS h
+          |  FROM documents WHERE doc_id % 6 = 0),
+          |px AS (SELECT doc_id, w, h,
+          |    ((x * w // 8) * 31 + (y * h // 8) * 17 + doc_id) % 16777216 AS rgb
+          |  FROM img, unnest(range(8)) AS tx(x), unnest(range(8)) AS ty(y))
+          |SELECT doc_id, w AS width, h AS height,
+          |  CAST(SUM(rgb) AS BIGINT) AS px_sum
+          |FROM px GROUP BY 1, 2, 3""".stripMargin),
+      "Decode→resize thumbnails: nearest-neighbor 8x8 over real PNG bytes, " +
+        "pixel-checksum oracle from the encoder arithmetic."),
+
+    QueryDef(
       "mm_audio_decode",
       (s, dir) => {
         // REAL bytes, REAL decoder, audio edition: encode a

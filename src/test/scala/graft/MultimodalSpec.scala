@@ -74,6 +74,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImageIoCodec.decode(Array.empty[Byte]) === ((-1, -1, -1)))
   }
 
+  test("resizeNearest: PNG pixels reproduce encoder arithmetic; JPEG path decodes sane") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // PNG (lossless) half: 8x8 checksum must equal the arithmetic
+    // prediction exactly — same contract the DuckDB oracle enforces
+    val png = Multimodal.resizeNearest(
+      Multimodal.withImagePayload(docs.where(col("doc_id") % 6 === 0)), 8, 8)
+      .collect()
+    assert(png.nonEmpty)
+    png.foreach { r =>
+      val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+      assert(w == (id % 48 + 16).toInt && h == (id % 32 + 16).toInt)
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        want += (x * w / 8 * 31 + y * h / 8 * 17 + id) % 0x1000000
+      assert(r.getLong(3) == want, s"PNG resize checksum drifted for doc $id")
+    }
+    // JPEG (lossy) half goes through the same code path: dimensions
+    // exact, checksum merely in the 64-pixel envelope
+    val jpg = Multimodal.resizeNearest(
+      Multimodal.withImagePayload(
+        docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)), 8, 8)
+      .collect()
+    assert(jpg.nonEmpty)
+    jpg.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 48 + 16).toInt && r.getInt(2) == (id % 32 + 16).toInt)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 64L * 0xFFFFFF)
+    }
+  }
+
   test("WAV codec parses real RIFF bytes on executors; rejects garbage") {
     import spark.implicits._
     val docs = Seq(1L, 4L, 7L, 34L, 97L).toDF("doc_id")

@@ -222,6 +222,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(best.map(_.getAs[Int]("n_members").toLong).sum == histDocs)
   }
 
+  test("dedup_pipeline_funnel: stages partition every doc, near-drops match survivor election") {
+    val f = run("dedup_pipeline_funnel").collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val parts = Seq("n_near_dropped", "n_holdout", "n_contaminated", "n_final")
+        .map(r.getAs[Long](_)).sum
+      assert(parts == r.getAs[Long]("n_docs"),
+        s"funnel stages don't partition the docs: $r")
+      assert(r.getAs[Long]("chars_final") >= 0)
+    }
+    // total near-drops = sum over clusters of (members - 1), i.e. the
+    // docs dedup_keep_best decided NOT to keep
+    val expectedDrops = run("dedup_keep_best").collect()
+      .map(_.getAs[Int]("n_members").toLong - 1).sum
+    assert(f.map(_.getAs[Long]("n_near_dropped")).sum == expectedDrops)
+  }
+
   test("s_log_quantiles: bucket edge brackets the disc quantile, monotone in p") {
     val rows = run("s_log_quantiles").collect()
     assert(rows.nonEmpty)
