@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val registry: Seq[QueryDef] =
     ParityQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ StreamingBatchQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++
+      StreamingBatchQueries.defs ++ ClassifierQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses only ms-precision tables so it runs under any session config. */
