@@ -1164,5 +1164,67 @@ object SimilarityQueries {
            |SELECT query_id, neighbor_id, n_label, cos, CAST(rk AS INT) AS rk FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            |    ORDER BY cos DESC, neighbor_id) AS rk FROM p) WHERE rk <= 3""".stripMargin),
-      "Hard-negative mining: top-3 cross-label cosine neighbors per query."))
+      "Hard-negative mining: top-3 cross-label cosine neighbors per query."),
+
+    QueryDef(
+      "sim_knn_classify",
+      (s, dir) => {
+        // kNN pseudo-labeling — the label-propagation stage of a
+        // semi-supervised curation run: every 5th vector plays the
+        // "unlabeled" doc, gets its k=10 nearest (cosine, within its
+        // IVF cell — the scale-bounded candidate set, not a corpus
+        // scan), and takes the neighbors' majority label (ties break
+        // on the smaller label id). The true label rides along so the
+        // output doubles as the pseudo-labeler's accuracy audit.
+        // Scale shape: the candidate join is keyed on the cell and
+        // deliberately NOT broadcast-hinted — at 20% of a 100 TB
+        // corpus the query side is itself huge, so both sides
+        // shuffle-partition by cell (AQE may still broadcast at tiny
+        // SF); the vote is a (query, label) count — map-side
+        // combinable — and the argmax window runs over <= |labels|
+        // rows per query. Doc vectors cross the network once each.
+        val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
+          .join(unitEmb(s, dir), "vec_id").cache()
+        val q = au.where(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+            col("assigned").as("cell"), col("u").as("qu"))
+        val cands = au.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"), col("assigned").as("cell"), col("u").as("nu"))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val top10 = cands.join(q, "cell")
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("true_label"), col("neighbor_id"),
+            col("n_label"), dot(col("qu"), col("nu")).as("cos"))
+          .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 10)
+        val wVote = Window.partitionBy("query_id")
+          .orderBy(col("cnt").desc, col("n_label").asc)
+        top10.groupBy("query_id", "true_label", "n_label")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("vrk", row_number().over(wVote)).where(col("vrk") === 1)
+          .select(col("query_id"), col("true_label"),
+            col("n_label").as("pred_label"), col("cnt").as("n_votes"),
+            (col("n_label") === col("true_label")).cast("int").as("correct"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |au AS (SELECT a.vec_id, a.label, a.assigned, un.u
+           |  FROM assign a JOIN un ON a.vec_id = un.vec_id),
+           |p AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+           |    c.vec_id AS neighbor_id, c.label AS n_label,
+           |    list_dot_product(q.u, c.u) AS cos
+           |  FROM au q JOIN au c ON q.assigned = c.assigned AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id % 5 = 0),
+           |top10 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM p) WHERE rk <= 10),
+           |votes AS (SELECT query_id, true_label, n_label, COUNT(*) AS cnt
+           |  FROM top10 GROUP BY 1, 2, 3)
+           |SELECT query_id, true_label, n_label AS pred_label,
+           |  CAST(cnt AS BIGINT) AS n_votes,
+           |  CAST(n_label = true_label AS INT) AS correct
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY cnt DESC, n_label) AS vrk FROM votes) WHERE vrk = 1""".stripMargin),
+      "kNN pseudo-labeling: majority label of the 10 nearest in-cell " +
+        "neighbors per sampled vector, with accuracy audit."))
 }

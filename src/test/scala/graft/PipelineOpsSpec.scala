@@ -107,6 +107,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_classify: one verdict per sampled vector, votes bounded, majority beats runner-up") {
+    import org.apache.spark.sql.functions._
+    val rows = run("sim_knn_classify").collect()
+    val nQueries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") % 5 === 0).count()
+    assert(rows.length.toLong == nQueries, "one row per sampled query")
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("n_votes")
+      // the winner of a 10-ballot vote over >= 1 candidate labels
+      assert(votes >= 1 && votes <= 10, s"vote count out of range: $r")
+      assert(r.getAs[Int]("correct") ==
+        (if (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")) 1 else 0))
+      // majority of 10 ballots needs > 10/|labels| when all 10 labels
+      // appear; at minimum the winner holds at least ceil(10/10) = 1
+      assert(r.getAs[Int]("pred_label") >= 0 && r.getAs[Int]("pred_label") <= 9)
+    }
+    // the fixture's labels are only weakly clustered (measured 0.26
+    // here), but a broken vote collapses to the 10% random baseline —
+    // require clear daylight above that
+    val acc = rows.map(_.getAs[Int]("correct")).sum.toDouble / rows.length
+    assert(acc > 0.15, s"pseudo-label accuracy $acc is at the random baseline")
+  }
+
   test("q_quantile_sketch: approx quantile brackets the exact within one bin width") {
     import org.apache.spark.sql.functions._
     val vmax = SparkEntry.queries("q_value_quantiles")(spark, sf)
