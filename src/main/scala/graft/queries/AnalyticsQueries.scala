@@ -1074,5 +1074,68 @@ object AnalyticsQueries {
           |SELECT n_exact, n_naive_sum, kth_hash,
           |  7.0 * 4503599627370496 / kth_hash AS est_union
           |FROM ex, nv, kth""".stripMargin),
-      "KMV sketch union: merged bottom-k estimates distinct-union vs naive sum."))
+      "KMV sketch union: merged bottom-k estimates distinct-union vs naive sum."),
+
+    QueryDef(
+      "q_kmv_jaccard",
+      (s, dir) => {
+        // KMV sketch INTERSECTION — the other half of the bottom-k
+        // algebra: estimate the audience overlap of two event types
+        // from two k-hash sketches alone. rho = how many of the MERGED
+        // sketch's k smallest hashes appear in BOTH per-type sketches;
+        // rho/k estimates Jaccard, and x the merged union estimate it
+        // estimates |A ∩ B| — all from 2k longs, never re-touching the
+        // raw data. At 100 TB the per-type sketches are TopKPerKey
+        // heap reductions (k rows cross the network per type); every
+        // join below is between k-row frames. Exact counts ride along
+        // as the evaluation columns.
+        val k = 8
+        val ab = Seq("click", "purchase")
+        val d = t(s, dir, "events")
+          .where(col("event_type").isin(ab: _*))
+          .select(col("event_type"), col("user_id")).distinct()
+        val h = d.select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 13),
+            16, 10).cast("long").as("h"))
+        val sk = graft.plans.GraftOps.topKPerKey(h, Seq("event_type"), k, "+h")
+        val merged = sk.select("h").distinct().orderBy("h").limit(k).cache()
+        val kth = merged.agg(max("h").as("kth_hash"), count(lit(1)).as("nk"))
+          .where(col("nk") === k).drop("nk")
+        val rho = merged
+          .join(sk.where(col("event_type") === ab(0)).select("h"), Seq("h"), "leftsemi")
+          .join(sk.where(col("event_type") === ab(1)).select("h"), Seq("h"), "leftsemi")
+          .agg(count(lit(1)).as("rho"))
+        val ex = d.groupBy("user_id").agg(count(lit(1)).as("nt"))
+          .agg(count(lit(1)).as("n_union_exact"),
+            sum((col("nt") === 2).cast("long")).as("n_inter_exact"))
+        ex.crossJoin(rho).crossJoin(kth)
+          .select(col("n_inter_exact"), col("n_union_exact"), col("rho"),
+            (col("rho") / lit(8.0)).as("est_jaccard"),
+            ((col("rho") / lit(8.0)) *
+              (lit(7.0) * lit(4503599627370496L) / col("kth_hash")))
+              .as("est_intersection"))
+      },
+      Some(
+        """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+          |  WHERE event_type IN ('click', 'purchase')),
+          |h AS (SELECT event_type,
+          |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+          |  FROM d),
+          |r AS (SELECT event_type, h,
+          |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+          |sk AS (SELECT DISTINCT event_type, h FROM r WHERE rk <= 8),
+          |m AS (SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT 8),
+          |kth AS (SELECT MAX(h) AS kth_hash FROM m),
+          |rho AS (SELECT COUNT(*) AS rho FROM m
+          |  WHERE h IN (SELECT h FROM sk WHERE event_type = 'click')
+          |    AND h IN (SELECT h FROM sk WHERE event_type = 'purchase')),
+          |ex AS (SELECT COUNT(*) AS n_union_exact,
+          |    CAST(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact
+          |  FROM (SELECT user_id, COUNT(*) AS nt FROM d GROUP BY user_id))
+          |SELECT n_inter_exact, n_union_exact, CAST(rho AS BIGINT) AS rho,
+          |  rho / 8.0 AS est_jaccard,
+          |  (rho / 8.0) * (7.0 * 4503599627370496 / kth_hash) AS est_intersection
+          |FROM ex, rho, kth""".stripMargin),
+      "KMV sketch intersection: Jaccard and overlap of two audiences " +
+        "from two bottom-k sketches."))
 }

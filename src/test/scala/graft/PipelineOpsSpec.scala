@@ -168,6 +168,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"union estimate unreasonable: est=$est exact=$exact")
   }
 
+  test("q_kmv_jaccard: estimates are sketch-consistent and track the exact overlap") {
+    import org.apache.spark.sql.functions._
+    val r = run("q_kmv_jaccard").collect()(0)
+    val rho = r.getAs[Long]("rho")
+    val inter = r.getAs[Long]("n_inter_exact")
+    val union = r.getAs[Long]("n_union_exact")
+    assert(rho >= 0 && rho <= 8, s"rho out of sketch range: $rho")
+    assert(inter <= union)
+    assert(r.getAs[Double]("est_jaccard") == rho / 8.0)
+    // exact counts must agree with a direct two-set computation
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val a = ev.where(col("event_type") === "click")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val b = ev.where(col("event_type") === "purchase")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(inter == (a & b).size.toLong)
+    assert(union == (a | b).size.toLong)
+    // k=8 is coarse, but a zero/huge estimate against a real overlap
+    // means the sketch intersection logic is broken
+    val estI = r.getAs[Double]("est_intersection")
+    if (inter > 0) assert(estI > 0, "overlap exists but sketch says 0... rho lost")
+    assert(estI < union * 6 + 50, s"intersection estimate unreasonable: $estI")
+  }
+
   test("dedup_triangles: incidence sums to 3 per triangle, bounded by degree pairs") {
     val rows = run("dedup_triangles").collect()
     assert(rows.nonEmpty)
