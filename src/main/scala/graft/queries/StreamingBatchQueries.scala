@@ -413,5 +413,67 @@ object StreamingBatchQueries {
           |SELECT qb.ws AS window_start_us, qb.p,
           |  (power(2.0, qbucket) - 2) / 100 AS approx_q, exact_q
           |FROM qb JOIN ex ON qb.ws = ex.ws AND qb.p = ex.p""".stripMargin),
-      "Streaming log-histogram quantiles per window: ~40 counts of state vs exact percentile."))
+      "Streaming log-histogram quantiles per window: ~40 counts of state vs exact percentile."),
+
+    QueryDef(
+      "s_drift_kl",
+      (s, dir) => {
+        // Distribution-drift monitor — the alarm a live ingest needs:
+        // per 15-minute window, KL(window ‖ reference) of the
+        // event-type mix against a baseline distribution. Two-tier
+        // design (the production shape): tier 1 is the already-
+        // streaming-native windowedCounts cells (constant per-window
+        // state: |types| counters); tier 2 — everything below the
+        // cells — is a cheap batch pass over the EMITTED table joined
+        // to a broadcast reference. Here the reference is the full
+        // fixture's own mix (a live deployment feeds last week's
+        // instead); at 100 TB the reference is |types| rows broadcast
+        // and the KL assembly never touches raw events again.
+        // Determinism: each KL term quantizes ONCE to a 1e-9 integer —
+        // p and the log ratio are computed from exact integer-count
+        // quotients, so both engines feed ln the identical double —
+        // and the per-window sum is integer, order-free.
+        val raw = t(s, dir, "events")
+        val ev = raw.select(Tables.tsTimestamp(raw).as("ts"),
+          col("event_type"), lit(0L).as("value"))
+        val cells = StreamingAnalytics
+          .windowedCounts(ev, "15 minutes", "15 minutes")
+          .select(unix_micros(col("window_start")).as("ws"),
+            unix_micros(col("window_end")).as("we"),
+            col("event_type"), col("n"))
+        val ref = raw.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+        val tot = raw.agg(count(lit(1)).as("n_tot"))
+        val wtot = cells.groupBy("ws").agg(sum("n").as("n_w"))
+        cells.join(wtot, "ws")
+          .join(broadcast(ref), "event_type").crossJoin(broadcast(tot))
+          .select(col("ws"), col("we"), col("n_w"),
+            round((col("n").cast("double") / col("n_w")) *
+              log((col("n") * col("n_tot")).cast("double") /
+                (col("n_w") * col("n_t")).cast("double")) * 1000000000L)
+              .cast("long").as("term_q"))
+          .groupBy("ws", "we", "n_w")
+          .agg(sum("term_q").as("kl_q"))
+          .select(col("ws").as("window_start_us"),
+            col("we").as("window_end_us"),
+            col("n_w").as("n_events"),
+            (col("kl_q").cast("double") / 1000000000L).as("kl"))
+      },
+      Some(
+        """WITH cells AS (SELECT (epoch_us(ts) // 900000000) * 900000000 AS ws,
+          |    event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+          |wtot AS (SELECT ws, CAST(SUM(n) AS BIGINT) AS n_w FROM cells GROUP BY ws),
+          |ref AS (SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY 1),
+          |tot AS (SELECT COUNT(*) AS n_tot FROM events),
+          |terms AS (SELECT c.ws, w.n_w,
+          |    CAST(ROUND((CAST(c.n AS DOUBLE) / w.n_w) *
+          |      ln(CAST(c.n * t.n_tot AS DOUBLE) / CAST(w.n_w * r.n_t AS DOUBLE))
+          |      * 1000000000) AS BIGINT) AS term_q
+          |  FROM cells c JOIN wtot w ON c.ws = w.ws
+          |  JOIN ref r ON c.event_type = r.event_type, tot t)
+          |SELECT ws AS window_start_us, ws + 900000000 AS window_end_us,
+          |  n_w AS n_events,
+          |  CAST(SUM(term_q) AS BIGINT) / 1000000000.0 AS kl
+          |FROM terms GROUP BY 1, 2, 3""".stripMargin),
+      "Streaming drift monitor: per-window KL divergence of the event mix " +
+        "vs a broadcast reference distribution."))
 }

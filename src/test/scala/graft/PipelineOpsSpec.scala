@@ -287,6 +287,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(f.map(_.getAs[Long]("n_near_dropped")).sum == expectedDrops)
   }
 
+  test("s_drift_kl: windows partition the stream, KL is Gibbs-nonnegative and replays") {
+    import org.apache.spark.sql.functions._
+    val rows = run("s_drift_kl").collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count(),
+      "windows must partition every event")
+    // Gibbs: KL >= 0 up to per-term 1e-9 quantization slack (<= 5 terms)
+    rows.foreach(r => assert(r.getAs[Double]("kl") >= -1e-8, s"negative KL: $r"))
+    // replicate the heaviest window driver-side from raw counts
+    val top = rows.maxBy(_.getAs[Long]("n_events"))
+    val ws = top.getAs[Long]("window_start_us")
+    val global = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTot = global.values.sum
+    val inWin = ev
+      .select(graft.queries.Tables.tsUs(ev).as("us"), col("event_type"))
+      .where(col("us") >= ws && col("us") < ws + 900000000L)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val nW = inWin.map(_._2).sum
+    val want = inWin.map { case (t, n) =>
+      (n.toDouble / nW) * math.log((n * nTot).toDouble / (nW * global(t)).toDouble)
+    }.sum
+    assert(math.abs(top.getAs[Double]("kl") - want) < 1e-6,
+      s"KL drifted from direct recompute: got ${top.getAs[Double]("kl")}, want $want")
+  }
+
   test("s_log_quantiles: bucket edge brackets the disc quantile, monotone in p") {
     val rows = run("s_log_quantiles").collect()
     assert(rows.nonEmpty)
