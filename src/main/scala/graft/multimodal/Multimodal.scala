@@ -404,6 +404,52 @@ object Multimodal {
     }
   }
 
+  val energySchema: StructType = new StructType()
+    .add("doc_id", LongType)
+    .add("block", IntegerType)
+    .add("n_samples", LongType)
+    .add("energy", LongType)
+
+  /** Frame-block signal energy over REAL WAV bytes: decode the PCM-16
+    * stream with the in-JDK javax.sound codec and sum sample² per
+    * `blockFrames`-frame block (channels folded in). This drives the
+    * decoder through the sample DATA, not just the header — on the
+    * deterministic fixture payloads the energies are integer-exact and
+    * the oracle recomputes them from doc_id arithmetic, so a byte-order
+    * slip, a sign-extension bug, or a dropped frame all hash-mismatch.
+    * Same partition-batched shape as decodeMeta: one stream open per
+    * row, samples never materialize as a Spark-side array. */
+  def audioBlockEnergy(withAudio: DataFrame, blockFrames: Int = 25): DataFrame = {
+    val rows: Dataset[Row] = withAudio.select(col("doc_id"), col("payload"))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(energySchema)
+    rows.flatMap { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      val ch = ais.getFormat.getChannels
+      val data = ais.readAllBytes()
+      val nSamples = data.length / 2
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var block = 0
+      var i = 0
+      while (i < nSamples) {
+        val end = math.min(i + blockFrames * ch, nSamples)
+        var e = 0L
+        var n = 0L
+        while (i < end) {
+          // little-endian signed 16-bit
+          val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+          e += v * v
+          n += 1
+          i += 1
+        }
+        out += Row(r.getLong(0), block, n, e)
+        block += 1
+      }
+      out
+    }
+  }
+
   def decodeMeta(withPayloads: DataFrame, codec: Codec = StubCodec): DataFrame = {
     val spark = withPayloads.sparkSession
     val rows: Dataset[Row] = withPayloads.select(

@@ -262,6 +262,34 @@ object TextQueries {
         "the in-JDK javax.sound.sampled codec (rate/channels/frames)."),
 
     QueryDef(
+      "mm_audio_energy",
+      (s, dir) => {
+        // REAL bytes, REAL decode → FEATURE EXTRACTION: per-block
+        // signal energy over the decoded PCM stream — the audio
+        // analog of mm_resize. The fixture PCM is the arithmetic
+        // pattern byte(i) = (7i + id) & 0x7f, so every little-endian
+        // 16-bit sample — and therefore every block's Σ sample² — is
+        // recomputable from doc_id alone: the oracle checks the
+        // decoder read the sample DATA correctly (byte order, sign,
+        // frame accounting), not just the header.
+        val audio = graft.multimodal.Multimodal.withAudioPayload(
+          t(s, dir, "documents").where(col("doc_id") % 3 === 1))
+        graft.multimodal.Multimodal.audioBlockEnergy(audio, 25)
+      },
+      Some(
+        """WITH a AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
+          |    CAST(doc_id % 100 + 50 AS INT) AS frames
+          |  FROM documents WHERE doc_id % 3 = 1),
+          |sm AS (SELECT doc_id, CAST((i // ch) // 25 AS INT) AS block,
+          |    (14 * i + doc_id) % 128 + 256 * ((14 * i + 7 + doc_id) % 128) AS v
+          |  FROM a, unnest(range(ch * frames)) AS t(i))
+          |SELECT doc_id, block, COUNT(*) AS n_samples,
+          |  CAST(SUM(v * v) AS BIGINT) AS energy
+          |FROM sm GROUP BY 1, 2""".stripMargin),
+      "Decode→feature-extract audio: per-25-frame-block PCM energy from " +
+        "real WAV bytes, sample-level oracle from the encoder arithmetic."),
+
+    QueryDef(
       "mm_video_decode",
       (s, dir) => {
         // REAL bytes, REAL demuxer, video edition — the last modality

@@ -104,6 +104,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioBlockEnergy: blocks partition the PCM stream, energies match byte arithmetic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") % 3 === 1).limit(5)
+    val rows = Multimodal.audioBlockEnergy(
+      Multimodal.withAudioPayload(docs), 25).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val ch = (id % 2 + 1).toInt
+      val frames = (id % 100 + 50).toInt
+      assert(rs.map(_.getAs[Long]("n_samples")).sum == frames.toLong * ch,
+        s"blocks must partition all samples of doc $id")
+      val byBlock = rs.sortBy(_.getAs[Int]("block"))
+      assert(byBlock.map(_.getAs[Int]("block")).toSeq == byBlock.indices)
+      // full blocks carry 25*ch samples; only the last may be short
+      byBlock.init.foreach(r => assert(r.getAs[Long]("n_samples") == 25L * ch))
+      // sample-level replication of the fixture arithmetic
+      var i = 0L
+      byBlock.foreach { r =>
+        var want = 0L
+        (0L until r.getAs[Long]("n_samples")).foreach { _ =>
+          val v = (14 * i + id) % 128 + 256 * ((14 * i + 7 + id) % 128)
+          want += v * v
+          i += 1
+        }
+        assert(r.getAs[Long]("energy") == want, s"energy drift doc $id block $r")
+      }
+    }
+  }
+
   test("WAV codec parses real RIFF bytes on executors; rejects garbage") {
     import spark.implicits._
     val docs = Seq(1L, 4L, 7L, 34L, 97L).toDF("doc_id")
