@@ -1226,5 +1226,56 @@ object SimilarityQueries {
            |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            |    ORDER BY cnt DESC, n_label) AS vrk FROM votes) WHERE vrk = 1""".stripMargin),
       "kNN pseudo-labeling: majority label of the 10 nearest in-cell " +
-        "neighbors per sampled vector, with accuracy audit."))
+        "neighbors per sampled vector, with accuracy audit."),
+
+    QueryDef(
+      "sim_source_map",
+      (s, dir) => {
+        // Domain-similarity map — the input to data-mixing decisions:
+        // one embedding centroid per document SOURCE (docs ⋈ embeddings
+        // on the id), then the full pairwise cosine matrix between
+        // source centroids. Tells a curation run which domains are
+        // near-duplicates of each other and which add diversity.
+        // Scale shape: one id-keyed equi-join (both sides shuffle by
+        // the id once), a map-side-combinable (source, dim) mean — the
+        // exact 1e-9-quantized fold every centroid op here uses — and
+        // a |sources|² pair matrix that is driver-trivial at any
+        // corpus size. Doc bodies never move; vectors cross the
+        // network once.
+        graft.functions.VectorFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+        val cents = quantMean(
+          joined.select(col("source"), posexplode(col("e")).as(Seq("pos", "v"))),
+          Seq(col("source") -> "source", (col("pos") + 1) -> "dim"),
+          col("v"), "cv")
+          .groupBy("source")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("source"),
+            transform(col("pairs"), p => p.getField("cv")).as("c"))
+        val a = cents.select(col("source").as("source_a"), col("c").as("ca"))
+        val b = cents.select(col("source").as("source_b"), col("c").as("cb"))
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            (dot(col("ca"), col("cb")) /
+              sqrt(dot(col("ca"), col("ca")) * dot(col("cb"), col("cb"))))
+              .as("cos"))
+      },
+      Some(
+        """WITH cd AS (SELECT d.source, CAST(dim AS INT) AS dim,
+          |    CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS DOUBLE)
+          |      / 1000000000 / COUNT(*) AS cv
+          |  FROM (SELECT vec_id, unnest(range(1, 65)) AS dim,
+          |        unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) x
+          |  JOIN documents d ON x.vec_id = d.doc_id
+          |  GROUP BY 1, 2),
+          |cent AS (SELECT source, list(cv ORDER BY dim) AS c FROM cd GROUP BY source)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |  list_dot_product(a.c, b.c) /
+          |    sqrt(list_dot_product(a.c, a.c) * list_dot_product(b.c, b.c)) AS cos
+          |FROM cent a JOIN cent b ON a.source < b.source""".stripMargin),
+      "Domain-similarity map: pairwise cosine between per-source " +
+        "embedding centroids — the data-mixing diversity signal."))
 }

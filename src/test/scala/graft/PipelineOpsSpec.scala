@@ -131,6 +131,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(acc > 0.15, s"pseudo-label accuracy $acc is at the random baseline")
   }
 
+  test("sim_source_map: full strict-upper pair matrix, cosines valid, one pair replays exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("sim_source_map").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bySrc = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("source"), col("embedding")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val n = bySrc.size
+    assert(rows.length == n * (n - 1) / 2, "strict upper triangle of the matrix")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"cosine out of range: $r")
+    }
+    // exact replication of one pair with the same quantized-mean +
+    // sequential-fold arithmetic
+    val Seq(sa, sb) = bySrc.keys.toSeq.sorted.take(2)
+    def centroid(vs: Array[Array[Double]]): Array[Double] =
+      Array.tabulate(64) { d =>
+        vs.map(v => math.round(v(d) * 1e9)).sum.toDouble / 1e9 / vs.length
+      }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val (ca, cb) = (centroid(bySrc(sa)), centroid(bySrc(sb)))
+    val want = dotd(ca, cb) / math.sqrt(dotd(ca, ca) * dotd(cb, cb))
+    val got = rows.find(r => r.getString(0) == sa && r.getString(1) == sb).get
+      .getAs[Double]("cos")
+    assert(got == want, s"pair ($sa,$sb) drifted: got $got want $want")
+  }
+
   test("q_quantile_sketch: approx quantile brackets the exact within one bin width") {
     import org.apache.spark.sql.functions._
     val vmax = SparkEntry.queries("q_value_quantiles")(spark, sf)
