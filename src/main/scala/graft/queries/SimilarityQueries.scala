@@ -1257,7 +1257,10 @@ object SimilarityQueries {
             transform(col("pairs"), p => p.getField("cv")).as("c"))
         val a = cents.select(col("source").as("source_a"), col("c").as("ca"))
         val b = cents.select(col("source").as("source_b"), col("c").as("cb"))
-        a.join(b, col("source_a") < col("source_b"))
+        // |sources| rows: broadcast keeps the non-equi pair join a BNLJ
+        // against a replicated tiny side at ANY corpus size (a plain
+        // cartesian here would repartition both sides)
+        a.join(broadcast(b), col("source_a") < col("source_b"))
           .select(col("source_a"), col("source_b"),
             (dot(col("ca"), col("cb")) /
               sqrt(dot(col("ca"), col("ca")) * dot(col("cb"), col("cb"))))

@@ -499,4 +499,42 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), s"$q grew a shuffle join:\n$p")
     }
   }
+
+  test("t_clf_score: literal-weight scoring, no join anywhere in the plan") {
+    // the model returns as LITERALS (driver-held between epochs), so
+    // the scoring pass must be scan -> project -> one aggregation; any
+    // join means the weights started traveling with the data
+    val p = plan("t_clf_score")
+    assert(!p.contains("Join"), s"classifier scoring grew a join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sim_knn_classify: cell-keyed candidates, no cartesian") {
+    // the only nested-loop join allowed is the vector x
+    // broadcast-centroid scoring inherited from the IVF assignment
+    // stage (same dispensation as dedup_semdedup); the candidate x
+    // query stage itself must stay an equi-join on the cell
+    val p = plan("sim_knn_classify")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("dedup_pipeline_funnel: id/cell-keyed stages only, no quadratic join") {
+    val p = plan("dedup_pipeline_funnel")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"BroadcastNestedLoopJoin in:\n$p")
+  }
+
+  test("s_drift_kl: reference distribution broadcast, no cartesian") {
+    val p = plan("s_drift_kl")
+    assert(p.contains("BroadcastExchange"), s"reference should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+  }
+
+  test("sim_source_map: pair matrix joins a broadcast tiny side, never cartesian") {
+    val p = plan("sim_source_map")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
