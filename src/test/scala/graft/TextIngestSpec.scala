@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.TextIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingestion front door: messy JSON-lines / CSV drops must land in the
+  * canonical documents layout with bad rows quarantined, duplicate ids
+  * resolved deterministically, and the partitioned sink prunable. */
+class TextIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"ingest_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def writeLines(dir: String, file: String, lines: Seq[String]): String = {
+    val p = java.nio.file.Paths.get(dir, file)
+    java.nio.file.Files.write(p,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("json-lines ingest: quarantine, trim, dedupe, partitioned roundtrip") {
+    val in = tmp("in")
+    writeLines(in, "drop1.jsonl", Seq(
+      """{"doc_id": 1, "text": "  hello world  ", "lang": "en", "source": "web"}""",
+      """{"doc_id": 2, "text": "short", "lang": "en", "source": "web"}""",
+      """{"doc_id": 2, "text": "a longer duplicate wins", "lang": "en", "source": "web"}""",
+      """{"doc_id": 3, "text": "   ", "lang": "en", "source": "web"}""", // ws-only
+      """{"doc_id": null, "text": "no id", "lang": "en", "source": "web"}""",
+      """not json at all""",
+      """{"doc_id": 4, "text": "book text", "source": "books"}""")) // lang missing
+    val out = tmp("out")
+    val (nOk, nBad) = TextIngest.ingestJsonLines(spark, in, out)
+    assert(nBad == 3, "ws-only + null-id + corrupt line quarantined")
+    assert(nOk == 3, "ids 1, 2 (deduped), 4")
+    val got = spark.read.parquet(out)
+    // canonical schema, fixture-compatible
+    assert(got.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val byId = got.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("text") == "hello world", "trimmed")
+    assert(byId(1L).getAs[Long]("n_chars") == 11L, "n_chars recomputed post-trim")
+    assert(byId(2L).getAs[String]("text") == "a longer duplicate wins", "longest wins")
+    assert(byId(4L).getAs[String]("lang") == "und", "missing lang defaulted")
+    // partition pruning: the source=books directory exists on disk
+    assert(new java.io.File(s"$out/source=books").isDirectory)
+    // and a source filter prunes to one partition dir in the plan
+    val plan = got.where(col("source") === "books")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("source"), plan)
+  }
+
+  test("duplicate-id election is deterministic: md5-smallest wins among equal lengths") {
+    val in = tmp("tie")
+    // equal-length texts: the winner must be the md5-smallest, under
+    // any input order
+    val a = "tied text aa"
+    val b = "tied text bb"
+    writeLines(in, "t.jsonl", Seq(
+      s"""{"doc_id": 9, "text": "$a", "lang": "en", "source": "s"}""",
+      s"""{"doc_id": 9, "text": "$b", "lang": "en", "source": "s"}"""))
+    val got = TextIngest.normalize(TextIngest.readJsonLines(spark, in))
+      .collect()
+    assert(got.length == 1)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = if (hex(a) < hex(b)) a else b
+    assert(got(0).getAs[String]("text") == want, "tie must break on smallest md5")
+  }
+
+  test("csv ingest shares the contract: explicit schema, corrupt rows quarantined") {
+    val in = tmp("csv")
+    writeLines(in, "d.csv", Seq(
+      "doc_id,text,lang,source",
+      "10,csv text,en,web",
+      "not_a_long,bad row,en,web",
+      "11,second,fr,books"))
+    val raw = TextIngest.readCsv(spark, in)
+    assert(TextIngest.quarantine(raw).count() == 1)
+    val good = TextIngest.normalize(raw).collect()
+    assert(good.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(10L, 11L))
+  }
+}
