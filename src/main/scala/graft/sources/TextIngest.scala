@@ -99,6 +99,40 @@ object TextIngest {
       .partitionBy("source")
       .parquet(outDir)
 
+  /** Streaming ingest: the same schema/normalization contract over a
+    * live drop directory. File-stream source (new files per
+    * micro-batch, `maxFilesPerTrigger` = admission control — the same
+    * demand knob the queue pipeline uses), per-batch narrow-map
+    * normalization, partitioned parquet sink with checkpointed
+    * exactly-once file tracking. Duplicate-id election is per
+    * micro-batch here (global keep-best needs state; the batch
+    * normalize() handles backfills) — cross-batch id dedup composes
+    * with StreamingAnalytics.dedupByJid when a drop feed replays.
+    * Stop the returned query to end ingestion. */
+  def streamJsonLines(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(rawSchema.add(Corrupt, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+    // foreachBatch: the keep-best election is an aggregation, which
+    // append-mode streaming would reject; running the BATCH normalize
+    // per micro-batch keeps one code path for both modes
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        normalize(batch)
+          .write.mode("append").partitionBy("source").parquet(outDir)
+      }
+      .start()
+  }
+
   /** One-call ingest: read → quarantine split → normalize → write.
     * Returns (n_ok, n_quarantined). */
   def ingestJsonLines(spark: SparkSession, inPath: String, outDir: String): (Long, Long) = {

@@ -72,6 +72,28 @@ class TextIngestSpec extends AnyFunSuite {
     assert(got(0).getAs[String]("text") == want, "tie must break on smallest md5")
   }
 
+  test("streaming ingest: multi-batch file stream lands the same canonical layout") {
+    val in = tmp("sin"); val out = tmp("sout"); val ck = tmp("sck")
+    writeLines(in, "b1.jsonl", Seq(
+      """{"doc_id": 21, "text": " batch one ", "lang": "en", "source": "web"}""",
+      """garbage line"""))
+    writeLines(in, "b2.jsonl", Seq(
+      """{"doc_id": 22, "text": "batch two", "lang": "fr", "source": "books"}"""))
+    val q = TextIngest.streamJsonLines(spark, in, out, ck, maxFilesPerTrigger = 1)
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == Set(21L, 22L), "good rows from both batches, garbage dropped")
+    assert(got(21L).getAs[String]("text") == "batch one", "same trim contract as batch")
+    assert(new java.io.File(s"$out/source=books").isDirectory, "partitioned sink")
+    // restart with the same checkpoint: nothing reprocessed
+    val before = spark.read.parquet(out).count()
+    val q2 = TextIngest.streamJsonLines(spark, in, out, ck, maxFilesPerTrigger = 1)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(out).count() == before,
+      "checkpoint must make the restart a no-op")
+  }
+
   test("csv ingest shares the contract: explicit schema, corrupt rows quarantined") {
     val in = tmp("csv")
     writeLines(in, "d.csv", Seq(
