@@ -38,7 +38,11 @@ class DeterminismSpec extends AnyFunSuite {
     "t_compression_ratio",
     // round 11: quantized-ln PMI, exact-power HLL register sums, and
     // histogram-edge quantiles — the three new float-bearing aggs
-    "t_pmi_colloc", "q_hll_distinct", "q_quantile_sketch")
+    "t_pmi_colloc", "q_hll_distinct", "q_quantile_sketch",
+    // round 11 session 4: fixed-point GD (the gradient is a global sum
+    // — THE order-sensitivity trap this sweep exists for), quantized-ln
+    // KL terms, sketch-ratio estimates, quantized centroid cosines
+    "t_clf_train", "s_drift_kl", "q_kmv_jaccard", "sim_source_map")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
