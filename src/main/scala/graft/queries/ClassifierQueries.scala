@@ -182,5 +182,69 @@ object ClassifierQueries {
            |    THEN 1 END) AS n_agree
            |FROM sc GROUP BY source""".stripMargin),
       "Score the corpus with the trained quality filter: per-source " +
-        "score mass, predicted positives, weak-label agreement."))
+        "score mass, predicted positives, weak-label agreement."),
+
+    QueryDef(
+      "t_filter_agreement",
+      (s, dir) => {
+        // Learned-vs-hand-rules agreement audit — the sanity matrix a
+        // curation run publishes before swapping its rule cascade for
+        // a trained filter: per source, how often the trained
+        // classifier and the Gopher-style rule funnel agree to keep,
+        // agree to drop, or split. High clf_only = the model keeps
+        // what the rules kill (recall gain or noise); high rules_only
+        // = the model is stricter than the cascade. Both signals are
+        // row-local after training (the classifier scores with
+        // literal weights, the rules are integer cross-ratios via the
+        // native one-pass MaxFreq), so the whole audit is a fused map
+        // plus one |sources|-row combinable aggregation.
+        graft.functions.expr.TextExpressions.register(s)
+        val (f, traj) = train(s, dir)
+        val w = traj.last
+        val clf = f.select(col("doc_id"),
+          (pPpm(w) > lit(500000L)).cast("int").as("ck"))
+        val ws = split(col("text"), " ")
+        val rules = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(ws).as("n"), size(array_distinct(ws)).as("u"),
+            (length(col("text")) - (size(ws) - 1)).as("chars"),
+            call_function("graft_maxfreq", ws).as("top"))
+          .select(col("doc_id"), col("source"),
+            (col("n") >= 20 && col("u") * 20 >= col("n") * 7 &&
+              col("top") * 25 <= col("n") * 3 &&
+              col("chars") <= col("n") * 5).cast("int").as("rk"))
+        rules.join(clf, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("ck * rk")).as("n_both"),
+            sum(expr("ck * (1 - rk)")).as("n_clf_only"),
+            sum(expr("(1 - ck) * rk")).as("n_rules_only"),
+            sum(expr("(1 - ck) * (1 - rk)")).as("n_neither"))
+      },
+      Some(
+        s"""$TrainCtes,
+           |rl AS (SELECT doc_id, source,
+           |    CAST(n >= 20 AND u * 20 >= n * 7 AND top * 25 <= n * 3
+           |      AND chars <= n * 5 AS INT) AS rk
+           |  FROM (SELECT doc_id, source,
+           |      len(string_split(text, ' ')) AS n,
+           |      len(list_distinct(string_split(text, ' '))) AS u,
+           |      length(text) - (len(string_split(text, ' ')) - 1) AS chars,
+           |      list_max(list_transform(list_distinct(string_split(text, ' ')),
+           |        w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS top
+           |    FROM documents)),
+           |cf AS (SELECT f.doc_id,
+           |    CASE WHEN LEAST(GREATEST(500000 +
+           |      (${(0 until 5).map(j => s"w.w$j * f.f$j").mkString(" + ")}), 0),
+           |      1000000) > 500000 THEN 1 ELSE 0 END AS ck
+           |  FROM f, w$E w)
+           |SELECT rl.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(cf.ck * rl.rk) AS BIGINT) AS n_both,
+           |  CAST(SUM(cf.ck * (1 - rl.rk)) AS BIGINT) AS n_clf_only,
+           |  CAST(SUM((1 - cf.ck) * rl.rk) AS BIGINT) AS n_rules_only,
+           |  CAST(SUM((1 - cf.ck) * (1 - rl.rk)) AS BIGINT) AS n_neither
+           |FROM rl JOIN cf ON rl.doc_id = cf.doc_id
+           |GROUP BY rl.source""".stripMargin),
+      "Learned-filter vs rule-cascade agreement matrix per source — the " +
+        "audit before swapping hand rules for the trained classifier."))
 }

@@ -57,6 +57,31 @@ class ClassifierSpec extends AnyFunSuite {
     assert(traj.map(_.toSeq).distinct.size > 1, "weights should keep moving")
   }
 
+  test("t_filter_agreement: quadrants partition docs, marginals match the other audits") {
+    val rows = run("t_filter_agreement").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = Seq("n_both", "n_clf_only", "n_rules_only", "n_neither")
+        .map(r.getAs[Long](_)).sum
+      assert(parts == r.getAs[Long]("n_docs"),
+        s"agreement quadrants must partition the docs: $r")
+    }
+    // classifier marginal (both + clf_only) must equal t_clf_score's
+    // predicted positives, source by source
+    val clfPos = run("t_clf_score").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_pred_pos")).toMap
+    rows.foreach { r =>
+      val got = r.getAs[Long]("n_both") + r.getAs[Long]("n_clf_only")
+      assert(got == clfPos(r.getString(0)),
+        s"clf marginal drifted from t_clf_score for ${r.getString(0)}")
+    }
+    // rule marginal must equal the funnel's final survivor count
+    val funnelOut = run("t_rule_funnel").collect()
+      .find(_.getAs[Int]("stage") == 4).get.getAs[Long]("n_out")
+    assert(rows.map(r => r.getAs[Long]("n_both") + r.getAs[Long]("n_rules_only")).sum
+      == funnelOut, "rule marginal drifted from t_rule_funnel")
+  }
+
   test("t_clf_score: per-source profile is consistent with direct scoring") {
     val prof = run("t_clf_score").collect()
     val (traj, rows) = replicate()
