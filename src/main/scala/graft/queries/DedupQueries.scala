@@ -291,7 +291,7 @@ object DedupQueries {
         col("ca.n").as("na"), col("cb.n").as("nb"))
   }
 
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val result = lshCandidateOverlap(s, dir)
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") /

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.CurationRun
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The assembled pipeline must agree with the oracle-checked queries it
+  * is built from, stage by stage — and resume for free. */
+class CurationRunSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val out = {
+    val d = java.nio.file.Files.createTempDirectory("curation_run").toString
+    (d, CurationRun.run(spark, sf, d))
+  }
+
+  test("report is internally consistent and attrition is monotone") {
+    val (_, r) = out
+    assert(r.consistent, s"report inconsistent: $r")
+    assert(r.nInput > 0 && r.nFinalTrain > 0)
+    assert(r.nQualityFail >= 0 && r.nNearDupDropped >= 0 && r.nContaminated >= 0)
+  }
+
+  test("stage 1 survivors equal the rule funnel's stage-4 output") {
+    val (dir, r) = out
+    val funnelOut = SparkEntry.queries("t_rule_funnel")(spark, sf).collect()
+      .find(_.getAs[Int]("stage") == 4).get.getAs[Long]("n_out")
+    assert(r.nInput - r.nQualityFail == funnelOut)
+    assert(spark.read.parquet(s"$dir/stage1_clean/documents.parquet").count()
+      == funnelOut)
+  }
+
+  test("near-dup drops equal the survivor election run on the staged dir") {
+    val (dir, r) = out
+    // dedup_keep_best is dir-parameterized — point the ORACLE-CHECKED
+    // query at the run's own stage-1 output
+    val expected = SparkEntry.queries("dedup_keep_best")(
+      spark, s"$dir/stage1_clean").collect()
+      .map(_.getAs[Int]("n_members").toLong - 1).sum
+    assert(r.nNearDupDropped == expected)
+  }
+
+  test("final outputs: split partitioning, manifest parity, no contaminated train doc") {
+    val (dir, r) = out
+    val fin = spark.read.parquet(s"$dir/final")
+    assert(fin.count() == r.nFinalTrain + r.nVal + r.nTest)
+    val bySplit = fin.groupBy("split").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySplit("train") == r.nFinalTrain)
+    assert(bySplit.getOrElse("val", 0L) == r.nVal)
+    assert(bySplit.getOrElse("test", 0L) == r.nTest)
+    assert(new java.io.File(s"$dir/final/split=train").isDirectory)
+    val manifest = spark.read.parquet(s"$dir/manifest.parquet")
+    assert(manifest.count() == fin.count())
+    assert(manifest.select("shard").distinct().collect()
+      .forall(x => { val v = x.getInt(0); v >= 0 && v < 16 }))
+    // re-derive contamination on the staged dir: none of those ids may
+    // survive in the final train split
+    val contamIds = graft.queries.DedupQueries.decontaminate(spark, s"$dir/stage2_deduped")
+      .where(col("n_shared") * 5 >= col("n_shingles"))
+      .select("doc_id")
+    assert(fin.where(col("split") === "train")
+      .join(contamIds, Seq("doc_id"), "left_semi").count() == 0,
+      "a contaminated doc leaked into the final train split")
+  }
+
+  test("resume: a second run skips completed stages and reproduces the report") {
+    val (dir, r) = out
+    val marker = new java.io.File(s"$dir/stage1_clean/documents.parquet/_SUCCESS")
+    val before = marker.lastModified()
+    val r2 = CurationRun.run(spark, sf, dir)
+    assert(r2 == r, "resumed run must reproduce the report")
+    assert(marker.lastModified() == before, "completed stage must not rerun")
+  }
+}
