@@ -1280,5 +1280,102 @@ object SimilarityQueries {
           |    sqrt(list_dot_product(a.c, a.c) * list_dot_product(b.c, b.c)) AS cos
           |FROM cent a JOIN cent b ON a.source < b.source""".stripMargin),
       "Domain-similarity map: pairwise cosine between per-source " +
-        "embedding centroids — the data-mixing diversity signal."))
+        "embedding centroids — the data-mixing diversity signal."),
+
+    QueryDef(
+      "sim_ivf_train",
+      (s, dir) => {
+        // The index BUILD loop: Lloyd's k-means run for 3 full rounds
+        // (assign → exact-mean recompute), emitting per-round cell
+        // occupancy and centroid shift — the convergence trajectory an
+        // IVF deployment watches to pick its stopping round. Completes
+        // the story next to sim_kmeans_refine (one step) and the
+        // sim_ivf_* searchers (consumers of the built index).
+        // Scale shape per round: the centroid table (nlist × d) is
+        // broadcast; assignment is a fused scan + argmin (one
+        // combinable min(struct) — never a window over the corpus);
+        // the recompute is the same map-side-combinable (cell, dim)
+        // quantized mean every centroid op here uses. The corpus is
+        // scanned once per round from the materialized cache; each
+        // round's tiny centroid frame is eagerly local-checkpointed so
+        // round N's plan does not nest round N-1's. Determinism:
+        // 1e-9-quantized means, argmin ties break on the cell id.
+        graft.functions.VectorFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+          .cache()
+        e.count() // scanned by assignment + recompute in every round
+        def toCent(cd: DataFrame): DataFrame = cd
+          .groupBy("c_label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("c_label"),
+            transform(col("pairs"), p => p.getField("cv")).as("c"))
+        var cents = toCent(quantMean(
+          e.select(col("label"), posexplode(col("e")).as(Seq("pos", "v"))),
+          Seq(col("label") -> "c_label", (col("pos") + 1) -> "dim"),
+          col("v"), "cv")).localCheckpoint(true)
+        val rounds = (1 to 3).map { it =>
+          val assigned = e.crossJoin(broadcast(cents))
+            .select(col("vec_id"),
+              struct((dot(col("e"), col("e")) -
+                lit(2.0) * dot(col("e"), col("c")) +
+                dot(col("c"), col("c"))).as("d2"), col("c_label")).as("sc"))
+            .groupBy("vec_id").agg(min(col("sc")).as("b"))
+            .select(col("vec_id"), col("b.c_label").as("cell"))
+          val newCents = toCent(quantMean(
+            assigned.join(e, "vec_id")
+              .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v"))),
+            Seq(col("cell") -> "c_label", (col("pos") + 1) -> "dim"),
+            col("v"), "cv")).localCheckpoint(true)
+          val occ = assigned.groupBy(col("cell").as("c_label"))
+            .agg(count(lit(1)).as("n_assigned"))
+          val row = occ
+            .join(newCents, "c_label")
+            .join(cents.select(col("c_label"), col("c").as("co")), "c_label")
+            .select(lit(it).cast("int").as("iter"), col("c_label"),
+              col("n_assigned"),
+              (dot(col("c"), col("c")) - lit(2.0) * dot(col("c"), col("co")) +
+                dot(col("co"), col("co"))).as("shift2"))
+            .localCheckpoint(true)
+          cents = newCents
+          row
+        }
+        rounds.reduce(_ unionAll _)
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"l${i - 1}"
+          s"""a$i AS (SELECT vec_id, c_label AS cell FROM (
+             |  SELECT v.vec_id, l.c_label, ROW_NUMBER() OVER (
+             |    PARTITION BY v.vec_id ORDER BY
+             |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, l.c)
+             |        + list_dot_product(l.c, l.c), l.c_label) AS rk
+             |  FROM v CROSS JOIN $prev l) WHERE rk = 1),
+             |c${i}d AS (SELECT a.cell AS c_label, CAST(x.dim AS INT) AS dim,
+             |  CAST(SUM(CAST(ROUND(x.xv * 1000000000) AS BIGINT)) AS DOUBLE)
+             |    / 1000000000 / COUNT(*) AS cv
+             |  FROM a$i a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2),
+             |l$i AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM c${i}d GROUP BY c_label),
+             |s$i AS (SELECT o.c_label, o.n_assigned,
+             |  list_dot_product(n.c, n.c) - 2.0 * list_dot_product(n.c, p.c)
+             |    + list_dot_product(p.c, p.c) AS shift2
+             |  FROM (SELECT cell AS c_label, COUNT(*) AS n_assigned
+             |        FROM a$i GROUP BY cell) o
+             |  JOIN l$i n ON o.c_label = n.c_label
+             |  JOIN $prev p ON o.c_label = p.c_label)""".stripMargin
+        }
+        s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |x AS (SELECT vec_id, unnest(range(1, 65)) AS dim, unnest(e) AS xv FROM v),
+           |c0 AS (SELECT label AS c_label, CAST(x.dim AS INT) AS dim,
+           |  CAST(SUM(CAST(ROUND(x.xv * 1000000000) AS BIGINT)) AS DOUBLE)
+           |    / 1000000000 / COUNT(*) AS cv
+           |  FROM v JOIN x ON v.vec_id = x.vec_id GROUP BY 1, 2),
+           |l0 AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM c0 GROUP BY c_label),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT CAST(1 AS INT) AS iter, * FROM s1
+           |UNION ALL SELECT CAST(2 AS INT), * FROM s2
+           |UNION ALL SELECT CAST(3 AS INT), * FROM s3""".stripMargin
+      },
+      "IVF index build: 3 Lloyd rounds with per-round cell occupancy " +
+        "and quantized centroid shift — the convergence trajectory."))
 }

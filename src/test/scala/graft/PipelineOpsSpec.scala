@@ -166,6 +166,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want, s"pair ($sa,$sb) drifted: got $got want $want")
   }
 
+  test("sim_ivf_train: occupancy partitions the corpus every round, round 1 matches the assigner") {
+    import org.apache.spark.sql.functions._
+    val rows = run("sim_ivf_train").collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val byIter = rows.groupBy(_.getAs[Int]("iter"))
+    assert(byIter.keySet == Set(1, 2, 3))
+    byIter.foreach { case (it, rs) =>
+      assert(rs.map(_.getAs[Long]("n_assigned")).sum == nVecs,
+        s"round $it occupancy must partition the corpus")
+      // shift² is a squared distance of quantized means: exact zero on
+      // a converged cell, never negative
+      rs.foreach(r => assert(r.getAs[Double]("shift2") >= -1e-9, s"$r"))
+    }
+    // round 1 assigns against the SAME label-seeded centroids as
+    // sim_ivf_assign — occupancies must agree cell for cell
+    val want = run("sim_ivf_assign").collect()
+      .groupBy(_.getAs[Int]("assigned")).map { case (c, rs) => c -> rs.length.toLong }
+    val got = byIter(1).map(r => r.getAs[Int]("c_label") -> r.getAs[Long]("n_assigned")).toMap
+    assert(got == want, "round-1 occupancy drifted from sim_ivf_assign")
+  }
+
   test("q_quantile_sketch: approx quantile brackets the exact within one bin width") {
     import org.apache.spark.sql.functions._
     val vmax = SparkEntry.queries("q_value_quantiles")(spark, sf)
