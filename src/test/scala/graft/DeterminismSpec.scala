@@ -42,7 +42,9 @@ class DeterminismSpec extends AnyFunSuite {
     // round 11 session 4: fixed-point GD (the gradient is a global sum
     // — THE order-sensitivity trap this sweep exists for), quantized-ln
     // KL terms, sketch-ratio estimates, quantized centroid cosines
-    "t_clf_train", "s_drift_kl", "q_kmv_jaccard", "sim_source_map")
+    "t_clf_train", "s_drift_kl", "q_kmv_jaccard", "sim_source_map",
+    // 3-round Lloyd: iterative quantized centroids under re-partitioning
+    "sim_ivf_train")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
