@@ -1638,5 +1638,64 @@ object TextQueries {
           |    AS oov_rate
           |FROM toks LEFT JOIN top ON toks.word = top.word
           |GROUP BY source""".stripMargin),
-      "Out-of-vocabulary rate per source against the broadcast top-K vocab."))
+      "Out-of-vocabulary rate per source against the broadcast top-K vocab."),
+
+    QueryDef(
+      "t_hash_outlier",
+      (s, dir) => {
+        // Domain-outlier scoring WITHOUT any external model: embed
+        // every doc as a 64-bucket hashed bag-of-words (the feature-
+        // hashing trick) and score its cosine to its own source's
+        // aggregate vector — a low score marks a doc lexically atypical
+        // for its domain, the cheap first-pass "wrong-bucket detector"
+        // of a curation run. The arithmetic is engineered to be pure
+        // INTEGER until one final division: with S_b the source's total
+        // bucket counts and tf_b the doc's, the n_docs denominator of
+        // the source-mean centroid CANCELS in the cosine, so
+        // cos = Σ tf·S / (sqrt(Σ tf²) · sqrt(Σ S²)) — three order-free
+        // BIGINT sums, no quantization needed at all. Scale shape: tf
+        // is a (doc, bucket) combinable count; the source vectors are
+        // |sources|·64 rows broadcast into the per-doc dot; nothing
+        // joins at corpus size. Long-range bound: S_b < 3e9 keeps S_b²
+        // under 2^63 — beyond that (trillion-token sources) the S sums
+        // move to DECIMAL(38,0), same plan shape.
+        val bk = (conv(substring(md5(col("word").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 64).as("bk")
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), col("source"), bk)
+          .groupBy("doc_id", "source", "bk").agg(count(lit(1)).as("tf"))
+        val sv = tf.groupBy("source", "bk").agg(sum("tf").as("sb"))
+        val nrm = sv.groupBy("source")
+          .agg(sum(col("sb") * col("sb")).as("c0"))
+        tf.join(broadcast(sv), Seq("source", "bk"))
+          .groupBy("doc_id", "source")
+          .agg(sum(col("tf") * col("sb")).as("p"),
+            sum(col("tf") * col("tf")).as("b2"))
+          .join(broadcast(nrm), "source")
+          .select(col("doc_id"), col("source"),
+            (col("p") / (sqrt(col("b2")) * sqrt(col("c0")))).as("cos"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, source,
+          |    unnest(string_split(text, ' ')) AS word FROM documents),
+          |tf AS (SELECT doc_id, source,
+          |    CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 64 AS bk,
+          |    COUNT(*) AS tf
+          |  FROM w GROUP BY 1, 2, 3),
+          |sv AS (SELECT source, bk, CAST(SUM(tf) AS BIGINT) AS sb
+          |  FROM tf GROUP BY 1, 2),
+          |nrm AS (SELECT source, CAST(SUM(sb * sb) AS BIGINT) AS c0
+          |  FROM sv GROUP BY source),
+          |d AS (SELECT tf.doc_id, tf.source,
+          |    CAST(SUM(tf.tf * sv.sb) AS BIGINT) AS p,
+          |    CAST(SUM(tf.tf * tf.tf) AS BIGINT) AS b2
+          |  FROM tf JOIN sv ON tf.source = sv.source AND tf.bk = sv.bk
+          |  GROUP BY 1, 2)
+          |SELECT d.doc_id, d.source,
+          |  p / (sqrt(b2) * sqrt(c0)) AS cos
+          |FROM d JOIN nrm ON d.source = nrm.source""".stripMargin),
+      "Hashed bag-of-words domain-outlier score: doc-to-source cosine " +
+        "from three order-free integer sums — no model, no quantization."))
 }

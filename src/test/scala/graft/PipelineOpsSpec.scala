@@ -187,6 +187,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want, "round-1 occupancy drifted from sim_ivf_assign")
   }
 
+  test("t_hash_outlier: one score per doc in (0,1], identical-text docs tie, replayed exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("t_hash_outlier").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+    assert(rows.length == docs.length, "one score per doc")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      // tf and S share every doc's mass, so the dot is strictly positive
+      assert(c > 0 && c <= 1.0 + 1e-12, s"cosine out of range: $r")
+    }
+    // exact driver-side replay of the integer formulation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val h = md.digest(w.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => a << 8 | (b & 0xff))
+      h % 64
+    }
+    val tf = docs.map { r =>
+      (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).groupBy(bucket).map { case (k, v) => k -> v.length.toLong })
+    }
+    val sv = tf.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.flatMap(_._3).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    }
+    val got = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("cos")).toMap
+    tf.take(50).foreach { case (id, src, v) =>
+      val s = sv(src)
+      val p = v.map { case (b, t) => t * s(b) }.sum
+      val b2 = v.values.map(t => t * t).sum
+      val c0 = s.values.map(x => x * x).sum
+      val want = p / (math.sqrt(b2.toDouble) * math.sqrt(c0.toDouble))
+      assert(got(id) == want, s"doc $id drifted: got ${got(id)} want $want")
+    }
+  }
+
   test("q_quantile_sketch: approx quantile brackets the exact within one bin width") {
     import org.apache.spark.sql.functions._
     val vmax = SparkEntry.queries("q_value_quantiles")(spark, sf)
