@@ -1377,5 +1377,87 @@ object SimilarityQueries {
            |UNION ALL SELECT CAST(3 AS INT), * FROM s3""".stripMargin
       },
       "IVF index build: 3 Lloyd rounds with per-round cell occupancy " +
-        "and quantized centroid shift — the convergence trajectory."))
+        "and quantized centroid shift — the convergence trajectory."),
+
+    QueryDef(
+      "sim_incremental_assign",
+      (s, dir) => {
+        // Incremental index MAINTENANCE — the embedding twin of
+        // dedup_incremental: a 10% delta batch (vec_id % 10 = 7)
+        // arrives against an index built from the other 90%, gets
+        // assigned to the existing centroids (no rebuild), and each
+        // cell reports its occupancy growth plus a needs_split flag
+        // (post-ingest occupancy > 1.5x the mean cell size, stated as
+        // the integer cross-ratio 20·(n_base+n_new) > 3·n_total so the
+        // threshold never crosses engines as a double). This is the
+        // O(delta) ingest path: per delta batch the work is
+        // |delta| × nlist argmin against a broadcast centroid table —
+        // the corpus is never rescanned, exactly how a production IVF
+        // absorbs a day's embeddings and schedules targeted re-splits
+        // instead of nightly rebuilds.
+        graft.functions.VectorFunctions.register(s)
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+          .cache()
+        v.count() // base centroids + base assign + delta assign share it
+        val base = v.where(col("vec_id") % 10 =!= 7)
+        val delta = v.where(col("vec_id") % 10 === 7)
+        val cents = quantMean(
+          base.select(col("label"), posexplode(col("e")).as(Seq("pos", "x"))),
+          Seq(col("label") -> "c_label", (col("pos") + 1) -> "dim"),
+          col("x"), "cv")
+          .groupBy("c_label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("c_label"),
+            transform(col("pairs"), p => p.getField("cv")).as("c"))
+        def assign(vs: DataFrame): DataFrame = vs.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct((dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
+              dot(col("c"), col("c"))).as("d2"), col("c_label")).as("sc"))
+          .groupBy("vec_id").agg(min(col("sc")).as("b"))
+          .select(col("vec_id"), col("b.c_label").as("cell"))
+        val nb = assign(base).groupBy(col("cell").as("c_label"))
+          .agg(count(lit(1)).as("n_base"))
+        val nn = assign(delta).groupBy(col("cell").as("c_label"))
+          .agg(count(lit(1)).as("n_new"))
+        val tot = v.agg(count(lit(1)).as("n_total"))
+        nb.join(nn, Seq("c_label"), "left")
+          .select(col("c_label"), col("n_base"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .crossJoin(broadcast(tot))
+          .select(col("c_label"), col("n_base"), col("n_new"),
+            ((col("n_base") + col("n_new")) * 20 > col("n_total") * 3)
+              .cast("int").as("needs_split"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |b0 AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+          |d0 AS (SELECT * FROM v WHERE vec_id % 10 = 7),
+          |cd AS (SELECT label AS c_label, CAST(dim AS INT) AS dim,
+          |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / 1000000000 / COUNT(*) AS cv
+          |  FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(e) AS x
+          |        FROM b0) GROUP BY 1, 2),
+          |cent AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM cd GROUP BY c_label),
+          |ab AS (SELECT vec_id, c_label AS cell FROM (
+          |  SELECT b0.vec_id, cent.c_label, ROW_NUMBER() OVER (
+          |    PARTITION BY b0.vec_id ORDER BY
+          |      list_dot_product(b0.e, b0.e) - 2.0 * list_dot_product(b0.e, cent.c)
+          |        + list_dot_product(cent.c, cent.c), cent.c_label) AS rk
+          |  FROM b0 CROSS JOIN cent) WHERE rk = 1),
+          |ad AS (SELECT vec_id, c_label AS cell FROM (
+          |  SELECT d0.vec_id, cent.c_label, ROW_NUMBER() OVER (
+          |    PARTITION BY d0.vec_id ORDER BY
+          |      list_dot_product(d0.e, d0.e) - 2.0 * list_dot_product(d0.e, cent.c)
+          |        + list_dot_product(cent.c, cent.c), cent.c_label) AS rk
+          |  FROM d0 CROSS JOIN cent) WHERE rk = 1),
+          |nb AS (SELECT cell AS c_label, COUNT(*) AS n_base FROM ab GROUP BY cell),
+          |nn AS (SELECT cell AS c_label, COUNT(*) AS n_new FROM ad GROUP BY cell),
+          |tot AS (SELECT COUNT(*) AS n_total FROM v)
+          |SELECT nb.c_label, nb.n_base, COALESCE(nn.n_new, 0) AS n_new,
+          |  CAST((nb.n_base + COALESCE(nn.n_new, 0)) * 20 > tot.n_total * 3
+          |    AS INT) AS needs_split
+          |FROM nb LEFT JOIN nn ON nb.c_label = nn.c_label, tot""".stripMargin),
+      "Incremental IVF maintenance: delta batch assigned to existing " +
+        "centroids, per-cell growth + integer-ratio split flags."))
 }

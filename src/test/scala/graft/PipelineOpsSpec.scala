@@ -187,6 +187,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want, "round-1 occupancy drifted from sim_ivf_assign")
   }
 
+  test("sim_incremental_assign: base+delta partition the corpus, split flag is the exact ratio") {
+    import org.apache.spark.sql.functions._
+    val rows = run("sim_incremental_assign").collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nTotal = emb.count()
+    val nDelta = emb.where(col("vec_id") % 10 === 7).count()
+    assert(rows.map(_.getAs[Long]("n_base")).sum == nTotal - nDelta)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nDelta,
+      "every delta vector must land in some existing cell")
+    rows.foreach { r =>
+      val occ = r.getAs[Long]("n_base") + r.getAs[Long]("n_new")
+      assert(r.getAs[Int]("needs_split") == (if (occ * 20 > nTotal * 3) 1 else 0),
+        s"split flag drifted: $r")
+    }
+  }
+
   test("t_hash_outlier: one score per doc in (0,1], identical-text docs tie, replayed exactly") {
     import org.apache.spark.sql.functions._
     val rows = run("t_hash_outlier").collect()
