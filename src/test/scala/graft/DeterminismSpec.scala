@@ -44,7 +44,9 @@ class DeterminismSpec extends AnyFunSuite {
     // KL terms, sketch-ratio estimates, quantized centroid cosines
     "t_clf_train", "s_drift_kl", "q_kmv_jaccard", "sim_source_map",
     // 3-round Lloyd: iterative quantized centroids under re-partitioning
-    "sim_ivf_train")
+    "sim_ivf_train",
+    // delta argmin over broadcast centroids; double distances, int output
+    "sim_incremental_assign")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
