@@ -1137,5 +1137,91 @@ object AnalyticsQueries {
           |  (rho / 8.0) * (7.0 * 4503599627370496 / kth_hash) AS est_intersection
           |FROM ex, rho, kth""".stripMargin),
       "KMV sketch intersection: Jaccard and overlap of two audiences " +
-        "from two bottom-k sketches."))
+        "from two bottom-k sketches."),
+
+    QueryDef(
+      "q_skew_profile",
+      (s, dir) => {
+        // Pre-flight SKEW detector — the number an operator owner reads
+        // before keying a 100 TB shuffle on a column: for each
+        // candidate shuffle key, the per-key count distribution
+        // collapsed to (n_keys, max, total) and the skew ratio
+        // max·n_keys/total (1000 = perfectly uniform, in per-mille so
+        // the threshold never crosses engines as a double). A ratio of
+        // 50 000 means the hottest key holds 50x its fair share — that
+        // join wants salting or AQE skew handling BEFORE it runs, not
+        // after the straggler task spills for an hour. Each profile is
+        // two combinable aggregations (per-key count, then a 3-column
+        // fold); the report is |keys-profiled| rows.
+        def profile(df: org.apache.spark.sql.DataFrame, key: String,
+            name: String): org.apache.spark.sql.DataFrame =
+          df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_keys"), max("c").as("max_cnt"),
+              sum("c").as("total"))
+            .select(lit(name).as("key_col"), col("n_keys"),
+              col("max_cnt").cast("long").as("max_cnt"),
+              col("total").cast("long").as("total"),
+              expr("max_cnt * 1000 * n_keys div total").as("skew_permille"))
+        val ev = t(s, dir, "events")
+        profile(ev, "user_id", "events.user_id")
+          .unionAll(profile(ev, "event_type", "events.event_type"))
+          .unionAll(profile(t(s, dir, "documents"), "source", "documents.source"))
+          .unionAll(profile(t(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"))
+      },
+      Some(
+        """SELECT * FROM (
+          |SELECT 'events.user_id' AS key_col, COUNT(*) AS n_keys,
+          |  CAST(MAX(c) AS BIGINT) AS max_cnt, CAST(SUM(c) AS BIGINT) AS total,
+          |  CAST(MAX(c) * 1000 * COUNT(*) // SUM(c) AS BIGINT) AS skew_permille
+          |FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+          |UNION ALL
+          |SELECT 'events.event_type', COUNT(*),
+          |  CAST(MAX(c) AS BIGINT), CAST(SUM(c) AS BIGINT),
+          |  CAST(MAX(c) * 1000 * COUNT(*) // SUM(c) AS BIGINT)
+          |FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_type)
+          |UNION ALL
+          |SELECT 'documents.source', COUNT(*),
+          |  CAST(MAX(c) AS BIGINT), CAST(SUM(c) AS BIGINT),
+          |  CAST(MAX(c) * 1000 * COUNT(*) // SUM(c) AS BIGINT)
+          |FROM (SELECT COUNT(*) AS c FROM documents GROUP BY source)
+          |UNION ALL
+          |SELECT 'lineitem.l_orderkey', COUNT(*),
+          |  CAST(MAX(c) AS BIGINT), CAST(SUM(c) AS BIGINT),
+          |  CAST(MAX(c) * 1000 * COUNT(*) // SUM(c) AS BIGINT)
+          |FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey))""".stripMargin),
+      "Shuffle-key skew profiles: per-key count spread collapsed to an " +
+        "integer per-mille ratio — the pre-flight salting decision."),
+
+    QueryDef(
+      "q_write_plan",
+      (s, dir) => {
+        // Small-files governor — write PLANNING before a partitioned
+        // sink runs: per source, the shard count that lands output
+        // files at the 256 KiB target (ceil-div in integers), and the
+        // resulting average shard size. At 100 TB the failure mode
+        // this prevents is real in both directions: one file per
+        // (partition, task) explodes into millions of kilobyte files
+        // that crush the namenode and every subsequent listing, while
+        // naive global coalesce produces multi-GB unsplittable files.
+        // The plan is one combinable aggregation over (source); a
+        // writer consumes it as repartitionByRange(n_shards) per
+        // source.
+        val target = 262144L
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .select(col("source"), col("n_docs"),
+            col("total_chars").cast("long").as("total_chars"),
+            expr(s"(total_chars + ${target - 1}) div $target").as("n_shards"))
+          .withColumn("avg_shard_chars", expr("total_chars div n_shards"))
+      },
+      Some(
+        """SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST((SUM(n_chars) + 262143) // 262144 AS BIGINT) AS n_shards,
+          |  CAST(SUM(n_chars) // ((SUM(n_chars) + 262143) // 262144)
+          |    AS BIGINT) AS avg_shard_chars
+          |FROM documents GROUP BY source""".stripMargin),
+      "Write planning: per-source shard counts for a 256 KiB file-size " +
+        "target — the small-files governor."))
 }

@@ -187,6 +187,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want, "round-1 occupancy drifted from sim_ivf_assign")
   }
 
+  test("q_skew_profile: ratios floor at uniform, the known-skewed key reads hot") {
+    val rows = run("q_skew_profile").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 4)
+    rows.values.foreach { r =>
+      // max >= total/n_keys, so the per-mille ratio is always >= ~1000
+      // (integer floor can shave at most 1)
+      assert(r.getAs[Long]("skew_permille") >= 999, s"impossible ratio: $r")
+      assert(r.getAs[Long]("max_cnt") * r.getAs[Long]("n_keys")
+        >= r.getAs[Long]("total"))
+    }
+    // 5 event types over the whole stream: far more uniform than the
+    // per-order lineitem key (1..7 items); both must profile sane
+    assert(rows("events.event_type").getAs[Long]("n_keys") == 5)
+  }
+
+  test("q_write_plan: shard math is exact ceil-div and hits the size target") {
+    val rows = run("q_write_plan").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chars = r.getAs[Long]("total_chars")
+      val shards = r.getAs[Long]("n_shards")
+      assert(shards == (chars + 262143L) / 262144L, s"ceil-div drifted: $r")
+      assert(r.getAs[Long]("avg_shard_chars") == chars / shards)
+      // a planned shard never exceeds 2x the target on average
+      assert(r.getAs[Long]("avg_shard_chars") <= 262144L)
+    }
+  }
+
   test("sim_incremental_assign: base+delta partition the corpus, split flag is the exact ratio") {
     import org.apache.spark.sql.functions._
     val rows = run("sim_incremental_assign").collect()
