@@ -91,13 +91,16 @@ object TextIngest {
 
   /** Write the canonical layout partitioned by source, clustered by
     * doc_id inside each file — downstream per-source queries prune
-    * directories, id-keyed joins read locally sorted runs. */
+    * directories, id-keyed joins read locally sorted runs. The sink is
+    * `<outDir>/documents.parquet`, the table-dir convention every
+    * registry query and CurationRun consume, so ingest output plugs
+    * straight into the rest of the engine. */
   def writeCanonical(df: DataFrame, outDir: String): Unit =
     df.repartition(col("source"))
       .sortWithinPartitions("source", "doc_id")
       .write.mode("overwrite")
       .partitionBy("source")
-      .parquet(outDir)
+      .parquet(s"$outDir/documents.parquet")
 
   /** Streaming ingest: the same schema/normalization contract over a
     * live drop directory. File-stream source (new files per
@@ -128,7 +131,8 @@ object TextIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         normalize(batch)
-          .write.mode("append").partitionBy("source").parquet(outDir)
+          .write.mode("append").partitionBy("source")
+          .parquet(s"$outDir/documents.parquet")
       }
       .start()
   }
@@ -141,7 +145,7 @@ object TextIngest {
     val bad = quarantine(raw).count()
     val good = normalize(raw)
     writeCanonical(good, outDir)
-    val n = spark.read.parquet(outDir).count()
+    val n = spark.read.parquet(s"$outDir/documents.parquet").count()
     raw.unpersist()
     (n, bad)
   }

@@ -37,7 +37,7 @@ class TextIngestSpec extends AnyFunSuite {
     val (nOk, nBad) = TextIngest.ingestJsonLines(spark, in, out)
     assert(nBad == 3, "ws-only + null-id + corrupt line quarantined")
     assert(nOk == 3, "ids 1, 2 (deduped), 4")
-    val got = spark.read.parquet(out)
+    val got = spark.read.parquet(s"$out/documents.parquet")
     // canonical schema, fixture-compatible
     assert(got.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars", "source", "text"))
     val byId = got.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -46,11 +46,15 @@ class TextIngestSpec extends AnyFunSuite {
     assert(byId(2L).getAs[String]("text") == "a longer duplicate wins", "longest wins")
     assert(byId(4L).getAs[String]("lang") == "und", "missing lang defaulted")
     // partition pruning: the source=books directory exists on disk
-    assert(new java.io.File(s"$out/source=books").isDirectory)
+    assert(new java.io.File(s"$out/documents.parquet/source=books").isDirectory)
     // and a source filter prunes to one partition dir in the plan
     val plan = got.where(col("source") === "books")
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("source"), plan)
+    // the sink IS a table dir: registry queries run on it unchanged
+    val planRows = SparkEntry.queries("q_write_plan")(spark, out).collect()
+    assert(planRows.map(_.getAs[Long]("n_docs")).sum == nOk,
+      "ingest output must plug straight into the registry")
   }
 
   test("duplicate-id election is deterministic: md5-smallest wins among equal lengths") {
@@ -81,16 +85,16 @@ class TextIngestSpec extends AnyFunSuite {
       """{"doc_id": 22, "text": "batch two", "lang": "fr", "source": "books"}"""))
     val q = TextIngest.streamJsonLines(spark, in, out, ck, maxFilesPerTrigger = 1)
     try { q.processAllAvailable() } finally q.stop()
-    val got = spark.read.parquet(out).collect()
+    val got = spark.read.parquet(s"$out/documents.parquet").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(got.keySet == Set(21L, 22L), "good rows from both batches, garbage dropped")
     assert(got(21L).getAs[String]("text") == "batch one", "same trim contract as batch")
-    assert(new java.io.File(s"$out/source=books").isDirectory, "partitioned sink")
+    assert(new java.io.File(s"$out/documents.parquet/source=books").isDirectory, "partitioned sink")
     // restart with the same checkpoint: nothing reprocessed
-    val before = spark.read.parquet(out).count()
+    val before = spark.read.parquet(s"$out/documents.parquet").count()
     val q2 = TextIngest.streamJsonLines(spark, in, out, ck, maxFilesPerTrigger = 1)
     try { q2.processAllAvailable() } finally q2.stop()
-    assert(spark.read.parquet(out).count() == before,
+    assert(spark.read.parquet(s"$out/documents.parquet").count() == before,
       "checkpoint must make the restart a no-op")
   }
 
