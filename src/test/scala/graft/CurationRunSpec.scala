@@ -65,6 +65,21 @@ class CurationRunSpec extends AnyFunSuite {
       "a contaminated doc leaked into the final train split")
   }
 
+  test("crash recovery: a partial stage (no _SUCCESS) is rebuilt, not trusted") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_crash").toString
+    // simulate a run that died mid-stage-1: directory exists, data is
+    // garbage, no _SUCCESS marker
+    val partial = new java.io.File(s"$dir/stage1_clean/documents.parquet")
+    partial.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(partial.getPath, "part-00000.parquet"),
+      "not parquet".getBytes)
+    val r = CurationRun.run(spark, sf, dir)
+    assert(r.consistent, "recovery run must produce a consistent report")
+    val (_, clean) = out
+    assert(r == clean, "recovered report must equal an uncrashed run's")
+  }
+
   test("resume: a second run skips completed stages and reproduces the report") {
     val (dir, r) = out
     val marker = new java.io.File(s"$dir/stage1_clean/documents.parquet/_SUCCESS")
