@@ -101,12 +101,17 @@ object CurationRun {
 
     // stage 3: split + decontamination + final outputs, one pass over
     // the deduped stage. Split is the t_split_assign convention;
-    // decontaminate() runs against the stage-2 dir (its holdout bucket
-    // IS the val+test slice of the same hash).
+    // Decontamination runs against the stage-2 dir (its holdout bucket
+    // IS the val+test slice of the same hash) on word 8-GRAMS — the
+    // GPT-3-shaped long-gram match. The registry's 3-gram baseline
+    // false-positives catastrophically on a template-generated corpus
+    // at scale (sf0.1: flags 4000/4000 train docs -> nFinalTrain = 0;
+    // the 8-gram form flags only the 87 genuine near-verbatim
+    // overlaps, most of which stage-2 dedup already removed).
     val docs = readStage(s, deduped)
     val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
-    val contam = DedupQueries.decontaminate(s, deduped)
-      .where(col("n_shared") * 5 >= col("n_shingles"))
+    val contam = DedupQueries.decontaminateGrams(s, deduped)
+      .where(col("n_shared") * 5 >= col("n_grams"))
       .select(col("doc_id"), lit(1).as("ct"))
     val tagged = docs
       .withColumn("split",

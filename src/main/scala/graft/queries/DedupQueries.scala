@@ -78,8 +78,18 @@ object DedupQueries {
     * n_shingles is computed row-locally (size of the distinct array)
     * before the explode, so no corpus-sized count agg or join-back
     * exists in the plan on either path. */
+  /** Eval-set n-gram decontamination. `dfCap = Some(k)` switches to
+    * RARE-shingle matching: only shingles contained in at most k docs
+    * count as contamination evidence — the production form (frequent
+    * n-grams are boilerplate/vocabulary, not leakage; GPT-3-style
+    * decontamination uses long/rare n-grams for exactly this reason).
+    * The registry queries keep the uncapped 3-gram baseline their
+    * oracles pin; CurationRun passes a cap, without which a
+    * small-vocabulary corpus flags ~every doc at scale (observed:
+    * sf0.1 nFinalTrain = 0 uncapped vs a sane report at dfCap=10). */
   def decontaminate(s: SparkSession, dir: String,
-      broadcastMaxShingles: Int = 1000000): DataFrame = {
+      broadcastMaxShingles: Int = 1000000,
+      dfCap: Option[Int] = None): DataFrame = {
     graft.functions.expr.TextExpressions.register(s)
     val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
     val base = t(s, dir, "documents")
@@ -94,8 +104,18 @@ object DedupQueries {
     // executor storage for the session lifetime. Recomputing the
     // holdout once more in the join costs one bounded re-shingle of
     // the ~20% holdout slice.
-    val hold = base.where(col("bucket") >= 80)
+    val holdAll = base.where(col("bucket") >= 80)
       .select(explode(col("shs")).as("s")).distinct()
+    val hold = dfCap match {
+      case None => holdAll
+      case Some(k) =>
+        // df = docs containing the shingle (shs is per-doc distinct);
+        // one combinable count, hash-keyed — never the shingle text
+        val rare = base.select(explode(col("shs")).as("s"))
+          .groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") <= k).select("s")
+        holdAll.join(rare, Seq("s"), "left_semi")
+    }
     val fitsBroadcast =
       hold.limit(math.min(broadcastMaxShingles.toLong + 1L, Int.MaxValue.toLong).toInt)
         .count() <= broadcastMaxShingles
@@ -127,6 +147,33 @@ object DedupQueries {
     * estItems/numBits are FIXED here (fixture-sized, 8 Mbit ≈ 1 MB); a
     * production run sizes them from the holdout's approx count the way
     * it sizes any sketch. */
+  /** Long-gram decontamination — the GPT-3-shaped variant: match on
+    * word 8-grams instead of 3-shingles. On template-generated or
+    * small-vocabulary corpora short grams false-positive catastrophically
+    * at scale (sf0.1 measured: 3-gram flags 4000/4000 train docs, even
+    * df-capped 3918; 8-gram flags 87 — exactly the near-verbatim
+    * overlaps), which is why production decontamination uses long
+    * n-grams. Returns (doc_id, n_grams, n_shared) for train-bucket docs
+    * with at least one holdout-shared gram; grams travel as xxhash64
+    * keys (8 B), never text. */
+  def decontaminateGrams(s: SparkSession, dir: String, gram: Int = 8): DataFrame = {
+    val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
+    val g = expr(
+      s"transform(sequence(0, greatest(size(split(text, ' ')) - $gram, 0)), " +
+        s"i -> xxhash64(array_join(slice(split(text, ' '), i + 1, $gram), ' ')))")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(g).as("gs"))
+      .withColumn("bucket", bucket)
+    val hold = base.where(col("bucket") >= 80)
+      .select(explode(col("gs")).as("gh")).distinct()
+    base.where(col("bucket") < 80)
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("gh"))
+      .join(hold, "gh")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def decontaminateBloom(s: SparkSession, dir: String,
       estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     graft.functions.expr.TextExpressions.register(s)

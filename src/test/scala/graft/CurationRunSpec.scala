@@ -57,8 +57,9 @@ class CurationRunSpec extends AnyFunSuite {
       .forall(x => { val v = x.getInt(0); v >= 0 && v < 16 }))
     // re-derive contamination on the staged dir: none of those ids may
     // survive in the final train split
-    val contamIds = graft.queries.DedupQueries.decontaminate(spark, s"$dir/stage2_deduped")
-      .where(col("n_shared") * 5 >= col("n_shingles"))
+    val contamIds = graft.queries.DedupQueries.decontaminateGrams(
+      spark, s"$dir/stage2_deduped")
+      .where(col("n_shared") * 5 >= col("n_grams"))
       .select("doc_id")
     assert(fin.where(col("split") === "train")
       .join(contamIds, Seq("doc_id"), "left_semi").count() == 0,

@@ -187,6 +187,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want, "round-1 occupancy drifted from sim_ivf_assign")
   }
 
+  test("decontaminate dfCap: a non-binding cap is the identity, a zero cap matches nothing") {
+    import org.apache.spark.sql.functions._
+    val base = graft.queries.DedupQueries.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = graft.queries.DedupQueries
+      .decontaminate(spark, sf, dfCap = Some(Int.MaxValue)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == base, "df <= MaxValue must not change anything")
+    assert(graft.queries.DedupQueries
+      .decontaminate(spark, sf, dfCap = Some(0)).count() == 0,
+      "no shingle has df <= 0")
+    // a binding cap can only REMOVE evidence, never add it
+    val tight = graft.queries.DedupQueries
+      .decontaminate(spark, sf, dfCap = Some(2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tight.foreach { case (id, n) => assert(n <= base(id), s"doc $id gained evidence") }
+  }
+
+  test("decontaminateGrams: long grams only fire on near-verbatim overlap") {
+    import org.apache.spark.sql.functions._
+    val g8 = graft.queries.DedupQueries.decontaminateGrams(spark, sf).collect()
+    // every reported doc is in the train bucket and shares at least one
+    // full 8-word gram with the holdout
+    g8.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 1000003L * 2654435761L % 100 < 80, s"holdout doc reported: $r")
+      assert(r.getAs[Long]("n_shared") >= 1 &&
+        r.getAs[Long]("n_shared") <= r.getAs[Int]("n_grams").toLong)
+    }
+    // the long-gram evidence set is a small subset of the 3-gram one —
+    // the false-positive collapse the variant exists for
+    val g3docs = graft.queries.DedupQueries.decontaminate(spark, sf)
+      .where(col("n_shared") * 5 >= col("n_shingles")).count()
+    val g8docs = g8.count(r => r.getAs[Long]("n_shared") * 5 >= r.getAs[Int]("n_grams").toLong)
+    assert(g8docs <= g3docs, "8-gram flags must not exceed 3-gram flags")
+  }
+
   test("q_skew_profile: ratios floor at uniform, the known-skewed key reads hot") {
     val rows = run("q_skew_profile").collect()
       .map(r => r.getString(0) -> r).toMap
