@@ -386,20 +386,29 @@ object Multimodal {
       org.apache.spark.sql.Encoders.row(resizeSchema)
     rows.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val w = img.getWidth; val h = img.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < outH) {
-          var x = 0
-          while (x < outW) {
-            sum += (img.getRGB(x * w / outW, y * h / outH) & 0xFFFFFF).toLong
-            x += 1
+        // same NonFatal guard as ImageIoCodec.decode: one undecodable
+        // payload must quarantine its row as a (-1,-1,-1) sentinel,
+        // not NPE the whole partition's task (a 100 TB corpus WILL
+        // contain corrupt media)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(r.getLong(0), -1, -1, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              sum += (img.getRGB(x * w / outW, y * h / outH) & 0xFFFFFF).toLong
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          Row(r.getLong(0), w, h, sum)
         }
-        Row(r.getLong(0), w, h, sum)
       }
     }
   }
@@ -424,29 +433,44 @@ object Multimodal {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(energySchema)
     rows.flatMap { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-      val ch = ais.getFormat.getChannels
-      val data = ais.readAllBytes()
-      val nSamples = data.length / 2
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var block = 0
-      var i = 0
-      while (i < nSamples) {
-        val end = math.min(i + blockFrames * ch, nSamples)
-        var e = 0L
-        var n = 0L
-        while (i < end) {
-          // little-endian signed 16-bit
-          val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
-          e += v * v
-          n += 1
-          i += 1
+      // decode + format validation under the same NonFatal guard as
+      // AudioWavCodec: the sample loop below interprets the bytes as
+      // PCM_SIGNED 16-bit little-endian, so anything else (8/24/32-bit,
+      // big-endian, float, μ-law) or an unparseable header quarantines
+      // as ONE (-1,-1,-1) sentinel row instead of decoding garbage or
+      // killing the partition's task
+      val parsed =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val f = ais.getFormat
+          if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              f.getSampleSizeInBits != 16 || f.isBigEndian) null
+          else (f.getChannels, ais.readAllBytes())
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (parsed == null) Seq(Row(r.getLong(0), -1, -1L, -1L))
+      else {
+        val (ch, data) = parsed
+        val nSamples = data.length / 2
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var block = 0
+        var i = 0
+        while (i < nSamples) {
+          val end = math.min(i + blockFrames * ch, nSamples)
+          var e = 0L
+          var n = 0L
+          while (i < end) {
+            // little-endian signed 16-bit
+            val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+            e += v * v
+            n += 1
+            i += 1
+          }
+          out += Row(r.getLong(0), block, n, e)
+          block += 1
         }
-        out += Row(r.getLong(0), block, n, e)
-        block += 1
+        out
       }
-      out
     }
   }
 

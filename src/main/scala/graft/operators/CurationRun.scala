@@ -40,8 +40,16 @@ object CurationRun {
         nFinalTrain == nTrain - nContaminated
   }
 
-  private def done(dir: String): Boolean =
-    new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()
+  /** Probe through the Hadoop FileSystem API, NOT java.io.File: stage
+    * dirs on a 100 TB run live on an object store / HDFS where a local
+    * file probe silently returns false and re-runs everything. */
+  private def exists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def done(s: SparkSession, dir: String): Boolean =
+    exists(s, s"$dir/documents.parquet/_SUCCESS")
 
   private def writeStage(df: DataFrame, dir: String): Unit =
     df.repartition(col("source"))
@@ -72,16 +80,24 @@ object CurationRun {
   def run(s: SparkSession, inputDir: String, outDir: String): Report = {
     val clean = s"$outDir/stage1_clean"
     val deduped = s"$outDir/stage2_deduped"
+    val reportPq = s"$outDir/report.parquet"
+
+    // stage 3 gate, checked FIRST: the report parquet is written LAST
+    // (after final/ and manifest.parquet), so its _SUCCESS proves the
+    // whole run landed — a resume of a completed run is a metadata-only
+    // no-op read, never a re-run of split/decontamination/final writes
+    // (at 100 TB the most expensive redo in the pipeline)
+    if (exists(s, s"$reportPq/_SUCCESS")) return readReport(s, reportPq)
 
     // stage 1: quality gate
-    if (!done(clean))
+    if (!done(s, clean))
       writeStage(qualityGate(
         s.read.parquet(s"$inputDir/documents.parquet"), s), clean)
 
     // stage 2: near-dedup survivor election — the SAME plans the
     // oracle-checked queries run (verified LSH pairs → contraction-
     // seeded CC → longest-doc election), pointed at the stage-1 dir
-    if (!done(deduped)) {
+    if (!done(s, deduped)) {
       val pairs = DedupQueries.lshVerifiedPairs(s, clean)
         .select("doc_a", "doc_b")
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -142,7 +158,7 @@ object CurationRun {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     tagged.unpersist()
     val (nTrain, nContam) = bySplit.getOrElse("train", (0L, 0L))
-    Report(
+    val report = Report(
       nInput = nInput,
       nQualityFail = nInput - nClean,
       nNearDupDropped = nClean - nDeduped,
@@ -151,5 +167,20 @@ object CurationRun {
       nTest = bySplit.getOrElse("test", (0L, 0L))._1,
       nContaminated = nContam,
       nFinalTrain = nTrain - nContam)
+    // the stage-3 completion marker (see gate above): one-row parquet,
+    // written after every other output, doubles as the durable audit
+    // record of the run's attrition accounting
+    writeReport(s, report, reportPq)
+    report
+  }
+
+  private def writeReport(s: SparkSession, r: Report, path: String): Unit = {
+    import s.implicits._
+    Seq(r).toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readReport(s: SparkSession, path: String): Report = {
+    import s.implicits._
+    s.read.parquet(path).as[Report].head()
   }
 }

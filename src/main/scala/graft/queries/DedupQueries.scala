@@ -1257,6 +1257,11 @@ object DedupQueries {
           .select(col("doc_id"), posexplode(
             array(MinhashBands.map(b => col(b._1)): _*)).as(Seq("band", "bkey")))
           .cache()
+        // materialize NOW (the lshCandidates convention): baseBands and
+        // the delta probe both read this frame inside ONE downstream
+        // job; branches racing an unpopulated cache each recompute the
+        // full signature pass (the expensive stage) 2-3x for nothing
+        bands.count()
         val baseBands = bands.where(col("doc_id") % 5 =!= 0)
           .select("band", "bkey").distinct()
         val near = bands.where(col("doc_id") % 5 === 0)

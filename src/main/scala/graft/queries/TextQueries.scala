@@ -1188,9 +1188,14 @@ object TextQueries {
         // are 1e-9-quantized to integers (the t_dsir_weights ln-ulp
         // policy), and the top-100 runs as TakeOrderedAndProject —
         // per-partition heaps + a k-row driver merge, no global sort,
-        // the same plan shape at any corpus size. At 100 TB-scale ids
-        // the multiplier hash would move to the 128-bit xxhash64 pair.
-        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L) /
+        // the same plan shape at any corpus size. The id is pre-reduced
+        // mod 1000003 before the Knuth multiply (the mm_manifest /
+        // t_split_assign guard): 1000003·2654435761 < 2^63, so the
+        // product can never wrap for ANY doc_id — mathematically the
+        // same residue ((a·M) mod P == ((a mod P)·M) mod P), but an
+        // unguarded multiply wraps (negative u → null ln) in Spark at
+        // doc_id ≳ 3.5e9 while DuckDB errors on BIGINT overflow.
+        val u = (col("doc_id") % 1000003L * 2654435761L % 1000003L + 1L) /
           lit(1000003.0)
         t(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"),
@@ -1200,7 +1205,7 @@ object TextQueries {
       },
       Some(
         """WITH d AS (SELECT doc_id, source, n_chars,
-          |    ((doc_id * 2654435761) % 1000003 + 1) / 1000003.0 AS u FROM documents)
+          |    (doc_id % 1000003 * 2654435761 % 1000003 + 1) / 1000003.0 AS u FROM documents)
           |SELECT doc_id, source, n_chars,
           |  CAST(ROUND(ln(u) / n_chars * 1000000000) AS BIGINT) AS pq
           |FROM d ORDER BY pq DESC, doc_id LIMIT 100""".stripMargin),

@@ -106,12 +106,26 @@ object TextIngest {
     * live drop directory. File-stream source (new files per
     * micro-batch, `maxFilesPerTrigger` = admission control — the same
     * demand knob the queue pipeline uses), per-batch narrow-map
-    * normalization, partitioned parquet sink with checkpointed
-    * exactly-once file tracking. Duplicate-id election is per
-    * micro-batch here (global keep-best needs state; the batch
-    * normalize() handles backfills) — cross-batch id dedup composes
-    * with StreamingAnalytics.dedupByJid when a drop feed replays.
-    * Stop the returned query to end ingestion. */
+    * normalization, IDEMPOTENT partitioned parquet sink.
+    *
+    * End-to-end semantics: the checkpoint makes the SOURCE replay a
+    * micro-batch after a crash between the sink write and the commit;
+    * a blind `append` sink would duplicate those documents (foreachBatch
+    * alone is only at-least-once). The sink is therefore keyed on the
+    * deterministic batchId: each batch lands under
+    * `ingest_batch=<id>/source=<s>/` via dynamic partition overwrite,
+    * so a replay REPLACES exactly its own partitions (including any
+    * partial output of the crashed attempt) and never touches other
+    * batches' — replay-idempotent, i.e. effectively exactly-once once
+    * the batch commits. Read the sink back with
+    * [[readStreamedCanonical]], which drops the idempotency key to
+    * restore the canonical `documents` schema.
+    *
+    * Duplicate-id election is per micro-batch here (global keep-best
+    * needs state; the batch normalize() handles backfills) —
+    * cross-batch id dedup composes with StreamingAnalytics.dedupByJid
+    * when a drop feed itself re-delivers. Stop the returned query to
+    * end ingestion. */
   def streamJsonLines(
       spark: SparkSession,
       inDir: String,
@@ -129,12 +143,31 @@ object TextIngest {
     // per micro-batch keeps one code path for both modes
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        normalize(batch)
-          .write.mode("append").partitionBy("source")
-          .parquet(s"$outDir/documents.parquet")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, outDir)
       }
       .start()
+  }
+
+  /** The per-micro-batch sink write (see [[streamJsonLines]]): replay-
+    * idempotent by construction — mode=overwrite + dynamic partition
+    * overwrite replaces only the (ingest_batch, source) partitions this
+    * batch produces, so running it twice with the same batchId yields
+    * byte-identical sink contents. Package-visible so the replay
+    * contract is spec-testable without crashing a real stream. */
+  private[graft] def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    normalize(batch)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "source")
+      .parquet(s"$outDir/documents.parquet")
+
+  /** Read the streaming sink back in the canonical `documents` shape
+    * (drops the ingest_batch idempotency partition key). */
+  def readStreamedCanonical(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$outDir/documents.parquet")
+    df.select("doc_id", "text", "lang", "source", "n_chars")
   }
 
   /** One-call ingest: read → quarantine split → normalize → write.

@@ -89,4 +89,50 @@ class CurationRunSpec extends AnyFunSuite {
     assert(r2 == r, "resumed run must reproduce the report")
     assert(marker.lastModified() == before, "completed stage must not rerun")
   }
+
+  test("resume after a COMPLETED run is a stage-3 no-op: final outputs byte-untouched") {
+    val (dir, r) = out
+    // a rewrite would emit NEW part-file UUIDs — the exact file listing
+    // (names + sizes + mtimes) is therefore a recompute detector for
+    // stage 3's split/decontaminate/final/manifest work
+    def listing(root: String): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+    }
+    val before = listing(s"$dir/final") ++ listing(s"$dir/manifest.parquet")
+    val r2 = CurationRun.run(spark, sf, dir)
+    assert(r2 == r, "no-op resume must return the persisted report")
+    val after = listing(s"$dir/final") ++ listing(s"$dir/manifest.parquet")
+    assert(after == before,
+      "stage 3 re-ran on a completed run — final outputs were rewritten")
+  }
+
+  test("crash AFTER stage 3's outputs but before the report marker re-runs stage 3 only") {
+    // the report parquet is the stage-3 _SUCCESS: if the run died
+    // between the final writes and the report write, the gate must NOT
+    // trust the (possibly partial) final outputs
+    val (srcDir, r) = out
+    val dir = java.nio.file.Files.createTempDirectory("curation_post3").toString
+    // stage 1+2 completed; stage-3 outputs present but UNMARKED
+    def cp(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(to, src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    cp(s"$srcDir/stage1_clean", s"$dir/stage1_clean")
+    cp(s"$srcDir/stage2_deduped", s"$dir/stage2_deduped")
+    cp(s"$srcDir/final", s"$dir/final")
+    cp(s"$srcDir/manifest.parquet", s"$dir/manifest.parquet")
+    // no report.parquet → stage 3 must re-execute (idempotent overwrite)
+    val r2 = CurationRun.run(spark, sf, dir)
+    assert(r2 == r, "re-run of the unmarked stage 3 must reproduce the report")
+    assert(new java.io.File(s"$dir/report.parquet/_SUCCESS").exists(),
+      "the re-run must land the stage-3 marker")
+  }
 }

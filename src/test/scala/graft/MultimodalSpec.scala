@@ -102,6 +102,16 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(1) == (id % 48 + 16).toInt && r.getInt(2) == (id % 32 + 16).toInt)
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 64L * 0xFFFFFF)
     }
+    // an undecodable payload quarantines its ROW as a sentinel — it
+    // must not NPE the partition's task (the decodeMeta guard contract)
+    import spark.implicits._
+    val poisoned = Seq(
+      (1L, "not an image at all".getBytes),
+      (2L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val bad = Multimodal.resizeNearest(poisoned, 8, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(bad(1L) == ((-1, -1, -1L)) && bad(2L) == ((-1, -1, -1L)),
+      "corrupt payloads must land (-1,-1,-1) sentinel rows")
   }
 
   test("audioBlockEnergy: blocks partition the PCM stream, energies match byte arithmetic") {
@@ -131,6 +141,25 @@ class MultimodalSpec extends AnyFunSuite {
         assert(r.getAs[Long]("energy") == want, s"energy drift doc $id block $r")
       }
     }
+    // format validation: the sample loop assumes PCM_SIGNED 16-bit LE —
+    // anything else (here: an 8-bit WAV, plus outright garbage) must
+    // quarantine as ONE sentinel row, never decode garbage energies
+    import spark.implicits._
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](40)(3)), fmt8, 40),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val poisoned = Seq(
+      (90L, bos.toByteArray),             // parses, but 8-bit: rejected
+      (91L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val bad = Multimodal.audioBlockEnergy(poisoned, 25).collect()
+      .groupBy(_.getLong(0))
+    assert(bad(90L).toSeq.map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      == Seq((-1, -1L, -1L)), "non-16-bit WAV must sentinel, not misdecode")
+    assert(bad(91L).toSeq.map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      == Seq((-1, -1L, -1L)), "unparseable payload must sentinel")
   }
 
   test("WAV codec parses real RIFF bytes on executors; rejects garbage") {

@@ -85,17 +85,55 @@ class TextIngestSpec extends AnyFunSuite {
       """{"doc_id": 22, "text": "batch two", "lang": "fr", "source": "books"}"""))
     val q = TextIngest.streamJsonLines(spark, in, out, ck, maxFilesPerTrigger = 1)
     try { q.processAllAvailable() } finally q.stop()
-    val got = spark.read.parquet(s"$out/documents.parquet").collect()
-      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val canon = TextIngest.readStreamedCanonical(spark, out)
+    assert(canon.columns.sorted.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"),
+      "reader restores the canonical schema (ingest_batch key dropped)")
+    val got = canon.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(got.keySet == Set(21L, 22L), "good rows from both batches, garbage dropped")
     assert(got(21L).getAs[String]("text") == "batch one", "same trim contract as batch")
-    assert(new java.io.File(s"$out/documents.parquet/source=books").isDirectory, "partitioned sink")
+    // sink is batchId-keyed THEN source-partitioned (the idempotency layout)
+    val bookDirs = new java.io.File(s"$out/documents.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .flatMap(_.listFiles()).filter(_.getName == "source=books")
+    assert(bookDirs.nonEmpty, "partitioned sink under the batch key")
     // restart with the same checkpoint: nothing reprocessed
-    val before = spark.read.parquet(s"$out/documents.parquet").count()
+    val before = TextIngest.readStreamedCanonical(spark, out).count()
     val q2 = TextIngest.streamJsonLines(spark, in, out, ck, maxFilesPerTrigger = 1)
     try { q2.processAllAvailable() } finally q2.stop()
-    assert(spark.read.parquet(s"$out/documents.parquet").count() == before,
+    assert(TextIngest.readStreamedCanonical(spark, out).count() == before,
       "checkpoint must make the restart a no-op")
+  }
+
+  test("streaming sink is replay-idempotent: a re-run micro-batch replaces, never appends") {
+    // foreachBatch is at-least-once: a crash between the sink write and
+    // the checkpoint commit replays the batch. The sink must absorb
+    // that — including a PARTIAL first attempt — byte-identically.
+    val in = tmp("rin"); val out = tmp("rout")
+    writeLines(in, "partial.jsonl", Seq(
+      """{"doc_id": 31, "text": "web doc", "lang": "en", "source": "web"}"""))
+    writeLines(in, "full.jsonl", Seq(
+      """{"doc_id": 31, "text": "web doc", "lang": "en", "source": "web"}""",
+      """{"doc_id": 32, "text": "book doc", "lang": "en", "source": "books"}"""))
+    // crashed attempt: batch 0 lands only the web slice
+    TextIngest.writeBatch(
+      TextIngest.readJsonLines(spark, s"$in/partial.jsonl"), 0L, out)
+    // replay of batch 0 with its full content
+    TextIngest.writeBatch(
+      TextIngest.readJsonLines(spark, s"$in/full.jsonl"), 0L, out)
+    // and a second identical replay on top
+    TextIngest.writeBatch(
+      TextIngest.readJsonLines(spark, s"$in/full.jsonl"), 0L, out)
+    val rows = TextIngest.readStreamedCanonical(spark, out).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(31L, 32L),
+      "replays replace the batch's partitions — no duplicates, partial attempt healed")
+    // a DIFFERENT batch id appends (other batches' partitions untouched)
+    writeLines(in, "b1.jsonl", Seq(
+      """{"doc_id": 33, "text": "later doc", "lang": "en", "source": "web"}"""))
+    TextIngest.writeBatch(
+      TextIngest.readJsonLines(spark, s"$in/b1.jsonl"), 1L, out)
+    assert(TextIngest.readStreamedCanonical(spark, out).count() == 3,
+      "a new batch id must not clobber batch 0's output")
   }
 
   test("csv ingest shares the contract: explicit schema, corrupt rows quarantined") {
