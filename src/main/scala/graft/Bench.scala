@@ -150,7 +150,25 @@ object Bench {
     }
     spin(20000000L) // JIT warm
     val (st, mt) = (probeSt(), probeMt())
-    val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)},"cpu_probe_st_sec":${BigDecimal(st).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"cpu_probe_mt_sec":${BigDecimal(mt).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
+    // Band self-certification: the round artifact (BENCH_r{N}.json, the
+    // parsed compact line) must carry its own hardware yardstick — the
+    // full BENCH.json embeds the probes, but adjudicating a cross-round
+    // regression previously required the repo checkout. The committed
+    // BENCH.json (read BEFORE this run overwrites it) is the reference:
+    // when this host's mt probe departs >25% from it, the run flags
+    // ITSELF band_suspect, so a 2x query swing on a slow host is
+    // machine-attributable from the artifact alone.
+    val refMt: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH.json")), "UTF-8")
+        """"cpu_probe_mt_sec":([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    val bandSuspect = refMt.exists(r =>
+      math.max(mt, r) / math.max(math.min(mt, r), 1e-9) > 1.25)
+    val refJson = refMt.map(r => s""","cpu_probe_mt_ref_sec":$r""").getOrElse("")
+    val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)},"cpu_probe_st_sec":${BigDecimal(st).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"cpu_probe_mt_sec":${BigDecimal(mt).setScale(3, BigDecimal.RoundingMode.HALF_UP)}$refJson,"band_suspect":$bandSuspect}"""
     // Measurement protocol, embedded so cross-round consumers can
     // detect a protocol break (the r5→r6 best-of-N switch made totals
     // incomparable with single-pass rounds and was misreadable as a
@@ -174,7 +192,7 @@ object Bench {
     val qbCompact = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"relayout_sec":${r3(relayoutSec)},"queue_bench":$qbCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"relayout_sec":${r3(relayoutSec)},"queue_bench":$qbCompact,"cpu_probe_st_sec":${r3(st)},"cpu_probe_mt_sec":${r3(mt)},"band_suspect":$bandSuspect,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser (round-1 failure mode:
     // async executor ERROR lines landed after the JSON): (1) persist the
     // full metrics to BENCH.json, (2) fully stop Spark so no log line can

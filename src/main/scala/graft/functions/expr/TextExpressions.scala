@@ -375,12 +375,62 @@ case class WinnowEnc(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Order-0 entropy-coding size estimate over a token array, in BITS —
+  * the ORACLE-CHECKABLE compressibility signal: for n tokens with
+  * per-token counts c_w, charge each occurrence of w the integer code
+  * length bitlen(floor(n / c_w)) (bitlen x = 64 - nlz(x), i.e.
+  * floor(log2)+1 — within 1 bit/token of the Shannon optimum -log2(c/n))
+  * and return Σ c_w · bitlen(n/c_w). Repetitive text (few distinct
+  * tokens, high counts) estimates far below diverse prose, the same
+  * ordering DEFLATE produces, but in PURE INTEGER arithmetic both
+  * engines reproduce bit-for-bit: DuckDB restates bitlen(v) as
+  * length(to_base(v, 2)). One hash pass per row (the MaxFreq idiom),
+  * zero shuffle. Null for an empty array. */
+case class CompressBitsQ(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"compress_bits expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val counts = new java.util.HashMap[UTF8String, java.lang.Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val k = xs.getUTF8String(i)
+      val prev = counts.get(k)
+      counts.put(k, if (prev == null) 1 else prev.intValue() + 1)
+      i += 1
+    }
+    var bits = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      val v = (n / c).toLong // >= 1 since c <= n
+      bits += c.toLong * (64 - java.lang.Long.numberOfLeadingZeros(v))
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object TextExpressions {
   /** Register SQL-callable forms once per session; idempotent.
     * graft_minhash4 = 4 bands of 8 hex chars at offsets 1/9/17/25. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLen(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_compress_bits", exprs => CompressBitsQ(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles3", exprs => Shingles3(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -53,13 +53,15 @@ object SimilarityQueries {
       df: DataFrame,
       keys: Seq[(org.apache.spark.sql.Column, String)],
       v: org.apache.spark.sql.Column,
-      as: String): DataFrame = {
+      as: String,
+      cntAs: Option[String] = None): DataFrame = {
     val pre = df.select(
       keys.map { case (c, n) => c.as(n) } :+
         round(v * 1000000000).cast("long").as("_qv"): _*)
+    val cnt = cntAs.map(n => col("_cnt").as(n)).toSeq
     ExactAgg.chunkedSums(pre, keys.map(_._2), Seq("_qv"))
-      .select(keys.map { case (_, n) => col(n) } :+
-        (col("_qv").cast("double") / 1000000000 / col("_cnt")).as(as): _*)
+      .select(keys.map { case (_, n) => col(n) } ++
+        ((col("_qv").cast("double") / 1000000000 / col("_cnt")).as(as) +: cnt): _*)
   }
 
   /** All (vector, centroid) distances RANKED per vector: rank 1 is the
@@ -1295,48 +1297,57 @@ object SimilarityQueries {
         // broadcast; assignment is a fused scan + argmin (one
         // combinable min(struct) — never a window over the corpus);
         // the recompute is the same map-side-combinable (cell, dim)
-        // quantized mean every centroid op here uses. The corpus is
-        // scanned once per round from the materialized cache; each
-        // round's tiny centroid frame is eagerly local-checkpointed so
-        // round N's plan does not nest round N-1's. Determinism:
-        // 1e-9-quantized means, argmin ties break on the cell id.
+        // quantized mean every centroid op here uses — with the CELL
+        // OCCUPANCY folded into that same aggregate (the count rides
+        // the (cell, dim=1) partials for free), so each round runs
+        // exactly ONE corpus-scanning job. The first cut of this loop
+        // checkpointed the centroids and then ran a SECOND job for the
+        // occupancy/shift report — re-executing the whole assignment
+        // per round because `assigned` is lineage, not cache; folding
+        // the report into the centroid checkpoint halved the round
+        // cost. The corpus is scanned from the materialized cache;
+        // each round's tiny centroid+occupancy frame is eagerly
+        // local-checkpointed so round N's plan does not nest round
+        // N-1's, and the shift report is pure arithmetic over two
+        // checkpointed nlist-sized frames. Determinism: 1e-9-quantized
+        // means, argmin ties break on the cell id.
         graft.functions.VectorFunctions.register(s)
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
           .cache()
         e.count() // scanned by assignment + recompute in every round
+        // (cell, dim) means + per-cell count → one row per cell:
+        // centroid array (dim-sorted) + occupancy (every dim of a cell
+        // carries the same count; max() collapses them)
         def toCent(cd: DataFrame): DataFrame = cd
           .groupBy("c_label")
-          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"),
+            max(col("cnt")).as("n_assigned"))
           .select(col("c_label"),
-            transform(col("pairs"), p => p.getField("cv")).as("c"))
-        var cents = toCent(quantMean(
-          e.select(col("label"), posexplode(col("e")).as(Seq("pos", "v"))),
-          Seq(col("label") -> "c_label", (col("pos") + 1) -> "dim"),
-          col("v"), "cv")).localCheckpoint(true)
+            transform(col("pairs"), p => p.getField("cv")).as("c"),
+            col("n_assigned"))
+        def centsOf(df: DataFrame, grp: org.apache.spark.sql.Column): DataFrame =
+          toCent(quantMean(
+            df.select(grp.as("g"), posexplode(col("e")).as(Seq("pos", "v"))),
+            Seq(col("g") -> "c_label", (col("pos") + 1) -> "dim"),
+            col("v"), "cv", Some("cnt")))
+        var cents = centsOf(e, col("label")).localCheckpoint(true)
         val rounds = (1 to 3).map { it =>
-          val assigned = e.crossJoin(broadcast(cents))
+          val assigned = e.crossJoin(broadcast(cents.select("c_label", "c")))
             .select(col("vec_id"),
               struct((dot(col("e"), col("e")) -
                 lit(2.0) * dot(col("e"), col("c")) +
                 dot(col("c"), col("c"))).as("d2"), col("c_label")).as("sc"))
             .groupBy("vec_id").agg(min(col("sc")).as("b"))
             .select(col("vec_id"), col("b.c_label").as("cell"))
-          val newCents = toCent(quantMean(
-            assigned.join(e, "vec_id")
-              .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v"))),
-            Seq(col("cell") -> "c_label", (col("pos") + 1) -> "dim"),
-            col("v"), "cv")).localCheckpoint(true)
-          val occ = assigned.groupBy(col("cell").as("c_label"))
-            .agg(count(lit(1)).as("n_assigned"))
-          val row = occ
-            .join(newCents, "c_label")
+          val newCents = centsOf(assigned.join(e, "vec_id"), col("cell"))
+            .localCheckpoint(true)
+          val row = newCents
             .join(cents.select(col("c_label"), col("c").as("co")), "c_label")
             .select(lit(it).cast("int").as("iter"), col("c_label"),
               col("n_assigned"),
               (dot(col("c"), col("c")) - lit(2.0) * dot(col("c"), col("co")) +
                 dot(col("co"), col("co"))).as("shift2"))
-            .localCheckpoint(true)
           cents = newCents
           row
         }

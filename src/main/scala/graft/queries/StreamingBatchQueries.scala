@@ -429,10 +429,19 @@ object StreamingBatchQueries {
         // fixture's own mix (a live deployment feeds last week's
         // instead); at 100 TB the reference is |types| rows broadcast
         // and the KL assembly never touches raw events again.
-        // Determinism: each KL term quantizes ONCE to a 1e-9 integer —
+        // Determinism: each KL term quantizes ONCE to a 1e-6 integer —
         // p and the log ratio are computed from exact integer-count
         // quotients, so both engines feed ln the identical double —
-        // and the per-window sum is integer, order-free.
+        // and the per-window sum is integer, order-free. The grid is
+        // deliberately COARSE (1e-6, not the 1e-9 model convention):
+        // ln is transcendental, so a 1-ulp Math.log-vs-libm
+        // disagreement landing within an ulp of a .5 grid boundary
+        // would flip the integer; the flip probability scales with the
+        // grid density (≈|x|·2.2e-16·grid per value), and 1e6 puts a
+        // whole registry run at ~1e-6 — μ-nat precision is far beyond
+        // what a drift alarm needs anyway. (t_pmi_colloc eliminated
+        // its ln outright via the monotone-ratio form; KL has no such
+        // form — the log IS the metric.)
         val raw = t(s, dir, "events")
         val ev = raw.select(Tables.tsTimestamp(raw).as("ts"),
           col("event_type"), lit(0L).as("value"))
@@ -449,14 +458,14 @@ object StreamingBatchQueries {
           .select(col("ws"), col("we"), col("n_w"),
             round((col("n").cast("double") / col("n_w")) *
               log((col("n") * col("n_tot")).cast("double") /
-                (col("n_w") * col("n_t")).cast("double")) * 1000000000L)
+                (col("n_w") * col("n_t")).cast("double")) * 1000000L)
               .cast("long").as("term_q"))
           .groupBy("ws", "we", "n_w")
           .agg(sum("term_q").as("kl_q"))
           .select(col("ws").as("window_start_us"),
             col("we").as("window_end_us"),
             col("n_w").as("n_events"),
-            (col("kl_q").cast("double") / 1000000000L).as("kl"))
+            (col("kl_q").cast("double") / 1000000L).as("kl"))
       },
       Some(
         """WITH cells AS (SELECT (epoch_us(ts) // 900000000) * 900000000 AS ws,
@@ -467,12 +476,12 @@ object StreamingBatchQueries {
           |terms AS (SELECT c.ws, w.n_w,
           |    CAST(ROUND((CAST(c.n AS DOUBLE) / w.n_w) *
           |      ln(CAST(c.n * t.n_tot AS DOUBLE) / CAST(w.n_w * r.n_t AS DOUBLE))
-          |      * 1000000000) AS BIGINT) AS term_q
+          |      * 1000000) AS BIGINT) AS term_q
           |  FROM cells c JOIN wtot w ON c.ws = w.ws
           |  JOIN ref r ON c.event_type = r.event_type, tot t)
           |SELECT ws AS window_start_us, ws + 900000000 AS window_end_us,
           |  n_w AS n_events,
-          |  CAST(SUM(term_q) AS BIGINT) / 1000000000.0 AS kl
+          |  CAST(SUM(term_q) AS BIGINT) / 1000000.0 AS kl
           |FROM terms GROUP BY 1, 2, 3""".stripMargin),
       "Streaming drift monitor: per-window KL divergence of the event mix " +
         "vs a broadcast reference distribution."))

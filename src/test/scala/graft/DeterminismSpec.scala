@@ -33,8 +33,9 @@ class DeterminismSpec extends AnyFunSuite {
     // partition-count sweep IS the contraction sweep here: 4/3/17
     // partitions contract the edge graph completely differently
     "dedup_clusters_prepass", "t_bigram_logppl",
-    // no oracle exists for DEFLATE, so partition invariance is this
-    // op's strongest automated correctness signal
+    // pure-integer entropy estimate: the sweep pins the row-local
+    // CompressBitsQ pass against repartitioning (its oracle covers
+    // values; this covers plan-shape independence)
     "t_compression_ratio",
     // round 11: quantized-ln PMI, exact-power HLL register sums, and
     // histogram-edge quantiles — the three new float-bearing aggs

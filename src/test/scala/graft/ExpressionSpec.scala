@@ -101,5 +101,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(dl(rep).toDouble / rep.length < 0.2)
     // deterministic across evaluations
     assert(dl(rep) === dl(rep))
+    // the production frame (library form of the registry entry)
+    val df = graft.queries.TextQueries.deflateCompressionRatio(
+      spark, "/root/testdata/sf0.001")
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "deflate_bytes", "compression_ratio"))
+    assert(df.limit(5).collect().forall(r =>
+      r.getAs[Double]("compression_ratio") > 0))
+  }
+
+  test("compress_bits: hand-computed order-0 code length; repetitive << diverse") {
+    import spark.implicits._
+    graft.functions.expr.TextExpressions.register(spark)
+    def cb(s: String): Long =
+      one[Long](Seq(s).toDF("t").select(
+        call_function("graft_compress_bits", split(col("t"), " "))))
+    // ["a","a","a","b"]: n=4; a: c=3, bitlen(4/3=1)=1 → 3 bits;
+    // b: c=1, bitlen(4)=3 → 3 bits; total 6
+    assert(cb("a a a b") === 6L)
+    // all-distinct: every token costs bitlen(n) = bitlen(4) = 3 → 12
+    assert(cb("a b c d") === 12L)
+    // all-same: n/c = 1 → 1 bit/token
+    assert(cb("x x x x") === 4L)
+    // ordering property shared with DEFLATE: repetition estimates low
+    val rep = ("the quick brown fox jumps over the lazy dog " * 10).trim
+    val div = "spark group query row data slow small filter customer line"
+    assert(cb(rep).toDouble / rep.split(" ").length <
+      cb(div).toDouble / div.split(" ").length)
+    // bitlen restatement used by the DuckDB oracle: length(to_base(v,2))
+    assert((64 - java.lang.Long.numberOfLeadingZeros(1L)) == 1)
+    assert((64 - java.lang.Long.numberOfLeadingZeros(1023L)) == 10)
   }
 }

@@ -38,9 +38,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Int]("c12") >= 5)
-      // quantized ln fits well inside +-50 nats
-      assert(math.abs(r.getAs[Long]("pmi_q")) < 50L * 1000000000L)
+      // integer ppm ratio: positive (a c12>=5 collocation is never
+      // rarer than independence by 1e6x on this corpus) and inside
+      // e^50 equivalent
+      val ppm = r.getAs[Long]("pmi_ratio_ppm")
+      assert(ppm >= 0 && ppm < math.exp(50).toLong)
     }
+    // the conversion's contract: ln(ppm/1e6) IS the PMI — spot-check
+    // one row's order against raw-count arithmetic at this SF
+    assert(rows.exists(_.getAs[Long]("pmi_ratio_ppm") > 1000000L),
+      "at least one genuine collocation must beat independence")
   }
 
   test("t_shard_shuffle: positions are a contiguous 1..n permutation per shard") {
