@@ -924,6 +924,7 @@ object AnalyticsQueries {
           // register join — without it the grid's distinct would
           // re-scan the whole events table just to enumerate types
           .cache()
+        reg.count() // populate BEFORE the grid/join legs race it
         val grid = reg.select("event_type").distinct()
           .crossJoin(s.range(64).select(col("id").as("b")))
         val est = grid.join(reg, Seq("event_type", "b"), "left")
@@ -1099,6 +1100,7 @@ object AnalyticsQueries {
             16, 10).cast("long").as("h"))
         val sk = graft.plans.GraftOps.topKPerKey(h, Seq("event_type"), k, "+h")
         val merged = sk.select("h").distinct().orderBy("h").limit(k).cache()
+        merged.count() // populate BEFORE the kth/rho legs race its sketch pass
         val kth = merged.agg(max("h").as("kth_hash"), count(lit(1)).as("nk"))
           .where(col("nk") === k).drop("nk")
         val rho = merged

@@ -321,6 +321,7 @@ object DedupQueries {
       .unionAll(cand.select(col("doc_b").as("doc_id")))
     val sh = shingleDF(s, dir)
       .join(candIds, Seq("doc_id"), "left_semi").cache()
+    sh.count() // populate BEFORE the sa/sb join legs race it
     // |A|,|B| are row-local (array size), then pruned to candidate docs
     // so the frames joined below are candidate-bounded, never corpus-sized
     val cnt = shingleCounts(s, dir)
@@ -495,6 +496,7 @@ object DedupQueries {
       "dedup_ngram_jaccard",
       (s, dir) => {
         val sh = shingleDF(s, dir).cache() // map-only; reused by both join sides
+        sh.count() // populate BEFORE the self-join legs race it
         val cnt = shingleCounts(s, dir) // row-local |A|,|B| — no aggregation
         val pairs = sh.as("a")
           .join(sh.as("b"),
@@ -763,6 +765,7 @@ object DedupQueries {
         // all-pairs join is the documented small-n baseline); the
         // LSH side is the production pipeline unchanged.
         val sh = shingleDF(s, dir).cache()
+        sh.count() // populate BEFORE the self-join legs race it
         val cnt = shingleCounts(s, dir)
         val exact = sh.as("a")
           .join(sh.as("b"),

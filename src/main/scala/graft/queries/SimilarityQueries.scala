@@ -152,6 +152,7 @@ object SimilarityQueries {
     // harness clears caches between queries.
     val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
       .join(u, "vec_id").cache()
+    au.count() // populate BEFORE the join's two legs race it (see NOTES)
     val q = au.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("assigned").as("cell"), col("u").as("qu"))
     val cands = au.select(
@@ -182,6 +183,7 @@ object SimilarityQueries {
     val ranked = ivfRanked(s, dir)
       .select(col("vec_id"), col("c_label"), col("rk"))
       .cache()
+    ranked.count() // populate BEFORE the probe/candidate legs race it
     val probes = ranked.where(col("vec_id") < 20 && col("rk") <= 2)
       .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
       .join(u.select(col("vec_id").as("query_id"), col("u").as("qu")), "query_id")
@@ -212,6 +214,7 @@ object SimilarityQueries {
         array((0 until 8).map(m => slice(col("e"), m * 8 + 1, 8)): _*))
         .as(Seq("m", "sub")))
       .cache() // shared: codebook build + assignment + query tables
+    subs.count() // populate BEFORE the codebook/probe stages race it
     val cb = quantMean(
       subs.select(col("label"), col("m"), posexplode(col("sub")).as(Seq("pos", "x"))),
       Seq(col("m") -> "m", col("label") -> "cw", (col("pos") + 1) -> "dim"),
@@ -337,6 +340,7 @@ object SimilarityQueries {
           // recomputable on executor loss) — the harness clears caches
           // between queries, bounding long-session storage
           .cache()
+        bands.count() // populate BEFORE the self-join legs race it
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))
@@ -498,6 +502,7 @@ object SimilarityQueries {
           .select(col("vec_id"), signBits(col("embedding")).as("sig"))
           // bands + both re-rank join sides
           .cache()
+        sigs.count() // populate BEFORE the band/re-rank legs race it
         val bands = sigs.select(col("vec_id"), posexplode(
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))
@@ -546,6 +551,7 @@ object SimilarityQueries {
             array((0 until 8).map(b => substring(col("sig"), b * 8 + 1, 8)): _*))
             .as(Seq("band", "bkey")))
           .cache()
+        bands.count() // populate BEFORE the self-join legs race it
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))
@@ -619,6 +625,7 @@ object SimilarityQueries {
             dot(col("x.u"), col("y.u")).as("cos"))
           .where(col("cos") >= 0.35)
           .cache()
+        dp.count() // populate BEFORE the two dominated branches race it
         val dominated = dp
           .where(col("db") > col("da") ||
             (col("db") === col("da") && col("id_b") < col("id_a")))
@@ -719,6 +726,7 @@ object SimilarityQueries {
         // |sub - c|² per (vector, subspace, codeword) via the dot
         // identity — the shared pqScored primitive
         val scored = pqScored(s, dir).cache()
+        scored.count() // populate BEFORE the codes/qd stages race it
         val codes = scored
           .groupBy("vec_id", "m")
           .agg(min(struct(col("d2"), col("cw"))).as("best"))
@@ -771,6 +779,7 @@ object SimilarityQueries {
         // plan scales with cell sizes, not corpus size.
         val ranked = ivfRanked(s, dir)
           .select(col("vec_id"), col("c_label"), col("rk")).cache()
+        ranked.count() // populate BEFORE assigned/probes race it
         val assigned = ranked.where(col("rk") === 1)
           .select(col("vec_id").as("neighbor_id"), col("c_label").as("cell"))
         val probes = ranked.where(col("vec_id") < 20 && col("rk") <= 2)
@@ -781,6 +790,7 @@ object SimilarityQueries {
           .where(col("query_id") =!= col("neighbor_id"))
           .select("query_id", "neighbor_id")
         val scored = pqScored(s, dir).cache()
+        scored.count() // populate BEFORE the codes/qd stages race it
         val codes = scored
           .groupBy("vec_id", "m")
           .agg(min(struct(col("d2"), col("cw"))).as("best"))
@@ -1085,6 +1095,7 @@ object SimilarityQueries {
         val xc = x.join(broadcast(mu), "dim")
           .select(col("vec_id"), col("dim"), (col("xv") - col("mu")).as("xc"))
           .cache()
+        xc.count() // populate BEFORE the d1/join legs race it
         def round_(c: org.apache.spark.sql.Column) = round(c).cast("long")
         val d1 = xc.groupBy("vec_id")
           .agg(sum(round_(col("xc") * 1000000)).as("d1q"))
@@ -1187,6 +1198,7 @@ object SimilarityQueries {
         // rows per query. Doc vectors cross the network once each.
         val au = ivfAssigned(s, dir).select(col("vec_id"), col("assigned"))
           .join(unitEmb(s, dir), "vec_id").cache()
+        au.count() // populate BEFORE the query/candidate legs race it
         val q = au.where(col("vec_id") % 5 === 0)
           .select(col("vec_id").as("query_id"), col("label").as("true_label"),
             col("assigned").as("cell"), col("u").as("qu"))

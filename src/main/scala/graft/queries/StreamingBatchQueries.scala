@@ -311,6 +311,7 @@ object StreamingBatchQueries {
         val reg = graft.streaming.StreamingAnalytics.hllRegisters(ev, "1 hour")
           .select(unix_micros(col("window_start")).as("ws"), col("b"), col("m"))
           .cache()
+        reg.count() // populate BEFORE the grid/join legs race it
         val grid = reg.select("ws").distinct()
           .crossJoin(s.range(64).select(col("id").as("b")))
         val est = grid.join(reg, Seq("ws", "b"), "left")

@@ -1530,6 +1530,7 @@ object TextQueries {
         // = [""]), so N = T - |docs| identically.
         val uc = d.select(explode(split(col("text"), " ")).as("word"))
           .groupBy("word").agg(count("*").as("c")).cache()
+        uc.count() // populate BEFORE the total/u1/u2 legs race it
         val docs = d.agg(count("*").as("d"))
         val tot = uc.agg(sum("c").as("t"))
         val bc = d.where(size(split(col("text"), " ")) >= 2)
@@ -1593,6 +1594,7 @@ object TextQueries {
         val wc = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count("*").as("c")).cache()
+        wc.count() // populate BEFORE the sketch/top stages race it
         val sketch = wc
           .select(col("c"), buckets(col("w")).as(Seq("r", "bucket")))
           .groupBy("r", "bucket").agg(sum("c").as("cell"))
