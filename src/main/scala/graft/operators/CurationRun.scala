@@ -43,7 +43,7 @@ object CurationRun {
   /** Probe through the Hadoop FileSystem API, NOT java.io.File: stage
     * dirs on a 100 TB run live on an object store / HDFS where a local
     * file probe silently returns false and re-runs everything. */
-  private def exists(s: SparkSession, path: String): Boolean = {
+  private[operators] def exists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -62,7 +62,7 @@ object CurationRun {
   /** Gopher-style quality gate (same integer cross-ratios as
     * t_rule_funnel / t_corpus_clean): keep docs passing all four
     * rules. Row-local, fused into the scan. */
-  private def qualityGate(docs: DataFrame, s: SparkSession): DataFrame = {
+  private[operators] def qualityGate(docs: DataFrame, s: SparkSession): DataFrame = {
     graft.functions.expr.TextExpressions.register(s)
     val ws = split(col("text"), " ")
     docs

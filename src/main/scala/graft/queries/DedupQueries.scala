@@ -43,9 +43,14 @@ object DedupQueries {
     * array, so (doc_id, s) duplicates can only be within-row —
     * array_distinct before the explode is exactly a global DISTINCT on
     * the pairs, without shuffling every shingle across the cluster. */
-  private def shingleDF(s: SparkSession, dir: String): DataFrame = {
+  private def shingleDF(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(s, t(s, dir, "documents"))
+
+  /** DataFrame variant of the shingle stage (delta-ingest shares the
+    * exact verification currency with the batch pipeline). */
+  private[graft] def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.expr.TextExpressions.register(s)
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         explode(array_distinct(
           call_function("graft_shingles3", split(col("text"), " ")))).as("s"))
@@ -156,8 +161,20 @@ object DedupQueries {
     * n-grams. Returns (doc_id, n_grams, n_shared) for train-bucket docs
     * with at least one holdout-shared gram; grams travel as xxhash64
     * keys (8 B), never text. */
+  /** Distinct word-`gram`-gram xxhash64 keys of `text` — the
+    * decontamination currency (shared verbatim by the batch run and
+    * delta ingest, so gram sets collide exactly across both paths). */
+  private[graft] def gramHashes(gram: Int): org.apache.spark.sql.Column =
+    array_distinct(expr(
+      s"transform(sequence(0, greatest(size(split(text, ' ')) - $gram, 0)), " +
+        s"i -> xxhash64(array_join(slice(split(text, ' '), i + 1, $gram), ' ')))"))
+
+  /** The split-bucket hash (t_split_assign convention, overflow-guarded). */
+  private[graft] def splitBucket: org.apache.spark.sql.Column =
+    (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
+
   def decontaminateGrams(s: SparkSession, dir: String, gram: Int = 8): DataFrame = {
-    val bucket = (col("doc_id") % 1000003L * 2654435761L % 100).cast("int")
+    val bucket = splitBucket
     val g = expr(
       s"transform(sequence(0, greatest(size(split(text, ' ')) - $gram, 0)), " +
         s"i -> xxhash64(array_join(slice(split(text, ' '), i + 1, $gram), ' ')))")
@@ -246,15 +263,22 @@ object DedupQueries {
   /** 4 bands carved from ONE md5 per shingle (8 hex chars = 32 bits
     * each) — the standard way to get k hash functions for the price of
     * one digest. (name, 1-based hex offset). */
-  private[queries] val MinhashBands =
+  private[graft] val MinhashBands =
     Seq("mh0" -> 1, "mh1" -> 9, "mh2" -> 17, "mh3" -> 25)
 
   /** Shuffle-free signatures via the native MinHashBands expression:
     * shingle + digest + band minima in one pass per row — pure map,
     * no explode, no shuffle. */
-  private[queries] def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigOf(s, t(s, dir, "documents"))
+
+  /** DataFrame variant of [[minhashSig]] (same signature recipe over an
+    * arbitrary canonical-schema frame) — the delta-ingest path signs
+    * incoming batches with it so base and delta bands collide in the
+    * same key space. */
+  private[graft] def minhashSigOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.expr.TextExpressions.register(s)
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         call_function("graft_minhash4",
           call_function("graft_shingles3", split(col("text"), " "))).as("mh"))

@@ -1,0 +1,216 @@
+package graft
+
+import graft.operators.{CurationRun, DeltaIngest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental curation must reproduce the from-scratch run on the
+  * union — path by path: delta-loses, delta-WINS (base keeper
+  * replaced), within-delta clusters, exact duplicates, and BOTH
+  * decontamination directions (delta train vs existing holdout, base
+  * train vs new holdout grams). The corpus is synthetic so every path
+  * is present by construction and the documented divergences (cluster
+  * bridging, hot-cap shifts, holdout retraction) are absent. */
+class DeltaIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"delta_$name").toString
+
+  // the split-bucket hash (t_split_assign convention)
+  private def bucket(id: Long): Int = (id % 1000003L * 2654435761L % 100).toInt
+  // smallest id >= from with the wanted bucket band
+  private def pickId(from: Long, p: Int => Boolean): Long =
+    Iterator.iterate(from)(_ + 1).find(i => p(bucket(i))).get
+
+  // 30 distinct short words unique to doc id (gate-passing: n>=20,
+  // TTR=1, top=1, avg word length <= 5)
+  private def words(id: Long, n: Int = 30): Vector[String] =
+    (0 until n).map(j =>
+      java.lang.Long.toString(id, 36) + "." + Integer.toString(j, 36)).toVector
+
+  private case class Doc(id: Long, ws: Vector[String], source: String) {
+    def text: String = ws.mkString(" ")
+  }
+
+  // ---- the corpus ----
+  // base
+  private val a1 = Doc(pickId(1000, _ < 80), words(1), "web")
+  private val b1 = Doc(pickId(a1.id + 1, _ < 80), words(2), "books")
+  private val e1 = Doc(pickId(b1.id + 1, _ < 80), words(3), "web")
+  private val gHold = Doc(pickId(e1.id + 1, _ >= 80), words(4), "web") // base holdout
+  private val tTrain = Doc(pickId(gHold.id + 1, _ < 80), words(5), "web") // base train
+  private val filler = (0 until 150).map { k =>
+    Doc(1500 + k, words(100 + k), if (k % 3 == 0) "books" else "web")
+  }
+  private val baseDocs = Seq(a1, b1, e1, gHold, tTrain) ++ filler
+
+  // delta
+  private val a2 = Doc(pickId(3000, _ => true), a1.ws.dropRight(1), "web") // loses to a1
+  private val b2 = Doc(pickId(a2.id + 1, _ => true), b1.ws ++ words(6, 5), "books") // BEATS b1
+  private val c1 = Doc(pickId(b2.id + 1, _ => true), words(7), "web")
+  private val c2 = Doc(pickId(c1.id + 1, _ => true), c1.ws ++ words(8, 3), "web") // beats c1
+  private val dNew = Doc(pickId(c2.id + 1, _ => true), words(9), "web")
+  private val e2 = Doc(pickId(dNew.id + 1, _ => true), e1.ws, "web") // exact dup, larger id
+  // delta HOLDOUT doc carrying a verbatim 12-word run of base train
+  // doc T -> T becomes newly contaminated (5 shared 8-grams, 5*5 >= 23)
+  private val hHold = Doc(pickId(3100, _ >= 80),
+    words(10, 9) ++ tTrain.ws.slice(5, 17) ++ words(11, 9), "web")
+  // delta TRAIN doc carrying a 12-word run of base HOLDOUT doc G ->
+  // contaminated against the existing holdout, dropped
+  private val fTrain = Doc(pickId(3200, _ < 80),
+    words(12, 9) ++ gHold.ws.slice(5, 17) ++ words(13, 9), "web")
+  private val deltaDocs = Seq(a2, b2, c1, c2, dNew, e2, hHold, fTrain)
+
+  private def toDF(docs: Seq[Doc]): DataFrame = {
+    import spark.implicits._
+    docs.map(d => (d.id, d.text, "en", d.source, d.text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def writeInput(docs: Seq[Doc], dir: String): Unit =
+    toDF(docs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+  private def finalRows(dir: String): Set[(Long, String, String)] =
+    spark.read.parquet(s"$dir/final")
+      .select("doc_id", "split", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  // shared across tests: base run + index + one delta ingest
+  private lazy val run = {
+    val in = tmp("base_in"); val out = tmp("base_out")
+    writeInput(baseDocs, in)
+    val baseReport = CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val report = DeltaIngest.ingestDelta(spark, toDF(deltaDocs), out)
+    (out, baseReport, report)
+  }
+
+  test("every dedup path lands as designed: loses, wins+replaces, cluster, exact") {
+    val (out, _, report) = run
+    val fin = finalRows(out)
+    val ids = fin.map(_._1)
+    assert(!ids.contains(a2.id), "shorter delta near-dup must lose to the incumbent")
+    assert(ids.contains(a1.id), "the incumbent it lost to stays")
+    assert(ids.contains(b2.id), "longer delta near-dup must WIN")
+    assert(!ids.contains(b1.id), "the beaten base keeper must be removed")
+    assert(ids.contains(c2.id) && !ids.contains(c1.id),
+      "within-delta cluster elects the longer member")
+    assert(ids.contains(dNew.id), "a novel doc is appended")
+    assert(!ids.contains(e2.id) && ids.contains(e1.id),
+      "an exact duplicate re-ingested must lose on the id tie-break")
+    assert(report.nReplacedBase == 1 && report.nDupDropped == 3, s"$report")
+  }
+
+  test("two-sided decontamination: new holdout retro-drops base train; old holdout drops delta train") {
+    val (out, _, report) = run
+    val ids = finalRows(out).map(_._1)
+    assert(!ids.contains(tTrain.id),
+      "base train doc sharing a 12-word run with the NEW holdout doc must be removed")
+    assert(ids.contains(hHold.id), "the new holdout doc itself is appended")
+    assert(!ids.contains(fTrain.id),
+      "delta train doc sharing a 12-word run with the EXISTING holdout must be dropped")
+    assert(report.nContaminatedBase == 1 && report.nContaminatedDelta == 1, s"$report")
+    assert(report.consistent, s"$report")
+  }
+
+  test("merged layout equals a from-scratch CurationRun on the union") {
+    val (out, _, _) = run
+    val in2 = tmp("union_in"); val out2 = tmp("union_out")
+    writeInput(baseDocs ++ deltaDocs, in2)
+    CurationRun.run(spark, in2, out2)
+    assert(finalRows(out) == finalRows(out2),
+      "incremental final layout diverged from the from-scratch union run")
+    def manifest(d: String) = spark.read.parquet(s"$d/manifest.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(manifest(out) == manifest(out2), "manifest diverged")
+  }
+
+  test("base TEXT is read candidate-bounded: non-candidate texts are never consulted") {
+    // Clone the base run (including its index), then corrupt every
+    // NON-candidate base doc's stage-1 text into an exact copy of a
+    // delta doc's text. If the ingest consulted any of that text (a
+    // corpus re-scan, a re-signing pass), the planted exact-dups would
+    // flip the outcome (the delta doc would lose its election to a
+    // smaller-id "duplicate"); an outcome identical to the clean run
+    // proves base text outside the banded candidate set is dead weight.
+    // (This is the testable form of the O(delta) claim — file-record
+    // counts can't distinguish skinny index scans from text scans.)
+    val (_, _, cleanReport) = run
+    // rebuild a pristine base run + index (cleanOut was already mutated
+    // by the shared delta ingest)
+    val in = tmp("corrupt_in"); writeInput(baseDocs, in)
+    val out = tmp("corrupt_base")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    // candidate base ids = docs sharing any LSH band with the delta
+    val dBandKeys = graft.queries.DedupQueries
+      .minhashSigOf(spark, toDF(deltaDocs))
+      .select(posexplode(array(
+        graft.queries.DedupQueries.MinhashBands.map(b => col(b._1)): _*))
+        .as(Seq("band", "bkey")))
+      .distinct()
+    val candidates = spark.read.parquet(s"$out/index/bands.parquet")
+      .join(dBandKeys, Seq("band", "bkey"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(candidates.nonEmpty && candidates.size < baseDocs.size,
+      "fixture must have a proper candidate subset")
+    // corrupt: non-candidates become byte-identical to delta doc dNew
+    val planted = dNew.text
+    val clean = spark.read.parquet(s"$out/stage1_clean/documents.parquet")
+      .collect()
+    val corrupted = clean.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (candidates(id)) r
+      else org.apache.spark.sql.Row(id, planted, r.getAs[String]("lang"),
+        r.getAs[String]("source"), planted.length.toLong)
+    }
+    val enc = org.apache.spark.sql.Encoders.row(
+      spark.read.parquet(s"$out/stage1_clean/documents.parquet").schema)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(corrupted.toSeq, 2),
+      enc.schema)
+      .write.mode("overwrite").parquet(s"$out/stage1_clean/documents.parquet_new")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(s"$out/stage1_clean/documents.parquet"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$out/stage1_clean/documents.parquet_new"),
+      java.nio.file.Paths.get(s"$out/stage1_clean/documents.parquet"))
+    val report = DeltaIngest.ingestDelta(spark, toDF(deltaDocs), out)
+    assert(report == cleanReport,
+      s"corrupting non-candidate base text changed the ingest — base text is being scanned\n$report\nvs\n$cleanReport")
+    assert(finalRows(out).map(_._1).contains(dNew.id),
+      "the planted exact-dups must be invisible to a candidate-bounded ingest")
+  }
+
+  test("a second delta composes on the updated index") {
+    val (out, _, _) = run
+    // near-dup (shorter) of the doc delta 1 appended -> must lose to it
+    val z1 = Doc(pickId(4000, _ => true), dNew.ws.dropRight(1), "web")
+    val z2 = Doc(pickId(z1.id + 1, _ => true), words(20), "web") // novel
+    val r2 = DeltaIngest.ingestDelta(spark, toDF(Seq(z1, z2)), out)
+    val ids = finalRows(out).map(_._1)
+    assert(!ids.contains(z1.id), "delta-2 near-dup of a delta-1 doc must be caught by the updated index")
+    assert(ids.contains(z2.id) && ids.contains(dNew.id))
+    assert(r2.consistent, s"$r2")
+  }
+
+  test("composes with TextIngest: a jsonl drop flows end to end") {
+    val (out, _, _) = run
+    val in = tmp("jsonl")
+    val y = Doc(pickId(5000, _ => true), words(21), "web")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "drop.jsonl"),
+      s"""{"doc_id": ${y.id}, "text": "${y.text}", "lang": "en", "source": "web"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val delta = sources.TextIngest.normalize(
+      sources.TextIngest.readJsonLines(spark, in))
+    val r = DeltaIngest.ingestDelta(spark, delta, out)
+    assert(r.nAppended == 1 && finalRows(out).map(_._1).contains(y.id))
+  }
+}
