@@ -1571,5 +1571,138 @@ object DedupQueries {
            |FROM f GROUP BY 1""".stripMargin,
         "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
         "edges", "cc", "jj", "hold")),
-      "The composed curation pipeline: near-dedup survivors, holdout split, decontamination — per-source attrition."))
+      "The composed curation pipeline: near-dedup survivors, holdout split, decontamination — per-source attrition."),
+
+    QueryDef(
+      "dedup_delta_election",
+      (s, dir) => {
+        // The INCREMENTAL-dedup election (operators/DeltaIngest stage
+        // 2c) as an oracle-checked query: treat doc_id%5==0 as an
+        // arriving delta batch and the rest as the standing corpus,
+        // both inside one verified pair graph. Base docs resolve to
+        // their cluster KEEPER (longest, ties to smallest id —
+        // singletons keep themselves); delta docs cluster among
+        // THEMSELVES; each delta cluster then elects against the best
+        // keeper its members match. Because a keeper is the max of its
+        // cluster and the delta best is the max of its own, the
+        // keeper-vs-best comparison IS the max over the merged
+        // membership — the exactness argument DeltaIngestSpec proves
+        // end-to-end; this entry puts the same arithmetic under the
+        // DuckDB hash gate. Scale shape: one shared pair graph (the
+        // cached LSH pipeline), two id-sized CC fixpoints, and
+        // id-keyed joins — nothing corpus².
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+        def ccOf(edgesIn: DataFrame): DataFrame = pointerJumpCC(
+          localUnionFindEdges(edgesIn).localCheckpoint(true))
+          .select("doc_id", "cluster_id")
+        def bidir(p: DataFrame): DataFrame =
+          p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val bb = pairs.where(col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0)
+        val bcc = ccOf(bidir(bb))
+        val bKeeper = bcc.join(docs, "doc_id")
+          .groupBy("cluster_id")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"))
+          .select(col("cluster_id"), (-col("b.nd")).as("keeper_id"),
+            col("b.n_chars").as("keeper_len"))
+        val baseK = bcc.join(bKeeper, "cluster_id")
+          .select(col("doc_id").as("base_id"), col("keeper_id"), col("keeper_len"))
+        val dd = pairs.where(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0)
+        val dcc = ccOf(bidir(dd))
+        val dMem = docs.where(col("doc_id") % 5 === 0)
+          .join(dcc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("cluster_id"), col("doc_id")).as("dcid"))
+        val dBest = dMem.groupBy("dcid")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"))
+          .select(col("dcid"), (-col("b.nd")).as("d_id"), col("b.n_chars").as("d_len"))
+        val xp = pairs
+          .where((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+          .select(
+            when(col("doc_a") % 5 === 0, col("doc_a")).otherwise(col("doc_b"))
+              .as("delta_id"),
+            when(col("doc_a") % 5 === 0, col("doc_b")).otherwise(col("doc_a"))
+              .as("base_id"))
+        val mk = xp
+          .join(dMem.select(col("doc_id").as("delta_id"), col("dcid")), "delta_id")
+          .join(baseK, Seq("base_id"), "left")
+          .join(docs.select(col("doc_id").as("base_id"),
+            col("n_chars").as("self_len")), "base_id")
+          .select(col("dcid"),
+            coalesce(col("keeper_id"), col("base_id")).as("k_id"),
+            coalesce(col("keeper_len"), col("self_len")).as("k_len"))
+          .distinct()
+        val bBest = mk.groupBy("dcid")
+          .agg(max(struct(col("k_len"), (-col("k_id")).as("nd"))).as("b"))
+          .select(col("dcid"), (-col("b.nd")).as("b_id"), col("b.k_len").as("b_len"))
+        val elect = dBest.join(bBest, Seq("dcid"), "left")
+          .select(col("dcid"), col("d_id"), col("b_id"),
+            (col("b_id").isNull ||
+              struct(col("d_len"), (-col("d_id")).as("nd")) >
+                struct(col("b_len"), (-col("b_id")).as("nd"))).as("dwin"))
+        dMem.join(elect, "dcid")
+          .select(col("doc_id"), col("dcid").as("cluster_id"),
+            when(col("dwin"), col("d_id")).otherwise(col("b_id")).as("winner_id"),
+            (col("dwin") && col("doc_id") === col("d_id")).cast("int").as("kept"))
+      },
+      Some(materializeCtes(
+        s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$LshPairsCtes,
+           |bbe AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |    WHERE doc_a % 5 <> 0 AND doc_b % 5 <> 0
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |    WHERE doc_a % 5 <> 0 AND doc_b % 5 <> 0),
+           |breach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM bbe
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM breach r JOIN bbe e ON e.src = r.doc_id),
+           |bcc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM breach GROUP BY doc_id),
+           |bkr AS (SELECT b.cluster_id, d.doc_id AS keeper_id, d.n_chars AS keeper_len,
+           |    ROW_NUMBER() OVER (PARTITION BY b.cluster_id
+           |      ORDER BY d.n_chars DESC, d.doc_id) AS rk
+           |  FROM bcc b JOIN documents d ON b.doc_id = d.doc_id),
+           |basek AS (SELECT b.doc_id AS base_id, k.keeper_id, k.keeper_len
+           |  FROM bcc b JOIN bkr k ON b.cluster_id = k.cluster_id AND k.rk = 1),
+           |dde AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |    WHERE doc_a % 5 = 0 AND doc_b % 5 = 0
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |    WHERE doc_a % 5 = 0 AND doc_b % 5 = 0),
+           |dreach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM dde
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM dreach r JOIN dde e ON e.src = r.doc_id),
+           |dcc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM dreach GROUP BY doc_id),
+           |dmem AS (SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS dcid
+           |  FROM documents d LEFT JOIN dcc c ON d.doc_id = c.doc_id
+           |  WHERE d.doc_id % 5 = 0),
+           |dbest AS (SELECT dcid, doc_id AS d_id, n_chars AS d_len,
+           |    ROW_NUMBER() OVER (PARTITION BY dcid
+           |      ORDER BY n_chars DESC, doc_id) AS rk FROM dmem),
+           |xp AS (SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS delta_id,
+           |    CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS base_id
+           |  FROM pairs WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+           |mk AS (SELECT DISTINCT m.dcid,
+           |    COALESCE(k.keeper_id, x.base_id) AS k_id,
+           |    COALESCE(k.keeper_len, d.n_chars) AS k_len
+           |  FROM xp x JOIN dmem m ON x.delta_id = m.doc_id
+           |  LEFT JOIN basek k ON x.base_id = k.base_id
+           |  JOIN documents d ON x.base_id = d.doc_id),
+           |bb2 AS (SELECT dcid, k_id AS b_id, k_len AS b_len,
+           |    ROW_NUMBER() OVER (PARTITION BY dcid
+           |      ORDER BY k_len DESC, k_id) AS rk FROM mk),
+           |el AS (SELECT db.dcid, db.d_id, db.d_len, b2.b_id, b2.b_len,
+           |    (b2.b_id IS NULL OR db.d_len > b2.b_len
+           |      OR (db.d_len = b2.b_len AND db.d_id < b2.b_id)) AS dwin
+           |  FROM dbest db LEFT JOIN bb2 b2 ON db.dcid = b2.dcid AND b2.rk = 1
+           |  WHERE db.rk = 1)
+           |SELECT m.doc_id, CAST(m.dcid AS BIGINT) AS cluster_id,
+           |  CAST(CASE WHEN el.dwin THEN el.d_id ELSE el.b_id END AS BIGINT)
+           |    AS winner_id,
+           |  CAST(CASE WHEN el.dwin AND m.doc_id = el.d_id THEN 1 ELSE 0 END AS INT)
+           |    AS kept
+           |FROM dmem m JOIN el ON m.dcid = el.dcid""".stripMargin,
+        "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
+        "bcc", "basek", "dcc", "dmem", "mk")),
+      "Incremental-dedup election: delta clusters vs standing-corpus keepers, winner per cluster."))
 }
