@@ -345,7 +345,10 @@ object DedupQueries {
       .unionAll(cand.select(col("doc_b").as("doc_id")))
     val sh = shingleDF(s, dir)
       .join(candIds, Seq("doc_id"), "left_semi").cache()
-    sh.count() // populate BEFORE the sa/sb join legs race it
+    sh.count() // populate BEFORE the sa/sb join legs race it (A/B at
+    // sf0.1: neutral on most of the family, 5.6 s vs 7.6 s min-of-3
+    // on dedup_triangles — the count pass is work the racing legs did
+    // twice)
     // |A|,|B| are row-local (array size), then pruned to candidate docs
     // so the frames joined below are candidate-bounded, never corpus-sized
     val cnt = shingleCounts(s, dir)
