@@ -141,6 +141,66 @@ object DeltaIngest {
       .write.mode("overwrite").parquet(s"$idx/index_meta.parquet")
   }
 
+  /** Streaming composition — the live form of the daily-growth story:
+    * a drop directory of JSON-lines files becomes per-micro-batch
+    * [[ingestDelta]] calls against the curated layout. Semantics:
+    *   - each batch runs the FULL incremental pipeline (gate, dedup vs
+    *     corpus + within batch, election, split, two-sided decontam,
+    *     layout edits, index updates), so cross-drop duplicates are
+    *     caught by the index exactly like base-corpus ones;
+    *   - a marker file per batchId makes a replay of a COMMITTED batch
+    *     (crash between ingest and checkpoint commit) a no-op;
+    *   - a crash MID-ingest leaves the known non-transactional window
+    *     (appends landed, marker missing → the replay re-matches
+    *     against the index: docs whose index entries landed are
+    *     self-deduped, docs in the append-only final but not yet
+    *     indexed would duplicate). A production deployment puts the
+    *     layout edits and the marker in one commit protocol (e.g. a
+    *     table format with transactions); the marker keeps the common
+    *     crash window (post-ingest, pre-checkpoint) safe here. */
+  def streamInto(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(graft.sources.TextIngest.rawSchema
+        .add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, batchId, outDir); ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[streamInto]]: normalize through the
+    * TextIngest contract, skip if this batchId's marker exists
+    * (replay), ingest, then land the marker. Package-visible so the
+    * replay contract is spec-testable without crashing a stream. */
+  private[graft] def ingestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      outDir: String): Option[DeltaReport] = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/delta_markers/batch-$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return None
+    val delta = graft.sources.TextIngest.normalize(batch)
+    val report =
+      if (delta.isEmpty) None
+      else Some(ingestDelta(spark, delta, outDir))
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    report
+  }
+
   /** Atomically replace a parquet table dir: write to a staging path,
     * then swap via FS rename (Spark cannot overwrite a path that feeds
     * the very plan being written). */

@@ -201,6 +201,46 @@ class DeltaIngestSpec extends AnyFunSuite {
     assert(r2.consistent, s"$r2")
   }
 
+  test("streaming drops: per-batch ingest, cross-drop dedup, replayed batch is a no-op") {
+    val (out, _, _) = run
+    val in = tmp("stream_in"); val ck = tmp("stream_ck")
+    def drop(name: String, docs: Seq[Doc]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        docs.map(d =>
+          s"""{"doc_id": ${d.id}, "text": "${d.text}", "lang": "en", "source": "${d.source}"}""")
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val s1 = Doc(pickId(6000, _ => true), words(30), "web")
+    drop("d1.jsonl", Seq(s1))
+    // second drop: a novel doc + a SHORTER near-dup of the first drop's
+    // doc — the cross-drop catch the index updates exist for
+    val s2 = Doc(pickId(s1.id + 1, _ => true), words(31), "web")
+    val s1dup = Doc(pickId(s2.id + 1, _ => true), s1.ws.dropRight(1), "web")
+    val q = DeltaIngest.streamInto(spark, in, out, ck, maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      drop("d2.jsonl", Seq(s2, s1dup))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = finalRows(out).map(_._1)
+    assert(ids.contains(s1.id) && ids.contains(s2.id),
+      "both drops' novel docs must land")
+    assert(!ids.contains(s1dup.id),
+      "a near-dup arriving in a LATER drop must be caught by the updated index")
+    // replay of a committed batch: the marker makes it a no-op
+    val before = finalRows(out)
+    val replay = DeltaIngest.ingestBatch(spark,
+      sources.TextIngest.readJsonLines(spark, s"$in/d1.jsonl"), 0L, out)
+    assert(replay.isEmpty, "a marked batchId must be skipped")
+    assert(finalRows(out) == before, "the replay must not touch the layout")
+    // an empty/garbage-only batch is a clean no-op too
+    drop("d3.jsonl", Seq())
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "d3.jsonl"),
+      "not json".getBytes)
+    val r3 = DeltaIngest.ingestBatch(spark,
+      sources.TextIngest.readJsonLines(spark, s"$in/d3.jsonl"), 99L, out)
+    assert(r3.isEmpty && finalRows(out) == before)
+  }
+
   test("composes with TextIngest: a jsonl drop flows end to end") {
     val (out, _, _) = run
     val in = tmp("jsonl")
