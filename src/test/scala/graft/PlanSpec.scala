@@ -526,6 +526,15 @@ class PlanSpec extends AnyFunSuite {
       s"BroadcastNestedLoopJoin in:\n$p")
   }
 
+  test("dedup_delta_election: id/band-keyed stages only, no quadratic join") {
+    // two CC fixpoints + keeper joins over one verified pair graph —
+    // everything after the banded candidates must stay id-keyed
+    val p = plan("dedup_delta_election")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"BroadcastNestedLoopJoin in:\n$p")
+  }
+
   test("s_drift_kl: reference distribution broadcast, no cartesian") {
     val p = plan("s_drift_kl")
     assert(p.contains("BroadcastExchange"), s"reference should broadcast:\n$p")
