@@ -1707,5 +1707,86 @@ object DedupQueries {
            |FROM dmem m JOIN el ON m.dcid = el.dcid""".stripMargin,
         "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
         "bcc", "basek", "dcc", "dmem", "mk")),
-      "Incremental-dedup election: delta clusters vs standing-corpus keepers, winner per cluster."))
+      "Incremental-dedup election: delta clusters vs standing-corpus keepers, winner per cluster."),
+
+    QueryDef(
+      "dedup_delta_decontam",
+      (s, dir) => {
+        // RETRO-contamination (the DeltaIngest stage-3 base-side
+        // check) under the oracle gate: an arriving delta batch
+        // (doc_id%5==0) grows the eval holdout (split buckets >= 80),
+        // and base TRAIN docs that now share too many word-8-grams
+        // with the GROWN holdout must leave the training set even
+        // though they passed at curation time. Per base train doc:
+        // gram budget, overlap with the OLD (base-only) holdout,
+        // overlap ADDED by the new holdout grams, and both decisions
+        // as integer cross-ratios. Grams ride as raw strings here so
+        // the key space is oracle-exact in SQL; the production path
+        // (DeltaIngest) probes xxhash64 postings of the same windows.
+        // Scale shape: the holdout sides are eval-sized; the train
+        // explode joins ONE labeled holdout union (no racing branch
+        // pair), map-side-combinable counts keyed on doc_id.
+        val g = expr(
+          "transform(sequence(0, greatest(size(split(text, ' ')) - 8, 0)), " +
+            "i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), array_distinct(g).as("gs"))
+          .withColumn("bucket", splitBucket)
+        val baseHold = docs.where(col("doc_id") % 5 =!= 0 && col("bucket") >= 80)
+          .select(explode(col("gs")).as("g")).distinct()
+        val newHold = docs.where(col("doc_id") % 5 === 0 && col("bucket") >= 80)
+          .select(explode(col("gs")).as("g")).distinct()
+          .join(baseHold, Seq("g"), "left_anti")
+        // ONE labeled union joined once — no cached frame for two
+        // probe branches to race
+        val holdAll = baseHold.select(col("g"), lit(0).as("isnew"))
+          .unionAll(newHold.select(col("g"), lit(1).as("isnew")))
+        val counts = docs.where(col("doc_id") % 5 =!= 0 && col("bucket") < 80)
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .join(holdAll, "g")
+          .groupBy("doc_id")
+          .agg(sum((lit(1) - col("isnew")).cast("long")).as("n_old"),
+            sum(col("isnew").cast("long")).as("n_new"))
+        docs.where(col("doc_id") % 5 =!= 0 && col("bucket") < 80)
+          .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+          .join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("survivor_before",
+            (col("n_old") * 5 < col("n_grams")).cast("int"))
+          .withColumn("retro_dropped",
+            (col("n_old") * 5 < col("n_grams") &&
+              (col("n_old") + col("n_new")) * 5 >= col("n_grams")).cast("int"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
+          |      i -> array_to_string(
+          |        list_slice(string_split(text, ' '), i + 1, i + 8), ' '))) AS gs,
+          |    doc_id % 1000003 * 2654435761 % 100 AS bucket
+          |  FROM documents),
+          |bh AS (SELECT DISTINCT unnest(gs) AS g FROM d
+          |  WHERE doc_id % 5 <> 0 AND bucket >= 80),
+          |nh AS (SELECT g FROM (SELECT DISTINCT unnest(gs) AS g FROM d
+          |    WHERE doc_id % 5 = 0 AND bucket >= 80)
+          |  WHERE g NOT IN (SELECT g FROM bh)),
+          |ha AS (SELECT g, 0 AS isnew FROM bh UNION ALL SELECT g, 1 FROM nh),
+          |tr AS (SELECT doc_id, unnest(gs) AS g FROM d
+          |  WHERE doc_id % 5 <> 0 AND bucket < 80),
+          |cts AS (SELECT tr.doc_id,
+          |    CAST(COUNT(CASE WHEN ha.isnew = 0 THEN 1 END) AS BIGINT) AS n_old,
+          |    CAST(COUNT(CASE WHEN ha.isnew = 1 THEN 1 END) AS BIGINT) AS n_new
+          |  FROM tr JOIN ha ON tr.g = ha.g GROUP BY tr.doc_id)
+          |SELECT d.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+          |  COALESCE(cts.n_old, 0) AS n_old, COALESCE(cts.n_new, 0) AS n_new,
+          |  CAST(CASE WHEN COALESCE(cts.n_old, 0) * 5 < len(gs)
+          |    THEN 1 ELSE 0 END AS INT) AS survivor_before,
+          |  CAST(CASE WHEN COALESCE(cts.n_old, 0) * 5 < len(gs)
+          |      AND (COALESCE(cts.n_old, 0) + COALESCE(cts.n_new, 0)) * 5 >= len(gs)
+          |    THEN 1 ELSE 0 END AS INT) AS retro_dropped
+          |FROM d LEFT JOIN cts ON d.doc_id = cts.doc_id
+          |WHERE d.doc_id % 5 <> 0 AND d.bucket < 80""".stripMargin),
+      "Retro-decontamination: base train docs re-checked against a delta-grown eval holdout."))
 }

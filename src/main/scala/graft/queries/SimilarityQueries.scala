@@ -1482,5 +1482,75 @@ object SimilarityQueries {
           |    AS INT) AS needs_split
           |FROM nb LEFT JOIN nn ON nb.c_label = nn.c_label, tot""".stripMargin),
       "Incremental IVF maintenance: delta batch assigned to existing " +
-        "centroids, per-cell growth + integer-ratio split flags."))
+        "centroids, per-cell growth + integer-ratio split flags."),
+
+    QueryDef(
+      "sim_cell_split",
+      (s, dir) => {
+        // The cell-SPLIT primitive that incremental IVF maintenance
+        // schedules (sim_incremental_assign flags overgrown cells; this
+        // is the operation that executes on them — run here over every
+        // cell so the output is never trivially empty): inside each
+        // cell, one deterministic 2-means step. Seeds are the cell's
+        // min- and max-id members (reproducible in any engine, no RNG);
+        // each member goes to the nearer seed via the dot identity
+        // (ties to sub 0); the sub-centroids are the standard
+        // 1e-9-quantized exact means. Scale shape: O(cell) work per
+        // cell — seeds broadcast (2 vectors/cell), the assignment is a
+        // cell-keyed join, the mean is the map-side-combinable
+        // (cell, sub, dim) aggregate — a split NEVER retrains the
+        // corpus. Emitted per (cell, sub, dim) row so the compare
+        // stays scalar (no array columns in the hash gate).
+        graft.functions.VectorFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        val au = ivfAssigned(s, dir)
+          .select(col("vec_id"), col("assigned").as("cell"))
+          .join(e, "vec_id").cache()
+        au.count() // seeds + the assignment legs both read it
+        val seeds = au.groupBy("cell")
+          .agg(min("vec_id").as("s0"), max("vec_id").as("s1"))
+        val sv = seeds
+          .join(au.select(col("vec_id").as("s0"), col("e").as("e0")), "s0")
+          .join(au.select(col("vec_id").as("s1"), col("e").as("e1")), "s1")
+          .select("cell", "e0", "e1")
+        val d0 = dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("e0")) +
+          dot(col("e0"), col("e0"))
+        val d1 = dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("e1")) +
+          dot(col("e1"), col("e1"))
+        val assigned = au.join(broadcast(sv), "cell")
+          .select(col("cell"), when(d1 < d0, 1).otherwise(0).as("sub"), col("e"))
+        quantMean(
+          assigned.select(col("cell"), col("sub"),
+            posexplode(col("e")).as(Seq("pos", "x"))),
+          Seq(col("cell").cast("int") -> "cell", col("sub") -> "sub",
+            (col("pos") + 1).cast("int") -> "dim"),
+          col("x"), "cv", Some("n_members"))
+      },
+      Some(
+        s"""$IvfAssignCte,
+           |ae AS (SELECT a.vec_id, a.assigned AS cell, v.e
+           |  FROM assign a JOIN v ON a.vec_id = v.vec_id),
+           |sd AS (SELECT cell, MIN(vec_id) AS s0, MAX(vec_id) AS s1
+           |  FROM ae GROUP BY cell),
+           |sv AS (SELECT sd.cell, a0.e AS e0, a1.e AS e1 FROM sd
+           |  JOIN ae a0 ON a0.vec_id = sd.s0 AND a0.cell = sd.cell
+           |  JOIN ae a1 ON a1.vec_id = sd.s1 AND a1.cell = sd.cell),
+           |asg AS (SELECT ae.cell, ae.e,
+           |  CASE WHEN (list_dot_product(ae.e, ae.e)
+           |      - 2.0 * list_dot_product(ae.e, sv.e1)
+           |      + list_dot_product(sv.e1, sv.e1))
+           |    < (list_dot_product(ae.e, ae.e)
+           |      - 2.0 * list_dot_product(ae.e, sv.e0)
+           |      + list_dot_product(sv.e0, sv.e0))
+           |  THEN 1 ELSE 0 END AS sub
+           |  FROM ae JOIN sv ON ae.cell = sv.cell)
+           |SELECT CAST(cell AS INT) AS cell, sub, CAST(dim AS INT) AS dim,
+           |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+           |    / 1000000000 / COUNT(*) AS cv,
+           |  CAST(COUNT(*) AS BIGINT) AS n_members
+           |FROM (SELECT cell, sub, unnest(range(1, 65)) AS dim,
+           |    unnest(e) AS x FROM asg)
+           |GROUP BY 1, 2, 3""".stripMargin),
+      "IVF cell split: deterministic in-cell 2-means (min/max-id seeds), quantized sub-centroids."))
 }
