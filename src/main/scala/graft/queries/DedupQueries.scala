@@ -1603,7 +1603,14 @@ object DedupQueries {
           p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val bb = pairs.where(col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0)
-        val bcc = ccOf(bidir(bb))
+        val dd = pairs.where(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0)
+        // ONE fixpoint for both partitions: bb's nodes are base ids and
+        // dd's are delta ids — disjoint node sets with no cross edges —
+        // so CC over the union is exactly the two CCs side by side
+        // (components never span the sets, labels stay within their
+        // side). Halves the round-dominated pointer-jumping cost.
+        val cc = ccOf(bidir(bb.unionAll(dd))).localCheckpoint(true)
+        val bcc = cc.where(col("doc_id") % 5 =!= 0)
         val bKeeper = bcc.join(docs, "doc_id")
           .groupBy("cluster_id")
           .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"))
@@ -1611,8 +1618,7 @@ object DedupQueries {
             col("b.n_chars").as("keeper_len"))
         val baseK = bcc.join(bKeeper, "cluster_id")
           .select(col("doc_id").as("base_id"), col("keeper_id"), col("keeper_len"))
-        val dd = pairs.where(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0)
-        val dcc = ccOf(bidir(dd))
+        val dcc = cc.where(col("doc_id") % 5 === 0)
         val dMem = docs.where(col("doc_id") % 5 === 0)
           .join(dcc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chars"),
