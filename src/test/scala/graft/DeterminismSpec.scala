@@ -47,7 +47,11 @@ class DeterminismSpec extends AnyFunSuite {
     // 3-round Lloyd: iterative quantized centroids under re-partitioning
     "sim_ivf_train",
     // delta argmin over broadcast centroids; double distances, int output
-    "sim_incremental_assign")
+    "sim_incremental_assign",
+    // round 12: dual-partition CC + keeper election (the contraction
+    // sweep exercises the fused fixpoint), quantized sub-centroid
+    // means under re-partitioning, and the labeled-holdout gram counts
+    "dedup_delta_election", "sim_cell_split", "dedup_delta_decontam")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
