@@ -5,6 +5,30 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entrypoint: runs every registered query on
   * SPARK_GRAFT_SF_DIR and prints one JSON metrics line. */
 object Bench {
+
+  /** Pinned canonical-host multithread probe (sec): the median of the
+    * healthy r10/r11 sessions on the reference VM class (0.435–0.572).
+    * band_suspect compares THIS run's probe against this anchor, so a
+    * slow host is flagged even when the previous run was slow too. */
+  val CanonicalMtRefSec = 0.50
+
+  /** BENCH.json lives at the repo root (next to build.sbt), found by
+    * walking up from the working directory — a CWD-relative path reads
+    * (and writes) the wrong file when the bench is launched from a
+    * subdirectory or a scratch dir. Falls back to CWD if no build.sbt
+    * is found on the walk (e.g. a bare-jar deployment). */
+  lazy val benchJsonPath: java.nio.file.Path = {
+    var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    var root: Option[java.nio.file.Path] = None
+    var depth = 0
+    while (d != null && depth < 16 && root.isEmpty) {
+      if (java.nio.file.Files.exists(d.resolve("build.sbt"))) root = Some(d)
+      d = d.getParent; depth += 1
+    }
+    root.getOrElse(java.nio.file.Paths.get(sys.props("user.dir")))
+      .resolve("BENCH.json")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -153,21 +177,25 @@ object Bench {
     // Band self-certification: the round artifact (BENCH_r{N}.json, the
     // parsed compact line) must carry its own hardware yardstick — the
     // full BENCH.json embeds the probes, but adjudicating a cross-round
-    // regression previously required the repo checkout. The committed
-    // BENCH.json (read BEFORE this run overwrites it) is the reference:
-    // when this host's mt probe departs >25% from it, the run flags
-    // ITSELF band_suspect, so a 2x query swing on a slow host is
-    // machine-attributable from the artifact alone.
-    val refMt: Option[Double] =
+    // regression previously required the repo checkout. The reference is
+    // a PINNED canonical-host probe (the r10/r11 healthy band: mt
+    // 0.435–0.572 across four sessions on the reference VM class), not
+    // the rolling previous run — rolling references let successive <25%
+    // host drifts chain without ever tripping the flag (r11→r12 read
+    // 1.24, just under threshold, on a host already 1.6x off canonical).
+    // The previous committed BENCH.json's probe still rides the artifact
+    // as cpu_probe_mt_prev_sec for continuity, but does not adjudicate.
+    val prevMt: Option[Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH.json")), "UTF-8")
+          benchJsonPath), "UTF-8")
         """"cpu_probe_mt_sec":([0-9.]+)""".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
       } catch { case _: Throwable => None }
-    val bandSuspect = refMt.exists(r =>
-      math.max(mt, r) / math.max(math.min(mt, r), 1e-9) > 1.25)
-    val refJson = refMt.map(r => s""","cpu_probe_mt_ref_sec":$r""").getOrElse("")
+    val bandSuspect =
+      math.max(mt, CanonicalMtRefSec) / math.min(mt, CanonicalMtRefSec) > 1.25
+    val refJson = s""","cpu_probe_mt_ref_sec":$CanonicalMtRefSec""" +
+      prevMt.map(r => s""","cpu_probe_mt_prev_sec":$r""").getOrElse("")
     val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)},"cpu_probe_st_sec":${BigDecimal(st).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"cpu_probe_mt_sec":${BigDecimal(mt).setScale(3, BigDecimal.RoundingMode.HALF_UP)}$refJson,"band_suspect":$bandSuspect}"""
     // Measurement protocol, embedded so cross-round consumers can
     // detect a protocol break (the r5→r6 best-of-N switch made totals
@@ -198,7 +226,7 @@ object Bench {
     // full metrics to BENCH.json, (2) fully stop Spark so no log line can
     // follow, (3) print the compact summary as the absolute last line.
     try {
-      val w = new java.io.PrintWriter("BENCH.json")
+      val w = new java.io.PrintWriter(benchJsonPath.toFile)
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()

@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   * from-scratch merge would also have dropped differently when the
   * bridge changes which member is "best" transitively; (b) a delta
   * batch pushing a base LSH bucket over the hot-cap would retro-drop
-  * base-base candidate pairs from that bucket in a from-scratch run;
+  * base-base candidate pairs from that bucket in a from-scratch run
+  * (delta-involved pairs ARE capped here, over the combined occupancy,
+  * exactly like from-scratch — only the already-committed base-base
+  * edges are not retracted);
   * (c) grams of a REPLACED holdout keeper are not retracted from the
   * holdout index (retraction could re-admit previously dropped train
   * docs — a full recompute; keeping them is conservative: it only ever
@@ -203,15 +206,28 @@ object DeltaIngest {
 
   /** Atomically replace a parquet table dir: write to a staging path,
     * then swap via FS rename (Spark cannot overwrite a path that feeds
-    * the very plan being written). */
+    * the very plan being written). Crash ordering: the live table is
+    * renamed ASIDE (never deleted first), so no instant leaves the
+    * table missing — a crash mid-swap leaves either the old table live,
+    * or the new one live with a `_old` leftover the next call sweeps.
+    * Both renames are CHECKED: object-store shims can return false
+    * without throwing, and a silent failure here would corrupt the
+    * index. */
   private def replaceTable(s: SparkSession, df: DataFrame, path: String): Unit = {
     val staged = path + "_staged"
     df.write.mode("overwrite").parquet(staged)
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), p)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    if (fs.exists(old)) fs.delete(old, true) // prior completed swap's leftover
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"replaceTable: rename $p -> $old failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), p)) {
+      if (fs.exists(old)) fs.rename(old, p) // roll back: never leave the table absent
+      throw new java.io.IOException(s"replaceTable: rename $staged -> $p failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Ingest one delta batch (canonical documents schema: doc_id, text,
@@ -243,7 +259,28 @@ object DeltaIngest {
         array(DedupQueries.MinhashBands.map(b => col(b._1)): _*))
         .as(Seq("band", "bkey")))
       .localCheckpoint(true)
-    val dCand = dBands.as("a").join(dBands.as("b"),
+    // Hot-bucket cap, mirroring lshVerifiedPairs (capN=100): occupancy
+    // is counted over the UNION of delta and base rows — a from-scratch
+    // run caps the combined bucket — but only for buckets the delta
+    // touches (candidate-bounded: the base side is semi-joined to the
+    // delta's bucket keys before counting). Probe rows in hot buckets
+    // are dropped from BOTH candidate joins below; a boilerplate-heavy
+    // delta can no longer trigger an uncapped quadratic band self-join.
+    // The UNFILTERED dBands still feeds occupancy and the stage-5 index
+    // append — future ingests must see true bucket occupancy.
+    val capN = 100
+    val baseBandsIdx = s.read.parquet(s"$idx/bands.parquet")
+    val deltaBuckets = dBands.select("band", "bkey").distinct()
+    val baseOcc = baseBandsIdx.join(deltaBuckets, Seq("band", "bkey"), "left_semi")
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n_base"))
+    val hotBuckets = dBands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n_delta"))
+      .join(baseOcc, Seq("band", "bkey"), "left")
+      .where(col("n_delta") + coalesce(col("n_base"), lit(0L)) > capN)
+      .select("band", "bkey")
+    val dProbe = dBands.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+      .localCheckpoint(true)
+    val dCand = dProbe.as("a").join(dProbe.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -280,9 +317,8 @@ object DeltaIngest {
         col("b.n_chars").as("d_best_len"))
 
     // ---- stage 2b: delta-vs-base matching (candidate-bounded) ----
-    val baseBands = s.read.parquet(s"$idx/bands.parquet")
-    val xCand = dBands
-      .join(baseBands
+    val xCand = dProbe
+      .join(baseBandsIdx
           .select(col("band"), col("bkey"), col("doc_id").as("base_id")),
         Seq("band", "bkey"))
       .select(col("doc_id").as("delta_id"), col("base_id")).distinct()
@@ -462,12 +498,23 @@ object DeltaIngest {
       .agg(max(struct(col("d_best_len"), (-col("d_best_id")).as("nd"))).as("b"))
       .select(col("keeper_id"), (-col("b.nd")).as("new_keeper_id"),
         col("b.d_best_len").as("new_keeper_len"))
+    // losing delta clusters recorded keeper = the base keeper they lost
+    // to; if THAT keeper was itself replaced by a winning cluster in
+    // this same ingest, redirect through `winners` exactly like the
+    // ccIdx rows below — otherwise a future delta electing against the
+    // stale pointer compares with a doc no longer in the layout. (The
+    // winner W that replaced keeper K satisfies W > K > losing-best in
+    // the (len, -id) order, so the redirect preserves the election.)
     val deltaKeeper = dClusters.join(election, "dcid")
       .select(col("doc_id"), col("dcid").as("cluster_id"),
         when(col("delta_wins"), col("d_best_id")).otherwise(col("b_best_id"))
           .as("keeper_id"),
         when(col("delta_wins"), col("d_best_len")).otherwise(col("b_best_len"))
           .as("keeper_len"))
+      .join(winners, Seq("keeper_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("new_keeper_id"), col("keeper_id")).as("keeper_id"),
+        coalesce(col("new_keeper_len"), col("keeper_len")).as("keeper_len"))
     val updatedCc = ccIdx.join(winners, Seq("keeper_id"), "left")
       .select(col("doc_id"), col("cluster_id"),
         coalesce(col("new_keeper_id"), col("keeper_id")).as("keeper_id"),

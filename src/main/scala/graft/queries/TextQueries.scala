@@ -1515,12 +1515,15 @@ object TextQueries {
         // all, so no ulp-of-a-quantization-boundary risk between
         // Math.log and libm (the earlier round(ln·1e9) form was exact
         // on this corpus but one boundary-straddling double away from
-        // a flaky oracle). Headroom: each intermediate stays < 2^63
-        // while c12·T·10⁶ does (T ≈ 10⁸ tokens at the biggest local
-        // SF); a true 100 TB corpus moves the product to
-        // DECIMAL(38,0) — exact, one cast, slower — or scores
-        // per-shard. Consumers wanting the float PMI take
-        // ln(ppm/1e6) locally from the emitted counts.
+        // a flaky oracle). Headroom: the multiplies run in
+        // DECIMAL(38,0) (oracle side: HUGEINT) — c12·T·10⁶ wraps int64
+        // once c12·T > 9.2e12 (c12 ≈ 92 at T ≈ 10⁸), i.e. any frequent
+        // bigram on a realistic corpus, and non-ANSI Spark wraps
+        // SILENTLY where DuckDB errors; 128-bit intermediates hold to
+        // c12·T ≈ 10³² — beyond any corpus. The `div` steps still
+        // return bigint, so the output schema is unchanged. Consumers
+        // wanting the float PMI take ln(ppm/1e6) locally from the
+        // emitted counts.
         val d = t(s, dir, "documents")
         // ONE corpus scan feeds everything unigram-side: the word-count
         // table is cached (vocab-sized — orders of magnitude below the
@@ -1548,7 +1551,9 @@ object TextQueries {
           .join(uc.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
           .crossJoin(broadcast(tot)).crossJoin(broadcast(nTot))
           .select(col("w1"), col("w2"), col("c12").cast("int").as("c12"),
-            expr("((c12 * t * 1000000) div n) * t div (c1 * c2)")
+            expr("""cast(cast(c12 as decimal(38,0)) * t * 1000000 div n
+                   |  as decimal(38,0)) * t
+                   |  div (cast(c1 as decimal(38,0)) * c2)""".stripMargin)
               .as("pmi_ratio_ppm"))
       },
       Some(
@@ -1561,9 +1566,9 @@ object TextQueries {
           |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
           |       HAVING COUNT(*) >= 5)
           |SELECT w1, w2, CAST(c12 AS INT) AS c12,
-          |  CAST(((c12 * (SELECT COUNT(*) FROM toks) * 1000000)
+          |  CAST(((CAST(c12 AS HUGEINT) * (SELECT COUNT(*) FROM toks) * 1000000)
           |      // (SELECT COUNT(*) FROM bg))
-          |    * (SELECT COUNT(*) FROM toks) // (u1.c * u2.c)
+          |    * (SELECT COUNT(*) FROM toks) // (CAST(u1.c AS HUGEINT) * u2.c)
           |    AS BIGINT) AS pmi_ratio_ppm
           |FROM bc JOIN uc u1 ON bc.w1 = u1.word
           |        JOIN uc u2 ON bc.w2 = u2.word""".stripMargin),

@@ -50,6 +50,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       "at least one genuine collocation must beat independence")
   }
 
+  test("t_pmi_colloc: ratio arithmetic survives counts past the int64 wrap point") {
+    // c12·T·10⁶ wraps a bigint once c12·T > 9.2e12 — any frequent
+    // bigram on a realistic corpus. The query computes in
+    // decimal(38,0); this pins the exact decimal expression it ships
+    // against BigInt ground truth on counts that WOULD wrap (old form:
+    // c12·t·10⁶ = 5e21). Non-ANSI Spark would have wrapped silently.
+    import spark.implicits._
+    val t = 5000000000000L // 5e12 tokens (a ~100 TB corpus)
+    val (c12, n, c1, c2) = (1000000L, t - 40000000L, 900000000L, 700000000L)
+    val got = Seq((c12, t, n, c1, c2)).toDF("c12", "t", "n", "c1", "c2")
+      .selectExpr("""cast(cast(c12 as decimal(38,0)) * t * 1000000 div n
+                    |  as decimal(38,0)) * t
+                    |  div (cast(c1 as decimal(38,0)) * c2)""".stripMargin)
+      .as[Long].head()
+    val want =
+      (BigInt(c12) * t * 1000000 / n * t / (BigInt(c1) * c2)).toLong
+    assert(got == want && want > 0,
+      s"decimal path diverged from BigInt ground truth: $got vs $want")
+  }
+
   test("t_shard_shuffle: positions are a contiguous 1..n permutation per shard") {
     val rows = run("t_shard_shuffle").collect()
     assert(rows.length == 500)
