@@ -1,19 +1,21 @@
 package graft.operators
 
 import graft.queries.DedupQueries
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Incremental curation — the O(delta) production shape for a corpus
   * that grows daily, composed from the same oracle-checked plans the
   * batch [[CurationRun]] materializes:
   *
   *   1. [[buildIndex]] (once, after a completed run): persist the
-  *      probe structures a delta needs — LSH band keys + cluster/keeper
-  *      map of every gated base doc, and the word-8-gram inverted
-  *      indexes of the final train/holdout slices. This is exactly the
-  *      state dedup_incremental's scaladoc says "a 100 TB lake would
-  *      keep materialized between ingests".
+  *      probe structures a delta needs — LSH band keys + cluster
+  *      membership + per-cluster keeper of every gated base doc, and
+  *      the word-8-gram inverted indexes of the final train/holdout
+  *      slices. This is exactly the state dedup_incremental's scaladoc
+  *      says "a 100 TB lake would keep materialized between ingests".
   *   2. [[ingestDelta]] (per batch): gate → sign → dedup the delta
   *      against ITSELF (same LSH + CC + election plans) → match delta
   *      clusters against the base via the band index (candidates only;
@@ -23,6 +25,40 @@ import org.apache.spark.sql.functions._
   *      (delta train vs the full holdout; base train vs the NEW holdout
   *      grams) → final-layout edits (append survivors, rewrite only the
   *      partitions holding removed docs) → index updates.
+  *
+  * == Durability: a write-ahead edit log ==
+  *
+  * Every index table is LOG-STRUCTURED: immutable `seg=<n>` segment
+  * directories, folded on read (latest segment wins per key, tombstones
+  * drop). A batch's ingest writes exactly ONE segment per table — all
+  * O(delta)-sized — so per-batch write volume is independent of the
+  * standing corpus; [[compact]] folds the log back to a single segment
+  * on whatever cadence the deployment chooses (auto-triggered here past
+  * [[CompactAfterSegments]] committed segments).
+  *
+  * The ingest itself is a two-phase commit:
+  *   - COMPUTE+STAGE: a pure read phase (every shared frame
+  *     localCheckpoint'd) computes the full edit set and writes it to
+  *     `delta_staging/batch=<key>/`, sealed by a `_STAGED` marker.
+  *     Nothing the phase reads is mutated, so a crash here loses
+  *     nothing: the replay wipes the partial staging and recomputes
+  *     from identical inputs.
+  *   - APPLY: staged tables move into their `seg=<n>` positions
+  *     (idempotent: skip-if-sealed, else replace), the final layout is
+  *     edited (removals via dynamic partition overwrite of affected
+  *     partitions; appends land as `b<n>-` prefixed files so a replay
+  *     can delete exactly its own partial output), and the COMMIT
+  *     marker (`delta_markers/<key>`, carrying the segment number)
+  *     lands last. A crash mid-apply replays from the sealed staging —
+  *     same decisions, idempotent re-application — never from a
+  *     recompute against half-mutated state.
+  *
+  * Readers see snapshot isolation: folds only admit segments whose
+  * batch COMMITTED (seg=0 = the base index), so a crashed batch's
+  * partial segments are invisible until the next ingest wipes them.
+  * This is precisely the commit protocol a transactional table format
+  * provides; it is implemented here on bare parquet + rename because
+  * the layout must stay plain-parquet readable.
   *
   * Exactness contract (spec-proven on a corpus exercising every path):
   * the merged output equals a from-scratch [[CurationRun.run]] on the
@@ -35,18 +71,18 @@ import org.apache.spark.sql.functions._
   * base-base candidate pairs from that bucket in a from-scratch run
   * (delta-involved pairs ARE capped here, over the combined occupancy,
   * exactly like from-scratch — only the already-committed base-base
-  * edges are not retracted);
-  * (c) grams of a REPLACED holdout keeper are not retracted from the
-  * holdout index (retraction could re-admit previously dropped train
-  * docs — a full recompute; keeping them is conservative: it only ever
-  * drops MORE train docs than from-scratch, never leaks contamination).
+  * edges are not retracted); (c) grams of a REPLACED holdout keeper are
+  * not retracted from the holdout index (retraction could re-admit
+  * previously dropped train docs — a full recompute; keeping them is
+  * conservative: it only ever drops MORE train docs than from-scratch,
+  * never leaks contamination).
   *
   * Scale shape: every per-delta stage is keyed on the delta or on
   * candidate-bounded probes; index scans are column-pruned id/hash
-  * passes, never the corpus text. The two per-ingest index REWRITES
-  * (cluster map, train meta — both skinny integer tables) are the
-  * simple form; a 100 TB deployment would log-structure them
-  * (append increments, fold on read, compact periodically).
+  * passes, never the corpus text; folds that could be index-sized
+  * (keepers, train_meta) are applied AFTER candidate-bounding — the
+  * key-filter commutes with the per-key fold — so no per-ingest
+  * shuffle scales with the corpus.
   */
 object DeltaIngest {
 
@@ -68,11 +104,135 @@ object DeltaIngest {
         nRemoved == nReplacedBase + nContaminatedBase
   }
 
+  /** Committed segments beyond which the next ingest folds the log
+    * back to one segment per table before running. */
+  val CompactAfterSegments = 16
+
   private def idxDir(outDir: String) = s"$outDir/index"
+  private def stagingDir(outDir: String, key: String) =
+    s"$outDir/delta_staging/batch=$key"
+  private def markerPath(outDir: String, key: String) =
+    new Path(s"$outDir/delta_markers/$key")
+
+  private val LogTables =
+    Seq("bands", "members", "keepers", "train_meta", "train_grams",
+      "holdout_grams", "clean_delta")
+
+  private def fs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** True once [[buildIndex]] has completed for this run dir. */
   def indexed(s: SparkSession, outDir: String): Boolean =
     CurationRun.exists(s, s"${idxDir(outDir)}/index_meta.parquet/_SUCCESS")
+
+  // ---------------------------------------------------------------
+  // segment log primitives
+  // ---------------------------------------------------------------
+
+  /** Segment numbers of COMMITTED batches (marker file contents) —
+    * the visibility set for every fold, plus seg 0 (the base index). */
+  private[graft] def committedSegs(s: SparkSession, outDir: String): Set[Long] = {
+    val root = new Path(s"$outDir/delta_markers")
+    val f = fs(s, root)
+    val segs =
+      if (!f.exists(root)) Set.empty[Long]
+      else f.listStatus(root).toSeq.flatMap { st =>
+        val in = f.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        if (txt.isEmpty) None else txt.toLongOption
+      }.filter(_ > 0).toSet
+    segs + 0L
+  }
+
+  private def presentSegs(s: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val f = fs(s, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .flatMap(st => st.getPath.getName.stripPrefix("seg=").toLongOption)
+  }
+
+  /** All committed rows of a log table (with their `seg`), empty-safe.
+    * Reads only the allowed segment dirs, so an uncommitted (crashed)
+    * segment is invisible — snapshot isolation on bare parquet. */
+  private[graft] def readLog(
+      s: SparkSession, outDir: String, table: String,
+      schema: StructType): DataFrame = {
+    val root = s"${idxDir(outDir)}/$table"
+    val allowed = committedSegs(s, outDir)
+    val segs = presentSegs(s, root).filter(allowed)
+    if (segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema.add("seg", LongType))
+    else
+      s.read.option("basePath", root)
+        .parquet(segs.map(n => s"$root/seg=$n"): _*)
+        .withColumn("seg", col("seg").cast("long"))
+  }
+
+  /** Latest row per key across segments; tombstones (`dead`) drop. The
+    * fold COMMUTES with any key-predicate, so callers bound first (a
+    * candidate semi-join), fold the survivors — never an index-sized
+    * shuffle. */
+  private[graft] def foldLog(df: DataFrame, key: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(c => key.contains(c) || c == "seg").toSeq
+    val folded = df
+      .groupBy(key.map(col): _*)
+      .agg(max(struct((col("seg") +: payload.map(col)): _*)).as("b"))
+      .select((key.map(col) ++ payload.map(p => col(s"b.$p").as(p))): _*)
+    if (folded.columns.contains("dead")) folded.where(!col("dead")).drop("dead")
+    else folded
+  }
+
+  private val BandsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("bkey", StringType)))
+  private val MembersSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("cluster_id", LongType)))
+  private val KeepersSchema = StructType(Seq(
+    StructField("cluster_id", LongType), StructField("keeper_id", LongType),
+    StructField("keeper_len", LongType)))
+  private val MetaSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_grams", IntegerType),
+    StructField("n_shared", LongType), StructField("dead", BooleanType)))
+  private val GramsSchema = StructType(Seq(
+    StructField("gh", LongType), StructField("doc_id", LongType)))
+  private val HoldSchema = StructType(Seq(StructField("gh", LongType)))
+  private val CleanSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+  private val ManifestLogSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("split", StringType),
+    StructField("source", StringType), StructField("n_chars", LongType),
+    StructField("shard", IntegerType), StructField("dead", BooleanType)))
+
+  /** The curated-layout manifest as of the last committed ingest: the
+    * base run's manifest folded with the per-ingest increment log.
+    * Works on a plain CurationRun dir too (no log → the base manifest). */
+  def readManifest(s: SparkSession, outDir: String): DataFrame = {
+    val base = s.read.parquet(s"$outDir/manifest.parquet")
+      .select(col("doc_id"), col("split"), col("source"), col("n_chars"),
+        col("shard"))
+      .withColumn("dead", lit(false)).withColumn("seg", lit(0L))
+    val root = s"$outDir/manifest_log"
+    val allowed = committedSegs(s, outDir)
+    val segs = presentSegs(s, root).filter(allowed)
+    val all =
+      if (segs.isEmpty) base
+      else base.unionAll(
+        s.read.option("basePath", root)
+          .parquet(segs.map(n => s"$root/seg=$n"): _*)
+          .withColumn("seg", col("seg").cast("long"))
+          .select("doc_id", "split", "source", "n_chars", "shard", "dead", "seg"))
+    foldLog(all, Seq("doc_id"))
+      .select("doc_id", "split", "source", "n_chars", "shard")
+  }
+
+  // ---------------------------------------------------------------
+  // index build (seg=0 of every log table)
+  // ---------------------------------------------------------------
 
   /** Build the delta-probe index from a COMPLETED run (report marker
     * required). Idempotent: gated by its own marker, written last. */
@@ -83,49 +243,51 @@ object DeltaIngest {
     val idx = idxDir(outDir)
     val clean = s"$outDir/stage1_clean"
     val cleanDocs = s.read.parquet(s"$clean/documents.parquet")
+    def seg0(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite").parquet(s"$idx/$table/seg=0")
 
     // (1) band index over EVERY gated base doc — matching must see the
     // docs stage-2 dropped too (a delta doc near-dupping a dropped
     // member belongs to that member's cluster in a from-scratch run)
-    DedupQueries.minhashSigOf(s, cleanDocs)
+    seg0(DedupQueries.minhashSigOf(s, cleanDocs)
       .select(col("doc_id"), posexplode(
         array(DedupQueries.MinhashBands.map(b => col(b._1)): _*))
-        .as(Seq("band", "bkey")))
-      .write.mode("overwrite").parquet(s"$idx/bands.parquet")
+        .as(Seq("band", "bkey"))), "bands")
 
-    // (2) cluster map: every gated doc → its cluster's keeper (id +
-    // length); singletons (absent from the CC output) map to self at
-    // probe time via a left join. Same plans stage 2 ran.
+    // (2) cluster membership + per-cluster keeper (id + length) of
+    // every gated doc; singletons (absent from the CC output) map to
+    // self at probe time via a left join. Same plans stage 2 ran. The
+    // keeper lives in its OWN table keyed by cluster — a replacement
+    // updates ONE row instead of rewriting every member's pointer.
     val pairs = DedupQueries.lshVerifiedPairs(s, clean).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val cc = DedupQueries.pointerJumpCC(
       DedupQueries.localUnionFindEdges(edges).localCheckpoint(true))
-      .select("doc_id", "cluster_id")
+      .select("doc_id", "cluster_id").localCheckpoint(true)
+    seg0(cc.select("doc_id", "cluster_id"), "members")
     val withLen = cc.join(cleanDocs.select("doc_id", "n_chars"), "doc_id")
-    val keepers = withLen.groupBy("cluster_id")
+    seg0(withLen.groupBy("cluster_id")
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"))
       .select(col("cluster_id"), (-col("b.nd")).as("keeper_id"),
-        col("b.n_chars").as("keeper_len"))
-    withLen.join(keepers, "cluster_id")
-      .select("doc_id", "cluster_id", "keeper_id", "keeper_len")
-      .write.mode("overwrite").parquet(s"$idx/cc.parquet")
+        col("b.n_chars").as("keeper_len")), "keepers")
 
     // (3) gram indexes over the stage-2 table — the decontamination
     // basis run() used: holdout = buckets >= 80, train = buckets < 80.
     val dedupedDocs = s.read.parquet(s"$outDir/stage2_deduped/documents.parquet")
       .withColumn("bucket", DedupQueries.splitBucket)
       .withColumn("gs", DedupQueries.gramHashes(8))
-    dedupedDocs.where(col("bucket") >= 80)
-      .select(explode(col("gs")).as("gh")).distinct()
-      .write.mode("overwrite").parquet(s"$idx/holdout_grams.parquet")
+      .localCheckpoint(true)
+    seg0(dedupedDocs.where(col("bucket") >= 80)
+      .select(explode(col("gs")).as("gh")).distinct(), "holdout_grams")
     // only train SURVIVORS (docs still in final) carry postings: a doc
     // the base run already dropped can never be re-dropped
-    val trainMeta = dedupedDocs.where(col("bucket") < 80)
+    val trainGrams = dedupedDocs.where(col("bucket") < 80)
       .select(col("doc_id"), size(col("gs")).as("n_grams"),
         explode(col("gs")).as("gh"))
-    val shared = trainMeta
-      .join(s.read.parquet(s"$idx/holdout_grams.parquet"), "gh")
+    val shared = trainGrams
+      .join(dedupedDocs.where(col("bucket") >= 80)
+        .select(explode(col("gs")).as("gh")).distinct(), "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     val meta = dedupedDocs.where(col("bucket") < 80)
       .select(col("doc_id"), size(col("gs")).as("n_grams"))
@@ -133,34 +295,31 @@ object DeltaIngest {
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .where(col("n_shared") * 5 < col("n_grams"))
-    meta.write.mode("overwrite").parquet(s"$idx/train_meta.parquet")
-    trainMeta.join(meta.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select("gh", "doc_id")
-      .write.mode("overwrite").parquet(s"$idx/train_grams.parquet")
+      .localCheckpoint(true)
+    seg0(meta.withColumn("dead", lit(false)), "train_meta")
+    seg0(trainGrams.join(meta.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("gh", "doc_id"), "train_grams")
 
     // marker last: its _SUCCESS proves every index table landed
     import s.implicits._
-    Seq(("v1", 8)).toDF("version", "gram")
+    Seq(("v2", 8)).toDF("version", "gram")
       .write.mode("overwrite").parquet(s"$idx/index_meta.parquet")
   }
 
+  // ---------------------------------------------------------------
+  // streaming composition
+  // ---------------------------------------------------------------
+
   /** Streaming composition — the live form of the daily-growth story:
     * a drop directory of JSON-lines files becomes per-micro-batch
-    * [[ingestDelta]] calls against the curated layout. Semantics:
-    *   - each batch runs the FULL incremental pipeline (gate, dedup vs
-    *     corpus + within batch, election, split, two-sided decontam,
-    *     layout edits, index updates), so cross-drop duplicates are
-    *     caught by the index exactly like base-corpus ones;
-    *   - a marker file per batchId makes a replay of a COMMITTED batch
-    *     (crash between ingest and checkpoint commit) a no-op;
-    *   - a crash MID-ingest leaves the known non-transactional window
-    *     (appends landed, marker missing → the replay re-matches
-    *     against the index: docs whose index entries landed are
-    *     self-deduped, docs in the append-only final but not yet
-    *     indexed would duplicate). A production deployment puts the
-    *     layout edits and the marker in one commit protocol (e.g. a
-    *     table format with transactions); the marker keeps the common
-    *     crash window (post-ingest, pre-checkpoint) safe here. */
+    * [[ingestDelta]] calls against the curated layout. Each batch runs
+    * the FULL incremental pipeline, so cross-drop duplicates are caught
+    * by the index exactly like base-corpus ones. Replay semantics ride
+    * the two-phase commit: a COMMITTED batchId is a no-op; a crash
+    * mid-ingest resumes from the sealed staging (same decisions,
+    * idempotent apply) or recomputes from clean inputs if staging never
+    * sealed — either way the layout converges to the committed state,
+    * with no duplicate window. */
   def streamInto(
       spark: SparkSession,
       inDir: String,
@@ -183,71 +342,208 @@ object DeltaIngest {
   }
 
   /** One micro-batch of [[streamInto]]: normalize through the
-    * TextIngest contract, skip if this batchId's marker exists
-    * (replay), ingest, then land the marker. Package-visible so the
-    * replay contract is spec-testable without crashing a stream. */
+    * TextIngest contract, skip if this batchId committed (replay),
+    * ingest, commit. Package-visible so the replay contract is
+    * spec-testable without crashing a stream. */
   private[graft] def ingestBatch(
       spark: SparkSession,
       batch: DataFrame,
       batchId: Long,
       outDir: String): Option[DeltaReport] = {
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$outDir/delta_markers/batch-$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return None
+    val key = s"batch-$batchId"
+    val f = fs(spark, markerPath(outDir, key))
+    if (f.exists(markerPath(outDir, key))) return None
     val delta = graft.sources.TextIngest.normalize(batch)
-    val report =
-      if (delta.isEmpty) None
-      else Some(ingestDelta(spark, delta, outDir))
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    report
+    if (delta.isEmpty) {
+      commitMarker(spark, outDir, key, -1L)
+      None
+    } else Some(ingestKeyed(spark, delta, outDir, key))
   }
 
-  /** Atomically replace a parquet table dir: write to a staging path,
-    * then swap via FS rename (Spark cannot overwrite a path that feeds
-    * the very plan being written). Crash ordering: the live table is
-    * renamed ASIDE (never deleted first), so no instant leaves the
-    * table missing — a crash mid-swap leaves either the old table live,
-    * or the new one live with a `_old` leftover the next call sweeps.
-    * Both renames are CHECKED: object-store shims can return false
-    * without throwing, and a silent failure here would corrupt the
-    * index. */
-  private def replaceTable(s: SparkSession, df: DataFrame, path: String): Unit = {
-    val staged = path + "_staged"
-    df.write.mode("overwrite").parquet(staged)
-    val conf = s.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
-    if (fs.exists(old)) fs.delete(old, true) // prior completed swap's leftover
-    if (fs.exists(p) && !fs.rename(p, old))
-      throw new java.io.IOException(s"replaceTable: rename $p -> $old failed")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), p)) {
-      if (fs.exists(old)) fs.rename(old, p) // roll back: never leave the table absent
-      throw new java.io.IOException(s"replaceTable: rename $staged -> $p failed")
-    }
-    fs.delete(old, true)
-  }
+  // ---------------------------------------------------------------
+  // two-phase ingest
+  // ---------------------------------------------------------------
 
   /** Ingest one delta batch (canonical documents schema: doc_id, text,
     * lang, source, n_chars) into a completed + indexed run at outDir.
-    * Returns the edit report; final layout, manifest, and index are
-    * updated in place. */
+    * Returns the edit report; final layout, manifest log, and index
+    * are updated through the write-ahead protocol described above. */
   def ingestDelta(s: SparkSession, delta: DataFrame, outDir: String): DeltaReport = {
     require(indexed(s, outDir), s"buildIndex has not completed for $outDir")
+    // direct calls have no caller-side replay identity (a retry is a
+    // new ingest — and re-ingesting committed docs self-resolves: each
+    // loses its election to its own committed copy), so the key only
+    // needs uniqueness, not determinism
+    ingestKeyed(s, delta, outDir, s"seq-${System.nanoTime()}")
+  }
+
+  private def nextSeg(s: SparkSession, outDir: String): Long =
+    committedSegs(s, outDir).max + 1
+
+  private[graft] def ingestKeyed(
+      s: SparkSession, delta: DataFrame, outDir: String, key: String): DeltaReport = {
+    require(indexed(s, outDir), s"buildIndex has not completed for $outDir")
+    val staging = stagingDir(outDir, key)
+    val stagedMarker = new Path(s"$staging/_STAGED")
+    val f = fs(s, stagedMarker)
+    require(!f.exists(markerPath(outDir, key)), s"batch $key already committed")
+    if (f.exists(stagedMarker)) {
+      // crash happened mid-APPLY: re-apply the sealed decisions
+      val report = readStagedReport(s, outDir, key).get
+      applyStaged(s, outDir, key)
+      return report
+    }
+    // finish any OTHER batch that crashed mid-apply (its decisions are
+    // sealed; the layout must converge to them before we read it), then
+    // sweep unsealed leftovers so the compute phase reads exactly the
+    // committed state
+    resumeIncomplete(s, outDir)
+    wipeUncommitted(s, outDir)
+    if (committedSegs(s, outDir).size > CompactAfterSegments) compact(s, outDir)
+    val seg = nextSeg(s, outDir)
+    val report = computeAndStage(s, delta, outDir, key, seg)
+    applyStaged(s, outDir, key)
+    report
+  }
+
+  /** Apply every sealed-but-uncommitted staging left by a crash. */
+  private def resumeIncomplete(s: SparkSession, outDir: String): Unit = {
+    val stRoot = new Path(s"$outDir/delta_staging")
+    val f = fs(s, stRoot)
+    if (!f.exists(stRoot)) return
+    f.listStatus(stRoot).foreach { st =>
+      val key = st.getPath.getName.stripPrefix("batch=")
+      if (!f.exists(markerPath(outDir, key)) &&
+          f.exists(new Path(st.getPath, "_STAGED")))
+        applyStaged(s, outDir, key)
+    }
+  }
+
+  /** Remove every on-disk artifact of batches that never committed:
+    * segment dirs outside the committed set, `b<n>-` final-layout
+    * files, manifest_log segments, and staging dirs (committed ones
+    * too — those are post-commit leftovers). */
+  private[graft] def wipeUncommitted(s: SparkSession, outDir: String): Unit = {
+    val allowed = committedSegs(s, outDir)
     val idx = idxDir(outDir)
+    for (t <- LogTables; n <- presentSegs(s, s"$idx/$t") if !allowed(n)) {
+      val p = new Path(s"$idx/$t/seg=$n"); fs(s, p).delete(p, true)
+    }
+    for (n <- presentSegs(s, s"$outDir/manifest_log") if !allowed(n)) {
+      val p = new Path(s"$outDir/manifest_log/seg=$n"); fs(s, p).delete(p, true)
+    }
+    deleteBatchFiles(s, s"$outDir/final",
+      n => !allowed(n))
+    val stRoot = new Path(s"$outDir/delta_staging")
+    val f = fs(s, stRoot)
+    if (f.exists(stRoot)) f.listStatus(stRoot).foreach { st =>
+      val key = st.getPath.getName.stripPrefix("batch=")
+      val sealedP = new Path(st.getPath, "_STAGED")
+      // keep SEALED uncommitted staging (a mid-apply crash resumes from
+      // it through its own key); wipe unsealed or already-committed
+      if (f.exists(markerPath(outDir, key)) || !f.exists(sealedP))
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** Delete `b<n>-*` data files under dir for every n the predicate
+    * admits; prunes partition dirs left empty. */
+  private def deleteBatchFiles(s: SparkSession, dir: String, drop: Long => Boolean): Unit = {
+    val root = new Path(dir)
+    val f = fs(s, root)
+    if (!f.exists(root)) return
+    val it = f.listFiles(root, true)
+    val pat = "^b(\\d+)-".r
+    while (it.hasNext) {
+      val st = it.next()
+      pat.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toLong).filter(drop)
+        .foreach(_ => f.delete(st.getPath, false))
+    }
+  }
+
+  /** Append a frame to a partitioned dir as `b<seg>-` prefixed files —
+    * replayable appends: the writer stages a normal parquet write, then
+    * renames each data file into the live partition dir under the
+    * batch-prefixed name, so a replay deletes exactly `b<seg>-*` and
+    * re-appends. Parquet readers never care about file names. */
+  private def appendPrefixed(
+      s: SparkSession, df: DataFrame, dir: String, seg: Long,
+      partCols: Seq[String]): Unit = {
+    val staged = s"${dir}_append_b$seg"
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols :+ "doc_id").map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(staged)
+    val stagedP = new Path(staged)
+    val f = fs(s, stagedP)
+    val it = f.listFiles(stagedP, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) { // skip _SUCCESS/.crc
+        val rel = st.getPath.toUri.getPath.stripPrefix(stagedP.toUri.getPath)
+          .stripPrefix("/")
+        val target = new Path(s"$dir/${rel.stripSuffix(name)}b$seg-$name")
+        f.mkdirs(target.getParent)
+        if (!f.rename(st.getPath, target))
+          throw new java.io.IOException(s"append rename ${st.getPath} -> $target failed")
+      }
+    }
+    f.delete(stagedP, true)
+  }
+
+  private def readStagedReport(
+      s: SparkSession, outDir: String, key: String): Option[DeltaReport] = {
+    val p = s"${stagingDir(outDir, key)}/report.parquet"
+    if (!CurationRun.exists(s, s"$p/_SUCCESS")) None
+    else {
+      val r = s.read.parquet(p).collect()(0)
+      def g(n: String) = r.getAs[Long](n)
+      Some(DeltaReport(g("nDelta"), g("nQualityFail"), g("nDupDropped"),
+        g("nReplacedBase"), g("nTrain"), g("nVal"), g("nTest"),
+        g("nContaminatedDelta"), g("nContaminatedBase"), g("nAppended"),
+        g("nRemoved")))
+    }
+  }
+
+  private def stagedSeg(s: SparkSession, outDir: String, key: String): Long =
+    s.read.parquet(s"${stagingDir(outDir, key)}/report.parquet")
+      .collect()(0).getAs[Long]("seg")
+
+  private def commitMarker(s: SparkSession, outDir: String, key: String, seg: Long): Unit = {
+    val p = markerPath(outDir, key)
+    val f = fs(s, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(seg.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ---------------------------------------------------------------
+  // phase 1: compute the edit set and stage it
+  // ---------------------------------------------------------------
+
+  private[graft] def computeAndStage(
+      s: SparkSession, delta: DataFrame, outDir: String, key: String,
+      seg: Long): DeltaReport = {
+    val idx = idxDir(outDir)
+    val staging = stagingDir(outDir, key)
+    val stagingP = new Path(staging)
+    val f = fs(s, stagingP)
+    f.delete(stagingP, true) // partial previous attempt
+    f.mkdirs(stagingP)
+    f.create(new Path(s"$staging/_INTENT"), true).close()
+    def stage(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$staging/$name")
+
     val nDelta = delta.count()
 
     // ---- stage 1: quality gate (row-local, same rules as the run) ----
     // Every shared frame below is localCheckpoint(true), NOT cache():
-    // stage 5 WRITES to paths these plans read (stage1_clean, the index
-    // tables), and Spark's refreshByPath invalidates cached plans that
-    // reference a written path — a late consumer would then silently
-    // RECOMPUTE the whole chain against the already-mutated state (the
-    // first cut of this operator corrupted its own report and index
-    // exactly that way). Checkpointing severs the plan from the files,
-    // so every frame is immutable from the moment it materializes.
+    // this phase must be severed from the files it read the moment it
+    // materializes — the apply phase writes new segments next to them,
+    // and a cached-plan refresh would otherwise silently RECOMPUTE a
+    // late consumer against post-apply state (the first cut of this
+    // operator corrupted its own report and index exactly that way).
     val gated = CurationRun.qualityGate(delta, s).localCheckpoint(true)
     val nGated = gated.count()
 
@@ -266,10 +562,11 @@ object DeltaIngest {
     // delta's bucket keys before counting). Probe rows in hot buckets
     // are dropped from BOTH candidate joins below; a boilerplate-heavy
     // delta can no longer trigger an uncapped quadratic band self-join.
-    // The UNFILTERED dBands still feeds occupancy and the stage-5 index
-    // append — future ingests must see true bucket occupancy.
+    // The UNFILTERED dBands still feeds occupancy and the index segment
+    // — future ingests must see true bucket occupancy.
     val capN = 100
-    val baseBandsIdx = s.read.parquet(s"$idx/bands.parquet")
+    val baseBandsIdx = readLog(s, outDir, "bands", BandsSchema)
+      .select("doc_id", "band", "bkey")
     val deltaBuckets = dBands.select("band", "bkey").distinct()
     val baseOcc = baseBandsIdx.join(deltaBuckets, Seq("band", "bkey"), "left_semi")
       .groupBy("band", "bkey").agg(count(lit(1)).as("n_base"))
@@ -323,11 +620,18 @@ object DeltaIngest {
         Seq("band", "bkey"))
       .select(col("doc_id").as("delta_id"), col("base_id")).distinct()
       .localCheckpoint(true)
-    // base candidate docs' shingles: read ONLY the candidate ids' text
-    val baseCandDocs = s.read
+    // base candidate docs' text: read ONLY the candidate ids' rows —
+    // from the base run's stage-1 table plus every committed delta's
+    // clean segment (the base artifacts stay immutable forever)
+    val matchCorpus = s.read
       .parquet(s"$outDir/stage1_clean/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionAll(readLog(s, outDir, "clean_delta", CleanSchema)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    val baseCandDocs = matchCorpus
       .join(xCand.select(col("base_id").as("doc_id")).distinct(), Seq("doc_id"),
         "left_semi")
+      .localCheckpoint(true)
     val bShingles = DedupQueries.shinglesOf(s, baseCandDocs).localCheckpoint(true)
     val bCnt = bShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val xPairs = verify(
@@ -336,20 +640,30 @@ object DeltaIngest {
       .select(col("doc_a").as("delta_id"), col("doc_b").as("base_id"))
 
     // ---- stage 2c: merged-cluster election ----
-    // per delta cluster: the distinct base KEEPERS its members match
-    // (a matched base doc maps to its cluster keeper via the cc index;
-    // docs absent from cc are singletons → their own keeper)
-    val ccIdx = s.read.parquet(s"$idx/cc.parquet")
+    // per delta cluster: the distinct base KEEPERS its members match.
+    // A matched base doc resolves cluster through the members log and
+    // keeper through the keepers log — both folded AFTER candidate
+    // bounding (fold commutes with key predicates), so neither probe
+    // shuffles the index. Docs absent from members are singletons →
+    // their own keeper, length from the candidate read.
+    val membersCand = foldLog(
+      readLog(s, outDir, "members", MembersSchema)
+        .join(xCand.select(col("base_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"),
+      Seq("doc_id")).localCheckpoint(true)
+    val keepersCand = foldLog(
+      readLog(s, outDir, "keepers", KeepersSchema)
+        .join(membersCand.select("cluster_id").distinct(),
+          Seq("cluster_id"), "left_semi"),
+      Seq("cluster_id"))
     val matchedKeepers = xPairs
       .join(dClusters.select(col("doc_id").as("delta_id"), col("dcid")), "delta_id")
-      .join(ccIdx.select(col("doc_id").as("base_id"), col("keeper_id"),
-        col("keeper_len")), Seq("base_id"), "left")
-      // singleton base doc: keeper is itself — need its length; the
-      // verify step already bounded it, reuse bCnt? lengths come from
-      // the candidate read (n_chars)
+      .join(membersCand.select(col("doc_id").as("base_id"), col("cluster_id")),
+        Seq("base_id"), "left")
+      .join(keepersCand, Seq("cluster_id"), "left")
       .join(baseCandDocs.select(col("doc_id").as("base_id"),
         col("n_chars").as("self_len")), "base_id")
-      .select(col("dcid"),
+      .select(col("dcid"), col("cluster_id").as("k_cluster"),
         coalesce(col("keeper_id"), col("base_id")).as("k_id"),
         coalesce(col("keeper_len"), col("self_len")).as("k_len"))
       .distinct()
@@ -377,7 +691,8 @@ object DeltaIngest {
     // replaced base keepers: every matched keeper of a winning cluster
     val replacedBase = matchedKeepers
       .join(election.where(col("delta_wins")).select("dcid"), "dcid")
-      .select(col("k_id").as("doc_id")).distinct()
+      .select(col("k_id").as("doc_id"), col("k_cluster"), col("dcid"))
+      .distinct()
       .localCheckpoint(true)
     val kept = gated.join(keptIds, Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
@@ -393,7 +708,7 @@ object DeltaIngest {
       .localCheckpoint(true)
     val bySplit = withSplit.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val holdIdx = s.read.parquet(s"$idx/holdout_grams.parquet")
+    val holdIdx = readLog(s, outDir, "holdout_grams", HoldSchema).select("gh")
     val deltaHold = withSplit.where(col("bucket") >= 80)
       .select(explode(col("gs")).as("gh")).distinct()
     val newHold = deltaHold.join(holdIdx, Seq("gh"), "left_anti")
@@ -410,146 +725,127 @@ object DeltaIngest {
     val nContamDelta = dContam.count()
     // base train survivors vs the NEW holdout grams only (their shared
     // count against the old holdout is frozen in train_meta)
-    val trainGrams = s.read.parquet(s"$idx/train_grams.parquet")
-    val trainMeta = s.read.parquet(s"$idx/train_meta.parquet")
+    val trainGrams = readLog(s, outDir, "train_grams", GramsSchema)
+      .select("gh", "doc_id")
     val newShared = trainGrams.join(newHold, "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
       .localCheckpoint(true)
-    val baseContam = trainMeta.join(newShared, "doc_id")
+    // candidate-bounded fold of the meta rows the increment touches
+    val metaCand = foldLog(
+      readLog(s, outDir, "train_meta", MetaSchema)
+        .join(newShared.select("doc_id"), Seq("doc_id"), "left_semi"),
+      Seq("doc_id")).localCheckpoint(true)
+    val baseContam = metaCand.join(newShared, "doc_id")
       .where((col("n_shared") + col("n_new")) * 5 >= col("n_grams"))
       .select("doc_id").localCheckpoint(true)
     val nContamBase = baseContam.count()
 
-    // ---- stage 4: final-layout edits ----
-    val finalDir = s"$outDir/final"
+    // ---- the final-layout edit set ----
     // a replaced keeper may not be IN final (the base run could have
     // dropped it as contaminated train): removals are counted against
     // what the layout actually holds
-    val finalIds = s.read.parquet(finalDir).select("doc_id")
-    val removed = replacedBase.unionAll(baseContam).distinct()
+    val finalIds = s.read.parquet(s"$outDir/final").select("doc_id")
+    val removed = replacedBase.select("doc_id").unionAll(baseContam).distinct()
       .join(finalIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
     val nRemoved = removed.count()
-    val nReplacedInFinal = removed.join(baseContam, Seq("doc_id"), "left_anti").count()
-    if (nRemoved > 0) {
-      // rewrite ONLY the (split, source) partitions holding removed
-      // docs: locate them with a column-pruned scan, then dynamic-
-      // partition-overwrite the remainder (delete outright if empty)
-      val affected = s.read.parquet(finalDir)
-        .join(removed, Seq("doc_id"), "left_semi")
-        .select("split", "source").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1)))
-      val affCond = affected.map { case (sp, so) =>
-        col("split") === sp && col("source") === so
-      }.reduce(_ || _)
-      val slice = s.read.parquet(finalDir).where(affCond)
-      val remainder = slice.join(removed, Seq("doc_id"), "left_anti")
-        .select("doc_id", "text", "lang", "n_chars", "split", "source")
-        .localCheckpoint(true) // sever lineage from the dir being rewritten
-      remainder
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("split", "source")
-        .parquet(finalDir)
-      // dynamic overwrite leaves a partition untouched when the new
-      // data has NO rows for it — an emptied partition must be deleted
-      val left = remainder.select("split", "source").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-      val conf = s.sparkContext.hadoopConfiguration
-      affected.filterNot(left).foreach { case (sp, so) =>
-        val p = new org.apache.hadoop.fs.Path(s"$finalDir/split=$sp/source=$so")
-        p.getFileSystem(conf).delete(p, true)
-      }
-    }
+    val nReplacedInFinal =
+      removed.join(baseContam, Seq("doc_id"), "left_anti").count()
     val appendRows = withSplit
       .join(dContam, Seq("doc_id"), "left_anti")
       .select("doc_id", "text", "lang", "n_chars", "split", "source")
       .localCheckpoint(true)
     val nAppended = appendRows.count()
-    appendRows
-      .repartition(col("split"), col("source"))
-      .sortWithinPartitions("split", "source", "doc_id")
-      .write.mode("append").partitionBy("split", "source").parquet(finalDir)
-    // manifest: drop removed, add appended (guarded shard hash)
-    val newManifest = s.read.parquet(s"$outDir/manifest.parquet")
-      .join(removed, Seq("doc_id"), "left_anti")
-      .unionAll(appendRows.select(col("doc_id"), col("split"), col("source"),
-        col("n_chars"),
-        (col("doc_id") % 1000003L * 2654435761L % 16).cast("int").as("shard")))
-    replaceTable(s, newManifest, s"$outDir/manifest.parquet")
 
-    // ---- stage 5: index updates (so the NEXT delta composes) ----
-    // EVERY gated delta doc joins the matching corpus (stage1_clean
-    // text + band index + cluster map), not just the kept ones: a
-    // future delta doc may near-dup a DROPPED member of a cluster
-    // without colliding with its keeper, and from-scratch semantics
-    // route it through that member. The cluster map records each doc's
-    // election winner (the base keeper it lost to, or the delta best).
-    gated
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("append").parquet(s"$outDir/stage1_clean/documents.parquet")
-    dBands.write.mode("append").parquet(s"$idx/bands.parquet")
-    // two winning delta clusters matching the SAME base keeper: from-
-    // scratch would merge them through that keeper's cluster (bridge
-    // divergence (a)); the index stays deterministic by pointing the
-    // keeper at the BEST of the winners
+    // ---- the index edit set (one segment per table) ----
+    // EVERY gated delta doc joins the matching corpus (clean text +
+    // band index + membership), not just the kept ones: a future delta
+    // doc may near-dup a DROPPED member of a cluster without colliding
+    // with its keeper, and from-scratch semantics route it through that
+    // member.
+    // keeper updates: (1) every delta cluster's elected winner — for a
+    // LOSING cluster that is the base keeper it lost to, redirected
+    // through this ingest's replacements (the winner W that replaced
+    // keeper K satisfies W > K > losing-best in the (len, -id) order,
+    // so the redirect preserves the election); (2) every replaced base
+    // CLUSTER re-pointed at the winner that beat its keeper; (3) a
+    // replaced SINGLETON (no cluster row) instead joins the winning
+    // delta cluster through a members row — exactly where from-scratch
+    // would put it.
     val winners = election.where(col("delta_wins"))
       .join(matchedKeepers, "dcid")
       .groupBy(col("k_id").as("keeper_id"))
-      .agg(max(struct(col("d_best_len"), (-col("d_best_id")).as("nd"))).as("b"))
+      .agg(max(struct(col("d_best_len"), (-col("d_best_id")).as("nd"),
+        col("dcid"))).as("b"))
       .select(col("keeper_id"), (-col("b.nd")).as("new_keeper_id"),
-        col("b.d_best_len").as("new_keeper_len"))
-    // losing delta clusters recorded keeper = the base keeper they lost
-    // to; if THAT keeper was itself replaced by a winning cluster in
-    // this same ingest, redirect through `winners` exactly like the
-    // ccIdx rows below — otherwise a future delta electing against the
-    // stale pointer compares with a doc no longer in the layout. (The
-    // winner W that replaced keeper K satisfies W > K > losing-best in
-    // the (len, -id) order, so the redirect preserves the election.)
-    val deltaKeeper = dClusters.join(election, "dcid")
-      .select(col("doc_id"), col("dcid").as("cluster_id"),
-        when(col("delta_wins"), col("d_best_id")).otherwise(col("b_best_id"))
+        col("b.d_best_len").as("new_keeper_len"), col("b.dcid").as("new_dcid"))
+      .localCheckpoint(true)
+    val deltaClusterKeepers = election
+      .join(winners.select(col("keeper_id").as("b_best_id"),
+        col("new_keeper_id"), col("new_keeper_len")), Seq("b_best_id"), "left")
+      .select(
+        col("dcid").as("cluster_id"),
+        when(col("delta_wins"), col("d_best_id"))
+          .otherwise(coalesce(col("new_keeper_id"), col("b_best_id")))
           .as("keeper_id"),
-        when(col("delta_wins"), col("d_best_len")).otherwise(col("b_best_len"))
+        when(col("delta_wins"), col("d_best_len"))
+          .otherwise(coalesce(col("new_keeper_len"), col("b_best_len")))
           .as("keeper_len"))
-      .join(winners, Seq("keeper_id"), "left")
-      .select(col("doc_id"), col("cluster_id"),
-        coalesce(col("new_keeper_id"), col("keeper_id")).as("keeper_id"),
-        coalesce(col("new_keeper_len"), col("keeper_len")).as("keeper_len"))
-    val updatedCc = ccIdx.join(winners, Seq("keeper_id"), "left")
-      .select(col("doc_id"), col("cluster_id"),
-        coalesce(col("new_keeper_id"), col("keeper_id")).as("keeper_id"),
-        coalesce(col("new_keeper_len"), col("keeper_len")).as("keeper_len"))
-      .unionAll(deltaKeeper)
-    replaceTable(s, updatedCc, s"$idx/cc.parquet")
+    val replacedClusterKeepers = replacedBase.where(col("k_cluster").isNotNull)
+      .join(winners.select(col("keeper_id").as("doc_id"), col("new_keeper_id"),
+        col("new_keeper_len")), "doc_id")
+      .select(col("k_cluster").as("cluster_id"),
+        col("new_keeper_id").as("keeper_id"),
+        col("new_keeper_len").as("keeper_len"))
+      .distinct()
+    val keepersSeg = deltaClusterKeepers.unionAll(replacedClusterKeepers)
+    val singletonMembers = replacedBase.where(col("k_cluster").isNull)
+      .join(winners.select(col("keeper_id").as("doc_id"), col("new_dcid")), "doc_id")
+      .select(col("doc_id"), col("new_dcid").as("cluster_id"))
+      .distinct() // the same singleton can be matched by several winning clusters
+    val membersSeg = dClusters.select(col("doc_id"), col("dcid").as("cluster_id"))
+      .unionAll(singletonMembers)
     val newTrainDocs = withSplit.where(col("split") === "train")
       .join(dContam, Seq("doc_id"), "left_anti")
-    // meta rewrite FIRST (its plan reads the pre-append train_grams via
-    // newShared; appending before executing it would double-read), then
-    // append the new postings
+      .localCheckpoint(true)
     val newTrainShared = newTrainDocs
       .select(col("doc_id"), explode(col("gs")).as("gh"))
       .join(unionHold, "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val updatedMeta = trainMeta
+    // train_meta increment: cumulative rows for base docs the new
+    // holdout touched, tombstones for removed docs, fresh rows for the
+    // delta's surviving train docs
+    val metaSeg = metaCand.join(newShared, "doc_id")
       .join(removed, Seq("doc_id"), "left_anti")
-      .join(newShared, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
-        (col("n_shared") + coalesce(col("n_new"), lit(0L))).as("n_shared"))
+        (col("n_shared") + col("n_new")).as("n_shared"), lit(false).as("dead"))
+      .unionAll(removed.select(col("doc_id"), lit(0).as("n_grams"),
+        lit(0L).as("n_shared"), lit(true).as("dead")))
       .unionAll(newTrainDocs
         .select(col("doc_id"), size(col("gs")).as("n_grams"))
         .join(newTrainShared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
-          coalesce(col("ns"), lit(0L)).as("n_shared")))
-    replaceTable(s, updatedMeta, s"$idx/train_meta.parquet")
-    newTrainDocs
-      .select(col("doc_id"), explode(col("gs")).as("gh"))
-      .select("gh", "doc_id")
-      .write.mode("append").parquet(s"$idx/train_grams.parquet")
-    // holdout append LAST: unionHold's plan re-lists this file when the
-    // meta rewrite executes — appending first would double-count
-    newHold.write.mode("append").parquet(s"$idx/holdout_grams.parquet")
+          coalesce(col("ns"), lit(0L)).as("n_shared"), lit(false).as("dead")))
+    val manifestSeg = appendRows.select(col("doc_id"), col("split"), col("source"),
+        col("n_chars"),
+        (col("doc_id") % 1000003L * 2654435761L % 16).cast("int").as("shard"),
+        lit(false).as("dead"))
+      .unionAll(removed.select(col("doc_id"), lit("").as("split"),
+        lit("").as("source"), lit(0L).as("n_chars"), lit(0).as("shard"),
+        lit(true).as("dead")))
 
-    DeltaReport(
+    // ---- stage everything, seal, report ----
+    stage(gated.select("doc_id", "text", "lang", "source", "n_chars"), "clean")
+    stage(dBands.select("doc_id", "band", "bkey"), "bands")
+    stage(membersSeg, "members")
+    stage(keepersSeg, "keepers")
+    stage(metaSeg, "train_meta")
+    stage(newTrainDocs.select(col("doc_id"), explode(col("gs")).as("gh"))
+      .select("gh", "doc_id"), "train_grams")
+    stage(newHold.select("gh"), "holdout_grams")
+    stage(appendRows, "append_rows")
+    stage(removed, "removed")
+    stage(manifestSeg, "manifest_inc")
+    val report = DeltaReport(
       nDelta = nDelta,
       nQualityFail = nDelta - nGated,
       nDupDropped = nDupDropped,
@@ -561,5 +857,180 @@ object DeltaIngest {
       nContaminatedBase = nContamBase,
       nAppended = nAppended,
       nRemoved = nRemoved)
+    import s.implicits._
+    Seq((report.nDelta, report.nQualityFail, report.nDupDropped,
+      report.nReplacedBase, report.nTrain, report.nVal, report.nTest,
+      report.nContaminatedDelta, report.nContaminatedBase, report.nAppended,
+      report.nRemoved, seg))
+      .toDF("nDelta", "nQualityFail", "nDupDropped", "nReplacedBase",
+        "nTrain", "nVal", "nTest", "nContaminatedDelta", "nContaminatedBase",
+        "nAppended", "nRemoved", "seg")
+      .write.mode("overwrite").parquet(s"$staging/report.parquet")
+    f.create(new Path(s"$staging/_STAGED"), true).close()
+    report
+  }
+
+  // ---------------------------------------------------------------
+  // phase 2: apply the sealed edit set (idempotent)
+  // ---------------------------------------------------------------
+
+  private[graft] def applyStaged(s: SparkSession, outDir: String, key: String): Unit = {
+    applyEdits(s, outDir, key)
+    val seg = stagedSeg(s, outDir, key)
+    commitMarker(s, outDir, key, seg)
+    val staging = new Path(stagingDir(outDir, key))
+    fs(s, staging).delete(staging, true)
+  }
+
+  /** Everything [[applyStaged]] does EXCEPT the commit marker and the
+    * staging cleanup — split out so the crash-replay spec can stop a
+    * batch exactly between its last layout edit and its commit. */
+  private[graft] def applyEdits(s: SparkSession, outDir: String, key: String): Unit = {
+    val staging = stagingDir(outDir, key)
+    require(CurationRun.exists(s, s"$staging/_STAGED"), s"staging for $key not sealed")
+    val seg = stagedSeg(s, outDir, key)
+    val idx = idxDir(outDir)
+
+    // (1) index + manifest segments: move staged tables into seg
+    // position; a sealed segment (its _SUCCESS) is skipped on replay
+    val stagedName = Map(
+      "bands" -> "bands", "members" -> "members", "keepers" -> "keepers",
+      "train_meta" -> "train_meta", "train_grams" -> "train_grams",
+      "holdout_grams" -> "holdout_grams", "clean_delta" -> "clean")
+    for (t <- LogTables) {
+      val target = new Path(s"$idx/$t/seg=$seg")
+      placeSegment(s, new Path(s"$staging/${stagedName(t)}"), target)
+    }
+    placeSegment(s, new Path(s"$staging/manifest_inc"),
+      new Path(s"$outDir/manifest_log/seg=$seg"))
+
+    // (2) final-layout edits, from the STAGED decisions
+    val finalDir = s"$outDir/final"
+    deleteBatchFiles(s, finalDir, _ == seg) // this batch's partial appends
+    val removed = s.read.parquet(s"$staging/removed").localCheckpoint(true)
+    if (removed.head(1).nonEmpty) {
+      // rewrite ONLY the (split, source) partitions still holding
+      // removed docs: locate them with a column-pruned scan, then
+      // dynamic-partition-overwrite the remainder (delete outright if
+      // empty). On replay, already-rewritten partitions hold no removed
+      // docs and drop out of `affected` — the rewrite re-runs only
+      // where it never landed.
+      val affected = s.read.parquet(finalDir)
+        .join(removed, Seq("doc_id"), "left_semi")
+        .select("split", "source").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      if (affected.nonEmpty) {
+        val affCond = affected.map { case (sp, so) =>
+          col("split") === sp && col("source") === so
+        }.reduce(_ || _)
+        val slice = s.read.parquet(finalDir).where(affCond)
+        val remainder = slice.join(removed, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text", "lang", "n_chars", "split", "source")
+          .localCheckpoint(true) // sever lineage from the dir being rewritten
+        remainder
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("split", "source")
+          .parquet(finalDir)
+        // dynamic overwrite leaves a partition untouched when the new
+        // data has NO rows for it — an emptied partition must be deleted
+        val left = remainder.select("split", "source").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        val conf = s.sparkContext.hadoopConfiguration
+        affected.filterNot(left).foreach { case (sp, so) =>
+          val p = new Path(s"$finalDir/split=$sp/source=$so")
+          p.getFileSystem(conf).delete(p, true)
+        }
+      }
+    }
+    appendPrefixed(s,
+      s.read.parquet(s"$staging/append_rows")
+        .select("doc_id", "text", "lang", "n_chars", "split", "source"),
+      finalDir, seg, Seq("split", "source"))
+    // the prefixed appends land by bare FS rename, which bypasses
+    // DataFrameWriter's cache invalidation — refresh so the session's
+    // FileStatusCache can't serve the pre-append listing
+    s.catalog.refreshByPath(finalDir)
+  }
+
+  /** Move a staged table dir into its segment position. Idempotent:
+    * a target sealed by _SUCCESS is left alone; a partial target is
+    * replaced. Rename is checked — a silent false would corrupt the
+    * index. */
+  private def placeSegment(s: SparkSession, staged: Path, target: Path): Unit = {
+    val f = fs(s, target)
+    if (f.exists(new Path(target, "_SUCCESS"))) { // already placed (replay)
+      f.delete(staged, true)
+      return
+    }
+    // the staged dir carries its writer's _SUCCESS and moves by ONE
+    // atomic rename, so "staged consumed but target unsealed" cannot
+    // arise — if it does, state is corrupt and we must not guess
+    require(f.exists(staged),
+      s"segment $target lost both staged and applied copies")
+    if (f.exists(target)) f.delete(target, true) // partial leftover
+    f.mkdirs(target.getParent)
+    if (!f.rename(staged, target))
+      throw new java.io.IOException(s"placeSegment: rename $staged -> $target failed")
+  }
+
+  // ---------------------------------------------------------------
+  // compaction
+  // ---------------------------------------------------------------
+
+  /** Fold every log table back to a single segment (and the manifest
+    * log into the base manifest). Crash-safe per table: the folded copy
+    * is staged, then swapped in with the rename-aside dance — no
+    * instant leaves a table missing. Run on the housekeeping cadence of
+    * the deployment; [[ingestDelta]] self-triggers past
+    * [[CompactAfterSegments]] committed segments. Single-writer, like
+    * ingest itself. */
+  def compact(s: SparkSession, outDir: String): Unit = {
+    resumeIncomplete(s, outDir)
+    wipeUncommitted(s, outDir)
+    val idx = idxDir(outDir)
+    def rewrite(root: String, df: DataFrame): Unit = {
+      val staged = s"${root}_compacted"
+      df.write.mode("overwrite").parquet(s"$staged/seg=0")
+      swapDir(s, staged, root)
+    }
+    // folded tables: latest row per key survives (and drops its seg)
+    rewrite(s"$idx/keepers",
+      foldLog(readLog(s, outDir, "keepers", KeepersSchema), Seq("cluster_id"))
+        .localCheckpoint(true))
+    rewrite(s"$idx/train_meta",
+      foldLog(readLog(s, outDir, "train_meta", MetaSchema), Seq("doc_id"))
+        .withColumn("dead", lit(false)).localCheckpoint(true))
+    // append-only tables: concatenate segments
+    for ((t, schema) <- Seq(("bands", BandsSchema), ("members", MembersSchema),
+        ("train_grams", GramsSchema), ("holdout_grams", HoldSchema),
+        ("clean_delta", CleanSchema)))
+      rewrite(s"$idx/$t",
+        readLog(s, outDir, t, schema).drop("seg").localCheckpoint(true))
+    // manifest: fold the log into a fresh base manifest, then drop the log
+    val manifest = readManifest(s, outDir).localCheckpoint(true)
+    val staged = s"$outDir/manifest.parquet_compacted"
+    manifest.write.mode("overwrite").parquet(staged)
+    swapDir(s, staged, s"$outDir/manifest.parquet")
+    val mlog = new Path(s"$outDir/manifest_log")
+    fs(s, mlog).delete(mlog, true)
+  }
+
+  /** Swap a staged dir into place: rename the live dir ASIDE (never
+    * delete first), staged in, then drop the old — both renames
+    * checked. */
+  private def swapDir(s: SparkSession, staged: String, path: String): Unit = {
+    val p = new Path(path)
+    val f = fs(s, p)
+    val old = new Path(path + "_old")
+    if (f.exists(old)) f.delete(old, true) // prior completed swap's leftover
+    if (f.exists(p) && !f.rename(p, old))
+      throw new java.io.IOException(s"swapDir: rename $p -> $old failed")
+    if (!f.rename(new Path(staged), p)) {
+      if (f.exists(old)) f.rename(old, p) // roll back: never leave the table absent
+      throw new java.io.IOException(s"swapDir: rename $staged -> $p failed")
+    }
+    f.delete(old, true)
+    s.catalog.refreshByPath(path) // bare renames bypass the FileStatusCache
   }
 }

@@ -123,7 +123,9 @@ class DeltaIngestSpec extends AnyFunSuite {
     CurationRun.run(spark, in2, out2)
     assert(finalRows(out) == finalRows(out2),
       "incremental final layout diverged from the from-scratch union run")
-    def manifest(d: String) = spark.read.parquet(s"$d/manifest.parquet")
+    // readManifest folds the incremental manifest log; on the plain
+    // from-scratch dir it degrades to the base manifest — one reader
+    def manifest(d: String) = DeltaIngest.readManifest(spark, d)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getInt(4))).toSet
     assert(manifest(out) == manifest(out2), "manifest diverged")
@@ -153,7 +155,7 @@ class DeltaIngestSpec extends AnyFunSuite {
         graft.queries.DedupQueries.MinhashBands.map(b => col(b._1)): _*))
         .as(Seq("band", "bkey")))
       .distinct()
-    val candidates = spark.read.parquet(s"$out/index/bands.parquet")
+    val candidates = spark.read.parquet(s"$out/index/bands")
       .join(dBandKeys, Seq("band", "bkey"), "left_semi")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(candidates.nonEmpty && candidates.size < baseDocs.size,
@@ -239,6 +241,115 @@ class DeltaIngestSpec extends AnyFunSuite {
     val r3 = DeltaIngest.ingestBatch(spark,
       sources.TextIngest.readJsonLines(spark, s"$in/d3.jsonl"), 99L, out)
     assert(r3.isEmpty && finalRows(out) == before)
+  }
+
+  test("crash after the final append but before the commit marker: replay converges") {
+    // fresh base + index; batch 1 ingests the full delta but "crashes"
+    // between its last layout edit and the commit marker (applyEdits
+    // without applyStaged's marker step) — the exact window the r12
+    // scaladoc documented as non-transactional
+    val in = tmp("crash_in"); writeInput(baseDocs, in)
+    val out = tmp("crash_out")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    // clone the indexed base: the reference dir gets a CLEAN ingest of
+    // the same delta, and the crashed+replayed dir must equal it
+    val ref = tmp("crash_ref")
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles().foreach(c => cp(c, new java.io.File(dst, c.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    cp(new java.io.File(out), new java.io.File(ref))
+    val cleanReport = DeltaIngest.ingestDelta(spark, toDF(deltaDocs), ref)
+    val key = "batch-7"
+    DeltaIngest.computeAndStage(spark, toDF(deltaDocs), out, key, seg = 1L)
+    DeltaIngest.applyEdits(spark, out, key) // ...crash here, marker never lands
+    // the appended rows are on disk but UNCOMMITTED: readers must not
+    // see them (snapshot isolation via the marker set)
+    assert(DeltaIngest.readManifest(spark, out)
+      .where(col("doc_id") === b2.id).isEmpty,
+      "an uncommitted batch's manifest rows must be invisible")
+    // replay the same batchId through the streaming entry point: the
+    // sealed staging is re-applied (same decisions), the marker lands,
+    // and the layout equals a clean single ingest — no duplicate window
+    val replay = DeltaIngest.ingestBatch(spark,
+      toDF(deltaDocs).withColumn("_corrupt_record", lit(null).cast("string")),
+      7L, out)
+    assert(replay.isDefined && replay.get.consistent, s"$replay")
+    assert(replay.get == cleanReport, s"${replay.get}\nvs\n$cleanReport")
+    assert(finalRows(out) == finalRows(ref),
+      "replayed crash must converge to the clean ingest's layout")
+    val dup = spark.read.parquet(s"$out/final").groupBy("doc_id")
+      .count().where(col("count") > 1).count()
+    assert(dup == 0, "replay must not duplicate appended docs")
+  }
+
+  test("a crashed batch is finished by the NEXT ingest (resume, not wipe)") {
+    val in = tmp("resume_in"); writeInput(baseDocs, in)
+    val out = tmp("resume_out")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val key = "batch-3"
+    DeltaIngest.computeAndStage(spark, toDF(deltaDocs), out, key, seg = 1L)
+    DeltaIngest.applyEdits(spark, out, key) // crash before commit
+    // a later DIRECT ingest must first converge the crashed batch, then
+    // compose on top of it
+    val z = Doc(pickId(4500, _ => true), dNew.ws.dropRight(2), "web") // loses to dNew
+    val r2 = DeltaIngest.ingestDelta(spark, toDF(Seq(z)), out)
+    assert(r2.nDupDropped == 1 && r2.nAppended == 0, s"$r2")
+    val ids = finalRows(out).map(_._1)
+    assert(ids.contains(dNew.id) && ids.contains(b2.id) && !ids.contains(z.id),
+      "resumed batch's docs must be live and index the next delta's election")
+  }
+
+  test("per-ingest write volume is O(delta): independent of the base corpus size") {
+    // same NOVEL-doc delta (no removals -> no partition rewrites)
+    // against a 1x and a 6x base; the bytes a batch persists must not
+    // scale with the base. This is the log-structured-index claim:
+    // every per-batch write is a delta-sized segment or a b<n>- append.
+    def persistedBytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else f.length()
+      walk(new java.io.File(dir))
+    }
+    def ingestBytes(base: Seq[Doc]): Long = {
+      val in = tmp("wv_in"); writeInput(base, in)
+      val out = tmp("wv_out")
+      CurationRun.run(spark, in, out)
+      DeltaIngest.buildIndex(spark, out)
+      val delta = (0 until 10).map(k => Doc(9000 + k, words(500 + k), "web"))
+      val before = persistedBytes(out)
+      val r = DeltaIngest.ingestDelta(spark, toDF(delta), out)
+      assert(r.nAppended == 10 && r.nRemoved == 0, s"$r")
+      persistedBytes(out) - before
+    }
+    val small = ingestBytes(baseDocs)
+    val big = ingestBytes(baseDocs ++ (0 until 750).map(k =>
+      Doc(20000 + k, words(2000 + k), if (k % 3 == 0) "books" else "web")))
+    assert(big < small * 2,
+      s"per-ingest write volume grew with the base: $small bytes at 1x vs $big at 6x")
+  }
+
+  test("compaction folds the log without changing any answer") {
+    val (out, _, _) = run
+    val manifestBefore = DeltaIngest.readManifest(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val finalBefore = finalRows(out)
+    DeltaIngest.compact(spark, out)
+    assert(DeltaIngest.readManifest(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      == manifestBefore, "compaction changed the manifest")
+    assert(finalRows(out) == finalBefore, "compaction touched the final layout")
+    // the compacted index still answers: a near-dup of a delta-1 doc
+    // must elect against it through the folded segments
+    val w1 = Doc(pickId(7000, _ => true), b2.ws.dropRight(1), "web")
+    val w2 = Doc(pickId(w1.id + 1, _ => true), words(40), "web")
+    val r = DeltaIngest.ingestDelta(spark, toDF(Seq(w1, w2)), out)
+    assert(r.nDupDropped == 1 && r.nAppended == 1, s"$r")
+    val ids = finalRows(out).map(_._1)
+    assert(!ids.contains(w1.id) && ids.contains(w2.id))
   }
 
   test("composes with TextIngest: a jsonl drop flows end to end") {
