@@ -63,18 +63,19 @@ object Bench {
     // Catalyst prune every computed column and time only the scan.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, benchDir).write.format("noop").mode("overwrite").save()
-    // Warm the JVM/codegen paths once so per-query numbers measure the
-    // query, not first-use classloading. The warmup query must be the
-    // FIRST MEASURED one (sorted order), not Map.headOption's arbitrary
-    // pick: dedup_clusters sorts first and was absorbing the entire
-    // cold-start of the shingle/minhash/LSH pipeline — measured 18.2 s
-    // for code whose identical sibling ran 7.8 s warm. Even min-of-N
-    // can't hide it: C2 compiles in the background, so back-to-back
-    // early runs are all partially interpreted.
-    SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => () }
-    }
-    spark.catalog.clearCache()
+    // Warmup is PER QUERY (one unmeasured pass right before each
+    // query's timed samples), not a single global pass. The global
+    // first-query warmup (r11) only warmed code SHARED with the first
+    // query; any query with a large unique plan tail paid its own
+    // first-compile inside its measured samples — and min-of-N can't
+    // hide it, because C2 tiering takes several executions:
+    // dedup_delta_election's election tail measured 12.7-15.8 s for
+    // three consecutive samples before settling at 7.7 s steady-state
+    // (r13 session, healthy mt 0.586 probe) — the committed r12 value
+    // (14.19 s) and the degraded-host driver artifact (67 s) were both
+    // this artifact, amplified 4.7x by a 2.1x-mt host. One warm pass
+    // per query costs ~40% more bench wall but records the number the
+    // PLAN earns rather than the janino/C2 state it happened to meet.
     // JSON string escape for error messages (quotes/control chars would
     // corrupt the one-line BENCH.json the driver parses) — the shared
     // strict escaper, so Bench and Verify emit identical bytes
@@ -95,6 +96,10 @@ object Bench {
     // and surfaced as n_errors in the summary line.
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // per-query warmup pass — unmeasured, cache cleared after, so
+        // sample 1 re-executes the full plan on compiled code
+        try run(fn) catch { case _: Throwable => () }
+        spark.catalog.clearCache()
         def once(): Either[String, Double] = {
           val t0 = System.nanoTime()
           val r = try { run(fn); Right(()) } catch {
@@ -201,7 +206,7 @@ object Bench {
     // detect a protocol break (the r5→r6 best-of-N switch made totals
     // incomparable with single-pass rounds and was misreadable as a
     // code-driven speedup)
-    val proto = s""""protocol":{"samples":"2+adaptive3rd","aggregation":"min","warmup":1,"cacheCleared":true,"relayout_sec":${BigDecimal(relayoutSec).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
+    val proto = s""""protocol":{"samples":"2+adaptive3rd","aggregation":"min","warmup":"per-query","cacheCleared":true,"relayout_sec":${BigDecimal(relayoutSec).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
     val errJson =
       if (errs.isEmpty && qbErr.isEmpty) ""
       else {

@@ -1552,5 +1552,111 @@ object SimilarityQueries {
            |FROM (SELECT cell, sub, unnest(range(1, 65)) AS dim,
            |    unnest(e) AS x FROM asg)
            |GROUP BY 1, 2, 3""".stripMargin),
-      "IVF cell split: deterministic in-cell 2-means (min/max-id seeds), quantized sub-centroids."))
+      "IVF cell split: deterministic in-cell 2-means (min/max-id seeds), quantized sub-centroids."),
+
+    QueryDef(
+      "sim_split_reassign",
+      (s, dir) => {
+        // The COMPOSED maintenance step operators/IvfMaintenance runs
+        // per ingest, under one hash gate: assign everything against
+        // the base-slice centroids (sim_incremental_assign's shape),
+        // flag overgrown cells, execute the deterministic 2-means
+        // split on exactly the flagged cells, and emit the post-split
+        // assignment (vec_id, cell, sub). The flag here is 9·n_cell >
+        // n_total (1.11x the 10-cell mean) rather than the operator's
+        // production 1.5x — the fixture's cells sit within ±25% of the
+        // mean, so the production constant would leave the split
+        // branch dead on every SF; this constant exercises BOTH
+        // branches under the oracle (sf0.01: one cell splits, nine
+        // pass through). Scale shape: one corpus scan for centroids
+        // (broadcast back), one fused argmin scan, split work keyed to
+        // the flagged cells' members only — never a retrain.
+        graft.functions.VectorFunctions.register(s)
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+          .cache()
+        v.count() // centroid + argmin + member legs share it
+        val base = v.where(col("vec_id") % 10 =!= 7)
+        val cents = quantMean(
+          base.select(col("label"), posexplode(col("e")).as(Seq("pos", "x"))),
+          Seq(col("label") -> "c_label", (col("pos") + 1) -> "dim"),
+          col("x"), "cv")
+          .groupBy("c_label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("c_label"),
+            transform(col("pairs"), p => p.getField("cv")).as("c"))
+        val aall = v.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct((dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
+              dot(col("c"), col("c"))).as("d2"), col("c_label")).as("sc"))
+          .groupBy("vec_id").agg(min(col("sc")).as("b"))
+          .select(col("vec_id"), col("b.c_label").as("cell"))
+          .cache()
+        aall.count() // occupancy + member + pass-through legs race it
+        val tot = v.agg(count(lit(1)).as("n_total"))
+        val flagged = aall.groupBy("cell").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .where(col("n") * 9 > col("n_total"))
+          .select("cell")
+        val mem = aall.join(broadcast(flagged), "cell").join(v, "vec_id")
+          .select(col("vec_id"), col("cell"), col("e")).cache()
+        mem.count() // seed lookup + both assignment legs read it
+        val seeds = mem.groupBy("cell")
+          .agg(min("vec_id").as("s0"), max("vec_id").as("s1"))
+        val sv = seeds
+          .join(mem.select(col("vec_id").as("s0"), col("e").as("e0")), "s0")
+          .join(mem.select(col("vec_id").as("s1"), col("e").as("e1")), "s1")
+          .select("cell", "e0", "e1")
+        val d0 = dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("e0")) +
+          dot(col("e0"), col("e0"))
+        val d1 = dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("e1")) +
+          dot(col("e1"), col("e1"))
+        val split = mem.join(broadcast(sv), "cell")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            when(d1 < d0, 1).otherwise(0).as("sub"))
+        aall.join(flagged, Seq("cell"), "left_anti")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            lit(0).as("sub"))
+          .unionAll(split)
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |b0 AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+          |cd AS (SELECT label AS c_label, CAST(dim AS INT) AS dim,
+          |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / 1000000000 / COUNT(*) AS cv
+          |  FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(e) AS x
+          |        FROM b0) GROUP BY 1, 2),
+          |cent AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM cd GROUP BY c_label),
+          |aall AS (SELECT vec_id, c_label AS cell FROM (
+          |  SELECT v.vec_id, cent.c_label, ROW_NUMBER() OVER (
+          |    PARTITION BY v.vec_id ORDER BY
+          |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cent.c)
+          |        + list_dot_product(cent.c, cent.c), cent.c_label) AS rk
+          |  FROM v CROSS JOIN cent) WHERE rk = 1),
+          |fl AS (SELECT cell FROM
+          |  (SELECT cell, COUNT(*) AS n FROM aall GROUP BY cell),
+          |  (SELECT COUNT(*) AS n_total FROM v)
+          |  WHERE n * 9 > n_total),
+          |mem AS (SELECT a.vec_id, a.cell, v.e FROM aall a
+          |  JOIN fl ON a.cell = fl.cell JOIN v ON a.vec_id = v.vec_id),
+          |sd AS (SELECT cell, MIN(vec_id) AS s0, MAX(vec_id) AS s1
+          |  FROM mem GROUP BY cell),
+          |sv AS (SELECT sd.cell, m0.e AS e0, m1.e AS e1 FROM sd
+          |  JOIN mem m0 ON m0.cell = sd.cell AND m0.vec_id = sd.s0
+          |  JOIN mem m1 ON m1.cell = sd.cell AND m1.vec_id = sd.s1)
+          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, CAST(0 AS INT) AS sub
+          |FROM aall a LEFT JOIN fl ON a.cell = fl.cell WHERE fl.cell IS NULL
+          |UNION ALL
+          |SELECT mem.vec_id, CAST(mem.cell AS BIGINT) AS cell,
+          |  CAST(CASE WHEN
+          |    (list_dot_product(mem.e, mem.e)
+          |      - 2.0 * list_dot_product(mem.e, sv.e1)
+          |      + list_dot_product(sv.e1, sv.e1))
+          |    < (list_dot_product(mem.e, mem.e)
+          |      - 2.0 * list_dot_product(mem.e, sv.e0)
+          |      + list_dot_product(sv.e0, sv.e0))
+          |  THEN 1 ELSE 0 END AS INT) AS sub
+          |FROM mem JOIN sv ON mem.cell = sv.cell""".stripMargin),
+      "Composed IVF maintenance: assign, flag overgrown cells, split them, emit the post-split assignment."))
 }

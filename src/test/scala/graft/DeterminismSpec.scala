@@ -51,7 +51,10 @@ class DeterminismSpec extends AnyFunSuite {
     // round 12: dual-partition CC + keeper election (the contraction
     // sweep exercises the fused fixpoint), quantized sub-centroid
     // means under re-partitioning, and the labeled-holdout gram counts
-    "dedup_delta_election", "sim_cell_split", "dedup_delta_decontam")
+    "dedup_delta_election", "sim_cell_split", "dedup_delta_decontam",
+    // round 13: composed flag→split→reassign — argmin + in-cell 2-means
+    // double comparisons under re-partitioning
+    "sim_split_reassign")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
