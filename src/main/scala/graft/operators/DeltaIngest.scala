@@ -535,8 +535,6 @@ object DeltaIngest {
     def stage(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$staging/$name")
 
-    val nDelta = delta.count()
-
     // ---- stage 1: quality gate (row-local, same rules as the run) ----
     // Every shared frame below is localCheckpoint(true), NOT cache():
     // this phase must be severed from the files it read the moment it
@@ -545,7 +543,6 @@ object DeltaIngest {
     // late consumer against post-apply state (the first cut of this
     // operator corrupted its own report and index exactly that way).
     val gated = CurationRun.qualityGate(delta, s).localCheckpoint(true)
-    val nGated = gated.count()
 
     // ---- stage 2a: within-delta near-dedup (same LSH + CC plans) ----
     val dShingles = DedupQueries.shinglesOf(s, gated).localCheckpoint(true)
@@ -696,7 +693,6 @@ object DeltaIngest {
       .localCheckpoint(true)
     val kept = gated.join(keptIds, Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
-    val nDupDropped = nGated - kept.count()
 
     // ---- stage 3: split + two-sided decontamination ----
     val withSplit = kept
@@ -706,8 +702,6 @@ object DeltaIngest {
           .otherwise("test"))
       .withColumn("gs", DedupQueries.gramHashes(8))
       .localCheckpoint(true)
-    val bySplit = withSplit.groupBy("split").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val holdIdx = readLog(s, outDir, "holdout_grams", HoldSchema).select("gh")
     val deltaHold = withSplit.where(col("bucket") >= 80)
       .select(explode(col("gs")).as("gh")).distinct()
@@ -722,7 +716,6 @@ object DeltaIngest {
       .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") * 5 >= col("n_grams"))
       .select("doc_id").localCheckpoint(true)
-    val nContamDelta = dContam.count()
     // base train survivors vs the NEW holdout grams only (their shared
     // count against the old holdout is frozen in train_meta)
     val trainGrams = readLog(s, outDir, "train_grams", GramsSchema)
@@ -738,7 +731,6 @@ object DeltaIngest {
     val baseContam = metaCand.join(newShared, "doc_id")
       .where((col("n_shared") + col("n_new")) * 5 >= col("n_grams"))
       .select("doc_id").localCheckpoint(true)
-    val nContamBase = baseContam.count()
 
     // ---- the final-layout edit set ----
     // a replaced keeper may not be IN final (the base run could have
@@ -747,14 +739,10 @@ object DeltaIngest {
     val finalIds = s.read.parquet(s"$outDir/final").select("doc_id")
     val removed = replacedBase.select("doc_id").unionAll(baseContam).distinct()
       .join(finalIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
-    val nRemoved = removed.count()
-    val nReplacedInFinal =
-      removed.join(baseContam, Seq("doc_id"), "left_anti").count()
     val appendRows = withSplit
       .join(dContam, Seq("doc_id"), "left_anti")
       .select("doc_id", "text", "lang", "n_chars", "split", "source")
       .localCheckpoint(true)
-    val nAppended = appendRows.count()
 
     // ---- the index edit set (one segment per table) ----
     // EVERY gated delta doc joins the matching corpus (clean text +
@@ -845,18 +833,37 @@ object DeltaIngest {
     stage(appendRows, "append_rows")
     stage(removed, "removed")
     stage(manifestSeg, "manifest_inc")
+    // Report counters: nothing above branches on a count, so every one
+    // of them rides ONE batched job here (a union of single-row
+    // aggregates over the already-checkpointed frames) instead of ~10
+    // driver-synchronous count() round trips — at small deltas that
+    // per-job scheduling overhead was the dominant ingest cost.
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.groupBy().agg(count(lit(1)).as("n")).select(lit(name).as("k"), col("n"))
+    val m = cnt("nDelta", delta)
+      .unionAll(cnt("nGated", gated))
+      .unionAll(cnt("nKept", kept))
+      .unionAll(cnt("nContamDelta", dContam))
+      .unionAll(cnt("nContamBase", baseContam))
+      .unionAll(cnt("nRemoved", removed))
+      .unionAll(cnt("nReplacedInFinal",
+        removed.join(baseContam, Seq("doc_id"), "left_anti")))
+      .unionAll(cnt("nAppended", appendRows))
+      .unionAll(withSplit.groupBy(concat(lit("split_"), col("split")).as("k"))
+        .agg(count(lit(1)).as("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val report = DeltaReport(
-      nDelta = nDelta,
-      nQualityFail = nDelta - nGated,
-      nDupDropped = nDupDropped,
-      nReplacedBase = nReplacedInFinal,
-      nTrain = bySplit.getOrElse("train", 0L),
-      nVal = bySplit.getOrElse("val", 0L),
-      nTest = bySplit.getOrElse("test", 0L),
-      nContaminatedDelta = nContamDelta,
-      nContaminatedBase = nContamBase,
-      nAppended = nAppended,
-      nRemoved = nRemoved)
+      nDelta = m("nDelta"),
+      nQualityFail = m("nDelta") - m("nGated"),
+      nDupDropped = m("nGated") - m("nKept"),
+      nReplacedBase = m("nReplacedInFinal"),
+      nTrain = m.getOrElse("split_train", 0L),
+      nVal = m.getOrElse("split_val", 0L),
+      nTest = m.getOrElse("split_test", 0L),
+      nContaminatedDelta = m("nContamDelta"),
+      nContaminatedBase = m("nContamBase"),
+      nAppended = m("nAppended"),
+      nRemoved = m("nRemoved"))
     import s.implicits._
     Seq((report.nDelta, report.nQualityFail, report.nDupDropped,
       report.nReplacedBase, report.nTrain, report.nVal, report.nTest,
