@@ -1,31 +1,54 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** IVF index MAINTENANCE — the embedding twin of [[DeltaIngest]]'s
   * dedup-index upkeep, composing the registry's oracle-checked pieces
-  * into a persisted, incrementally-updated index:
+  * into a persisted, LOG-STRUCTURED, incrementally-updated index:
   *
   *   - [[build]]: the sim_ivf_train loop (Lloyd's k-means, label-seeded,
-  *     one corpus-scanning job per round) → publishes `centroids` +
-  *     `assignments` tables.
+  *     one corpus-scanning job per round) → publishes segment 0:
+  *     a full `cents` snapshot + the full inverted lists.
   *   - [[ingest]]: the sim_incremental_assign step — a delta batch is
-  *     argmin-assigned against the BROADCAST centroid table
-  *     (O(|delta| × nlist), the corpus is never rescanned), appended to
-  *     the assignment table, and each cell's post-ingest occupancy is
-  *     checked against the split threshold (20·n_cell > 3·n_total, the
-  *     integer cross-ratio form that never crosses engines as a
-  *     double).
+  *     argmin-assigned against the BROADCAST centroid snapshot
+  *     (O(|delta| × nlist), the corpus is never rescanned), appended as
+  *     a delta-sized `asg` increment, and each cell's post-ingest
+  *     occupancy is checked against the split threshold
+  *     (20·n_cell > 3·n_total, the integer cross-ratio form). The
+  *     occupancy check reads NO corpus rows: published `n_assigned` is
+  *     always the inverted lists' fold count, so post-delta occupancy
+  *     is n_assigned + the delta's per-cell counts.
   *   - overgrown cells then get the sim_cell_split primitive: a
   *     deterministic in-cell 2-means (min/max-id seeds, ties to sub 0,
-  *     1e-9-quantized exact sub-means), executed ONLY over the flagged
-  *     cells' members (a cell-keyed semi-join — O(cell) work per split,
-  *     never a retrain), and the index is republished with the two
-  *     sub-centroids replacing the parent (sub 0 keeps the cell id,
-  *     sub 1 takes max_cell_id + rank — collision-free and
-  *     deterministic).
+  *     1e-9-quantized exact sub-means) over the flagged cells' members
+  *     ONLY (a cell-keyed, partition-pruned log read — O(cell) work per
+  *     split, never a retrain). Sub 0 keeps the cell id; sub 1 takes
+  *     max_cell_id + rank (collision-free, deterministic).
+  *
+  * On-disk layout (all segment numbers admitted through ONE marker set,
+  * so the centroid snapshot and the lists can never disagree — the
+  * crash window between two independent table swaps is gone):
+  * {{{
+  *   outDir/ivf/markers/seg-<n>   commit marker, lands LAST
+  *   outDir/ivf/cents/seg=<n>/    FULL centroid snapshot (nlist-sized,
+  *                                cheap) for commit n
+  *   outDir/ivf/asg/seg=<n>/      assignment INCREMENT (vec_id, cell,
+  *                                e, dead), hive-partitioned on
+  *                                shard = cell % 16 for pruned
+  *                                cell-keyed probes
+  * }}}
+  * Readers: centroids = the max committed segment's snapshot;
+  * assignments = the increments folded per (cell, vec_id), latest
+  * committed segment wins, tombstones drop. A vector a split moves out
+  * of its cell gets a tombstone in the OLD cell + a live row in the new
+  * one, so the fold COMMUTES with any cell predicate — cell-scoped
+  * probes never shuffle the index. Per-ingest writes are
+  * O(delta + split-cell members); [[compact]] folds the log back to one
+  * segment (self-triggered past [[CompactAfterSegments]]).
   *
   * Approximation contract (the documented divergence from a full
   * retrain, spec-pinned): a split is ONE 2-means step over the cell's
@@ -36,13 +59,6 @@ import org.apache.spark.sql.functions._
   * assignment equals the brute argmin against the published centroids,
   * and split sub-centroids equal the sim_cell_split arithmetic
   * recomputed from scratch on the union's membership.
-  *
-  * Publishing is crash-safe the same way DeltaIngest's compaction is:
-  * new tables are staged, then swapped in with the checked rename-aside
-  * dance — no instant leaves the index missing. (The full write-ahead
-  * batch protocol is not replicated here: the index is DERIVED state,
-  * rebuildable from the embeddings; the curated layout DeltaIngest
-  * guards is not.)
   */
 object IvfMaintenance {
 
@@ -52,19 +68,135 @@ object IvfMaintenance {
   def needsSplit(nCell: Column, nTotal: Column): Column =
     nCell * 20 > nTotal * 3
 
+  /** Committed segments beyond which [[ingest]] self-triggers
+    * [[compact]] (same cadence contract as DeltaIngest). */
+  val CompactAfterSegments = 16
+
   final case class IngestReport(
       nDelta: Long,
       nCellsBefore: Long,
       nSplit: Long, // cells split this ingest
       nCellsAfter: Long)
 
-  private def centDir(outDir: String) = s"$outDir/ivf/centroids.parquet"
-  private def asgDir(outDir: String) = s"$outDir/ivf/assignments.parquet"
+  private def ivfDir(outDir: String) = s"$outDir/ivf"
+  private def centRoot(outDir: String) = s"${ivfDir(outDir)}/cents"
+  private def asgRoot(outDir: String) = s"${ivfDir(outDir)}/asg"
+  private def markerDir(outDir: String) = s"${ivfDir(outDir)}/markers"
 
-  def centroids(s: SparkSession, outDir: String): DataFrame =
-    s.read.parquet(centDir(outDir))
+  private val AsgSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell", LongType),
+    StructField("e", ArrayType(DoubleType)), StructField("dead", BooleanType),
+    StructField("shard", IntegerType)))
+
+  private def fs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def committedSegs(s: SparkSession, outDir: String): Set[Long] = {
+    val root = new Path(markerDir(outDir))
+    val f = fs(s, root)
+    if (!f.exists(root)) Set.empty
+    else f.listStatus(root).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("seg-").toLongOption).toSet
+  }
+
+  private def presentSegs(s: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val f = fs(s, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .flatMap(st => st.getPath.getName.stripPrefix("seg=").toLongOption)
+  }
+
+  /** Marker NAME carries the segment number (the visibility set);
+    * marker CONTENT carries the batch key (the replay identity) — one
+    * atomic file closes both the consistency and the replay window. */
+  private def commitMarker(s: SparkSession, outDir: String, seg: Long,
+      key: String): Unit = {
+    val dir = new Path(markerDir(outDir))
+    val f = fs(s, dir)
+    f.mkdirs(dir)
+    val name = if (seg >= 0) s"seg-$seg"
+      else "skip-" + key.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val out = f.create(new Path(dir, name), true)
+    try out.write(key.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Batch keys of every committed ingest (marker contents) — markers
+    * survive compaction, so replay identity is never lost. */
+  private def committedKeys(s: SparkSession, outDir: String): Set[String] = {
+    val root = new Path(markerDir(outDir))
+    val f = fs(s, root)
+    if (!f.exists(root)) Set.empty
+    else f.listStatus(root).toSeq.map { st =>
+      val in = f.open(st.getPath)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }.toSet
+  }
+
+  def indexed(s: SparkSession, outDir: String): Boolean =
+    committedSegs(s, outDir).nonEmpty
+
+  /** Uncommitted segment dirs are crash leftovers: readers never admit
+    * them, and the next writer sweeps them before computing. */
+  private def wipeUncommitted(s: SparkSession, outDir: String): Unit = {
+    val allowed = committedSegs(s, outDir)
+    for (root <- Seq(centRoot(outDir), asgRoot(outDir));
+         n <- presentSegs(s, root) if !allowed(n)) {
+      val p = new Path(s"$root/seg=$n"); fs(s, p).delete(p, true)
+    }
+  }
+
+  /** The centroid table as of the last committed segment:
+    * (cell, c, n_assigned) — n_assigned is ALWAYS the lists' fold
+    * count, maintained incrementally (never recounted from the corpus). */
+  def centroids(s: SparkSession, outDir: String): DataFrame = {
+    val seg = committedSegs(s, outDir).max
+    s.read.parquet(s"${centRoot(outDir)}/seg=$seg")
+      .select("cell", "c", "n_assigned")
+  }
+
+  /** The inverted lists as of the last committed segment: the increment
+    * log folded per (cell, vec_id) — latest segment wins, tombstones
+    * drop. The fold commutes with cell predicates (a moved vector is
+    * tombstoned in its OLD cell), so bound first, fold the survivors. */
   def assignments(s: SparkSession, outDir: String): DataFrame =
-    s.read.parquet(asgDir(outDir))
+    foldAsg(readAsgLog(s, outDir)).select("vec_id", "cell", "e")
+
+  private def readAsgLog(s: SparkSession, outDir: String): DataFrame = {
+    val root = asgRoot(outDir)
+    val allowed = committedSegs(s, outDir)
+    val segs = presentSegs(s, root).filter(allowed)
+    if (segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], AsgSchema.add("seg", LongType))
+    else
+      s.read.option("basePath", root)
+        .parquet(segs.map(n => s"$root/seg=$n"): _*)
+        .withColumn("seg", col("seg").cast("long"))
+  }
+
+  private def foldAsg(log: DataFrame): DataFrame =
+    log.groupBy("cell", "vec_id")
+      .agg(max(struct(col("seg"), col("dead"), col("e"))).as("b"))
+      .where(!col("b.dead"))
+      .select(col("vec_id"), col("cell"), col("b.e").as("e"))
+
+  private def shardOf(cell: Column): Column = (cell % 16).cast("int")
+
+  /** Write one committed segment: stage both tables under seg=<n>, then
+    * land the marker — a crash at ANY earlier instant leaves an
+    * invisible orphan, never a half-updated index. */
+  private def writeSegment(s: SparkSession, outDir: String, seg: Long,
+      cents: DataFrame, asgInc: DataFrame, key: String): Unit = {
+    cents.select("cell", "c", "n_assigned")
+      .write.mode("overwrite").parquet(s"${centRoot(outDir)}/seg=$seg")
+    asgInc.select(col("vec_id"), col("cell"), col("e"), col("dead"),
+        shardOf(col("cell")).as("shard"))
+      .repartition(col("shard")).sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"${asgRoot(outDir)}/seg=$seg")
+    commitMarker(s, outDir, seg, key)
+  }
 
   private def dot(a: Column, b: Column): Column =
     VectorFunctions.dot(a, b)
@@ -101,11 +233,16 @@ object IvfMaintenance {
       .select(col("vec_id"), col("b.cell").as("cell"))
 
   /** Train the index with the sim_ivf_train loop (label-seeded Lloyd,
-    * `rounds` full assign→recompute rounds) and publish. Embeddings:
-    * (vec_id: long, label: int-ish, embedding: array<float|double>). */
+    * `rounds` full assign→recompute rounds) and publish segment 0.
+    * Embeddings: (vec_id: long, label: int-ish, embedding:
+    * array<float|double>). */
   def build(s: SparkSession, embeddings: DataFrame, outDir: String,
       rounds: Int = 3): Unit = {
     VectorFunctions.register(s)
+    // a rebuild replaces the whole index: stale committed segments from
+    // a previous life must not fold into the new seg 0
+    val root = new Path(ivfDir(outDir))
+    fs(s, root).delete(root, true)
     val e = embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("e"))
@@ -120,17 +257,35 @@ object IvfMaintenance {
     }
     // the inverted lists are the argmin against the PUBLISHED centroids
     // (rounds = 0 publishes the label-seed index: seed means + argmin
-    // lists — the sim_incremental_assign base shape)
-    val asg = assign(e, cents).localCheckpoint(true)
-    publish(s, outDir, cents, asg.join(e, "vec_id")
-      .select(col("vec_id"), col("cell"), col("e")))
+    // lists — the sim_incremental_assign base shape); published
+    // occupancy is the LISTS' count, not the last training round's
+    val asg = assign(e, cents)
+      .join(e, "vec_id").select(col("vec_id"), col("cell"), col("e"))
+      .localCheckpoint(true)
+    val occ = asg.groupBy("cell").agg(count(lit(1)).as("n_assigned"))
+    writeSegment(s, outDir, 0L,
+      cents.select("cell", "c").join(occ, Seq("cell"), "left")
+        .select(col("cell"), col("c"),
+          coalesce(col("n_assigned"), lit(0L)).as("n_assigned")),
+      asg.withColumn("dead", lit(false)), "build")
   }
 
-  /** Absorb a delta batch: assign against the standing centroids,
-    * append, split every cell the occupancy flag catches, republish.
-    * Returns the maintenance report. */
-  def ingest(s: SparkSession, delta: DataFrame, outDir: String): IngestReport = {
+  /** Absorb a delta batch: assign against the standing centroid
+    * snapshot, flag overgrown cells from the incrementally-maintained
+    * occupancy (no corpus scan), split exactly those cells over their
+    * own members, and commit ONE segment carrying both the new centroid
+    * snapshot and the delta-sized assignment increment. */
+  def ingest(s: SparkSession, delta: DataFrame, outDir: String): IngestReport =
+    ingestKeyed(s, delta, outDir, s"seq-${System.nanoTime()}")
+
+  private[graft] def ingestKeyed(s: SparkSession, delta: DataFrame,
+      outDir: String, key: String): IngestReport = {
     VectorFunctions.register(s)
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    wipeUncommitted(s, outDir)
+    if (presentSegs(s, asgRoot(outDir)).count(committedSegs(s, outDir))
+        > CompactAfterSegments) compact(s, outDir)
+    val seg = committedSegs(s, outDir).max + 1
     val cents = centroids(s, outDir).localCheckpoint(true)
     val nCellsBefore = cents.count()
     val d = delta
@@ -139,17 +294,41 @@ object IvfMaintenance {
     val nDelta = d.count()
     val dAsg = assign(d, cents).join(d, "vec_id")
       .select(col("vec_id"), col("cell"), col("e"))
-    val all = assignments(s, outDir).unionAll(dAsg).localCheckpoint(true)
-    val occ = all.groupBy("cell").agg(count(lit(1)).as("n"))
-    val nTotal = all.count()
-    val flagged = occ.where(needsSplit(col("n"), lit(nTotal)))
+      .localCheckpoint(true)
+    // post-delta occupancy WITHOUT touching the corpus: published
+    // n_assigned + the delta's per-cell counts
+    val occAfter = cents
+      .join(dAsg.groupBy("cell").agg(count(lit(1)).as("dn")), Seq("cell"), "left")
+      .select(col("cell"), col("c"),
+        (col("n_assigned") + coalesce(col("dn"), lit(0L))).as("n_assigned"))
+      .localCheckpoint(true)
+    val nTotal = cents.agg(sum("n_assigned")).collect()(0).getLong(0) + nDelta
+    val flagged = occAfter.where(needsSplit(col("n_assigned"), lit(nTotal)))
       .select("cell").localCheckpoint(true)
     val nSplit = flagged.count()
-    val (newCents, newAsg) =
-      if (nSplit == 0) (cents, all)
+    val (centsSeg, asgInc) =
+      if (nSplit == 0)
+        (occAfter, dAsg.withColumn("dead", lit(false)))
       else {
-        // sim_cell_split over the flagged cells' members ONLY
-        val members = all.join(broadcast(flagged), "cell").localCheckpoint(true)
+        // flagged cells' members ONLY: committed rows via the pruned
+        // cell-keyed fold (bound first — the fold commutes with the
+        // cell predicate), plus this batch's delta rows. Literal isin
+        // filters (flagged is nlist-bounded, already on the driver for
+        // the report) give STATIC partition pruning on shard= and
+        // row-group skipping on the sorted cell column — the log read
+        // touches only the split cells' bytes.
+        val flaggedCells = flagged.collect().map(_.getLong(0)).toSeq
+        val flaggedShards = flaggedCells.map(c => (c % 16).toInt).distinct
+        val baseMembers = foldAsg(
+          readAsgLog(s, outDir)
+            .where(col("shard").isin(flaggedShards: _*) &&
+              col("cell").isin(flaggedCells: _*)))
+          .select(col("vec_id"), col("cell"), col("e"), lit(false).as("is_delta"))
+        val members = baseMembers.unionAll(
+          dAsg.join(broadcast(flagged), Seq("cell"), "left_semi")
+            .select(col("vec_id"), col("cell"), col("e"), lit(true).as("is_delta")))
+          .localCheckpoint(true)
+        // sim_cell_split: deterministic in-cell 2-means, min/max-id seeds
         val seeds = members.groupBy("cell")
           .agg(min("vec_id").as("s0"), max("vec_id").as("s1"))
         val sv = seeds
@@ -160,7 +339,7 @@ object IvfMaintenance {
           .select(col("cell"),
             when(d2(col("e"), col("e1")) < d2(col("e"), col("e0")), 1)
               .otherwise(0).as("sub"),
-            col("vec_id"), col("e"))
+            col("vec_id"), col("e"), col("is_delta"))
           .localCheckpoint(true)
         val subCents = quantCentroid(s,
           subbed.select(col("cell"), col("sub"), col("e")),
@@ -176,61 +355,128 @@ object IvfMaintenance {
           .select(
             when(col("sub") === 0, col("cell")).otherwise(col("sub1_cell"))
               .as("cell"),
-            col("c"))
-        val keptCents = cents.join(broadcast(flagged), Seq("cell"), "left_anti")
-          .select("cell", "c") // publish recounts occupancy from the lists
-        val splitAsg = subbed.join(broadcast(renames), "cell")
-          .select(col("vec_id"),
-            when(col("sub") === 0, col("cell")).otherwise(col("sub1_cell"))
-              .as("cell"),
-            col("e"))
+            col("c"), col("n_assigned"))
         // a USING-column join (even anti) moves the key to the FRONT,
         // and unionAll is positional — re-select before unioning
-        val keptAsg = all.join(broadcast(flagged), Seq("cell"), "left_anti")
-          .select("vec_id", "cell", "e")
+        val keptCents = occAfter.join(broadcast(flagged), Seq("cell"), "left_anti")
+          .select("cell", "c", "n_assigned")
+        // the increment is O(delta + split members): unsplit delta rows
+        // land as-is; split-cell members write only what CHANGES —
+        // sub-1 movers (tombstone in the parent + live row in the new
+        // cell; committed sub-1 members only for the tombstone) and
+        // sub-0 DELTA rows (sub-0 base members' committed rows already
+        // say the right cell)
+        val subbedJ = subbed.join(broadcast(renames), "cell")
+        val inc = dAsg.join(broadcast(flagged), Seq("cell"), "left_anti")
+          .select(col("vec_id"), col("cell"), col("e"), lit(false).as("dead"))
+          .unionAll(subbedJ.where(col("sub") === 0 && col("is_delta"))
+            .select(col("vec_id"), col("cell"), col("e"), lit(false).as("dead")))
+          .unionAll(subbedJ.where(col("sub") === 1 && !col("is_delta"))
+            .select(col("vec_id"), col("cell"),
+              lit(null).cast(ArrayType(DoubleType)).as("e"), lit(true).as("dead")))
+          .unionAll(subbedJ.where(col("sub") === 1)
+            .select(col("vec_id"), col("sub1_cell").as("cell"), col("e"),
+              lit(false).as("dead")))
         (keptCents.unionAll(splitCents).localCheckpoint(true),
-          keptAsg.unionAll(splitAsg).localCheckpoint(true))
+          inc.localCheckpoint(true))
       }
-    publish(s, outDir, newCents, newAsg)
-    IngestReport(nDelta, nCellsBefore, nSplit,
-      centroids(s, outDir).count())
+    writeSegment(s, outDir, seg, centsSeg, asgInc, key)
+    IngestReport(nDelta, nCellsBefore, nSplit, nCellsBefore + nSplit)
   }
 
-  /** Stage + checked-rename swap (no instant leaves the index missing).
-    * Published occupancy is ALWAYS the inverted lists' count, so the
-    * centroid table and the lists can never disagree. */
-  private def publish(s: SparkSession, outDir: String,
-      cents: DataFrame, asg: DataFrame): Unit = {
-    val occ = asg.groupBy("cell").agg(count(lit(1)).as("n_assigned"))
-    swapIn(s, cents.select("cell", "c")
-      .join(occ, Seq("cell"), "left")
-      .select(col("cell"), col("c"),
-        coalesce(col("n_assigned"), lit(0L)).as("n_assigned")),
-      centDir(outDir))
-    swapIn(s, asg.select("vec_id", "cell", "e")
-      .repartition(col("cell")).sortWithinPartitions("cell", "vec_id"),
-      asgDir(outDir))
+  // ---------------------------------------------------------------
+  // streaming composition
+  // ---------------------------------------------------------------
+
+  /** Streaming composition — a drop directory of embedding parquet
+    * files becomes per-micro-batch [[ingest]] calls against the
+    * standing index. Replay identity rides the commit marker itself
+    * (content = the batchId key), so a replayed COMMITTED batch is a
+    * no-op and a crash before the marker leaves an invisible orphan
+    * the next ingest sweeps — no duplicate-assignment window (a replay
+    * against post-split centroids could otherwise land the same vector
+    * in a second, different cell). */
+  def streamInto(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestEmbeddingBatch(spark, batch, batchId, outDir); ()
+      }
+      .start()
   }
 
-  private def swapIn(s: SparkSession, df: DataFrame, path: String): Unit = {
-    val staged = path + "_staged"
-    // sever lineage: the frame may read the very path being replaced
-    df.localCheckpoint(true).write.mode("overwrite").parquet(staged)
-    val conf = s.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
-    if (f.exists(old)) f.delete(old, true)
+  /** One micro-batch of [[streamInto]]: skip if this batchId committed
+    * (replay), ingest otherwise. Package-visible so the replay contract
+    * is spec-testable without crashing a stream. */
+  private[graft] def ingestEmbeddingBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      outDir: String): Option[IngestReport] = {
+    val key = s"batch-$batchId"
+    if (committedKeys(spark, outDir).contains(key)) return None
+    val delta = batch.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    if (delta.isEmpty) {
+      commitMarker(spark, outDir, -1L, key)
+      None
+    } else Some(ingestKeyed(spark, delta, outDir, key))
+  }
+
+  /** Fold the assignment log back to ONE segment (numbered with the
+    * current max committed segment, so readers see identical data
+    * before, during, and after) and drop the older snapshots; the swap
+    * is the checked rename-aside dance — no instant leaves the index
+    * missing or inconsistent. Single-writer, like ingest. */
+  def compact(s: SparkSession, outDir: String): Unit = {
+    wipeUncommitted(s, outDir)
+    val segs = committedSegs(s, outDir)
+    val top = segs.max
+    val folded = foldAsg(readAsgLog(s, outDir))
+      .withColumn("dead", lit(false)).localCheckpoint(true)
+    val stagedAsg = s"${asgRoot(outDir)}_compacted"
+    folded.select(col("vec_id"), col("cell"), col("e"), col("dead"),
+        shardOf(col("cell")).as("shard"))
+      .repartition(col("shard")).sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$stagedAsg/seg=$top")
+    val stagedCents = s"${centRoot(outDir)}_compacted"
+    centroids(s, outDir).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$stagedCents/seg=$top")
+    swapDir(s, stagedAsg, asgRoot(outDir))
+    swapDir(s, stagedCents, centRoot(outDir))
+    // markers for folded-away segments are KEPT: their names admit
+    // nothing (the dirs are gone) and their contents are the replay
+    // identity of every committed batch — deleting them would let a
+    // replayed post-compaction batch ingest twice
+  }
+
+  /** Swap a staged dir into place: rename the live dir ASIDE (never
+    * delete first), staged in, then drop the old — both renames
+    * checked (the DeltaIngest.swapDir dance). */
+  private def swapDir(s: SparkSession, staged: String, path: String): Unit = {
+    val p = new Path(path)
+    val f = fs(s, p)
+    val old = new Path(path + "_old")
+    if (f.exists(old)) f.delete(old, true) // prior completed swap's leftover
     if (f.exists(p) && !f.rename(p, old))
-      throw new java.io.IOException(s"swapIn: rename $p -> $old failed")
-    if (!f.rename(new org.apache.hadoop.fs.Path(staged), p)) {
-      if (f.exists(old)) f.rename(old, p)
-      throw new java.io.IOException(s"swapIn: rename $staged -> $p failed")
+      throw new java.io.IOException(s"swapDir: rename $p -> $old failed")
+    if (!f.rename(new Path(staged), p)) {
+      if (f.exists(old)) f.rename(old, p) // roll back: never leave the table absent
+      throw new java.io.IOException(s"swapDir: rename $staged -> $p failed")
     }
     f.delete(old, true)
-    // a bare FS rename bypasses DataFrameWriter's cache invalidation:
-    // the session's FileStatusCache would keep serving the pre-swap
-    // listing (files that no longer exist) to the next reader
-    s.catalog.refreshByPath(path)
+    s.catalog.refreshByPath(path) // bare renames bypass the FileStatusCache
   }
 }

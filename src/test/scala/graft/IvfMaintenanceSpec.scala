@@ -158,6 +158,144 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       occ(storedCells(sub1Ids.head)) == sub1Ids.size)
   }
 
+  test("per-ingest write volume is O(delta): independent of the corpus size") {
+    // the log-structured-index claim: a no-split ingest persists one
+    // delta-sized assignment increment + one nlist-sized centroid
+    // snapshot — never the corpus
+    def persistedBytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else f.length()
+      walk(new java.io.File(dir))
+    }
+    // a small fixed delta drawn from the 1x corpus (new ids) — byte-
+    // identical across both builds, matching dimensionality for free
+    val delta = embeddings.where(col("vec_id") % 37 === 5)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    def ingestBytes(corpus: DataFrame): Long = {
+      val out = tmp("wv")
+      IvfMaintenance.build(spark, corpus, out)
+      val before = persistedBytes(out)
+      val r = IvfMaintenance.ingest(spark, delta, out)
+      assert(r.nSplit == 0, s"the write-volume fixture must not split: $r")
+      persistedBytes(out) - before
+    }
+    val small = ingestBytes(embeddings)
+    val big = ingestBytes((0 until 6).map(k =>
+      embeddings.select((col("vec_id") + k * 1000000L).as("vec_id"),
+        col("label"), col("embedding"))).reduce(_ unionAll _))
+    assert(big < small * 2,
+      s"per-ingest write volume grew with the corpus: $small bytes at 1x vs $big at 6x")
+  }
+
+  test("an uncommitted segment is invisible and swept by the next ingest") {
+    val out = tmp("orphan")
+    IvfMaintenance.build(spark, embeddings, out)
+    val centsBefore = IvfMaintenance.centroids(spark, out)
+      .select("cell", "c").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // a crash between segment write and marker: an orphan seg=1 with a
+    // row no committed segment holds
+    import spark.implicits._
+    Seq((999999L, 0L, Seq(0.0), false, 0))
+      .toDF("vec_id", "cell", "e", "dead", "shard")
+      .write.partitionBy("shard").parquet(s"$out/ivf/asg/seg=1")
+    IvfMaintenance.centroids(spark, out).collect() // cents orphan-free read
+    assert(IvfMaintenance.assignments(spark, out)
+      .where(col("vec_id") === 999999L).isEmpty,
+      "an uncommitted segment leaked into the fold")
+    // the next ingest sweeps the orphan and commits its own seg 1
+    val delta = embeddings.where(col("vec_id") % 20 === 3)
+      .select("vec_id", "embedding")
+    val r = IvfMaintenance.ingest(spark, delta, out)
+    assert(r.nDelta > 0)
+    assert(IvfMaintenance.assignments(spark, out)
+      .where(col("vec_id") === 999999L).isEmpty,
+      "the orphan's rows survived the sweep")
+    val centsAfter = IvfMaintenance.centroids(spark, out)
+      .select("cell", "c").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    if (r.nSplit == 0)
+      assert(centsAfter == centsBefore, "no-split ingest moved centroids")
+  }
+
+  test("compaction folds the log without changing any answer") {
+    val out = tmp("compact")
+    IvfMaintenance.build(spark, embeddings.where(col("vec_id") % 10 =!= 7), out)
+    // one plain ingest + one split ingest so the log holds appends,
+    // tombstones, AND moved rows before folding
+    IvfMaintenance.ingest(spark,
+      embeddings.where(col("vec_id") % 10 === 7), out)
+    val target = IvfMaintenance.centroids(spark, out).collect()
+      .minBy(_.getLong(0))
+    val c = target.getSeq[Double](1).toArray
+    import spark.implicits._
+    val hug = (0 until 200).map { k =>
+      val v = c.clone(); v(k % v.length) += 0.001 * ((k % 7) + 1)
+      (910000L + k, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rs = IvfMaintenance.ingest(spark, hug, out)
+    assert(rs.nSplit >= 1, s"the compaction fixture needs a split in the log: $rs")
+    def snap() = (
+      IvfMaintenance.centroids(spark, out).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet,
+      IvfMaintenance.assignments(spark, out)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val before = snap()
+    IvfMaintenance.compact(spark, out)
+    assert(snap() == before, "compaction changed the index")
+    // the compacted index still ingests: segment numbering continues
+    val r2 = IvfMaintenance.ingest(spark,
+      (0 until 3).map(k => (920000L + k, c.toSeq)).toDF("vec_id", "embedding"), out)
+    assert(r2.nDelta == 3)
+    assert(IvfMaintenance.assignments(spark, out)
+      .where(col("vec_id") >= 920000L).count() == 3)
+  }
+
+  test("a replayed committed batchId is a no-op, even after compaction") {
+    val out = tmp("replay")
+    IvfMaintenance.build(spark, embeddings, out)
+    val batch = embeddings.where(col("vec_id") % 15 === 2)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+    def snap() = IvfMaintenance.assignments(spark, out)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = IvfMaintenance.ingestEmbeddingBatch(spark, batch, 5L, out)
+    assert(r1.isDefined && r1.get.nDelta > 0)
+    val after = snap()
+    // a replay against post-ingest centroids could re-assign the same
+    // vectors into different (post-split) cells — the marker's batch
+    // key makes it a committed no-op instead
+    assert(IvfMaintenance.ingestEmbeddingBatch(spark, batch, 5L, out).isEmpty)
+    assert(snap() == after, "a replayed batch changed the index")
+    IvfMaintenance.compact(spark, out)
+    assert(IvfMaintenance.ingestEmbeddingBatch(spark, batch, 5L, out).isEmpty,
+      "compaction must not forget replay identity")
+    assert(snap() == after)
+    // an EMPTY batch commits its identity without consuming a segment
+    val empty = batch.where(lit(false))
+    assert(IvfMaintenance.ingestEmbeddingBatch(spark, empty, 6L, out).isEmpty)
+    assert(IvfMaintenance.ingestEmbeddingBatch(spark, empty, 6L, out).isEmpty)
+    IvfMaintenance.centroids(spark, out).collect() // max-seg read still sound
+  }
+
+  test("streaming drops: per-micro-batch ingest end to end") {
+    val out = tmp("stream")
+    IvfMaintenance.build(spark, embeddings, out)
+    val in = tmp("stream_in"); val ckpt = tmp("stream_ckpt")
+    embeddings.where(col("vec_id") % 11 === 4)
+      .select((col("vec_id") + 750000L).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val q = IvfMaintenance.streamInto(spark, in, out, ckpt)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val n = embeddings.where(col("vec_id") % 11 === 4).count()
+    assert(IvfMaintenance.assignments(spark, out)
+      .where(col("vec_id") >= 750000L).count() == n,
+      "streamed vectors must land in the lists")
+  }
+
   test("split flags mirror sim_incremental_assign on the same fixture") {
     // ingest the SAME 10% delta the registry query models; the cells
     // the operator splits must be exactly the query's needs_split set
