@@ -384,6 +384,42 @@ object IvfMaintenance {
     IngestReport(nDelta, nCellsBefore, nSplit, nCellsBefore + nSplit)
   }
 
+  /** Serve top-k nearest neighbors (squared-L2, the index's assignment
+    * metric) from the PERSISTED index: per query the `nprobe` nearest
+    * centroid cells are selected against the BROADCAST snapshot,
+    * candidates come from a shard-pruned fold of exactly those cells'
+    * lists (the distinct probed-cell set is nlist-bounded, so the
+    * literal pushdown is always small), and the final rank is a window
+    * over the cell-bounded candidates — the corpus is never scanned.
+    * Queries: (query_id: long, embedding: array<double-ish>). */
+  def knnQuery(s: SparkSession, outDir: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 1): DataFrame = {
+    VectorFunctions.register(s)
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(s, outDir)
+    val q = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("qe"))
+    val wq = Window.partitionBy("query_id").orderBy(col("dst"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents.select("cell", "c")))
+      .select(col("query_id"), col("qe"), col("cell"),
+        d2(col("qe"), col("c")).as("dst"))
+      .withColumn("prk", row_number().over(wq)).where(col("prk") <= nprobe)
+      .select("query_id", "qe", "cell")
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val shards = cells.map(c => (c % 16).toInt).distinct
+    val cand = foldAsg(readAsgLog(s, outDir)
+      .where(col("shard").isin(shards: _*) && col("cell").isin(cells: _*)))
+    val scored = probes.join(cand, "cell")
+      .where(col("vec_id") =!= col("query_id")) // a corpus member probing itself
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        d2(col("qe"), col("e")).as("dist2"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("query_id", "neighbor_id", "dist2", "rk")
+  }
+
   // ---------------------------------------------------------------
   // streaming composition
   // ---------------------------------------------------------------

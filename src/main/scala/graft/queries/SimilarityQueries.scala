@@ -1658,5 +1658,51 @@ object SimilarityQueries {
           |      + list_dot_product(sv.e0, sv.e0))
           |  THEN 1 ELSE 0 END AS INT) AS sub
           |FROM mem JOIN sv ON mem.cell = sv.cell""".stripMargin),
-      "Composed IVF maintenance: assign, flag overgrown cells, split them, emit the post-split assignment."))
+      "Composed IVF maintenance: assign, flag overgrown cells, split them, emit the post-split assignment."),
+
+    QueryDef(
+      "sim_asg_log_fold",
+      (s, dir) => {
+        // The log-structured index READ path (operators/IvfMaintenance
+        // and DeltaIngest keep every index table as immutable seg=<n>
+        // increments) under the oracle: a deterministic 3-segment
+        // assignment log synthesized from the embeddings table — seg 0
+        // assigns every vector to its label cell; seg 1 moves the
+        // vec_id%7==0 vectors (tombstone in the OLD cell + live row in
+        // the new one, the rule that makes the fold commute with cell
+        // predicates); seg 2 moves the %14==0 subset again. The fold
+        // is the operators' latest-segment-wins + tombstone-drop rule
+        // per (cell, vec_id): one combinable max(struct), shuffle
+        // keyed on (cell, vec_id) — never index-wide.
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("cell"))
+        val m1 = v.where(col("vec_id") % 7 === 0)
+        val m2 = v.where(col("vec_id") % 14 === 0)
+        def row(src: DataFrame, cellShift: Int, seg: Int, dead: Boolean) =
+          src.select(col("vec_id"), (col("cell") + cellShift).as("cell"),
+            lit(seg.toLong).as("seg"), lit(dead).as("dead"))
+        row(v, 0, 0, dead = false)
+          .unionAll(row(m1, 0, 1, dead = true))
+          .unionAll(row(m1, 100, 1, dead = false))
+          .unionAll(row(m2, 100, 2, dead = true))
+          .unionAll(row(m2, 200, 2, dead = false))
+          .groupBy("cell", "vec_id")
+          .agg(max(struct(col("seg"), col("dead"))).as("b"))
+          .where(!col("b.dead"))
+          .select(col("vec_id"), col("cell"))
+      },
+      Some(
+        """WITH base AS (SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings),
+          |log AS (
+          |  SELECT vec_id, cell, 0 AS seg, false AS dead FROM base
+          |  UNION ALL SELECT vec_id, cell, 1, true FROM base WHERE vec_id % 7 = 0
+          |  UNION ALL SELECT vec_id, cell + 100, 1, false FROM base WHERE vec_id % 7 = 0
+          |  UNION ALL SELECT vec_id, cell + 100, 2, true FROM base WHERE vec_id % 14 = 0
+          |  UNION ALL SELECT vec_id, cell + 200, 2, false FROM base WHERE vec_id % 14 = 0)
+          |SELECT vec_id, cell FROM (
+          |  SELECT vec_id, cell, dead,
+          |    ROW_NUMBER() OVER (PARTITION BY cell, vec_id ORDER BY seg DESC) AS rn
+          |  FROM log)
+          |WHERE rn = 1 AND NOT dead""".stripMargin),
+      "Log-structured index fold: latest committed segment wins per (cell, vec_id); tombstones drop."))
 }

@@ -54,7 +54,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_delta_election", "sim_cell_split", "dedup_delta_decontam",
     // round 13: composed flag→split→reassign — argmin + in-cell 2-means
     // double comparisons under re-partitioning
-    "sim_split_reassign")
+    "sim_split_reassign",
+    // log-fold: latest-wins max(struct) per (cell, vec_id) — the sweep
+    // pins the fold against partial-aggregation regrouping
+    "sim_asg_log_fold")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -296,6 +296,54 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       "streamed vectors must land in the lists")
   }
 
+  test("knnQuery serves the maintained index: exhaustive at full nprobe, cell-bounded at nprobe=1") {
+    val out = tmp("serve")
+    IvfMaintenance.build(spark, embeddings.where(col("vec_id") % 10 =!= 7), out)
+    IvfMaintenance.ingest(spark,
+      embeddings.where(col("vec_id") % 10 === 7), out) // multi-segment index
+    val queries = embeddings.where(col("vec_id") % 100 === 9)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val nCells = IvfMaintenance.centroids(spark, out).count().toInt
+    // at nprobe = nlist the probe set is the whole index: the served
+    // top-3 must equal brute force over the folded lists
+    val served = IvfMaintenance.knnQuery(spark, out, queries, k = 3,
+      nprobe = nCells)
+      .select("query_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val corpus = IvfMaintenance.assignments(spark, out)
+      .select("vec_id", "cell", "e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // the operator's EXACT arithmetic (expanded form, ascending fold) —
+    // a (x-y)^2 sum is a different double and can flip near-ties
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      dotA(a, a) - 2.0 * dotA(a, b) + dotA(b, b)
+    val qv = queries.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val qvMap = qv.toMap
+    qv.foreach { case (qid, e) =>
+      val brute = corpus.filter(_._1 != qid)
+        .map(t => (d2(e, t._3), t._1)).sortBy(identity).take(3).map(_._2)
+      brute.zipWithIndex.foreach { case (nid, i) =>
+        assert(served((qid, i + 1)) == nid,
+          s"query $qid rank ${i + 1}: served ${served((qid, i + 1))}, brute $nid")
+      }
+    }
+    // at nprobe=1 every neighbor must live in the query's argmin cell
+    val cents = IvfMaintenance.centroids(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val cellOf = corpus.map(t => t._1 -> t._2).toMap
+    IvfMaintenance.knnQuery(spark, out, queries, k = 3, nprobe = 1)
+      .select("query_id", "neighbor_id").collect().foreach { r =>
+        val qcell = cents.map(c => (d2(qvMap(r.getLong(0)), c._2), c._1))
+          .min._2
+        assert(cellOf(r.getLong(1)) == qcell,
+          s"nprobe=1 neighbor ${r.getLong(1)} is outside query ${r.getLong(0)}'s cell")
+      }
+  }
+
   test("split flags mirror sim_incremental_assign on the same fixture") {
     // ingest the SAME 10% delta the registry query models; the cells
     // the operator splits must be exactly the query's needs_split set
