@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keep the curated corpus and its ANN index CONSISTENT under
+  * incremental ingest — the composition of the two maintained indexes:
+  *
+  *   1. [[DeltaIngest.ingestKeyed]] curates the delta documents
+  *      (dedup vs corpus and within batch, keeper replacement, split,
+  *      two-sided decontamination) and commits its layout edits.
+  *   2. The batch's own manifest increment (`manifest_log/seg=<n>`, an
+  *      O(delta) table — live rows = docs the batch APPENDED, dead
+  *      rows = base docs it REMOVED) drives the vector side: appended
+  *      docs' embeddings are [[IvfMaintenance.ingestKeyed assigned]]
+  *      into the IVF index, removed docs' vectors are
+  *      [[IvfMaintenance.remove tombstoned]] out of it.
+  *
+  * So a near-dup that loses its election never pollutes the ANN index,
+  * and a REPLACED base keeper (or a retro-decontaminated train doc)
+  * stops serving as a neighbor the same ingest that dropped it from the
+  * layout — the two indexes can't drift.
+  *
+  * Replay contract: the three sub-commits share the caller's batch key
+  * (`<key>` on the doc side, `<key>-add` / `<key>-rm` on the vector
+  * side) and each skips itself if already committed — a crash between
+  * any two leaves a replay that finishes exactly the missing suffix.
+  * The doc-side report is only available on the run that actually
+  * ingested (staging is swept after commit), hence `docs:
+  * Option[DeltaReport]`.
+  *
+  * Embedding convention: `deltaVecs` rows are (doc_id, embedding) —
+  * vectors are keyed by the document they embed (vec_id == doc_id in
+  * the index).
+  */
+object CuratedVectorSync {
+
+  final case class SyncReport(
+      docs: Option[DeltaIngest.DeltaReport], // None when replaying a committed doc batch
+      nVecIngested: Long,
+      nVecRemoved: Long,
+      ivf: Option[IvfMaintenance.IngestReport])
+
+  /** Ingest one delta (documents + their embeddings) into a curated
+    * run at `textOut` (indexed by [[DeltaIngest.buildIndex]]) and its
+    * vector index at `ivfOut` (built by [[IvfMaintenance.build]]). */
+  def ingest(s: SparkSession, deltaDocs: DataFrame, deltaVecs: DataFrame,
+      textOut: String, ivfOut: String, key: String): SyncReport = {
+    // ---- doc side (skip-if-committed carries the replay) ----
+    val docReport = DeltaIngest.committedSegOf(s, textOut, key) match {
+      case Some(_) => None
+      case None => Some(DeltaIngest.ingestKeyed(s, deltaDocs, textOut, key))
+    }
+    val seg = DeltaIngest.committedSegOf(s, textOut, key)
+      .getOrElse(sys.error(s"doc ingest for $key did not commit"))
+    // the batch's OWN manifest increment: O(delta) rows, no fold needed
+    val manifestInc =
+      s.read.parquet(s"$textOut/manifest_log/seg=$seg")
+        .select("doc_id", "dead").localCheckpoint(true)
+
+    // ---- vector side: appended docs assign, removed docs tombstone ----
+    val addKey = s"$key-add"
+    val vecs = deltaVecs
+      .select(col("doc_id").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .join(manifestInc.where(!col("dead"))
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val ivfReport =
+      if (IvfMaintenance.committedKeys(s, ivfOut).contains(addKey)) None
+      else if (vecs.isEmpty) { // commit the identity without a segment
+        IvfMaintenance.commitSkip(s, ivfOut, addKey); None
+      } else Some(IvfMaintenance.ingestKeyed(s, vecs, ivfOut, addKey))
+    val removedIds = manifestInc.where(col("dead"))
+      .select(col("doc_id").as("vec_id"))
+    val nRemoved = IvfMaintenance.remove(s, removedIds, ivfOut, s"$key-rm")
+    SyncReport(docReport,
+      nVecIngested = ivfReport.map(_.nDelta).getOrElse(0L),
+      nVecRemoved = nRemoved,
+      ivf = ivfReport)
+  }
+}

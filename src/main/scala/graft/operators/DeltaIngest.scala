@@ -510,6 +510,23 @@ object DeltaIngest {
     s.read.parquet(s"${stagingDir(outDir, key)}/report.parquet")
       .collect()(0).getAs[Long]("seg")
 
+  /** The segment number a batch key committed (None if the batch never
+    * committed) — the composition hook: a committed batch's manifest
+    * increment lives at manifest_log/seg=<n>, which is exactly the
+    * O(delta) list of rows it appended (live) and removed (dead). */
+  private[graft] def committedSegOf(
+      s: SparkSession, outDir: String, key: String): Option[Long] = {
+    val p = markerPath(outDir, key)
+    val f = fs(s, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      txt.toLongOption
+    }
+  }
+
   private def commitMarker(s: SparkSession, outDir: String, key: String, seg: Long): Unit = {
     val p = markerPath(outDir, key)
     val f = fs(s, p)

@@ -124,7 +124,7 @@ object IvfMaintenance {
 
   /** Batch keys of every committed ingest (marker contents) — markers
     * survive compaction, so replay identity is never lost. */
-  private def committedKeys(s: SparkSession, outDir: String): Set[String] = {
+  private[graft] def committedKeys(s: SparkSession, outDir: String): Set[String] = {
     val root = new Path(markerDir(outDir))
     val f = fs(s, root)
     if (!f.exists(root)) Set.empty
@@ -136,6 +136,11 @@ object IvfMaintenance {
 
   def indexed(s: SparkSession, outDir: String): Boolean =
     committedSegs(s, outDir).nonEmpty
+
+  /** Commit a batch key's replay identity WITHOUT consuming a segment
+    * (empty batches). */
+  private[graft] def commitSkip(s: SparkSession, outDir: String, key: String): Unit =
+    commitMarker(s, outDir, -1L, key)
 
   /** Uncommitted segment dirs are crash leftovers: readers never admit
     * them, and the next writer sweeps them before computing. */
@@ -382,6 +387,38 @@ object IvfMaintenance {
       }
     writeSegment(s, outDir, seg, centsSeg, asgInc, key)
     IngestReport(nDelta, nCellsBefore, nSplit, nCellsBefore + nSplit)
+  }
+
+  /** Tombstone a set of vectors (vec_id) from the lists and commit the
+    * decremented occupancy in the same segment. The removal set is
+    * delta-sized but its cells are unknown, so the live row per id
+    * comes from ONE column-pruned scan of the skinny log (vec_id,
+    * cell, seg, dead — the embedding column is pruned away by the
+    * fold's consumers here reading only ids) — O(index) bytes in the
+    * worst case but id-width only, and removals are the rare path
+    * (curation replacements, retro-decontamination); the common paths
+    * (ingest, serve, split) stay corpus-free. Returns the number of
+    * live rows tombstoned (ids absent from the index count zero). */
+  def remove(s: SparkSession, ids: DataFrame, outDir: String,
+      key: String = s"rm-${System.nanoTime()}"): Long = {
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    if (committedKeys(s, outDir).contains(key)) return 0L
+    wipeUncommitted(s, outDir)
+    if (ids.isEmpty) { commitSkip(s, outDir, key); return 0L }
+    val seg = committedSegs(s, outDir).max + 1
+    val cents = centroids(s, outDir).localCheckpoint(true)
+    val live = foldAsg(readAsgLog(s, outDir)
+        .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+      .localCheckpoint(true)
+    val n = live.count()
+    val inc = live.select(col("vec_id"), col("cell"),
+      lit(null).cast(ArrayType(DoubleType)).as("e"), lit(true).as("dead"))
+    val centsSeg = cents
+      .join(live.groupBy("cell").agg(count(lit(1)).as("rm")), Seq("cell"), "left")
+      .select(col("cell"), col("c"),
+        (col("n_assigned") - coalesce(col("rm"), lit(0L))).as("n_assigned"))
+    writeSegment(s, outDir, seg, centsSeg, inc, key)
+    n
   }
 
   /** Serve top-k nearest neighbors (squared-L2, the index's assignment

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{CurationRun, CuratedVectorSync, DeltaIngest, IvfMaintenance}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed curation+ANN consistency operator: one ingest curates
+  * the documents AND keeps the vector index in lockstep — appended
+  * docs' embeddings assign in, removed base docs' vectors tombstone
+  * out, and the replay key makes any crash suffix re-runnable. */
+class CuratedVectorSyncSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"cvs_$name").toString
+
+  // 30 globally-unique 5-char words per doc (gate-passing: n=30, TTR=1,
+  // top=1, sum(len) == 5n)
+  private def words(key: Long, n: Int = 30): Vector[String] =
+    (0 until n).map { j =>
+      val s = java.lang.Long.toString(key * 32 + j, 36)
+      "0" * (5 - s.length) + s
+    }.toVector
+
+  private case class Doc(id: Long, ws: Vector[String]) {
+    def text: String = ws.mkString(" ")
+  }
+
+  private def toDF(docs: Seq[Doc]): DataFrame =
+    docs.map(d => (d.id, d.text, "en", "web", d.text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // deterministic 8-dim embedding per doc
+  private def vec(id: Long): Seq[Double] =
+    Seq.tabulate(8)(d => ((id * 31 + d * 7) % 100) / 100.0)
+  private def vecsOf(ids: Seq[Long]): DataFrame =
+    ids.map(id => (id, vec(id))).toDF("doc_id", "embedding")
+
+  private val baseDocs = (0 until 60).map(k => Doc(1000 + k, words(1000 + k)))
+  private val bWin = baseDocs(5) // base doc a delta near-dup will BEAT
+  private val cLose = baseDocs(9) // base doc a delta near-dup loses to
+
+  private val fFresh = Doc(5001, words(9001))
+  private val wWinner = Doc(5002, bWin.ws ++ Vector("zza01", "zza02", "zza03"))
+  private val lLoser = Doc(5003, cLose.ws.dropRight(1))
+  private val deltaDocs = Seq(fFresh, wWinner, lLoser)
+
+  private def liveIds(ivfOut: String): Set[Long] =
+    IvfMaintenance.assignments(spark, ivfOut)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private lazy val run = {
+    val in = tmp("in"); val textOut = tmp("text"); val ivfOut = tmp("ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    // the base vector index covers exactly the base FINAL layout
+    val baseFinal = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    IvfMaintenance.build(spark,
+      vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 3).as("label"), col("embedding")),
+      ivfOut)
+    val rep = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "b1")
+    (textOut, ivfOut, rep, baseFinal.toSet)
+  }
+
+  test("one ingest keeps layout and index consistent: winner in, loser out, replaced keeper tombstoned") {
+    val (textOut, ivfOut, rep, baseFinal) = run
+    assert(rep.docs.isDefined)
+    val d = rep.docs.get
+    assert(d.nAppended == 2 && d.nDupDropped == 1 && d.nRemoved == 1, s"$d")
+    assert(rep.nVecIngested == 2 && rep.nVecRemoved == 1, s"$rep")
+    val finalIds = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == baseFinal - bWin.id + fFresh.id + wWinner.id)
+    // the index live set IS the final layout
+    assert(liveIds(ivfOut) == finalIds,
+      "vector index drifted from the curated layout")
+    // the replaced keeper no longer serves as a neighbor — a query AT
+    // its exact vector (d2 = 0 if it still served) must not return it;
+    // a query at the winner's vector must return the winner (top-2: doc
+    // 1002 shares the winner's vector by the mod-100 construction and
+    // ties break to the smaller id)
+    val served = IvfMaintenance.knnQuery(spark, ivfOut,
+      Seq((99998L, vec(bWin.id)), (99999L, vec(wWinner.id)))
+        .toDF("query_id", "embedding"),
+      k = 2, nprobe = 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(!served(99998L).contains(bWin.id), "tombstoned vector served as a neighbor")
+    assert(served(99999L).contains(wWinner.id), "the winner's vector must serve")
+  }
+
+  test("a replayed batch key is a complete no-op") {
+    val (textOut, ivfOut, _, _) = run
+    val before = liveIds(ivfOut)
+    val rep = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "b1")
+    assert(rep.docs.isEmpty && rep.nVecIngested == 0 && rep.nVecRemoved == 0,
+      s"$rep")
+    assert(liveIds(ivfOut) == before)
+  }
+
+  test("a crash between the doc commit and the vector side: the replay finishes the suffix") {
+    val (textOut, ivfOut, _, _) = run
+    val g = Doc(6001, words(9500))
+    // doc side commits under the sync's key, then "crashes" before the
+    // vector side runs
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(g)), textOut, "b2")
+    val rep = CuratedVectorSync.ingest(spark, toDF(Seq(g)),
+      vecsOf(Seq(g.id)), textOut, ivfOut, "b2")
+    assert(rep.docs.isEmpty, "the committed doc batch must not re-ingest")
+    assert(rep.nVecIngested == 1, s"$rep")
+    assert(liveIds(ivfOut).contains(g.id))
+    val finalIds = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(liveIds(ivfOut) == finalIds)
+  }
+}
