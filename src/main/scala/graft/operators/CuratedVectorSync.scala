@@ -53,10 +53,14 @@ object CuratedVectorSync {
     }
     val seg = DeltaIngest.committedSegOf(s, textOut, key)
       .getOrElse(sys.error(s"doc ingest for $key did not commit"))
-    // the batch's OWN manifest increment: O(delta) rows, no fold needed
+    // the batch's OWN manifest increment: O(delta) rows, no fold
+    // needed. Explicit schema: a batch that appended and removed
+    // nothing leaves a part-less segment dir, which would fail schema
+    // inference on a bare read
     val manifestInc =
-      s.read.parquet(s"$textOut/manifest_log/seg=$seg")
-        .select("doc_id", "dead").localCheckpoint(true)
+      s.read.schema("doc_id LONG, dead BOOLEAN")
+        .parquet(s"$textOut/manifest_log/seg=$seg")
+        .localCheckpoint(true)
 
     // ---- vector side: appended docs assign, removed docs tombstone ----
     val addKey = s"$key-add"

@@ -279,7 +279,16 @@ object IvfMaintenance {
     * snapshot, flag overgrown cells from the incrementally-maintained
     * occupancy (no corpus scan), split exactly those cells over their
     * own members, and commit ONE segment carrying both the new centroid
-    * snapshot and the delta-sized assignment increment. */
+    * snapshot and the delta-sized assignment increment.
+    *
+    * Contract: delta vec_ids must be NEW to the index (checking would
+    * cost an index-wide anti-join per ingest). A re-ingested id that
+    * lands in a different post-split cell would otherwise fold as two
+    * live rows. The replay-safe paths guarantee freshness structurally:
+    * [[streamInto]] keys batches on the commit marker, and
+    * [[CuratedVectorSync]] feeds only doc ids its manifest increment
+    * just APPENDED. To re-home an existing id, [[remove]] it first —
+    * the tombstone makes the following ingest fold to one live row. */
   def ingest(s: SparkSession, delta: DataFrame, outDir: String): IngestReport =
     ingestKeyed(s, delta, outDir, s"seq-${System.nanoTime()}")
 
@@ -386,7 +395,10 @@ object IvfMaintenance {
           inc.localCheckpoint(true))
       }
     writeSegment(s, outDir, seg, centsSeg, asgInc, key)
-    IngestReport(nDelta, nCellsBefore, nSplit, nCellsBefore + nSplit)
+    // counted from the published snapshot, not nCellsBefore + nSplit:
+    // a flagged single-member (or one-sided) cell publishes no sub-1
+    // centroid, and the report must not claim a cell that isn't there
+    IngestReport(nDelta, nCellsBefore, nSplit, centsSeg.count())
   }
 
   /** Tombstone a set of vectors (vec_id) from the lists and commit the
