@@ -82,4 +82,57 @@ object CuratedVectorSync {
       nVecRemoved = nRemoved,
       ivf = ivfReport)
   }
+
+  // ---------------------------------------------------------------
+  // streaming composition
+  // ---------------------------------------------------------------
+
+  /** Streaming front door for the composition: a drop directory of
+    * parquet files carrying documents WITH their embeddings
+    * (TextIngest's raw schema + an `embedding` array column) becomes
+    * per-micro-batch [[ingest]] calls. Replay safety is the sync's own
+    * batch-keyed contract — each of the three sub-commits skips itself,
+    * so a redelivered batch (or a crash anywhere in the chain) replays
+    * exactly the missing suffix. */
+  def streamInto(
+      spark: SparkSession,
+      inDir: String,
+      textOut: String,
+      ivfOut: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val schema = graft.sources.TextIngest.rawSchema
+      .add("embedding", ArrayType(DoubleType))
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestDropBatch(spark, batch, batchId, textOut, ivfOut); ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[streamInto]]. Package-visible so the replay
+    * contract is spec-testable without crashing a stream. */
+  private[graft] def ingestDropBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textOut: String,
+      ivfOut: String): Option[SyncReport] = {
+    val docs = graft.sources.TextIngest.normalize(
+      batch.drop("embedding")
+        .withColumn("_corrupt_record", lit(null).cast("string")))
+    // an empty drop is a no-op with no marker: a replay re-skips
+    // identically, and no segment or key is consumed
+    if (docs.isEmpty) return None
+    Some(ingest(spark, docs,
+      batch.select(col("doc_id"), col("embedding"))
+        .where(col("embedding").isNotNull),
+      textOut, ivfOut, s"batch-$batchId"))
+  }
 }

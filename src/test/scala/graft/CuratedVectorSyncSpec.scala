@@ -106,6 +106,30 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert(liveIds(ivfOut) == before)
   }
 
+  test("streaming drops: docs + embeddings flow end to end; a replayed batchId is a no-op") {
+    val (textOut, ivfOut, _, _) = run
+    val h1 = Doc(7001, words(9600)); val h2 = Doc(7002, words(9601))
+    val drop = Seq(h1, h2)
+      .map(d => (d.id, d.text, "en", "web", vec(d.id)))
+      .toDF("doc_id", "text", "lang", "source", "embedding")
+    val in = tmp("drop_in"); val ckpt = tmp("drop_ckpt")
+    drop.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = operators.CuratedVectorSync.streamInto(
+      spark, in, textOut, ivfOut, ckpt)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val finalIds = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds.contains(h1.id) && finalIds.contains(h2.id))
+    assert(liveIds(ivfOut) == finalIds,
+      "streamed drop must keep layout and index in lockstep")
+    // the same batchId replayed directly: complete no-op
+    val rep = operators.CuratedVectorSync.ingestDropBatch(
+      spark, drop, 0L, textOut, ivfOut)
+    assert(rep.isDefined && rep.get.docs.isEmpty &&
+      rep.get.nVecIngested == 0 && rep.get.nVecRemoved == 0, s"$rep")
+    assert(liveIds(ivfOut) == finalIds)
+  }
+
   test("a crash between the doc commit and the vector side: the replay finishes the suffix") {
     val (textOut, ivfOut, _, _) = run
     val g = Doc(6001, words(9500))
