@@ -306,6 +306,71 @@ object DeltaIngest {
       .write.mode("overwrite").parquet(s"$idx/index_meta.parquet")
   }
 
+  /** Query-time near-duplicate screening against the standing corpus —
+    * the dedup twin of [[IvfMaintenance.knnQuery]]: for each input doc
+    * (canonical schema), every committed corpus doc whose exact
+    * word-shingle Jaccard reaches the ingest verification threshold
+    * (>= 0.3), found through the SAME band index + combined-occupancy
+    * hot-bucket cap + candidates-only verification the ingest path
+    * runs (stage 2b of [[computeAndStage]], in read-only form — kept
+    * textually in sync with it). Nothing is written; corpus text is
+    * read candidate-bounded, never scanned. Matches are against the
+    * GATED corpus the ingest path itself matches — including cluster
+    * members later dropped from the final layout (that is the point:
+    * a probe that collides with a dropped member IS a near-dup), and
+    * a probe reusing a committed doc_id matches itself at jaccard 1.
+    * Output: (doc_id, base_id, jaccard). */
+  def probeNearDups(s: SparkSession, docs: DataFrame, outDir: String): DataFrame = {
+    require(indexed(s, outDir), s"buildIndex has not completed for $outDir")
+    val d = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint(true)
+    val dShingles = DedupQueries.shinglesOf(s, d).localCheckpoint(true)
+    val dCnt = dShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dBands = DedupQueries.minhashSigOf(s, d)
+      .select(col("doc_id"), posexplode(
+        array(DedupQueries.MinhashBands.map(b => col(b._1)): _*))
+        .as(Seq("band", "bkey")))
+    val capN = 100
+    val baseBandsIdx = readLog(s, outDir, "bands", BandsSchema)
+      .select("doc_id", "band", "bkey")
+    val probeBuckets = dBands.select("band", "bkey").distinct()
+    val baseOcc = baseBandsIdx.join(probeBuckets, Seq("band", "bkey"), "left_semi")
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n_base"))
+    val hotBuckets = dBands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n_delta"))
+      .join(baseOcc, Seq("band", "bkey"), "left")
+      .where(col("n_delta") + coalesce(col("n_base"), lit(0L)) > capN)
+      .select("band", "bkey")
+    val dProbe = dBands.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+    val xCand = dProbe
+      .join(baseBandsIdx
+          .select(col("band"), col("bkey"), col("doc_id").as("base_id")),
+        Seq("band", "bkey"))
+      .select(col("doc_id"), col("base_id")).distinct()
+      .localCheckpoint(true)
+    val matchCorpus = s.read
+      .parquet(s"$outDir/stage1_clean/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionAll(readLog(s, outDir, "clean_delta", CleanSchema)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    val baseCandDocs = matchCorpus
+      .join(xCand.select(col("base_id").as("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+    val bShingles = DedupQueries.shinglesOf(s, baseCandDocs).localCheckpoint(true)
+    val bCnt = bShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    xCand
+      .join(dShingles.select(col("doc_id"), col("s")), "doc_id")
+      .join(bShingles.select(col("doc_id").as("base_id"), col("s")),
+        Seq("base_id", "s"))
+      .groupBy("doc_id", "base_id").agg(count(lit(1)).as("shared"))
+      .join(dCnt.select(col("doc_id"), col("n").as("na")), "doc_id")
+      .join(bCnt.select(col("doc_id").as("base_id"), col("n").as("nb")), "base_id")
+      .select(col("doc_id"), col("base_id"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.3)
+  }
+
   // ---------------------------------------------------------------
   // streaming composition
   // ---------------------------------------------------------------

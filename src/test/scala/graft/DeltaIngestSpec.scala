@@ -303,6 +303,29 @@ class DeltaIngestSpec extends AnyFunSuite {
       "resumed batch's docs must be live and index the next delta's election")
   }
 
+  test("probeNearDups screens without writing: twins found, fresh docs clean, index untouched") {
+    val (out, _, _) = run
+    // a near-dup of committed delta-winner b2 (one word short), a
+    // near-dup of base doc e1 (exact text, new id), and a fresh doc
+    val pb = Doc(8001, b2.ws.dropRight(1), "web")
+    val pe = Doc(8002, e1.ws, "web")
+    val pf = Doc(8003, words(60), "web")
+    val segsBefore = DeltaIngest.committedSegs(spark, out)
+    val finalBefore = finalRows(out)
+    val hits = DeltaIngest.probeNearDups(spark, toDF(Seq(pb, pe, pf)), out)
+      .select("doc_id", "base_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byProbe = hits.groupBy(_._1)
+    assert(byProbe(pb.id).exists(_._2 == b2.id),
+      s"probe must find its committed twin b2: ${byProbe.get(pb.id)}")
+    assert(byProbe(pe.id).exists(t => t._2 == e1.id && t._3 == 1.0),
+      s"an exact-text probe must match at jaccard 1: ${byProbe.get(pe.id)}")
+    assert(!byProbe.contains(pf.id), "a fresh doc must screen clean")
+    // read-only: no segment, no marker, no layout change
+    assert(DeltaIngest.committedSegs(spark, out) == segsBefore)
+    assert(finalRows(out) == finalBefore)
+  }
+
   test("per-ingest write volume is O(delta): independent of the base corpus size") {
     // same NOVEL-doc delta (no removals -> no partition rewrites)
     // against a 1x and a 6x base; the bytes a batch persists must not
