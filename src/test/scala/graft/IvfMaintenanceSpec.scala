@@ -342,6 +342,15 @@ class IvfMaintenanceSpec extends AnyFunSuite {
         assert(cellOf(r.getLong(1)) == qcell,
           s"nprobe=1 neighbor ${r.getLong(1)} is outside query ${r.getLong(0)}'s cell")
       }
+    // plan guard: the only nested-loop is the broadcast centroid
+    // snapshot; the candidate scoring join is cell-keyed, never a
+    // cartesian over the lists
+    val p = IvfMaintenance.knnQuery(spark, out, queries, k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the broadcast centroid crossJoin may nested-loop; candidate " +
+        s"scoring must stay a cell-keyed equi-join:\n$p")
   }
 
   test("split flags mirror sim_incremental_assign on the same fixture") {
