@@ -56,10 +56,18 @@ object CuratedVectorSync {
     // the batch's OWN manifest increment: O(delta) rows, no fold
     // needed. Explicit schema: a batch that appended and removed
     // nothing leaves a part-less segment dir, which would fail schema
-    // inference on a bare read
+    // inference on a bare read. The increment survives until
+    // DeltaIngest.compact folds the manifest log — a vector-side crash
+    // must replay before ~CompactAfterSegments further doc ingests, or
+    // the edit list is gone (diagnosed here, not as a read error)
+    val segDir = s"$textOut/manifest_log/seg=$seg"
+    require(CurationRun.exists(s, segDir),
+      s"manifest increment for batch $key (seg=$seg) was compacted away " +
+        "before its vector sync completed; the index edits for this batch " +
+        "cannot be recovered - rebuild the vector index from the layout")
     val manifestInc =
       s.read.schema("doc_id LONG, dead BOOLEAN")
-        .parquet(s"$textOut/manifest_log/seg=$seg")
+        .parquet(segDir)
         .localCheckpoint(true)
 
     // ---- vector side: appended docs assign, removed docs tombstone ----
