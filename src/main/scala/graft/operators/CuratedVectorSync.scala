@@ -39,7 +39,8 @@ object CuratedVectorSync {
       docs: Option[DeltaIngest.DeltaReport], // None when replaying a committed doc batch
       nVecIngested: Long,
       nVecRemoved: Long,
-      ivf: Option[IvfMaintenance.IngestReport])
+      nVecMissing: Long = 0L, // appended docs the caller gave no vector for
+      ivf: Option[IvfMaintenance.IngestReport] = None)
 
   /** Ingest one delta (documents + their embeddings) into a curated
     * run at `textOut` (indexed by [[DeltaIngest.buildIndex]]) and its
@@ -53,13 +54,21 @@ object CuratedVectorSync {
     }
     val seg = DeltaIngest.committedSegOf(s, textOut, key)
       .getOrElse(sys.error(s"doc ingest for $key did not commit"))
+    // a FULLY-synced batch replays to a no-op before the manifest
+    // increment is ever consulted — a redelivery arriving after
+    // compaction folded the increment away must not error
+    val addKey = s"$key-add"; val rmKey = s"$key-rm"
+    val ivfKeys = IvfMaintenance.committedKeys(s, ivfOut)
+    if (ivfKeys.contains(addKey) && ivfKeys.contains(rmKey))
+      return SyncReport(docReport, 0L, 0L)
     // the batch's OWN manifest increment: O(delta) rows, no fold
     // needed. Explicit schema: a batch that appended and removed
     // nothing leaves a part-less segment dir, which would fail schema
     // inference on a bare read. The increment survives until
-    // DeltaIngest.compact folds the manifest log — a vector-side crash
-    // must replay before ~CompactAfterSegments further doc ingests, or
-    // the edit list is gone (diagnosed here, not as a read error)
+    // DeltaIngest.compact folds the manifest log — a PARTIAL vector
+    // sync must replay before ~CompactAfterSegments further doc
+    // ingests, or the remaining edit list is gone (diagnosed here,
+    // not as a read error)
     val segDir = s"$textOut/manifest_log/seg=$seg"
     require(CurationRun.exists(s, segDir),
       s"manifest increment for batch $key (seg=$seg) was compacted away " +
@@ -71,23 +80,29 @@ object CuratedVectorSync {
         .localCheckpoint(true)
 
     // ---- vector side: appended docs assign, removed docs tombstone ----
-    val addKey = s"$key-add"
+    val appendedIds = manifestInc.where(!col("dead"))
+      .select(col("doc_id").as("vec_id"))
     val vecs = deltaVecs
+      .where(col("embedding").isNotNull)
       .select(col("doc_id").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      .join(manifestInc.where(!col("dead"))
-        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .join(appendedIds, Seq("vec_id"), "left_semi")
+    // surfaced, not silent: appended docs the caller gave no vector for
+    // are exactly the layout-index drift this operator exists to prevent
+    val nVecMissing = appendedIds
+      .join(vecs.select("vec_id"), Seq("vec_id"), "left_anti").count()
     val ivfReport =
-      if (IvfMaintenance.committedKeys(s, ivfOut).contains(addKey)) None
+      if (ivfKeys.contains(addKey)) None
       else if (vecs.isEmpty) { // commit the identity without a segment
         IvfMaintenance.commitSkip(s, ivfOut, addKey); None
       } else Some(IvfMaintenance.ingestKeyed(s, vecs, ivfOut, addKey))
     val removedIds = manifestInc.where(col("dead"))
       .select(col("doc_id").as("vec_id"))
-    val nRemoved = IvfMaintenance.remove(s, removedIds, ivfOut, s"$key-rm")
+    val nRemoved = IvfMaintenance.remove(s, removedIds, ivfOut, rmKey)
     SyncReport(docReport,
       nVecIngested = ivfReport.map(_.nDelta).getOrElse(0L),
       nVecRemoved = nRemoved,
+      nVecMissing = nVecMissing,
       ivf = ivfReport)
   }
 

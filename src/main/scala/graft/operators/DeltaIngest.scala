@@ -312,8 +312,10 @@ object DeltaIngest {
     * word-shingle Jaccard reaches the ingest verification threshold
     * (>= 0.3), found through the SAME band index + combined-occupancy
     * hot-bucket cap + candidates-only verification the ingest path
-    * runs (stage 2b of [[computeAndStage]], in read-only form — kept
-    * textually in sync with it). Nothing is written; corpus text is
+    * runs — literally the same code: [[baseProbe]] + [[verifiedJaccard]]
+    * are one definition shared with [[computeAndStage]]'s stage 2a/2b,
+    * so screening and ingest cannot drift. Nothing is written; corpus
+    * text is
     * read candidate-bounded, never scanned. Matches are against the
     * GATED corpus the ingest path itself matches — including cluster
     * members later dropped from the final layout (that is the point:
@@ -324,17 +326,45 @@ object DeltaIngest {
     require(indexed(s, outDir), s"buildIndex has not completed for $outDir")
     val d = docs.select("doc_id", "text", "lang", "source", "n_chars")
       .localCheckpoint(true)
-    val dShingles = DedupQueries.shinglesOf(s, d).localCheckpoint(true)
+    val bp = baseProbe(s, d, outDir)
+    verifiedJaccard(
+      bp.xCand.select(col("delta_id").as("doc_a"), col("base_id").as("doc_b")),
+      bp.dShingles, bp.bShingles, bp.dCnt, bp.bCnt)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("base_id"),
+        col("jaccard"))
+  }
+
+  /** The shared band-probe pipeline behind [[computeAndStage]]'s stage
+    * 2a/2b and [[probeNearDups]] — ONE definition, so query-time
+    * screening and ingest-time dedup cannot drift:
+    *   - the input docs' shingles, counts, and LSH band rows;
+    *   - `dProbe`: band rows after the hot-bucket cap, mirroring
+    *     lshVerifiedPairs (capN=100) over the COMBINED input+base
+    *     occupancy — counted candidate-bounded (the base side is
+    *     semi-joined to the input's bucket keys first). The UNFILTERED
+    *     `dBands` still feeds occupancy and the ingest's index segment;
+    *   - `xCand`: (delta_id, base_id) banded candidates vs the index;
+    *   - `baseCandDocs`/`bShingles`/`bCnt`: base text read ONLY for the
+    *     candidate ids — from the base run's stage-1 table plus every
+    *     committed delta's clean segment (immutable forever). */
+  private final case class BaseProbe(
+      dShingles: DataFrame, dCnt: DataFrame, dBands: DataFrame,
+      dProbe: DataFrame, xCand: DataFrame, baseCandDocs: DataFrame,
+      bShingles: DataFrame, bCnt: DataFrame)
+
+  private def baseProbe(s: SparkSession, docs: DataFrame, outDir: String): BaseProbe = {
+    val dShingles = DedupQueries.shinglesOf(s, docs).localCheckpoint(true)
     val dCnt = dShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dBands = DedupQueries.minhashSigOf(s, d)
+    val dBands = DedupQueries.minhashSigOf(s, docs)
       .select(col("doc_id"), posexplode(
         array(DedupQueries.MinhashBands.map(b => col(b._1)): _*))
         .as(Seq("band", "bkey")))
+      .localCheckpoint(true)
     val capN = 100
     val baseBandsIdx = readLog(s, outDir, "bands", BandsSchema)
       .select("doc_id", "band", "bkey")
-    val probeBuckets = dBands.select("band", "bkey").distinct()
-    val baseOcc = baseBandsIdx.join(probeBuckets, Seq("band", "bkey"), "left_semi")
+    val deltaBuckets = dBands.select("band", "bkey").distinct()
+    val baseOcc = baseBandsIdx.join(deltaBuckets, Seq("band", "bkey"), "left_semi")
       .groupBy("band", "bkey").agg(count(lit(1)).as("n_base"))
     val hotBuckets = dBands.groupBy("band", "bkey")
       .agg(count(lit(1)).as("n_delta"))
@@ -342,11 +372,12 @@ object DeltaIngest {
       .where(col("n_delta") + coalesce(col("n_base"), lit(0L)) > capN)
       .select("band", "bkey")
     val dProbe = dBands.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+      .localCheckpoint(true)
     val xCand = dProbe
       .join(baseBandsIdx
           .select(col("band"), col("bkey"), col("doc_id").as("base_id")),
         Seq("band", "bkey"))
-      .select(col("doc_id"), col("base_id")).distinct()
+      .select(col("doc_id").as("delta_id"), col("base_id")).distinct()
       .localCheckpoint(true)
     val matchCorpus = s.read
       .parquet(s"$outDir/stage1_clean/documents.parquet")
@@ -356,20 +387,29 @@ object DeltaIngest {
     val baseCandDocs = matchCorpus
       .join(xCand.select(col("base_id").as("doc_id")).distinct(), Seq("doc_id"),
         "left_semi")
+      .localCheckpoint(true)
     val bShingles = DedupQueries.shinglesOf(s, baseCandDocs).localCheckpoint(true)
     val bCnt = bShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    xCand
-      .join(dShingles.select(col("doc_id"), col("s")), "doc_id")
-      .join(bShingles.select(col("doc_id").as("base_id"), col("s")),
-        Seq("base_id", "s"))
-      .groupBy("doc_id", "base_id").agg(count(lit(1)).as("shared"))
-      .join(dCnt.select(col("doc_id"), col("n").as("na")), "doc_id")
-      .join(bCnt.select(col("doc_id").as("base_id"), col("n").as("nb")), "base_id")
-      .select(col("doc_id"), col("base_id"),
+    BaseProbe(dShingles, dCnt, dBands, dProbe, xCand, baseCandDocs,
+      bShingles, bCnt)
+  }
+
+  /** Exact shingle-Jaccard >= 0.3 on candidates only — the
+    * lshVerifiedPairs predicate, verbatim; the single verification
+    * rule both the ingest elections and probeNearDups apply.
+    * Output: (doc_a, doc_b, jaccard). */
+  private def verifiedJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      cntA: DataFrame, cntB: DataFrame): DataFrame =
+    cand
+      .join(shA.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(cntA.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cntB.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
           .as("jaccard"))
       .where(col("jaccard") >= 0.3)
-  }
 
   // ---------------------------------------------------------------
   // streaming composition
@@ -627,55 +667,21 @@ object DeltaIngest {
     val gated = CurationRun.qualityGate(delta, s).localCheckpoint(true)
 
     // ---- stage 2a: within-delta near-dedup (same LSH + CC plans) ----
-    val dShingles = DedupQueries.shinglesOf(s, gated).localCheckpoint(true)
-    val dCnt = dShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dBands = DedupQueries.minhashSigOf(s, gated)
-      .select(col("doc_id"), posexplode(
-        array(DedupQueries.MinhashBands.map(b => col(b._1)): _*))
-        .as(Seq("band", "bkey")))
-      .localCheckpoint(true)
-    // Hot-bucket cap, mirroring lshVerifiedPairs (capN=100): occupancy
-    // is counted over the UNION of delta and base rows — a from-scratch
-    // run caps the combined bucket — but only for buckets the delta
-    // touches (candidate-bounded: the base side is semi-joined to the
-    // delta's bucket keys before counting). Probe rows in hot buckets
-    // are dropped from BOTH candidate joins below; a boilerplate-heavy
-    // delta can no longer trigger an uncapped quadratic band self-join.
-    // The UNFILTERED dBands still feeds occupancy and the index segment
-    // — future ingests must see true bucket occupancy.
-    val capN = 100
-    val baseBandsIdx = readLog(s, outDir, "bands", BandsSchema)
-      .select("doc_id", "band", "bkey")
-    val deltaBuckets = dBands.select("band", "bkey").distinct()
-    val baseOcc = baseBandsIdx.join(deltaBuckets, Seq("band", "bkey"), "left_semi")
-      .groupBy("band", "bkey").agg(count(lit(1)).as("n_base"))
-    val hotBuckets = dBands.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("n_delta"))
-      .join(baseOcc, Seq("band", "bkey"), "left")
-      .where(col("n_delta") + coalesce(col("n_base"), lit(0L)) > capN)
-      .select("band", "bkey")
-    val dProbe = dBands.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
-      .localCheckpoint(true)
+    // the band probe + hot-cap + candidate-bounded base inputs are the
+    // SHARED pipeline (one definition with probeNearDups, which screens
+    // query docs through exactly these semantics)
+    val bp = baseProbe(s, gated, outDir)
+    val dShingles = bp.dShingles
+    val dCnt = bp.dCnt
+    val dBands = bp.dBands
+    val dProbe = bp.dProbe
     val dCand = dProbe.as("a").join(dProbe.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    def verify(cand: DataFrame, shA: DataFrame, shB: DataFrame,
-        cntA: DataFrame, cntB: DataFrame): DataFrame = {
-      // exact shingle-Jaccard >= 0.3 on candidates only — the
-      // lshVerifiedPairs predicate, verbatim
-      cand
-        .join(shA.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(shB.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-        .join(cntA.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(cntB.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .where(col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")) >= 0.3)
-        .select("doc_a", "doc_b")
-    }
-    val dPairs = verify(dCand, dShingles, dShingles, dCnt, dCnt)
+    val dPairs = verifiedJaccard(dCand, dShingles, dShingles, dCnt, dCnt)
+      .select("doc_a", "doc_b")
     val dEdges = dPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(dPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // delta cluster id per delta doc; singletons = own id
@@ -693,29 +699,11 @@ object DeltaIngest {
         col("b.n_chars").as("d_best_len"))
 
     // ---- stage 2b: delta-vs-base matching (candidate-bounded) ----
-    val xCand = dProbe
-      .join(baseBandsIdx
-          .select(col("band"), col("bkey"), col("doc_id").as("base_id")),
-        Seq("band", "bkey"))
-      .select(col("doc_id").as("delta_id"), col("base_id")).distinct()
-      .localCheckpoint(true)
-    // base candidate docs' text: read ONLY the candidate ids' rows —
-    // from the base run's stage-1 table plus every committed delta's
-    // clean segment (the base artifacts stay immutable forever)
-    val matchCorpus = s.read
-      .parquet(s"$outDir/stage1_clean/documents.parquet")
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .unionAll(readLog(s, outDir, "clean_delta", CleanSchema)
-        .select("doc_id", "text", "lang", "source", "n_chars"))
-    val baseCandDocs = matchCorpus
-      .join(xCand.select(col("base_id").as("doc_id")).distinct(), Seq("doc_id"),
-        "left_semi")
-      .localCheckpoint(true)
-    val bShingles = DedupQueries.shinglesOf(s, baseCandDocs).localCheckpoint(true)
-    val bCnt = bShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val xPairs = verify(
+    val xCand = bp.xCand
+    val baseCandDocs = bp.baseCandDocs
+    val xPairs = verifiedJaccard(
       xCand.select(col("delta_id").as("doc_a"), col("base_id").as("doc_b")),
-      dShingles, bShingles, dCnt, bCnt)
+      dShingles, bp.bShingles, dCnt, bp.bCnt)
       .select(col("doc_a").as("delta_id"), col("doc_b").as("base_id"))
 
     // ---- stage 2c: merged-cluster election ----

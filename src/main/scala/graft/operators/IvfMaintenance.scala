@@ -122,16 +122,24 @@ object IvfMaintenance {
     try out.write(key.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Batch keys of every committed ingest (marker contents) — markers
-    * survive compaction, so replay identity is never lost. */
+  /** Batch keys of every committed ingest — replay identity survives
+    * compaction because [[compact]] folds old markers' keys into ONE
+    * `keys-<n>` file (newline-separated) before dropping them, so this
+    * read is O(segments since last compaction), not O(batches ever). */
   private[graft] def committedKeys(s: SparkSession, outDir: String): Set[String] = {
     val root = new Path(markerDir(outDir))
     val f = fs(s, root)
     if (!f.exists(root)) Set.empty
-    else f.listStatus(root).toSeq.map { st =>
-      val in = f.open(st.getPath)
-      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-    }.toSet
+    else f.listStatus(root).toSeq
+      // a crashed consolidation's .tmp may hold a TRUNCATED key that
+      // collides with a real future batch key — never read dotfiles
+      .filterNot(_.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+        txt.split('\n').map(_.trim).filter(_.nonEmpty)
+      }.toSet
   }
 
   def indexed(s: SparkSession, outDir: String): Boolean =
@@ -244,10 +252,16 @@ object IvfMaintenance {
   def build(s: SparkSession, embeddings: DataFrame, outDir: String,
       rounds: Int = 3): Unit = {
     VectorFunctions.register(s)
-    // a rebuild replaces the whole index: stale committed segments from
-    // a previous life must not fold into the new seg 0
-    val root = new Path(ivfDir(outDir))
-    fs(s, root).delete(root, true)
+    // a rebuild replaces the index DATA but must PRESERVE the markers:
+    // their contents are the replay identity of every committed batch,
+    // and an index rebuilt from a layout that already contains batch
+    // B's docs would otherwise re-ingest B's vectors on replay (two
+    // live rows per vector once cells split). The new snapshot lands
+    // at max-committed + 1, so stale seg markers admit nothing and
+    // every reader resolves to the rebuilt segment
+    for (r <- Seq(centRoot(outDir), asgRoot(outDir))) {
+      val p = new Path(r); fs(s, p).delete(p, true)
+    }
     val e = embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("e"))
@@ -268,11 +282,15 @@ object IvfMaintenance {
       .join(e, "vec_id").select(col("vec_id"), col("cell"), col("e"))
       .localCheckpoint(true)
     val occ = asg.groupBy("cell").agg(count(lit(1)).as("n_assigned"))
-    writeSegment(s, outDir, 0L,
+    val seg = committedSegs(s, outDir) match {
+      case empty if empty.isEmpty => 0L
+      case segs => segs.max + 1
+    }
+    writeSegment(s, outDir, seg,
       cents.select("cell", "c").join(occ, Seq("cell"), "left")
         .select(col("cell"), col("c"),
           coalesce(col("n_assigned"), lit(0L)).as("n_assigned")),
-      asg.withColumn("dead", lit(false)), "build")
+      asg.withColumn("dead", lit(false)), s"build-$seg")
   }
 
   /** Absorb a delta batch: assign against the standing centroid
@@ -302,8 +320,13 @@ object IvfMaintenance {
     val seg = committedSegs(s, outDir).max + 1
     val cents = centroids(s, outDir).localCheckpoint(true)
     val nCellsBefore = cents.count()
+    // dedup within the batch: a duplicated vec_id row would count
+    // twice in the occupancy increment while folding to ONE live list
+    // row — permanently desynchronizing n_assigned from the lists.
+    // Deterministic pick: the max embedding array (ties are identical)
     val d = delta
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .groupBy("vec_id").agg(max(col("e")).as("e"))
       .localCheckpoint(true)
     val nDelta = d.count()
     val dAsg = assign(d, cents).join(d, "vec_id")
@@ -440,9 +463,16 @@ object IvfMaintenance {
     * lists (the distinct probed-cell set is nlist-bounded, so the
     * literal pushdown is always small), and the final rank is a window
     * over the cell-bounded candidates — the corpus is never scanned.
-    * Queries: (query_id: long, embedding: array<double-ish>). */
+    * Queries: (query_id: long, embedding: array<double-ish>).
+    *
+    * `excludeSelfId` (default true) drops candidates whose vec_id
+    * equals the query_id — the corpus-member-probing-itself convention
+    * every registry kNN query uses. Pass FALSE when query ids live in
+    * their own id space: with the default, an external query numbered
+    * like a corpus vector would silently lose that vector from its
+    * candidates. */
   def knnQuery(s: SparkSession, outDir: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 1): DataFrame = {
+      k: Int = 5, nprobe: Int = 1, excludeSelfId: Boolean = true): DataFrame = {
     VectorFunctions.register(s)
     require(indexed(s, outDir), s"build has not completed for $outDir")
     import org.apache.spark.sql.expressions.Window
@@ -455,13 +485,14 @@ object IvfMaintenance {
         d2(col("qe"), col("c")).as("dst"))
       .withColumn("prk", row_number().over(wq)).where(col("prk") <= nprobe)
       .select("query_id", "qe", "cell")
+      .localCheckpoint(true) // the cells collect below would otherwise recompute the argmin for the scored join
     val cells = probes.select("cell").distinct().collect()
       .map(_.getLong(0)).toSeq
     val shards = cells.map(c => (c % 16).toInt).distinct
     val cand = foldAsg(readAsgLog(s, outDir)
       .where(col("shard").isin(shards: _*) && col("cell").isin(cells: _*)))
     val scored = probes.join(cand, "cell")
-      .where(col("vec_id") =!= col("query_id")) // a corpus member probing itself
+      .where(!lit(excludeSelfId) || col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         d2(col("qe"), col("e")).as("dist2"))
     val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
@@ -541,10 +572,26 @@ object IvfMaintenance {
       .write.mode("overwrite").parquet(s"$stagedCents/seg=$top")
     swapDir(s, stagedAsg, asgRoot(outDir))
     swapDir(s, stagedCents, centRoot(outDir))
-    // markers for folded-away segments are KEPT: their names admit
-    // nothing (the dirs are gone) and their contents are the replay
-    // identity of every committed batch — deleting them would let a
-    // replayed post-compaction batch ingest twice
+    // replay identity must survive the folded-away segments, but ONE
+    // file per batch ever committed makes committedKeys O(history) FS
+    // round trips per ingest — consolidate every marker's keys into a
+    // single keys-<top> file (written via temp + rename, so a crash at
+    // any point only leaves duplicate keys — set semantics), then drop
+    // everything except it and the top segment's own marker
+    val mDir = new Path(markerDir(outDir))
+    val f = fs(s, mDir)
+    val allKeys = committedKeys(s, outDir)
+    val tmp = new Path(mDir, s".keys-$top.tmp")
+    val out = f.create(tmp, true)
+    try out.write(allKeys.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val consolidated = new Path(mDir, s"keys-$top")
+    if (f.exists(consolidated)) f.delete(consolidated, false)
+    if (!f.rename(tmp, consolidated))
+      throw new java.io.IOException(s"compact: rename $tmp -> $consolidated failed")
+    f.listStatus(mDir).map(_.getPath.getName)
+      .filterNot(n => n == s"seg-$top" || n == s"keys-$top")
+      .foreach(n => f.delete(new Path(mDir, n), false))
   }
 
   /** Swap a staged dir into place: rename the live dir ASIDE (never

@@ -353,6 +353,64 @@ class IvfMaintenanceSpec extends AnyFunSuite {
         s"scoring must stay a cell-keyed equi-join:\n$p")
   }
 
+  test("a duplicated vec_id row in one batch cannot desync occupancy from the lists") {
+    val out = tmp("dups")
+    IvfMaintenance.build(spark, embeddings, out)
+    val one = embeddings.where(col("vec_id") % 100 === 11)
+      .select((col("vec_id") + 880000L).as("vec_id"), col("embedding"))
+    val r = IvfMaintenance.ingest(spark, one.unionAll(one), out) // dup rows
+    assert(r.nDelta == one.count(), "duplicates must collapse before counting")
+    val occ = IvfMaintenance.centroids(spark, out)
+      .select("cell", "n_assigned").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val folded = IvfMaintenance.assignments(spark, out)
+      .groupBy("cell").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(occ.filter(_._2 > 0) == folded,
+      s"published occupancy desynced from the lists: $occ vs $folded")
+  }
+
+  test("a rebuild preserves replay identity: a committed batch stays a no-op") {
+    val out = tmp("rebuild")
+    IvfMaintenance.build(spark, embeddings.where(col("vec_id") % 10 =!= 7), out)
+    val batch = embeddings.where(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 870000L).as("vec_id"), col("embedding"))
+    assert(IvfMaintenance.ingestEmbeddingBatch(spark, batch, 7L, out).isDefined)
+    // operator rebuilds the index from the (already batch-7-bearing)
+    // corpus — exactly the recovery path the sync's error message
+    // prescribes. The replay of batch 7 must STILL be a no-op, or its
+    // vectors fold as two live rows
+    val union = embeddings.select("vec_id", "label", "embedding").unionAll(
+      batch.withColumn("label", col("vec_id") % 3)
+        .select("vec_id", "label", "embedding"))
+    IvfMaintenance.build(spark, union, out)
+    val before = IvfMaintenance.assignments(spark, out).count()
+    assert(IvfMaintenance.ingestEmbeddingBatch(spark, batch, 7L, out).isEmpty,
+      "rebuild forgot replay identity")
+    assert(IvfMaintenance.assignments(spark, out).count() == before)
+  }
+
+  test("excludeSelfId=false serves an external query numbered like a corpus vector") {
+    val out = tmp("selfid")
+    IvfMaintenance.build(spark, embeddings, out)
+    val someVec = embeddings.orderBy("vec_id").limit(1)
+      .select("vec_id", "embedding").collect()(0)
+    import spark.implicits._
+    val q = Seq((someVec.getLong(0), someVec.getSeq[Double](1)))
+      .toDF("query_id", "embedding")
+    // default: the same-id corpus vector is excluded (self-probe)
+    val withDefault = IvfMaintenance.knnQuery(spark, out, q, k = 1)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(!withDefault.contains(someVec.getLong(0)))
+    // external-id-space mode: the exact-match vector IS the answer
+    val external = IvfMaintenance.knnQuery(spark, out, q, k = 1,
+      excludeSelfId = false)
+      .select("neighbor_id", "dist2").collect()
+    assert(external.head.getLong(0) == someVec.getLong(0) &&
+      external.head.getDouble(1) == 0.0,
+      s"excludeSelfId=false must return the identical vector: ${external.toSeq}")
+  }
+
   test("split flags mirror sim_incremental_assign on the same fixture") {
     // ingest the SAME 10% delta the registry query models; the cells
     // the operator splits must be exactly the query's needs_split set
