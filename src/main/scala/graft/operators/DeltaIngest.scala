@@ -334,6 +334,84 @@ object DeltaIngest {
         col("jaccard"))
   }
 
+  /** Per-doc curation audit off the PERSISTED index — "why is doc X in
+    * (or out of) the corpus", answered without recomputing anything
+    * (the recompute twin under the DuckDB oracle is the registry's
+    * dedup_disposition). For each queried doc_id:
+    *
+    *   - `kept`: the doc is live in the folded manifest — `split`
+    *     says where it serves (train/val/test).
+    *   - `dup_dropped`: the doc entered the dedup graph and its
+    *     cluster's CURRENT keeper is someone else — `keeper_id` names
+    *     the doc that beat it (election replacements included: a base
+    *     keeper later beaten by a delta doc reports the winner).
+    *   - `decontaminated`: the doc was gated in and kept its own
+    *     cluster, but is absent from the live layout — it was dropped
+    *     by train decontamination (at the base run, at its own ingest,
+    *     or retroactively by a later delta's holdout growth).
+    *   - `not_indexed`: the index has no record — the doc was never
+    *     ingested or failed the quality gate (gate failures are not
+    *     indexed by design: the index is O(gated), not O(raw)).
+    *
+    * Scale shape: every table read is candidate-bounded BEFORE its
+    * fold (the per-key latest-wins fold commutes with an id
+    * predicate), so the work is O(|ids| × log segments) id-width
+    * probes — the manifest/members/keepers scans are column-pruned to
+    * ids and never touch text. Output: (doc_id, status, split,
+    * keeper_id). */
+  def explainDocs(s: SparkSession, ids: DataFrame, outDir: String): DataFrame = {
+    require(indexed(s, outDir), s"buildIndex has not completed for $outDir")
+    val q = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // live manifest rows for the queried ids: bound base + log first,
+    // then fold (readManifest folds the whole corpus — same fold, same
+    // result on the bounded slice)
+    val baseMan = s.read.parquet(s"$outDir/manifest.parquet")
+      .select(col("doc_id"), col("split"), col("source"), col("n_chars"),
+        col("shard"))
+      .withColumn("dead", lit(false)).withColumn("seg", lit(0L))
+    val manRoot = s"$outDir/manifest_log"
+    val allowed = committedSegs(s, outDir)
+    val manSegs = presentSegs(s, manRoot).filter(allowed)
+    val manAll =
+      if (manSegs.isEmpty) baseMan
+      else baseMan.unionAll(
+        s.read.option("basePath", manRoot)
+          .parquet(manSegs.map(n => s"$manRoot/seg=$n"): _*)
+          .withColumn("seg", col("seg").cast("long"))
+          .select("doc_id", "split", "source", "n_chars", "shard", "dead", "seg"))
+    val live = foldLog(manAll.join(q, Seq("doc_id"), "left_semi"), Seq("doc_id"))
+      .select(col("doc_id"), col("split"))
+    // cluster membership + current keeper, candidate-bounded: only the
+    // queried ids' member rows, only THEIR clusters' keeper rows
+    val mem = foldLog(readLog(s, outDir, "members", MembersSchema)
+        .join(q, Seq("doc_id"), "left_semi"), Seq("doc_id"))
+    val keep = foldLog(readLog(s, outDir, "keepers", KeepersSchema)
+        .join(mem.select("cluster_id"), Seq("cluster_id"), "left_semi"),
+      Seq("cluster_id"))
+    val keeperOf = mem.join(keep, "cluster_id")
+      .select(col("doc_id"), col("keeper_id"))
+    // gated-corpus membership (ids only — column-pruned scans)
+    val gated = s.read.parquet(s"$outDir/stage1_clean/documents.parquet")
+      .select("doc_id")
+      .unionAll(readLog(s, outDir, "clean_delta", CleanSchema).select("doc_id"))
+      .join(q, Seq("doc_id"), "left_semi").distinct()
+      .withColumn("g", lit(1))
+    q.join(live, Seq("doc_id"), "left")
+      .join(keeperOf, Seq("doc_id"), "left")
+      .join(gated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("split").isNotNull, lit("kept"))
+          .when(col("keeper_id").isNotNull && col("keeper_id") =!= col("doc_id"),
+            lit("dup_dropped"))
+          .when(col("g").isNotNull, lit("decontaminated"))
+          .otherwise(lit("not_indexed")).as("status"),
+        col("split"),
+        when(col("split").isNull &&
+            col("keeper_id").isNotNull && col("keeper_id") =!= col("doc_id"),
+          col("keeper_id")).as("keeper_id"))
+  }
+
   /** The shared band-probe pipeline behind [[computeAndStage]]'s stage
     * 2a/2b and [[probeNearDups]] — ONE definition, so query-time
     * screening and ingest-time dedup cannot drift:

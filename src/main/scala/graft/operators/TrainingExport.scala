@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The curate → train last mile: turn a curated layout's live TRAIN
+  * slice into deterministic, reproducibly-shuffled, fixed-length
+  * token-packed training shards — the file set a pretraining loader
+  * actually mmaps. Composes the registry's oracle-checked recipes
+  * verbatim:
+  *
+  *   1. epoch shuffle (t_shard_shuffle): a seeded multiplicative hash
+  *      gives every doc a pseudo-random key `k`; docs route to
+  *      shard = k % nShards and are laid down within a shard in
+  *      (k, doc_id) order. Re-exporting with a new `seed` IS the next
+  *      epoch's permutation; the same seed reproduces bytes.
+  *   2. sequence packing (t_seq_pack / t_seq_pack_pieces): each
+  *      shard's token stream is concatenated in write order and cut
+  *      into `seqLen`-token sequences; a doc spanning a boundary
+  *      contributes a piece to each sequence it crosses — prefix-sum
+  *      arithmetic, no token is dropped or duplicated.
+  *
+  * Scale shape: ONE hash-partition shuffle routes docs (uniform — the
+  * key is a multiplicative hash, so no skew), the prefix sum is
+  * windowed PER SHARD (shard count scales with the corpus: pick
+  * nShards so a shard is one output file's worth), and the only
+  * token-weight exchange is the (shard, seq_id)-keyed piece regroup —
+  * the unavoidable one, it produces the product. Nothing global-sorts
+  * and nothing collects tokens to the driver.
+  *
+  * Commit protocol (the CurationRun stage pattern): shards land under
+  * `exportDir/shards/shard=<k>/`, then the per-shard manifest —
+  * written LAST — seals the export; its `_SUCCESS` is the marker. A
+  * completed export replays as a metadata-only no-op (the report is
+  * re-read from the manifest); a crash before the manifest re-runs the
+  * overwrite from the same deterministic inputs, converging to
+  * identical bytes.
+  *
+  * Reference scope note: the reference system (a job-queue engine) has
+  * no training-export analog; this operator exists for the
+  * 100 TB-training-pipeline mandate, composing with [[CurationRun]] /
+  * [[DeltaIngest]] layouts. Registry twin under the DuckDB oracle:
+  * t_export_manifest (the shard-manifest arithmetic on the raw
+  * documents table).
+  */
+object TrainingExport {
+
+  final case class ExportReport(
+      nDocs: Long,
+      nTokens: Long,
+      nSeqs: Long,
+      nShards: Int,
+      seqLen: Int,
+      seed: Long)
+
+  private def shardsDir(exportDir: String) = s"$exportDir/shards"
+  private def manifestDir(exportDir: String) = s"$exportDir/export_manifest.parquet"
+
+  /** The t_shard_shuffle key, seeded: pre-reduce mod 1000003 before
+    * the Knuth multiply keeps every intermediate under 2^63 (the
+    * t_split_assign overflow guard); pmod keeps a huge seed's wrap
+    * non-negative. */
+  private def shuffleKey(seed: Long) =
+    pmod(pmod(col("doc_id") + lit(seed), lit(1000003L)) * 2654435761L,
+      lit(1048573L))
+
+  /** Export the layout's live train docs (the `final/` table [[
+    * CurationRun.run]] writes and [[DeltaIngest.ingestDelta]] edits in
+    * place — partition-pruned to split=train, so val/test text is
+    * never read) as packed shards. Idempotent per exportDir: a sealed
+    * export returns its report without touching data. */
+  def export(s: SparkSession, outDir: String, exportDir: String,
+      nShards: Int = 8, seqLen: Int = 64, seed: Long = 0L): ExportReport = {
+    require(nShards > 0 && seqLen > 0, s"bad shape: $nShards shards × $seqLen")
+    if (CurationRun.exists(s, s"${manifestDir(exportDir)}/_SUCCESS"))
+      return readReport(s, exportDir)
+    val docs = s.read.parquet(s"$outDir/final")
+      .where(col("split") === "train")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    exportDocs(s, docs, exportDir, nShards, seqLen, seed)
+  }
+
+  /** The export pipeline over an arbitrary (doc_id, ws: array<string>)
+    * frame — [[export]] binds it to a curated layout's train slice. */
+  private[graft] def exportDocs(s: SparkSession, docsWs: DataFrame,
+      exportDir: String, nShards: Int, seqLen: Int, seed: Long): ExportReport = {
+    val L = seqLen.toLong
+    val keyed = docsWs
+      .select(col("doc_id"), col("ws"), shuffleKey(seed).as("k"))
+      .withColumn("shard", pmod(col("k"), lit(nShards.toLong)).cast("int"))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .where(col("n_tok") > 0)
+    if (keyed.head(1).isEmpty) {
+      // empty train slice: seal an empty (schema-full) manifest so the
+      // export is still marked complete and replays as a no-op
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("shard", IntegerType), StructField("n_docs", LongType),
+        StructField("n_seqs", LongType), StructField("n_tokens", LongType),
+        StructField("checksum", LongType), StructField("n_shards", IntegerType),
+        StructField("seq_len", IntegerType), StructField("seed", LongType)))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1).write.mode("overwrite").parquet(manifestDir(exportDir))
+      return ExportReport(0L, 0L, 0L, 0, 0, 0L)
+    }
+    val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per (sequence, doc piece): the t_seq_pack_pieces fan-out
+    // (boundary docs only), each piece carrying its token slice
+    val pieces = keyed
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("st", col("cum") - col("n_tok"))
+      .select(col("shard"), col("ws"), col("st"), col("n_tok"),
+        explode(expr(s"sequence(st div $L, (cum - 1) div $L)")).as("seq_id"))
+      .select(col("shard"), col("seq_id"),
+        (greatest(col("st"), col("seq_id") * L) - col("seq_id") * L)
+          .as("seq_off"),
+        slice(col("ws"),
+          (greatest(col("st"), col("seq_id") * L) - col("st") + 1).cast("int"),
+          (least((col("seq_id") + 1) * L, col("st") + col("n_tok")) -
+            greatest(col("st"), col("seq_id") * L)).cast("int")).as("toks"))
+    // regroup pieces into whole sequences: collect, order by in-seq
+    // offset (array_sort on the struct — seq_off leads), flatten
+    val seqs = pieces
+      .groupBy("shard", "seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("seq_off"), col("toks")))),
+        p => p.getField("toks"))).as("tokens"))
+      .select(col("shard"), col("seq_id"),
+        size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
+    seqs.repartition(col("shard")).sortWithinPartitions("shard", "seq_id")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(shardsDir(exportDir))
+    // manifest LAST — the seal. Counts come from the WRITTEN shards
+    // (re-read, not the pre-write plan), so the manifest certifies
+    // what is actually on disk; checksum is order-free (an XOR fold —
+    // closed on int64, so no ANSI overflow at any corpus size) over
+    // per-sequence content hashes.
+    val written = s.read.parquet(shardsDir(exportDir))
+    val perDoc = keyed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+    val man = written.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"), sum("n_tokens").as("n_tokens"),
+        bit_xor(xxhash64(concat_ws(" ", col("tokens")))).as("checksum"))
+      .join(perDoc, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_seqs"), col("n_tokens"), col("checksum"),
+        lit(nShards).as("n_shards"), lit(seqLen).as("seq_len"),
+        lit(seed).as("seed"))
+    man.coalesce(1).write.mode("overwrite").parquet(manifestDir(exportDir))
+    readReport(s, exportDir)
+  }
+
+  /** Per-shard manifest of a sealed export. */
+  def readManifest(s: SparkSession, exportDir: String): DataFrame =
+    s.read.parquet(manifestDir(exportDir))
+
+  private def readReport(s: SparkSession, exportDir: String): ExportReport = {
+    val m = readManifest(s, exportDir)
+    // an empty train slice seals an empty manifest — the replayed
+    // report must agree with the original (all-zero), not NPE
+    if (m.head(1).isEmpty) return ExportReport(0L, 0L, 0L, 0, 0, 0L)
+    val r = m.agg(
+      sum("n_docs").as("nd"), sum("n_tokens").as("nt"), sum("n_seqs").as("ns"),
+      max("n_shards").as("nsh"), max("seq_len").as("sl"), max("seed").as("se"))
+      .collect()(0)
+    ExportReport(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getInt(3), r.getInt(4), r.getLong(5))
+  }
+}

@@ -1577,6 +1577,94 @@ object DedupQueries {
       "The composed curation pipeline: near-dedup survivors, holdout split, decontamination — per-source attrition."),
 
     QueryDef(
+      "dedup_disposition",
+      (s, dir) => {
+        // PER-DOC curation audit — dedup_pipeline_funnel's per-source
+        // attrition refined to the row a data auditor actually asks
+        // for: every doc's final disposition and, when it lost a dedup
+        // election, WHO beat it. Status precedence mirrors the funnel's
+        // stage order exactly (near-dup election first, then holdout
+        // split, then train decontamination), so grouping this output
+        // by (source, status) reproduces the funnel counts. keeper_id
+        // is non-null ONLY on near_dup rows — the audit pointer, same
+        // max(n_chars, ties min doc_id) election every dedup entry
+        // uses. Scale shape: identical to the funnel (one shared pair
+        // graph, id-sized CC + election joins, two id-keyed left joins
+        // onto a column-pruned doc scan); output is one id-width row
+        // per doc — the audit table a 100 TB run materializes next to
+        // its manifest. The serve-side twin over the PERSISTED index
+        // (no recompute) is operators/DeltaIngest.explainDocs.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val cc = pointerJumpCC(localUnionFindEdges(edges).localCheckpoint(true))
+          .select("doc_id", "cluster_id")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val kept = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+          .groupBy("cluster_id")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("best"))
+          .select(col("cluster_id"), (-col("best.nd")).as("kept_doc"))
+        val withKeeper = cc.join(kept, "cluster_id")
+          .select(col("doc_id"), col("kept_doc"))
+        val contam = decontaminate(s, dir)
+          .where(col("n_shared") * 5 >= col("n_shingles"))
+          .select(col("doc_id"), lit(1).as("ct"))
+        docs
+          .join(withKeeper, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(col("kept_doc").isNotNull && col("kept_doc") =!= col("doc_id"),
+              lit("near_dup"))
+              .when((col("doc_id") % 1000003L * 2654435761L % 100) >= 80,
+                lit("holdout"))
+              .when(col("ct").isNotNull, lit("contaminated"))
+              .otherwise(lit("train")).as("status"),
+            when(col("kept_doc").isNotNull && col("kept_doc") =!= col("doc_id"),
+              col("kept_doc")).cast("long").as("keeper_id"))
+      },
+      Some(materializeCtes(
+        s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$LshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+           |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+           |jj AS (SELECT cc.cluster_id, d.doc_id, d.n_chars
+           |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+           |b AS (SELECT cluster_id, doc_id AS kept_doc,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |      ORDER BY n_chars DESC, doc_id) AS rk FROM jj),
+           |nd AS (SELECT jj.doc_id, b.kept_doc FROM jj
+           |  JOIN b ON jj.cluster_id = b.cluster_id AND b.rk = 1
+           |  WHERE jj.doc_id <> b.kept_doc),
+           |cntall AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |hold AS (SELECT DISTINCT s FROM sh
+           |  WHERE doc_id % 1000003 * 2654435761 % 100 >= 80),
+           |trc AS (SELECT tr.doc_id FROM
+           |    (SELECT sh.doc_id, COUNT(*) AS n_shared FROM sh
+           |      JOIN hold ON sh.s = hold.s
+           |      WHERE sh.doc_id % 1000003 * 2654435761 % 100 < 80
+           |      GROUP BY 1) tr
+           |  JOIN cntall c ON tr.doc_id = c.doc_id
+           |  WHERE tr.n_shared * 5 >= c.n)
+           |SELECT d.doc_id, d.source,
+           |  CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+           |    WHEN d.doc_id % 1000003 * 2654435761 % 100 >= 80 THEN 'holdout'
+           |    WHEN trc.doc_id IS NOT NULL THEN 'contaminated'
+           |    ELSE 'train' END AS status,
+           |  CASE WHEN nd.doc_id IS NOT NULL THEN nd.kept_doc END AS keeper_id
+           |FROM documents d
+           |LEFT JOIN nd ON d.doc_id = nd.doc_id
+           |LEFT JOIN trc ON d.doc_id = trc.doc_id""".stripMargin,
+        "sh", "sig", "cand", "cids", "shc", "cnt", "shr", "pairs",
+        "edges", "cc", "jj", "hold")),
+      "Per-doc curation audit: final disposition (near_dup/holdout/contaminated/train) + the keeper that beat each dropped doc."),
+
+    QueryDef(
       "dedup_delta_election",
       (s, dir) => {
         // The INCREMENTAL-dedup election (operators/DeltaIngest stage

@@ -326,6 +326,36 @@ class DeltaIngestSpec extends AnyFunSuite {
     assert(finalRows(out) == finalBefore)
   }
 
+  test("explainDocs audits every disposition off the persisted index, read-only") {
+    val (out, _, _) = run
+    import spark.implicits._
+    val asked = Seq(
+      a1.id, b2.id, gHold.id, // kept (train / train / holdout)
+      a2.id, e2.id, // delta losers -> dup_dropped with their keepers
+      b1.id, c1.id, // beaten base singleton / within-delta loser
+      tTrain.id, fTrain.id, // retro- and ingest-decontaminated
+      999999L) // never ingested
+    val segsBefore = DeltaIngest.committedSegs(spark, out)
+    val got = DeltaIngest.explainDocs(spark, asked.toDF("doc_id"), out)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.toString),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got.size == asked.size, s"one row per asked id: $got")
+    assert(got(a1.id) == (("kept", Some("train"), None)), s"${got(a1.id)}")
+    assert(got(b2.id)._1 == "kept" && got(b2.id)._3.isEmpty, s"${got(b2.id)}")
+    assert(got(gHold.id)._1 == "kept" &&
+      Set("val", "test").contains(got(gHold.id)._2.get), s"${got(gHold.id)}")
+    assert(got(a2.id) == (("dup_dropped", None, Some(a1.id))), s"${got(a2.id)}")
+    assert(got(e2.id) == (("dup_dropped", None, Some(e1.id))), s"${got(e2.id)}")
+    assert(got(b1.id) == (("dup_dropped", None, Some(b2.id))),
+      s"a replaced base keeper must point at the delta doc that beat it: ${got(b1.id)}")
+    assert(got(c1.id) == (("dup_dropped", None, Some(c2.id))), s"${got(c1.id)}")
+    assert(got(tTrain.id) == (("decontaminated", None, None)), s"${got(tTrain.id)}")
+    assert(got(fTrain.id) == (("decontaminated", None, None)), s"${got(fTrain.id)}")
+    assert(got(999999L) == (("not_indexed", None, None)), s"${got(999999L)}")
+    assert(DeltaIngest.committedSegs(spark, out) == segsBefore, "read-only")
+  }
+
   test("per-ingest write volume is O(delta): independent of the base corpus size") {
     // same NOVEL-doc delta (no removals -> no partition rewrites)
     // against a 1x and a 6x base; the bytes a batch persists must not
