@@ -157,11 +157,16 @@ object DeltaIngest {
   /** All committed rows of a log table (with their `seg`), empty-safe.
     * Reads only the allowed segment dirs, so an uncommitted (crashed)
     * segment is invisible — snapshot isolation on bare parquet. */
+  /** `allowedSegs`: pass a committed-segment snapshot to pin several
+    * reads to ONE commit point (a concurrent ingest landing between two
+    * default-snapshot reads would otherwise show each read a different
+    * index state); None re-lists per read — fine inside the
+    * single-writer ingest, wrong for multi-table readers. */
   private[graft] def readLog(
       s: SparkSession, outDir: String, table: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, allowedSegs: Option[Set[Long]] = None): DataFrame = {
     val root = s"${idxDir(outDir)}/$table"
-    val allowed = committedSegs(s, outDir)
+    val allowed = allowedSegs.getOrElse(committedSegs(s, outDir))
     val segs = presentSegs(s, root).filter(allowed)
     if (segs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema.add("seg", LongType))
@@ -208,27 +213,34 @@ object DeltaIngest {
     StructField("source", StringType), StructField("n_chars", LongType),
     StructField("shard", IntegerType), StructField("dead", BooleanType)))
 
-  /** The curated-layout manifest as of the last committed ingest: the
-    * base run's manifest folded with the per-ingest increment log.
-    * Works on a plain CurationRun dir too (no log → the base manifest). */
-  def readManifest(s: SparkSession, outDir: String): DataFrame = {
+  /** The UNFOLDED manifest union (base run rows as seg 0 + the
+    * committed increment log) — the one definition both [[readManifest]]
+    * and [[explainDocs]] fold, so the audit path can never read a
+    * different table shape than the serve path. `allowed` is the
+    * caller's committed-segment snapshot (threaded, not re-listed, so a
+    * multi-read caller sees ONE commit point). */
+  private def manifestAll(s: SparkSession, outDir: String,
+      allowed: Set[Long]): DataFrame = {
     val base = s.read.parquet(s"$outDir/manifest.parquet")
       .select(col("doc_id"), col("split"), col("source"), col("n_chars"),
         col("shard"))
       .withColumn("dead", lit(false)).withColumn("seg", lit(0L))
     val root = s"$outDir/manifest_log"
-    val allowed = committedSegs(s, outDir)
     val segs = presentSegs(s, root).filter(allowed)
-    val all =
-      if (segs.isEmpty) base
-      else base.unionAll(
-        s.read.option("basePath", root)
-          .parquet(segs.map(n => s"$root/seg=$n"): _*)
-          .withColumn("seg", col("seg").cast("long"))
-          .select("doc_id", "split", "source", "n_chars", "shard", "dead", "seg"))
-    foldLog(all, Seq("doc_id"))
-      .select("doc_id", "split", "source", "n_chars", "shard")
+    if (segs.isEmpty) base
+    else base.unionAll(
+      s.read.option("basePath", root)
+        .parquet(segs.map(n => s"$root/seg=$n"): _*)
+        .withColumn("seg", col("seg").cast("long"))
+        .select("doc_id", "split", "source", "n_chars", "shard", "dead", "seg"))
   }
+
+  /** The curated-layout manifest as of the last committed ingest: the
+    * base run's manifest folded with the per-ingest increment log.
+    * Works on a plain CurationRun dir too (no log → the base manifest). */
+  def readManifest(s: SparkSession, outDir: String): DataFrame =
+    foldLog(manifestAll(s, outDir, committedSegs(s, outDir)), Seq("doc_id"))
+      .select("doc_id", "split", "source", "n_chars", "shard")
 
   // ---------------------------------------------------------------
   // index build (seg=0 of every log table)
@@ -363,30 +375,22 @@ object DeltaIngest {
     require(indexed(s, outDir), s"buildIndex has not completed for $outDir")
     val q = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
+    // ONE committed-segment snapshot threads through every read below:
+    // a concurrent ingest committing mid-call could otherwise show the
+    // manifest an older state than the cluster index, yielding a status
+    // true at NO commit point
+    val allowed = committedSegs(s, outDir)
     // live manifest rows for the queried ids: bound base + log first,
     // then fold (readManifest folds the whole corpus — same fold, same
     // result on the bounded slice)
-    val baseMan = s.read.parquet(s"$outDir/manifest.parquet")
-      .select(col("doc_id"), col("split"), col("source"), col("n_chars"),
-        col("shard"))
-      .withColumn("dead", lit(false)).withColumn("seg", lit(0L))
-    val manRoot = s"$outDir/manifest_log"
-    val allowed = committedSegs(s, outDir)
-    val manSegs = presentSegs(s, manRoot).filter(allowed)
-    val manAll =
-      if (manSegs.isEmpty) baseMan
-      else baseMan.unionAll(
-        s.read.option("basePath", manRoot)
-          .parquet(manSegs.map(n => s"$manRoot/seg=$n"): _*)
-          .withColumn("seg", col("seg").cast("long"))
-          .select("doc_id", "split", "source", "n_chars", "shard", "dead", "seg"))
-    val live = foldLog(manAll.join(q, Seq("doc_id"), "left_semi"), Seq("doc_id"))
+    val live = foldLog(manifestAll(s, outDir, allowed)
+        .join(q, Seq("doc_id"), "left_semi"), Seq("doc_id"))
       .select(col("doc_id"), col("split"))
     // cluster membership + current keeper, candidate-bounded: only the
     // queried ids' member rows, only THEIR clusters' keeper rows
-    val mem = foldLog(readLog(s, outDir, "members", MembersSchema)
+    val mem = foldLog(readLog(s, outDir, "members", MembersSchema, Some(allowed))
         .join(q, Seq("doc_id"), "left_semi"), Seq("doc_id"))
-    val keep = foldLog(readLog(s, outDir, "keepers", KeepersSchema)
+    val keep = foldLog(readLog(s, outDir, "keepers", KeepersSchema, Some(allowed))
         .join(mem.select("cluster_id"), Seq("cluster_id"), "left_semi"),
       Seq("cluster_id"))
     val keeperOf = mem.join(keep, "cluster_id")
@@ -394,7 +398,8 @@ object DeltaIngest {
     // gated-corpus membership (ids only — column-pruned scans)
     val gated = s.read.parquet(s"$outDir/stage1_clean/documents.parquet")
       .select("doc_id")
-      .unionAll(readLog(s, outDir, "clean_delta", CleanSchema).select("doc_id"))
+      .unionAll(readLog(s, outDir, "clean_delta", CleanSchema, Some(allowed))
+        .select("doc_id"))
       .join(q, Seq("doc_id"), "left_semi").distinct()
       .withColumn("g", lit(1))
     q.join(live, Seq("doc_id"), "left")

@@ -57,24 +57,37 @@ object TrainingExport {
   private def shardsDir(exportDir: String) = s"$exportDir/shards"
   private def manifestDir(exportDir: String) = s"$exportDir/export_manifest.parquet"
 
-  /** The t_shard_shuffle key, seeded: pre-reduce mod 1000003 before
-    * the Knuth multiply keeps every intermediate under 2^63 (the
-    * t_split_assign overflow guard); pmod keeps a huge seed's wrap
-    * non-negative. */
-  private def shuffleKey(seed: Long) =
-    pmod(pmod(col("doc_id") + lit(seed), lit(1000003L)) * 2654435761L,
-      lit(1048573L))
+  /** The t_shard_shuffle key, seeded: BOTH operands pre-reduce mod
+    * 1000003 before the add and the Knuth multiply, so every
+    * intermediate stays far under 2^63 for any doc_id/seed pair —
+    * Spark 4 runs ANSI by default and a raw `doc_id + seed` would
+    * throw on a huge seed rather than wrap. seed=0 reproduces the
+    * registry key exactly (doc_id % 1000003 is unchanged by the
+    * guard). */
+  private def shuffleKey(seed: Long) = {
+    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
+    pmod(pmod(col("doc_id"), lit(1000003L)) + lit(seedMod), lit(1000003L)) *
+      2654435761L % 1048573L
+  }
 
   /** Export the layout's live train docs (the `final/` table [[
     * CurationRun.run]] writes and [[DeltaIngest.ingestDelta]] edits in
     * place — partition-pruned to split=train, so val/test text is
     * never read) as packed shards. Idempotent per exportDir: a sealed
-    * export returns its report without touching data. */
+    * export returns its report without touching data — and REFUSES a
+    * replay with a different shape (a silently-returned seed-0 report
+    * would let a caller train a "new epoch" on last epoch's bytes). */
   def export(s: SparkSession, outDir: String, exportDir: String,
       nShards: Int = 8, seqLen: Int = 64, seed: Long = 0L): ExportReport = {
     require(nShards > 0 && seqLen > 0, s"bad shape: $nShards shards × $seqLen")
-    if (CurationRun.exists(s, s"${manifestDir(exportDir)}/_SUCCESS"))
-      return readReport(s, exportDir)
+    if (CurationRun.exists(s, s"${manifestDir(exportDir)}/_SUCCESS")) {
+      val rep = readReport(s, exportDir)
+      require(rep.nShards == nShards && rep.seqLen == seqLen && rep.seed == seed,
+        s"$exportDir is sealed with shape (nShards=${rep.nShards}, " +
+          s"seqLen=${rep.seqLen}, seed=${rep.seed}); requested " +
+          s"($nShards, $seqLen, $seed) — export each epoch to its own dir")
+      return rep
+    }
     val docs = s.read.parquet(s"$outDir/final")
       .where(col("split") === "train")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -86,23 +99,33 @@ object TrainingExport {
   private[graft] def exportDocs(s: SparkSession, docsWs: DataFrame,
       exportDir: String, nShards: Int, seqLen: Int, seed: Long): ExportReport = {
     val L = seqLen.toLong
+    // ONE materialization of the keyed slice: the shard write, the
+    // per-shard doc counts, and the emptiness probe all read this
+    // frame — without it each consumer re-scans the train text, and a
+    // concurrent layout edit between the shard write and the manifest
+    // would seal doc counts the shards never saw
     val keyed = docsWs
       .select(col("doc_id"), col("ws"), shuffleKey(seed).as("k"))
       .withColumn("shard", pmod(col("k"), lit(nShards.toLong)).cast("int"))
       .withColumn("n_tok", size(col("ws")).cast("long"))
       .where(col("n_tok") > 0)
+      .localCheckpoint(true)
+    // every shard gets a manifest row (zero-filled when empty): the
+    // loader can tell "legitimately empty" from "missing", and an
+    // empty export's replayed report still carries the sealed shape
+    val allShards = s.range(nShards).select(col("id").cast("int").as("shard"))
     if (keyed.head(1).isEmpty) {
-      // empty train slice: seal an empty (schema-full) manifest so the
-      // export is still marked complete and replays as a no-op
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("shard", IntegerType), StructField("n_docs", LongType),
-        StructField("n_seqs", LongType), StructField("n_tokens", LongType),
-        StructField("checksum", LongType), StructField("n_shards", IntegerType),
-        StructField("seq_len", IntegerType), StructField("seed", LongType)))
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1).write.mode("overwrite").parquet(manifestDir(exportDir))
-      return ExportReport(0L, 0L, 0L, 0, 0, 0L)
+      // empty train slice: CLEAR any stale shards from a crashed prior
+      // attempt (the non-empty path overwrites them; this path must not
+      // leave them under a now-valid seal), then seal zero rows
+      val p = new org.apache.hadoop.fs.Path(shardsDir(exportDir))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      sealManifest(s, allShards
+        .select(col("shard"), lit(0L).as("n_docs"), lit(0L).as("n_seqs"),
+          lit(0L).as("n_tokens"), lit(0L).as("checksum")),
+        exportDir, nShards, seqLen, seed)
+      return readReport(s, exportDir)
     }
     val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -132,25 +155,36 @@ object TrainingExport {
     seqs.repartition(col("shard")).sortWithinPartitions("shard", "seq_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(shardsDir(exportDir))
-    // manifest LAST — the seal. Counts come from the WRITTEN shards
-    // (re-read, not the pre-write plan), so the manifest certifies
-    // what is actually on disk; checksum is order-free (an XOR fold —
-    // closed on int64, so no ANSI overflow at any corpus size) over
-    // per-sequence content hashes.
+    // manifest LAST — the seal. Sequence counts come from the WRITTEN
+    // shards (re-read, not the pre-write plan) and doc counts from the
+    // checkpointed slice the shards were packed from, so the manifest
+    // certifies exactly what is on disk; checksum is order-free (an
+    // XOR fold — closed on int64, so no ANSI overflow at any corpus
+    // size) over per-sequence content hashes.
     val written = s.read.parquet(shardsDir(exportDir))
     val perDoc = keyed.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"))
-    val man = written.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_seqs"), sum("n_tokens").as("n_tokens"),
-        bit_xor(xxhash64(concat_ws(" ", col("tokens")))).as("checksum"))
+    sealManifest(s, allShards
+      .join(written.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"), sum("n_tokens").as("n_tokens"),
+          bit_xor(xxhash64(concat_ws(" ", col("tokens")))).as("checksum")),
+        Seq("shard"), "left")
       .join(perDoc, Seq("shard"), "left")
       .select(col("shard"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        col("n_seqs"), col("n_tokens"), col("checksum"),
-        lit(nShards).as("n_shards"), lit(seqLen).as("seq_len"),
-        lit(seed).as("seed"))
-    man.coalesce(1).write.mode("overwrite").parquet(manifestDir(exportDir))
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("checksum"), lit(0L)).as("checksum")),
+      exportDir, nShards, seqLen, seed)
     readReport(s, exportDir)
   }
+
+  private def sealManifest(s: SparkSession, perShard: DataFrame,
+      exportDir: String, nShards: Int, seqLen: Int, seed: Long): Unit =
+    perShard
+      .select(col("shard"), col("n_docs"), col("n_seqs"), col("n_tokens"),
+        col("checksum"), lit(nShards).as("n_shards"),
+        lit(seqLen).as("seq_len"), lit(seed).as("seed"))
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir(exportDir))
 
   /** Per-shard manifest of a sealed export. */
   def readManifest(s: SparkSession, exportDir: String): DataFrame =

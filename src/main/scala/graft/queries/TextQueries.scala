@@ -1663,13 +1663,16 @@ object TextQueries {
         // under the DuckDB hash gate): docs route to shards by the
         // t_shard_shuffle key, each shard reports its doc/token load,
         // the packed-sequence count at L=64 (ceil division — the
-        // t_seq_pack cut), and an order-free integer checksum
-        // (Σ k·n_tok — write order can't change a sum). Scale shape:
-        // one map-side-combinable agg to nShards rows; n_tok is
-        // row-local, nothing token-weight shuffles (the real export
-        // moves tokens; its MANIFEST never needs to). The overflow
-        // guard is t_split_assign's: pre-reduce mod 1000003 before the
-        // Knuth multiply keeps intermediates < 2^63.
+        // t_seq_pack cut), and an order-free integer checksum (an XOR
+        // fold of k·n_tok — write order can't change it, and XOR is
+        // CLOSED on int64: a Σ would leave ANSI Spark throwing where
+        // DuckDB widens to HUGEINT once a shard passes ~2^63 summed
+        // products). Scale shape: one map-side-combinable agg to
+        // nShards rows; n_tok is row-local, nothing token-weight
+        // shuffles (the real export moves tokens; its MANIFEST never
+        // needs to). The overflow guard is t_split_assign's:
+        // pre-reduce mod 1000003 before the Knuth multiply keeps the
+        // per-row product < 2^51.
         val k = col("doc_id") % 1000003L * 2654435761L % 1048573L
         t(s, dir, "documents")
           .select(k.as("k"),
@@ -1677,7 +1680,7 @@ object TextQueries {
           .groupBy((col("k") % 8).cast("int").as("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum("n_tok").as("n_tokens"),
-            sum(col("k") * col("n_tok")).as("tok_checksum"))
+            bit_xor(col("k") * col("n_tok")).as("tok_checksum"))
           .select(col("shard"), col("n_docs"), col("n_tokens"),
             expr("(n_tokens + 63) div 64").as("n_seqs"),
             col("tok_checksum"))
@@ -1688,7 +1691,7 @@ object TextQueries {
           |SELECT CAST(k % 8 AS INT) AS shard, COUNT(*) AS n_docs,
           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
           |  CAST((SUM(n_tok) + 63) // 64 AS BIGINT) AS n_seqs,
-          |  CAST(SUM(k * n_tok) AS BIGINT) AS tok_checksum
+          |  CAST(BIT_XOR(k * n_tok) AS BIGINT) AS tok_checksum
           |FROM c GROUP BY 1""".stripMargin),
       "Training-export shard manifest: per-shard doc/token/packed-sequence counts + order-free checksum."),
 
