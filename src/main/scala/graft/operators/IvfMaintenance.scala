@@ -154,7 +154,7 @@ object IvfMaintenance {
     * them, and the next writer sweeps them before computing. */
   private def wipeUncommitted(s: SparkSession, outDir: String): Unit = {
     val allowed = committedSegs(s, outDir)
-    for (root <- Seq(centRoot(outDir), asgRoot(outDir));
+    for (root <- Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir));
          n <- presentSegs(s, root) if !allowed(n)) {
       val p = new Path(s"$root/seg=$n"); fs(s, p).delete(p, true)
     }
@@ -196,11 +196,14 @@ object IvfMaintenance {
 
   private def shardOf(cell: Column): Column = (cell % 16).cast("int")
 
-  /** Write one committed segment: stage both tables under seg=<n>, then
-    * land the marker — a crash at ANY earlier instant leaves an
-    * invisible orphan, never a half-updated index. */
+  /** Write one committed segment: stage every table under seg=<n>,
+    * then land the marker — a crash at ANY earlier instant leaves an
+    * invisible orphan, never a half-updated index. `codesInc` rides
+    * the same commit when PQ is enabled, so codes can never lag the
+    * lists. */
   private def writeSegment(s: SparkSession, outDir: String, seg: Long,
-      cents: DataFrame, asgInc: DataFrame, key: String): Unit = {
+      cents: DataFrame, asgInc: DataFrame, key: String,
+      codesInc: Option[DataFrame] = None): Unit = {
     cents.select("cell", "c", "n_assigned")
       .write.mode("overwrite").parquet(s"${centRoot(outDir)}/seg=$seg")
     asgInc.select(col("vec_id"), col("cell"), col("e"), col("dead"),
@@ -208,6 +211,8 @@ object IvfMaintenance {
       .repartition(col("shard")).sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"${asgRoot(outDir)}/seg=$seg")
+    codesInc.foreach(_.select("vec_id", "m", "code")
+      .write.mode("overwrite").parquet(s"${pqRoot(outDir)}/seg=$seg"))
     commitMarker(s, outDir, seg, key)
   }
 
@@ -286,11 +291,22 @@ object IvfMaintenance {
       case empty if empty.isEmpty => 0L
       case segs => segs.max + 1
     }
+    // a REBUILD under an enabled PQ layer must re-encode: the new
+    // snapshot may hold vectors with no committed codes, and adcKnn's
+    // codes join would silently drop them from every candidate set.
+    // Codebooks stay FIXED (faiss semantics) — only codes are rewritten,
+    // inside the same commit.
+    val codes =
+      if (pqEnabled(s, outDir)) {
+        val cb = readCodebooks(s, outDir)
+        Some(encode(asg.select(col("vec_id"), col("e")), cb,
+          cb.agg(max("m")).head().getInt(0) + 1))
+      } else None
     writeSegment(s, outDir, seg,
       cents.select("cell", "c").join(occ, Seq("cell"), "left")
         .select(col("cell"), col("c"),
           coalesce(col("n_assigned"), lit(0L)).as("n_assigned")),
-      asg.withColumn("dead", lit(false)), s"build-$seg")
+      asg.withColumn("dead", lit(false)), s"build-$seg", codes)
   }
 
   /** Absorb a delta batch: assign against the standing centroid
@@ -417,7 +433,15 @@ object IvfMaintenance {
         (keptCents.unionAll(splitCents).localCheckpoint(true),
           inc.localCheckpoint(true))
       }
-    writeSegment(s, outDir, seg, centsSeg, asgInc, key)
+    // PQ: encode the delta against the FIXED committed codebooks inside
+    // this same commit (codes are cell-independent, so split movers —
+    // already coded at their own ingest — need nothing here)
+    val codesInc =
+      if (pqEnabled(s, outDir)) {
+        val cb = readCodebooks(s, outDir)
+        Some(encode(d, cb, cb.agg(max("m")).head().getInt(0) + 1))
+      } else None
+    writeSegment(s, outDir, seg, centsSeg, asgInc, key, codesInc)
     // counted from the published snapshot, not nCellsBefore + nSplit:
     // a flagged single-member (or one-sided) cell publishes no sub-1
     // centroid, and the report must not claim a cell that isn't there
@@ -550,6 +574,184 @@ object IvfMaintenance {
     } else Some(ingestKeyed(spark, delta, outDir, key))
   }
 
+  // ---------------------------------------------------------------
+  // product quantization (the compressed serve path)
+  // ---------------------------------------------------------------
+  //
+  // At 100 TB the inverted lists' raw float arrays are the index's
+  // dominant storage and serve-time I/O: ~3 KB/vector raw vs m bytes
+  // coded. The PQ layer is the standard faiss IVFPQ treatment,
+  // composed from the registry's oracle-checked sim_pq_adc_knn /
+  // sim_ivfpq_knn arithmetic:
+  //   - [[buildPq]] (once, any time after [[build]]): train
+  //     per-(subspace, label) codebooks — the exact pqScored recipe —
+  //     over the provided labeled sample, encode EVERY live vector,
+  //     and seal with `pq_cb.parquet` written LAST (the enablement
+  //     marker: a crash mid-build leaves PQ off and the next attempt
+  //     overwrites).
+  //   - [[ingest]]/[[ingestKeyed]] then encode each delta against the
+  //     FIXED committed codebooks (faiss semantics: codebooks never
+  //     retrain) inside the SAME segment commit, so the codes can
+  //     never lag the lists.
+  //   - codes need NO tombstones: [[adcKnn]] reaches them only through
+  //     the folded assignment ids, so a removed/re-homed vector's
+  //     stale codes are unreachable; [[compact]] drops them.
+  //   - [[adcKnn]] serves top-k from codes alone — the assignment log
+  //     is read id-width (vec_id/cell, the embedding column pruned at
+  //     the scan), the per-query distance tables are (nprobe-bounded
+  //     queries) × (m·k codewords) broadcast-sized, and the candidate
+  //     score is the ADC sum Σ_m qd[m][code_m].
+  // Approximation contract (spec-pinned): adcKnn equals the ADC
+  // arithmetic recomputed from scratch on the same codebooks/codes; it
+  // is NOT exact kNN — [[knnQuery]] remains the exact-on-candidates
+  // path.
+
+  private def pqCbPath(outDir: String) = s"${ivfDir(outDir)}/pq_cb.parquet"
+  private def pqRoot(outDir: String) = s"${ivfDir(outDir)}/pqcodes"
+
+  private val PqCodesSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("m", IntegerType),
+    StructField("code", LongType)))
+
+  /** PQ is enabled iff the codebook table sealed. */
+  def pqEnabled(s: SparkSession, outDir: String): Boolean =
+    CurationRun.exists(s, s"${pqCbPath(outDir)}/_SUCCESS")
+
+  private def readCodebooks(s: SparkSession, outDir: String): DataFrame =
+    s.read.parquet(pqCbPath(outDir)).select("m", "cw", "c")
+
+  private def readCodesLog(s: SparkSession, outDir: String,
+      allowed: Set[Long]): DataFrame = {
+    val root = pqRoot(outDir)
+    val segs = presentSegs(s, root).filter(allowed)
+    if (segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        PqCodesSchema.add("seg", LongType))
+    else
+      s.read.option("basePath", root)
+        .parquet(segs.map(n => s"$root/seg=$n"): _*)
+        .withColumn("seg", col("seg").cast("long"))
+  }
+
+  /** Latest committed code per (vec_id, m). */
+  private def foldCodes(log: DataFrame): DataFrame =
+    log.groupBy("vec_id", "m")
+      .agg(max(struct(col("seg"), col("code"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+
+  /** argmin codeword per (vec, subspace) against the broadcast
+    * codebooks — ties to the smaller codeword id (the pqScored rule). */
+  private def encode(vecs: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val subLen = cb.select(size(col("c"))).head().getInt(0)
+    val subs = vecs.select(col("vec_id"),
+      posexplode(array((0 until m).map(i =>
+        slice(col("e"), subLen * i + 1, subLen)): _*)).as(Seq("m", "sub")))
+    subs.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"),
+        struct(d2(col("sub"), col("c")).as("dst"), col("cw")).as("sc"))
+      .groupBy("vec_id", "m").agg(min(col("sc")).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cw").as("code"))
+  }
+
+  /** Train codebooks on the labeled sample (per-(subspace, label)
+    * exact means — the registry's pqScored recipe verbatim), encode
+    * every LIVE vector in the index, and seal. `sample` columns:
+    * (label, embedding). Codebooks are FIXED from here on — deltas
+    * encode against them, never retrain (faiss semantics). Idempotent:
+    * sealed ⇒ no-op; a crash before the seal leaves PQ off. */
+  def buildPq(s: SparkSession, sample: DataFrame, outDir: String,
+      m: Int = 8): Unit = {
+    VectorFunctions.register(s)
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    if (pqEnabled(s, outDir)) return
+    val sv = sample.select(col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("e"))
+    val dim = sv.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val subs = sv
+      .select(col("label"), posexplode(array((0 until m).map(i =>
+        slice(col("e"), subLen * i + 1, subLen)): _*)).as(Seq("m", "sub")))
+    val cb = quantCentroid(s,
+      subs.select(col("m"), col("label"), col("sub").as("e")),
+      Seq(col("m"), col("label")), Seq("m", "cw"))
+      .select("m", "cw", "c").localCheckpoint(true)
+    // codes for every live vector, landed under the CURRENT max
+    // committed segment (admitted retroactively — safe because nothing
+    // reads pqcodes until the seal below lands)
+    val top = committedSegs(s, outDir).max
+    encode(assignments(s, outDir).select(col("vec_id"), col("e")), cb, m)
+      .write.mode("overwrite").parquet(s"${pqRoot(outDir)}/seg=$top")
+    // seal LAST: the codebook table's _SUCCESS is the enablement marker
+    cb.withColumn("n_sub", lit(m))
+      .write.mode("overwrite").parquet(pqCbPath(outDir))
+  }
+
+  /** Serve top-k by asymmetric-distance computation from the PERSISTED
+    * codes — the compressed path: the assignment log is read id-width
+    * (embeddings pruned), candidates come from the probed cells, and
+    * each candidate costs m table lookups instead of a d-dim product.
+    * Output: (query_id, neighbor_id, adist2, rk). */
+  def adcKnn(s: SparkSession, outDir: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 1, excludeSelfId: Boolean = true): DataFrame = {
+    VectorFunctions.register(s)
+    require(pqEnabled(s, outDir), s"buildPq has not completed for $outDir")
+    import org.apache.spark.sql.expressions.Window
+    val allowed = committedSegs(s, outDir)
+    val cb = readCodebooks(s, outDir).localCheckpoint(true)
+    val m = cb.agg(max("m")).head().getInt(0) + 1
+    val subLen = cb.select(size(col("c"))).head().getInt(0)
+    val cents = centroids(s, outDir)
+    val q = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("qe"))
+    val wq = Window.partitionBy("query_id").orderBy(col("dst"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents.select("cell", "c")))
+      .select(col("query_id"), col("qe"), col("cell"),
+        d2(col("qe"), col("c")).as("dst"))
+      .withColumn("prk", row_number().over(wq)).where(col("prk") <= nprobe)
+      .select("query_id", "qe", "cell")
+      .localCheckpoint(true)
+    // per-query ADC distance tables: |queries| × m × |codewords| rows —
+    // broadcast-sized (the whole point of ADC)
+    val qd = probes.select(col("query_id"), col("qe")).distinct()
+      .select(col("query_id"), posexplode(array((0 until m).map(i =>
+        slice(col("qe"), subLen * i + 1, subLen)): _*)).as(Seq("m", "qsub")))
+      .join(broadcast(cb), "m")
+      .select(col("query_id"), col("m"), col("cw"),
+        d2(col("qsub"), col("c")).as("d2"))
+      .localCheckpoint(true)
+    // candidate ids from the probed cells — the embedding column never
+    // leaves the scan (id-width fold)
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val shards = cells.map(c => (c % 16).toInt).distinct
+    val candIds = readAsgLog(s, outDir)
+      .where(col("shard").isin(shards: _*) && col("cell").isin(cells: _*))
+      .select("vec_id", "cell", "seg", "dead")
+      .groupBy("cell", "vec_id")
+      .agg(max(struct(col("seg"), col("dead"))).as("b"))
+      .where(!col("b.dead"))
+      .select(col("vec_id"), col("cell"))
+    val pairs = probes.select("query_id", "cell").join(candIds, "cell")
+      .where(!lit(excludeSelfId) || col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    // codes bounded to the candidates, folded, then the ADC sum
+    val codes = foldCodes(readCodesLog(s, outDir, allowed)
+      .join(pairs.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
+    val scored = pairs
+      .join(codes, "vec_id") // (query_id, vec_id, m, code)
+      .join(qd.select(col("query_id").as("qid"), col("m").as("qm"),
+          col("cw").as("qcw"), col("d2")),
+        col("qid") === col("query_id") && col("qm") === col("m") &&
+          col("qcw") === col("code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d2")).as("adist2"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist2"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist2"), col("rk"))
+  }
+
   /** Fold the assignment log back to ONE segment (numbered with the
     * current max committed segment, so readers see identical data
     * before, during, and after) and drop the older snapshots; the swap
@@ -570,8 +772,22 @@ object IvfMaintenance {
     val stagedCents = s"${centRoot(outDir)}_compacted"
     centroids(s, outDir).localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$stagedCents/seg=$top")
+    // PQ codes: keep only the latest code of each LIVE vector — stale
+    // codes of removed/rebuilt-away ids are unreachable (adcKnn joins
+    // through the folded lists) and drop here
+    val stagedPq =
+      if (pqEnabled(s, outDir)) {
+        val liveIds = folded.select("vec_id").distinct()
+        val pqStage = s"${pqRoot(outDir)}_compacted"
+        foldCodes(readCodesLog(s, outDir, segs)
+            .join(liveIds, Seq("vec_id"), "left_semi"))
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(s"$pqStage/seg=$top")
+        Some(pqStage)
+      } else None
     swapDir(s, stagedAsg, asgRoot(outDir))
     swapDir(s, stagedCents, centRoot(outDir))
+    stagedPq.foreach(swapDir(s, _, pqRoot(outDir)))
     // replay identity must survive the folded-away segments, but ONE
     // file per batch ever committed makes committedKeys O(history) FS
     // round trips per ingest — consolidate every marker's keys into a
