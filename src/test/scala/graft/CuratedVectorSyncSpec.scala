@@ -182,4 +182,48 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     // ingested without an embedding (tests share the run fixture)
     assert((finalIds -- liveIds(ivfOut)).subsetOf(Set(n2.id)))
   }
+
+  test("PQ codes ride the synced commit: appended docs serve via ADC, removed docs are unreachable") {
+    // standalone fixture: enabling PQ on the shared run would change
+    // what the other tests' ingests write
+    val in = tmp("pq_in"); val textOut = tmp("pq_text"); val ivfOut = tmp("pq_ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val labeled = vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+      (col("doc_id") % 3).as("label"), col("embedding"))
+    IvfMaintenance.build(spark, labeled, ivfOut)
+    IvfMaintenance.buildPq(spark,
+      labeled.select("label", "embedding"), ivfOut, m = 8)
+    val rep = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "b1")
+    assert(rep.nVecIngested == 2 && rep.nVecRemoved == 1, s"$rep")
+    // the appended winner's codes landed in the synced segment commit
+    import spark.implicits._
+    val codeCounts = spark.read.parquet(s"$ivfOut/ivf/pqcodes")
+      .where(col("vec_id").isin(wWinner.id, fFresh.id))
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codeCounts == Map(wWinner.id -> 8L, fFresh.id -> 8L), s"$codeCounts")
+    // ADC serve: a query AT the winner's exact vector codes like the
+    // winner, so the winner's ADC distance is the global minimum —
+    // but 8 one-dim subspaces × 3 codewords make ties COMMON (that is
+    // ADC's granularity), so assert tie-at-minimum within a wide k,
+    // not an exact rank
+    val rows = IvfMaintenance.adcKnn(spark, ivfOut,
+      Seq((99998L, vec(bWin.id)), (99999L, vec(wWinner.id)))
+        .toDF("query_id", "embedding"),
+      k = 100, nprobe = 10)
+      .select("query_id", "neighbor_id", "adist2").collect()
+      .groupBy(_.getLong(0))
+    assert(!rows(99998L).exists(_.getLong(1) == bWin.id),
+      "a removed doc's vector served through ADC")
+    val winnerRow = rows(99999L).find(_.getLong(1) == wWinner.id)
+    val minD = rows(99999L).map(_.getDouble(2)).min
+    assert(winnerRow.exists(_.getDouble(2) <= minD + 1e-12),
+      s"the synced winner must tie at the ADC minimum: $winnerRow vs $minD")
+  }
 }

@@ -123,6 +123,19 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("adcKnn never reads a raw embedding: the assignment scan is id-width") {
+    val out = built
+    import spark.implicits._
+    val q = Seq((3L, collectVecs(embeddings)(3L))).toDF("query_id", "embedding")
+    val plan = IvfMaintenance.adcKnn(spark, out, q, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val asgScans = plan.linesIterator
+      .filter(l => l.contains("/ivf/asg") && l.contains("ReadSchema")).toSeq
+    assert(asgScans.nonEmpty, s"no asg scan found in:\n$plan")
+    assert(asgScans.forall(!_.matches(".*ReadSchema:[^\\n]*\\be:.*")),
+      s"the ADC path must prune the embedding column:\n${asgScans.mkString("\n")}")
+  }
+
   test("an ingested delta is coded in the same commit and served by ADC") {
     val out = tmp("delta")
     IvfMaintenance.build(spark, embeddings, out)
