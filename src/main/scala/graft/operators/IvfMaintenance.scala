@@ -163,11 +163,16 @@ object IvfMaintenance {
   /** The centroid table as of the last committed segment:
     * (cell, c, n_assigned) — n_assigned is ALWAYS the lists' fold
     * count, maintained incrementally (never recounted from the corpus). */
-  def centroids(s: SparkSession, outDir: String): DataFrame = {
-    val seg = committedSegs(s, outDir).max
-    s.read.parquet(s"${centRoot(outDir)}/seg=$seg")
+  def centroids(s: SparkSession, outDir: String): DataFrame =
+    centroidsAt(s, outDir, committedSegs(s, outDir))
+
+  /** [[centroids]] pinned to a caller-held commit snapshot — readers
+    * that touch several tables thread ONE snapshot so a concurrent
+    * ingest commit can't show them mixed states. */
+  private def centroidsAt(s: SparkSession, outDir: String,
+      allowed: Set[Long]): DataFrame =
+    s.read.parquet(s"${centRoot(outDir)}/seg=${allowed.max}")
       .select("cell", "c", "n_assigned")
-  }
 
   /** The inverted lists as of the last committed segment: the increment
     * log folded per (cell, vec_id) — latest segment wins, tombstones
@@ -176,9 +181,10 @@ object IvfMaintenance {
   def assignments(s: SparkSession, outDir: String): DataFrame =
     foldAsg(readAsgLog(s, outDir)).select("vec_id", "cell", "e")
 
-  private def readAsgLog(s: SparkSession, outDir: String): DataFrame = {
+  private def readAsgLog(s: SparkSession, outDir: String,
+      allowedSegs: Option[Set[Long]] = None): DataFrame = {
     val root = asgRoot(outDir)
-    val allowed = committedSegs(s, outDir)
+    val allowed = allowedSegs.getOrElse(committedSegs(s, outDir))
     val segs = presentSegs(s, root).filter(allowed)
     if (segs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], AsgSchema.add("seg", LongType))
@@ -263,8 +269,11 @@ object IvfMaintenance {
     // B's docs would otherwise re-ingest B's vectors on replay (two
     // live rows per vector once cells split). The new snapshot lands
     // at max-committed + 1, so stale seg markers admit nothing and
-    // every reader resolves to the rebuilt segment
-    for (r <- Seq(centRoot(outDir), asgRoot(outDir))) {
+    // every reader resolves to the rebuilt segment. The codes log goes
+    // too when PQ is on — the rebuild re-encodes the full corpus below,
+    // so keeping the old whole-corpus segments would only pile shadowed
+    // bytes onto every future fold until a compact
+    for (r <- Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir))) {
       val p = new Path(r); fs(s, p).delete(p, true)
     }
     val e = embeddings
@@ -298,9 +307,8 @@ object IvfMaintenance {
     // inside the same commit.
     val codes =
       if (pqEnabled(s, outDir)) {
-        val cb = readCodebooks(s, outDir)
-        Some(encode(asg.select(col("vec_id"), col("e")), cb,
-          cb.agg(max("m")).head().getInt(0) + 1))
+        val (cb, m, subLen) = loadCodebooks(s, outDir)
+        Some(encode(asg.select(col("vec_id"), col("e")), cb, m, subLen))
       } else None
     writeSegment(s, outDir, seg,
       cents.select("cell", "c").join(occ, Seq("cell"), "left")
@@ -438,8 +446,8 @@ object IvfMaintenance {
     // already coded at their own ingest — need nothing here)
     val codesInc =
       if (pqEnabled(s, outDir)) {
-        val cb = readCodebooks(s, outDir)
-        Some(encode(d, cb, cb.agg(max("m")).head().getInt(0) + 1))
+        val (cb, m, subLen) = loadCodebooks(s, outDir)
+        Some(encode(d, cb, m, subLen))
       } else None
     writeSegment(s, outDir, seg, centsSeg, asgInc, key, codesInc)
     // counted from the published snapshot, not nCellsBefore + nSplit:
@@ -500,7 +508,29 @@ object IvfMaintenance {
     VectorFunctions.register(s)
     require(indexed(s, outDir), s"build has not completed for $outDir")
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids(s, outDir)
+    val allowed = committedSegs(s, outDir)
+    val (probes, cells, shards) =
+      probeCells(s, outDir, queries, nprobe, allowed)
+    val cand = foldAsg(readAsgLog(s, outDir, Some(allowed))
+      .where(col("shard").isin(shards: _*) && col("cell").isin(cells: _*)))
+    val scored = probes.join(cand, "cell")
+      .where(!lit(excludeSelfId) || col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        d2(col("qe"), col("e")).as("dist2"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("query_id", "neighbor_id", "dist2", "rk")
+  }
+
+  /** The probe prefix both serve paths share — per query the nprobe
+    * nearest cells against the snapshot's broadcast centroids, plus
+    * the collected (cells, shards) literals for static pruning of the
+    * log read. ONE definition so knnQuery and adcKnn tie-breaking,
+    * pruning, and the recompute-guarding checkpoint can never drift. */
+  private def probeCells(s: SparkSession, outDir: String, queries: DataFrame,
+      nprobe: Int, allowed: Set[Long]): (DataFrame, Seq[Long], Seq[Int]) = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidsAt(s, outDir, allowed)
     val q = queries.select(col("query_id"),
       col("embedding").cast("array<double>").as("qe"))
     val wq = Window.partitionBy("query_id").orderBy(col("dst"), col("cell"))
@@ -513,15 +543,7 @@ object IvfMaintenance {
     val cells = probes.select("cell").distinct().collect()
       .map(_.getLong(0)).toSeq
     val shards = cells.map(c => (c % 16).toInt).distinct
-    val cand = foldAsg(readAsgLog(s, outDir)
-      .where(col("shard").isin(shards: _*) && col("cell").isin(cells: _*)))
-    val scored = probes.join(cand, "cell")
-      .where(!lit(excludeSelfId) || col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        d2(col("qe"), col("e")).as("dist2"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select("query_id", "neighbor_id", "dist2", "rk")
+    (probes, cells, shards)
   }
 
   // ---------------------------------------------------------------
@@ -641,8 +663,8 @@ object IvfMaintenance {
 
   /** argmin codeword per (vec, subspace) against the broadcast
     * codebooks — ties to the smaller codeword id (the pqScored rule). */
-  private def encode(vecs: DataFrame, cb: DataFrame, m: Int): DataFrame = {
-    val subLen = cb.select(size(col("c"))).head().getInt(0)
+  private def encode(vecs: DataFrame, cb: DataFrame, m: Int,
+      subLen: Int): DataFrame = {
     val subs = vecs.select(col("vec_id"),
       posexplode(array((0 until m).map(i =>
         slice(col("e"), subLen * i + 1, subLen)): _*)).as(Seq("m", "sub")))
@@ -680,7 +702,7 @@ object IvfMaintenance {
     // committed segment (admitted retroactively — safe because nothing
     // reads pqcodes until the seal below lands)
     val top = committedSegs(s, outDir).max
-    encode(assignments(s, outDir).select(col("vec_id"), col("e")), cb, m)
+    encode(assignments(s, outDir).select(col("vec_id"), col("e")), cb, m, subLen)
       .write.mode("overwrite").parquet(s"${pqRoot(outDir)}/seg=$top")
     // seal LAST: the codebook table's _SUCCESS is the enablement marker
     cb.withColumn("n_sub", lit(m))
@@ -697,20 +719,13 @@ object IvfMaintenance {
     VectorFunctions.register(s)
     require(pqEnabled(s, outDir), s"buildPq has not completed for $outDir")
     import org.apache.spark.sql.expressions.Window
+    // ONE commit snapshot for centroids, lists, and codes: a streamed
+    // ingest committing mid-query would otherwise surface a candidate
+    // whose codes the stale snapshot excludes — silently dropping it
     val allowed = committedSegs(s, outDir)
-    val cb = readCodebooks(s, outDir).localCheckpoint(true)
-    val m = cb.agg(max("m")).head().getInt(0) + 1
-    val subLen = cb.select(size(col("c"))).head().getInt(0)
-    val cents = centroids(s, outDir)
-    val q = queries.select(col("query_id"),
-      col("embedding").cast("array<double>").as("qe"))
-    val wq = Window.partitionBy("query_id").orderBy(col("dst"), col("cell"))
-    val probes = q.crossJoin(broadcast(cents.select("cell", "c")))
-      .select(col("query_id"), col("qe"), col("cell"),
-        d2(col("qe"), col("c")).as("dst"))
-      .withColumn("prk", row_number().over(wq)).where(col("prk") <= nprobe)
-      .select("query_id", "qe", "cell")
-      .localCheckpoint(true)
+    val (cb, m, subLen) = loadCodebooks(s, outDir)
+    val (probes, cells, shards) =
+      probeCells(s, outDir, queries, nprobe, allowed)
     // per-query ADC distance tables: |queries| × m × |codewords| rows —
     // broadcast-sized (the whole point of ADC)
     val qd = probes.select(col("query_id"), col("qe")).distinct()
@@ -722,10 +737,7 @@ object IvfMaintenance {
       .localCheckpoint(true)
     // candidate ids from the probed cells — the embedding column never
     // leaves the scan (id-width fold)
-    val cells = probes.select("cell").distinct().collect()
-      .map(_.getLong(0)).toSeq
-    val shards = cells.map(c => (c % 16).toInt).distinct
-    val candIds = readAsgLog(s, outDir)
+    val candIds = readAsgLog(s, outDir, Some(allowed))
       .where(col("shard").isin(shards: _*) && col("cell").isin(cells: _*))
       .select("vec_id", "cell", "seg", "dead")
       .groupBy("cell", "vec_id")
@@ -735,21 +747,39 @@ object IvfMaintenance {
     val pairs = probes.select("query_id", "cell").join(candIds, "cell")
       .where(!lit(excludeSelfId) || col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
-    // codes bounded to the candidates, folded, then the ADC sum
+    // codes bounded to the candidates, folded, then the ADC sum — the
+    // lookup-table join BROADCASTS (qd is query-count × m × codewords,
+    // driver-sized by construction; without the hint a sort-merge plan
+    // would shuffle the corpus-fraction pairs×m side), and the sum runs
+    // over 1e-9-quantized longs so it is bit-exact under ANY partial-
+    // aggregation order (the registry's sim_pq_adc_knn contract: tied
+    // candidates must tie exactly, or ranks flip run to run)
     val codes = foldCodes(readCodesLog(s, outDir, allowed)
       .join(pairs.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
     val scored = pairs
       .join(codes, "vec_id") // (query_id, vec_id, m, code)
-      .join(qd.select(col("query_id").as("qid"), col("m").as("qm"),
-          col("cw").as("qcw"), col("d2")),
+      .join(broadcast(qd.select(col("query_id").as("qid"), col("m").as("qm"),
+          col("cw").as("qcw"), col("d2"))),
         col("qid") === col("query_id") && col("qm") === col("m") &&
           col("qcw") === col("code"))
       .groupBy("query_id", "vec_id")
-      .agg(sum(col("d2")).as("adist2"))
+      .agg((sum(round(col("d2") * 1e9).cast("long")).cast("double") / 1e9)
+        .as("adist2"))
     val w = Window.partitionBy("query_id").orderBy(col("adist2"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adist2"), col("rk"))
+  }
+
+  /** Codebooks + (m, subLen) in ONE job: the shape constants ride the
+    * sealed table (n_sub) and the arrays themselves — re-deriving them
+    * with separate aggregates put 2-3 driver-blocking jobs on every
+    * serve/ingest call. */
+  private def loadCodebooks(s: SparkSession, outDir: String)
+      : (DataFrame, Int, Int) = {
+    val cb = readCodebooks(s, outDir).localCheckpoint(true)
+    val r = cb.agg(max("m").as("mm"), max(size(col("c"))).as("sl")).head()
+    (cb, r.getInt(0) + 1, r.getInt(1))
   }
 
   /** Fold the assignment log back to ONE segment (numbered with the

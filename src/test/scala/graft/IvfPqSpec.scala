@@ -112,8 +112,12 @@ class IvfPqSpec extends AnyFunSuite {
       val qd = (for (m <- 0 until M; ((mm, cw), c) <- cb if mm == m)
         yield (m, cw) -> d2(qe.slice(m * subLen, (m + 1) * subLen), c)).toMap
       val cand = asg.filter { case (id, cell) => probed(cell) && id != qid }.keys
+      // the ADC sum runs over 1e-9-quantized longs (bit-exact under any
+      // partial-agg order) — ground truth replicates the quantization
       val want = cand.toSeq
-        .map(id => (id, (0 until M).map(m => qd((m, codes((id, m))))).sum))
+        .map(id => (id, (0 until M)
+          .map(m => math.round(qd((m, codes((id, m)))) * 1e9)).sum
+          .toDouble / 1e9))
         .sortBy { case (id, d) => (d, id) }.take(5)
       for (((id, d), i) <- want.zipWithIndex) {
         val (gid, gd) = got((qid, i + 1))
