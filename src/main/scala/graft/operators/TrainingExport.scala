@@ -190,6 +190,46 @@ object TrainingExport {
   def readManifest(s: SparkSession, exportDir: String): DataFrame =
     s.read.parquet(manifestDir(exportDir))
 
+  /** Audit a sealed export against its own manifest: recompute each
+    * shard's sequence/token counts and XOR content checksum from the
+    * bytes on disk and flag any divergence — the operational check for
+    * partial loss, truncation, or corruption between export and
+    * training. One scan of the shards, nShards output rows; a shard
+    * present in only one side (lost dir / stray extra) fails its row.
+    * Output: (shard, ok, n_seqs, n_tokens, checksum,
+    * actual_n_seqs, actual_n_tokens, actual_checksum). */
+  def verify(s: SparkSession, exportDir: String): DataFrame = {
+    val man = readManifest(s, exportDir)
+      .select(col("shard"), col("n_seqs"), col("n_tokens"), col("checksum"))
+    val empty = man.where(col("n_seqs") === 0).count() == man.count()
+    val actual =
+      if (empty && !CurationRun.exists(s, shardsDir(exportDir)))
+        // an empty export legitimately has no shards directory
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("shard",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("a_seqs",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("a_tokens",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("a_checksum",
+              org.apache.spark.sql.types.LongType))))
+      else s.read.parquet(shardsDir(exportDir))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("a_seqs"), sum("n_tokens").as("a_tokens"),
+          bit_xor(xxhash64(concat_ws(" ", col("tokens")))).as("a_checksum"))
+    man.join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_seqs"), lit(-1L)) === coalesce(col("a_seqs"), lit(0L)) &&
+          coalesce(col("n_tokens"), lit(-1L)) === coalesce(col("a_tokens"), lit(0L)) &&
+          coalesce(col("checksum"), lit(-1L)) === coalesce(col("a_checksum"), lit(0L)))
+          .as("ok"),
+        col("n_seqs"), col("n_tokens"), col("checksum"),
+        col("a_seqs").as("actual_n_seqs"), col("a_tokens").as("actual_n_tokens"),
+        col("a_checksum").as("actual_checksum"))
+  }
+
   private def readReport(s: SparkSession, exportDir: String): ExportReport = {
     val m = readManifest(s, exportDir)
     // an empty train slice seals an empty manifest — the replayed

@@ -1704,5 +1704,51 @@ object SimilarityQueries {
           |    ROW_NUMBER() OVER (PARTITION BY cell, vec_id ORDER BY seg DESC) AS rn
           |  FROM log)
           |WHERE rn = 1 AND NOT dead""".stripMargin),
-      "Log-structured index fold: latest committed segment wins per (cell, vec_id); tombstones drop."))
+      "Log-structured index fold: latest committed segment wins per (cell, vec_id); tombstones drop."),
+
+    QueryDef(
+      "sim_pq_code_fold",
+      (s, dir) => {
+        // The PQ-codes read path (operators/IvfMaintenance.adcKnn)
+        // under the oracle: codes are a latest-wins log per
+        // (vec_id, m) with NO tombstones — a removed vector's codes
+        // are unreachable because the serve path joins them through
+        // the folded lists, so liveness is a semi-join, not a flag.
+        // Synthesized 3-segment log over the embeddings table: seg 0
+        // codes every vector in 8 subspaces (code = label), seg 1
+        // re-encodes the vec_id%5==0 vectors, seg 2 the %10==0 subset
+        // again; the %3==0 vectors are "removed from the lists" and
+        // must not survive the reachability screen. Fold shape: one
+        // combinable max(struct) keyed (vec_id, m) + an id-keyed
+        // semi-join — never index-wide.
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("c0"))
+          .select(col("vec_id"), col("c0"),
+            explode(sequence(lit(0), lit(7))).as("m"))
+        def seg(src: DataFrame, shift: Int, n: Int) =
+          src.select(col("vec_id"), col("m"),
+            (col("c0") + shift).as("code"), lit(n.toLong).as("seg"))
+        val live = t(s, dir, "embeddings")
+          .where(col("vec_id") % 3 =!= 0).select("vec_id")
+        seg(v, 0, 0)
+          .unionAll(seg(v.where(col("vec_id") % 5 === 0), 1, 1))
+          .unionAll(seg(v.where(col("vec_id") % 10 === 0), 2, 2))
+          .groupBy("vec_id", "m")
+          .agg(max(struct(col("seg"), col("code"))).as("b"))
+          .join(live, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("m"), col("b.code").as("code"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS c0, unnest(range(0, 8)) AS m
+          |  FROM embeddings),
+          |log AS (
+          |  SELECT vec_id, m, c0 AS code, 0 AS seg FROM v
+          |  UNION ALL SELECT vec_id, m, c0 + 1, 1 FROM v WHERE vec_id % 5 = 0
+          |  UNION ALL SELECT vec_id, m, c0 + 2, 2 FROM v WHERE vec_id % 10 = 0)
+          |SELECT vec_id, CAST(m AS INT) AS m, code FROM (
+          |  SELECT vec_id, m, code,
+          |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY seg DESC) AS rn
+          |  FROM log)
+          |WHERE rn = 1 AND vec_id % 3 <> 0""".stripMargin),
+      "PQ-codes log fold: latest segment wins per (vec_id, subspace); liveness via the lists semi-join, no tombstones."))
 }

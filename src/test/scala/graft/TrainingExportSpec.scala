@@ -139,6 +139,26 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(rep2.nSeqs == want.values.map(_.size).sum)
   }
 
+  test("verify audits the sealed bytes: clean export passes, a lost shard fails its row") {
+    val dir = tmp("verify")
+    TrainingExport.export(spark, layout, dir, nShards = 4, seqLen = 64)
+    val clean = TrainingExport.verify(spark, dir).collect()
+    assert(clean.length == 4 && clean.forall(_.getBoolean(1)),
+      s"a clean export must verify: ${clean.mkString(";")}")
+    // lose one shard's files (the partial-loss failure mode verify
+    // exists to catch)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    val victim = clean.head.getInt(0)
+    rmrf(new java.io.File(s"$dir/shards/shard=$victim"))
+    val after = TrainingExport.verify(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(!after(victim), "a lost shard must fail verification")
+    assert(after.filter(_._1 != victim).values.forall(identity),
+      s"other shards must still pass: $after")
+  }
+
   test("composes with DeltaIngest: the export reads the FOLDED layout") {
     // fresh layout so the shared one stays pristine
     val in = tmp("d_in"); val out = tmp("d_out")
