@@ -91,56 +91,25 @@ object IvfMaintenance {
   private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def committedSegs(s: SparkSession, outDir: String): Set[Long] = {
-    val root = new Path(markerDir(outDir))
-    val f = fs(s, root)
-    if (!f.exists(root)) Set.empty
-    else f.listStatus(root).toSeq
-      .flatMap(_.getPath.getName.stripPrefix("seg-").toLongOption).toSet
-  }
+  private def committedSegs(s: SparkSession, outDir: String): Set[Long] =
+    SegmentLog.committedSegs(s, markerDir(outDir))
 
-  private def presentSegs(s: SparkSession, root: String): Seq[Long] = {
-    val p = new Path(root)
-    val f = fs(s, p)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
-      .flatMap(st => st.getPath.getName.stripPrefix("seg=").toLongOption)
-  }
+  private def presentSegs(s: SparkSession, root: String): Seq[Long] =
+    SegmentLog.presentSegs(s, root)
 
   /** Marker NAME carries the segment number (the visibility set);
     * marker CONTENT carries the batch key (the replay identity) — one
     * atomic file closes both the consistency and the replay window. */
   private def commitMarker(s: SparkSession, outDir: String, seg: Long,
-      key: String): Unit = {
-    val dir = new Path(markerDir(outDir))
-    val f = fs(s, dir)
-    f.mkdirs(dir)
-    val name = if (seg >= 0) s"seg-$seg"
-      else "skip-" + key.replaceAll("[^A-Za-z0-9_.-]", "_")
-    val out = f.create(new Path(dir, name), true)
-    try out.write(key.getBytes("UTF-8")) finally out.close()
-  }
+      key: String): Unit =
+    SegmentLog.commitMarker(s, markerDir(outDir), seg, key)
 
   /** Batch keys of every committed ingest — replay identity survives
     * compaction because [[compact]] folds old markers' keys into ONE
     * `keys-<n>` file (newline-separated) before dropping them, so this
     * read is O(segments since last compaction), not O(batches ever). */
-  private[graft] def committedKeys(s: SparkSession, outDir: String): Set[String] = {
-    val root = new Path(markerDir(outDir))
-    val f = fs(s, root)
-    if (!f.exists(root)) Set.empty
-    else f.listStatus(root).toSeq
-      // a crashed consolidation's .tmp may hold a TRUNCATED key that
-      // collides with a real future batch key — never read dotfiles
-      .filterNot(_.getPath.getName.startsWith("."))
-      .flatMap { st =>
-        val in = f.open(st.getPath)
-        val txt = try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-        txt.split('\n').map(_.trim).filter(_.nonEmpty)
-      }.toSet
-  }
+  private[graft] def committedKeys(s: SparkSession, outDir: String): Set[String] =
+    SegmentLog.committedKeys(s, markerDir(outDir))
 
   def indexed(s: SparkSession, outDir: String): Boolean =
     committedSegs(s, outDir).nonEmpty
@@ -152,13 +121,9 @@ object IvfMaintenance {
 
   /** Uncommitted segment dirs are crash leftovers: readers never admit
     * them, and the next writer sweeps them before computing. */
-  private def wipeUncommitted(s: SparkSession, outDir: String): Unit = {
-    val allowed = committedSegs(s, outDir)
-    for (root <- Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir));
-         n <- presentSegs(s, root) if !allowed(n)) {
-      val p = new Path(s"$root/seg=$n"); fs(s, p).delete(p, true)
-    }
-  }
+  private def wipeUncommitted(s: SparkSession, outDir: String): Unit =
+    SegmentLog.wipeUncommitted(s, markerDir(outDir),
+      Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir)))
 
   /** The centroid table as of the last committed segment:
     * (cell, c, n_assigned) — n_assigned is ALWAYS the lists' fold
@@ -793,13 +758,19 @@ object IvfMaintenance {
     val top = segs.max
     val folded = foldAsg(readAsgLog(s, outDir))
       .withColumn("dead", lit(false)).localCheckpoint(true)
+    // a CRASHED prior compaction leaves a stale staged seg under the
+    // _compacted roots; mode-overwrite below only replaces seg=$top, so
+    // the whole-dir swap would carry the stale seg into the live root
+    // and resurrect its rows — clear the staging first
     val stagedAsg = s"${asgRoot(outDir)}_compacted"
+    SegmentLog.deleteDir(s, stagedAsg)
     folded.select(col("vec_id"), col("cell"), col("e"), col("dead"),
         shardOf(col("cell")).as("shard"))
       .repartition(col("shard")).sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$stagedAsg/seg=$top")
     val stagedCents = s"${centRoot(outDir)}_compacted"
+    SegmentLog.deleteDir(s, stagedCents)
     centroids(s, outDir).localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$stagedCents/seg=$top")
     // PQ codes: keep only the latest code of each LIVE vector — stale
@@ -809,52 +780,19 @@ object IvfMaintenance {
       if (pqEnabled(s, outDir)) {
         val liveIds = folded.select("vec_id").distinct()
         val pqStage = s"${pqRoot(outDir)}_compacted"
+        SegmentLog.deleteDir(s, pqStage)
         foldCodes(readCodesLog(s, outDir, segs)
             .join(liveIds, Seq("vec_id"), "left_semi"))
           .localCheckpoint(true)
           .write.mode("overwrite").parquet(s"$pqStage/seg=$top")
         Some(pqStage)
       } else None
-    swapDir(s, stagedAsg, asgRoot(outDir))
-    swapDir(s, stagedCents, centRoot(outDir))
-    stagedPq.foreach(swapDir(s, _, pqRoot(outDir)))
-    // replay identity must survive the folded-away segments, but ONE
-    // file per batch ever committed makes committedKeys O(history) FS
-    // round trips per ingest — consolidate every marker's keys into a
-    // single keys-<top> file (written via temp + rename, so a crash at
-    // any point only leaves duplicate keys — set semantics), then drop
-    // everything except it and the top segment's own marker
-    val mDir = new Path(markerDir(outDir))
-    val f = fs(s, mDir)
-    val allKeys = committedKeys(s, outDir)
-    val tmp = new Path(mDir, s".keys-$top.tmp")
-    val out = f.create(tmp, true)
-    try out.write(allKeys.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val consolidated = new Path(mDir, s"keys-$top")
-    if (f.exists(consolidated)) f.delete(consolidated, false)
-    if (!f.rename(tmp, consolidated))
-      throw new java.io.IOException(s"compact: rename $tmp -> $consolidated failed")
-    f.listStatus(mDir).map(_.getPath.getName)
-      .filterNot(n => n == s"seg-$top" || n == s"keys-$top")
-      .foreach(n => f.delete(new Path(mDir, n), false))
-  }
-
-  /** Swap a staged dir into place: rename the live dir ASIDE (never
-    * delete first), staged in, then drop the old — both renames
-    * checked (the DeltaIngest.swapDir dance). */
-  private def swapDir(s: SparkSession, staged: String, path: String): Unit = {
-    val p = new Path(path)
-    val f = fs(s, p)
-    val old = new Path(path + "_old")
-    if (f.exists(old)) f.delete(old, true) // prior completed swap's leftover
-    if (f.exists(p) && !f.rename(p, old))
-      throw new java.io.IOException(s"swapDir: rename $p -> $old failed")
-    if (!f.rename(new Path(staged), p)) {
-      if (f.exists(old)) f.rename(old, p) // roll back: never leave the table absent
-      throw new java.io.IOException(s"swapDir: rename $staged -> $p failed")
-    }
-    f.delete(old, true)
-    s.catalog.refreshByPath(path) // bare renames bypass the FileStatusCache
+    SegmentLog.swapDir(s, stagedAsg, asgRoot(outDir))
+    SegmentLog.swapDir(s, stagedCents, centRoot(outDir))
+    stagedPq.foreach(SegmentLog.swapDir(s, _, pqRoot(outDir)))
+    // replay identity must survive the folded-away segments — the keys
+    // consolidate into one file (SegmentLog.consolidateKeys), so
+    // committedKeys stays O(segments since last compaction)
+    SegmentLog.consolidateKeys(s, markerDir(outDir), top)
   }
 }

@@ -53,66 +53,27 @@ object TextSearchIndex {
     StructField("tf", LongType), StructField("dl", LongType),
     StructField("dead", BooleanType), StructField("shard", IntegerType)))
 
-  private def fs(s: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(s.sparkContext.hadoopConfiguration)
-
   private def shardOf(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(16L)).cast("int")
 
-  // -- the IvfMaintenance marker discipline: name carries the segment,
-  // content the batch key; keys consolidate at compaction --
-  private[graft] def committedSegs(s: SparkSession, outDir: String): Set[Long] = {
-    val r = new Path(markerDir(outDir))
-    val f = fs(s, r)
-    if (!f.exists(r)) Set.empty
-    else f.listStatus(r).toSeq
-      .flatMap(_.getPath.getName.stripPrefix("seg-").toLongOption).toSet
-  }
-
-  private[graft] def committedKeys(s: SparkSession, outDir: String): Set[String] = {
-    val r = new Path(markerDir(outDir))
-    val f = fs(s, r)
-    if (!f.exists(r)) Set.empty
-    else f.listStatus(r).toSeq
-      .filterNot(_.getPath.getName.startsWith(".")) // truncated tmp keys
-      .flatMap { st =>
-        val in = f.open(st.getPath)
-        val txt = try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-        txt.split('\n').map(_.trim).filter(_.nonEmpty)
-      }.toSet
-  }
-
+  // segment-log discipline: the shared SegmentLog helper (one
+  // definition with IvfMaintenance — marker semantics cannot drift)
+  private[graft] def committedSegs(s: SparkSession, outDir: String): Set[Long] =
+    SegmentLog.committedSegs(s, markerDir(outDir))
+  private[graft] def committedKeys(s: SparkSession, outDir: String): Set[String] =
+    SegmentLog.committedKeys(s, markerDir(outDir))
   private def commitMarker(s: SparkSession, outDir: String, seg: Long,
-      key: String): Unit = {
-    val dir = new Path(markerDir(outDir))
-    val f = fs(s, dir)
-    f.mkdirs(dir)
-    val name = if (seg >= 0) s"seg-$seg"
-      else "skip-" + key.replaceAll("[^A-Za-z0-9_.-]", "_")
-    val out = f.create(new Path(dir, name), true)
-    try out.write(key.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def presentSegs(s: SparkSession, r: String): Seq[Long] = {
-    val p = new Path(r)
-    val f = fs(s, p)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
-      .flatMap(st => st.getPath.getName.stripPrefix("seg=").toLongOption)
-  }
+      key: String): Unit =
+    SegmentLog.commitMarker(s, markerDir(outDir), seg, key)
+  private def presentSegs(s: SparkSession, r: String): Seq[Long] =
+    SegmentLog.presentSegs(s, r)
 
   def indexed(s: SparkSession, outDir: String): Boolean =
     committedSegs(s, outDir).nonEmpty
 
-  private def wipeUncommitted(s: SparkSession, outDir: String): Unit = {
-    val allowed = committedSegs(s, outDir)
-    for (r <- Seq(postRoot(outDir), statsRoot(outDir));
-         n <- presentSegs(s, r) if !allowed(n)) {
-      val p = new Path(s"$r/seg=$n"); fs(s, p).delete(p, true)
-    }
-  }
+  private def wipeUncommitted(s: SparkSession, outDir: String): Unit =
+    SegmentLog.wipeUncommitted(s, markerDir(outDir),
+      Seq(postRoot(outDir), statsRoot(outDir)))
 
   private def readPostLog(s: SparkSession, outDir: String,
       allowed: Set[Long]): DataFrame = {
@@ -138,6 +99,12 @@ object TextSearchIndex {
   private def readStats(s: SparkSession, outDir: String,
       allowed: Set[Long]): (Long, Long) = {
     val segs = presentSegs(s, statsRoot(outDir)).filter(allowed)
+    // an interrupted REBUILD deletes the data roots before committing
+    // the new segment (markers survive by design) — fail diagnosably,
+    // not with an opaque empty.max
+    require(segs.nonEmpty,
+      s"$outDir: no committed stats segment — an interrupted rebuild; " +
+        "run build again")
     val r = s.read.parquet(s"${statsRoot(outDir)}/seg=${segs.max}").head()
     (r.getLong(0), r.getLong(1))
   }
@@ -168,12 +135,11 @@ object TextSearchIndex {
 
   /** Index a corpus from scratch (seg 0). `docs`: (doc_id, text). */
   def build(s: SparkSession, docs: DataFrame, outDir: String): Unit = {
-    for (r <- Seq(postRoot(outDir), statsRoot(outDir))) {
-      val p = new Path(r); fs(s, p).delete(p, true)
-    }
+    for (r <- Seq(postRoot(outDir), statsRoot(outDir)))
+      SegmentLog.deleteDir(s, r)
     val post = postingsOf(docs).localCheckpoint(true)
     val st = post.groupBy("doc_id").agg(max("dl").as("dl"))
-      .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).head()
     val seg = committedSegs(s, outDir) match {
       case e if e.isEmpty => 0L
       case segs => segs.max + 1
@@ -189,7 +155,10 @@ object TextSearchIndex {
     require(indexed(s, outDir), s"build has not completed for $outDir")
     if (committedKeys(s, outDir).contains(key)) return 0L
     wipeUncommitted(s, outDir)
-    if (committedSegs(s, outDir).size > CompactAfterSegments) compact(s, outDir)
+    // count DATA segments, not markers: a rebuild collapses data to one
+    // segment while preserving every historical marker
+    if (presentSegs(s, postRoot(outDir)).count(committedSegs(s, outDir))
+        > CompactAfterSegments) compact(s, outDir)
     val allowed = committedSegs(s, outDir)
     val seg = allowed.max + 1
     val post = postingsOf(docs).localCheckpoint(true)
@@ -284,7 +253,14 @@ object TextSearchIndex {
     val top = allowed.max
     val folded = foldPostings(readPostLog(s, outDir, allowed))
       .withColumn("dead", lit(false)).localCheckpoint(true)
+    // a CRASHED prior compaction leaves a stale staged seg under the
+    // _compacted root; mode-overwrite below only replaces seg=$top, so
+    // the whole-dir swap would carry the stale seg into the live root
+    // and resurrect its rows — clear the staging first
     val stagedPost = s"${postRoot(outDir)}_compacted"
+    val stagedStats = s"${statsRoot(outDir)}_compacted"
+    SegmentLog.deleteDir(s, stagedPost)
+    SegmentLog.deleteDir(s, stagedStats)
     folded.select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("dead"), shardOf(col("term")).as("shard"))
       .repartition(col("shard")).sortWithinPartitions("term", "doc_id")
@@ -292,39 +268,10 @@ object TextSearchIndex {
       .parquet(s"$stagedPost/seg=$top")
     val (nd, sumDl) = readStats(s, outDir, allowed)
     import s.implicits._
-    val stagedStats = s"${statsRoot(outDir)}_compacted"
     Seq((nd, sumDl)).toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$stagedStats/seg=$top")
-    swapDir(s, stagedPost, postRoot(outDir))
-    swapDir(s, stagedStats, statsRoot(outDir))
-    val mDir = new Path(markerDir(outDir))
-    val f = fs(s, mDir)
-    val allKeys = committedKeys(s, outDir)
-    val tmp = new Path(mDir, s".keys-$top.tmp")
-    val out = f.create(tmp, true)
-    try out.write(allKeys.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val consolidated = new Path(mDir, s"keys-$top")
-    if (f.exists(consolidated)) f.delete(consolidated, false)
-    if (!f.rename(tmp, consolidated))
-      throw new java.io.IOException(s"compact: rename $tmp -> $consolidated failed")
-    f.listStatus(mDir).map(_.getPath.getName)
-      .filterNot(n => n == s"seg-$top" || n == s"keys-$top")
-      .foreach(n => f.delete(new Path(mDir, n), false))
-  }
-
-  private def swapDir(s: SparkSession, staged: String, path: String): Unit = {
-    val p = new Path(path)
-    val f = fs(s, p)
-    val old = new Path(path + "_old")
-    if (f.exists(old)) f.delete(old, true)
-    if (f.exists(p) && !f.rename(p, old))
-      throw new java.io.IOException(s"swapDir: rename $p -> $old failed")
-    if (!f.rename(new Path(staged), p)) {
-      if (f.exists(old)) f.rename(old, p)
-      throw new java.io.IOException(s"swapDir: rename $staged -> $p failed")
-    }
-    f.delete(old, true)
-    s.catalog.refreshByPath(path)
+    SegmentLog.swapDir(s, stagedPost, postRoot(outDir))
+    SegmentLog.swapDir(s, stagedStats, statsRoot(outDir))
+    SegmentLog.consolidateKeys(s, markerDir(outDir), top)
   }
 }

@@ -135,6 +135,32 @@ class TextSearchIndexSpec extends AnyFunSuite {
       "replay identity must survive compaction")
   }
 
+  test("a crashed prior compaction's stale staging cannot resurrect removed docs") {
+    val dir = tmp("stale")
+    TextSearchIndex.build(spark, toDF(baseDocs), dir)
+    TextSearchIndex.ingest(spark, toDF(deltaDocs), dir, "b1")
+    val victim = baseDocs.filter(_._1 % 7 == 0).map(_._1).head
+    TextSearchIndex.remove(spark, Seq(victim).toDF("doc_id"), dir, "rm1")
+    val want = served(dir).toSeq
+    // simulate compact #1 crashing after staging seg=1 (which predates
+    // the removal and holds the victim LIVE) but before the swap
+    toDF(Seq((victim, "alpha beta zeta")))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"), lit(3L).as("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(false).as("dead"), pmod(xxhash64(col("term")), lit(16L))
+          .cast("int").as("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/search/postings_compacted/seg=1")
+    TextSearchIndex.compact(spark, dir)
+    assert(served(dir).toSeq == want, "stale staging changed a post-compact answer")
+    assert(!served(dir).exists(_._1 == victim), "a removed doc resurrected")
+    val segDirs = new java.io.File(s"$dir/search/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSeq
+    assert(segDirs.length == 1,
+      s"the stale staged segment rode the swap into the live root: $segDirs")
+  }
+
   test("query reads only the probed term shards (partition-pruned)") {
     val dir = tmp("prune")
     TextSearchIndex.build(spark, toDF(baseDocs), dir)
