@@ -40,13 +40,21 @@ object CuratedVectorSync {
       nVecIngested: Long,
       nVecRemoved: Long,
       nVecMissing: Long = 0L, // appended docs the caller gave no vector for
-      ivf: Option[IvfMaintenance.IngestReport] = None)
+      ivf: Option[IvfMaintenance.IngestReport] = None,
+      nSearchIngested: Long = 0L,
+      nSearchRemoved: Long = 0L)
 
   /** Ingest one delta (documents + their embeddings) into a curated
     * run at `textOut` (indexed by [[DeltaIngest.buildIndex]]) and its
-    * vector index at `ivfOut` (built by [[IvfMaintenance.build]]). */
+    * vector index at `ivfOut` (built by [[IvfMaintenance.build]]).
+    * `searchOut`, when given, keeps a [[TextSearchIndex]] in the same
+    * lockstep — appended docs' postings ingest, removed docs tombstone
+    * — through two more skip-if-committed sub-commits (`<key>-sadd` /
+    * `<key>-srm`), so ALL THREE serve surfaces (near-dup probe, vector
+    * kNN, BM25) move atomically-per-batch with the layout. */
   def ingest(s: SparkSession, deltaDocs: DataFrame, deltaVecs: DataFrame,
-      textOut: String, ivfOut: String, key: String): SyncReport = {
+      textOut: String, ivfOut: String, key: String,
+      searchOut: Option[String] = None): SyncReport = {
     // ---- doc side (skip-if-committed carries the replay) ----
     val docReport = DeltaIngest.committedSegOf(s, textOut, key) match {
       case Some(_) => None
@@ -58,8 +66,13 @@ object CuratedVectorSync {
     // increment is ever consulted — a redelivery arriving after
     // compaction folded the increment away must not error
     val addKey = s"$key-add"; val rmKey = s"$key-rm"
+    val sAddKey = s"$key-sadd"; val sRmKey = s"$key-srm"
     val ivfKeys = IvfMaintenance.committedKeys(s, ivfOut)
-    if (ivfKeys.contains(addKey) && ivfKeys.contains(rmKey))
+    val searchDone = searchOut.forall { so =>
+      val sk = TextSearchIndex.committedKeys(s, so)
+      sk.contains(sAddKey) && sk.contains(sRmKey)
+    }
+    if (ivfKeys.contains(addKey) && ivfKeys.contains(rmKey) && searchDone)
       return SyncReport(docReport, 0L, 0L)
     // the batch's OWN manifest increment: O(delta) rows, no fold
     // needed. Explicit schema: a batch that appended and removed
@@ -99,11 +112,24 @@ object CuratedVectorSync {
     val removedIds = manifestInc.where(col("dead"))
       .select(col("doc_id").as("vec_id"))
     val nRemoved = IvfMaintenance.remove(s, removedIds, ivfOut, rmKey)
+    // ---- search side: appended docs' postings in, removed docs out.
+    // Text comes from the batch input itself (appends are always a
+    // subset of the delta, and the layout stores the same text) ----
+    val (nSIn, nSRm) = searchOut.map { so =>
+      val appendedDocs = deltaDocs.select("doc_id", "text")
+        .join(manifestInc.where(!col("dead")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      (TextSearchIndex.ingest(s, appendedDocs, so, sAddKey),
+        TextSearchIndex.remove(s,
+          manifestInc.where(col("dead")).select("doc_id"), so, sRmKey))
+    }.getOrElse((0L, 0L))
     SyncReport(docReport,
       nVecIngested = ivfReport.map(_.nDelta).getOrElse(0L),
       nVecRemoved = nRemoved,
       nVecMissing = nVecMissing,
-      ivf = ivfReport)
+      ivf = ivfReport,
+      nSearchIngested = nSIn,
+      nSearchRemoved = nSRm)
   }
 
   // ---------------------------------------------------------------
@@ -123,7 +149,8 @@ object CuratedVectorSync {
       textOut: String,
       ivfOut: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 8,
+      searchOut: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val schema = graft.sources.TextIngest.rawSchema
       .add("embedding", ArrayType(DoubleType))
@@ -134,7 +161,7 @@ object CuratedVectorSync {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestDropBatch(spark, batch, batchId, textOut, ivfOut); ()
+        ingestDropBatch(spark, batch, batchId, textOut, ivfOut, searchOut); ()
       }
       .start()
   }
@@ -146,7 +173,8 @@ object CuratedVectorSync {
       batch: DataFrame,
       batchId: Long,
       textOut: String,
-      ivfOut: String): Option[SyncReport] = {
+      ivfOut: String,
+      searchOut: Option[String] = None): Option[SyncReport] = {
     val docs = graft.sources.TextIngest.normalize(
       batch.drop("embedding")
         .withColumn("_corrupt_record", lit(null).cast("string")))
@@ -156,6 +184,6 @@ object CuratedVectorSync {
     Some(ingest(spark, docs,
       batch.select(col("doc_id"), col("embedding"))
         .where(col("embedding").isNotNull),
-      textOut, ivfOut, s"batch-$batchId"))
+      textOut, ivfOut, s"batch-$batchId", searchOut))
   }
 }

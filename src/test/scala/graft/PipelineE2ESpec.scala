@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{CurationRun, CuratedVectorSync, DeltaIngest,
-  IvfMaintenance, TrainingExport}
+  IvfMaintenance, TextSearchIndex, TrainingExport}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -53,6 +53,9 @@ class PipelineE2ESpec extends AnyFunSuite {
     IvfMaintenance.build(spark, labeled, ivfOut)
     IvfMaintenance.buildPq(spark, labeled.select("label", "embedding"),
       ivfOut, m = 8)
+    val searchOut = tmp("search")
+    TextSearchIndex.build(spark,
+      spark.read.parquet(s"$textOut/final").select("doc_id", "text"), searchOut)
 
     // 2. a streamed drop: one fresh doc, one near-dup that BEATS a
     // live base keeper. The victim must be a TRAIN doc: a holdout
@@ -69,7 +72,8 @@ class PipelineE2ESpec extends AnyFunSuite {
       .map(d => (d.id, d.text, "en", "web", vec(d.id)))
       .toDF("doc_id", "text", "lang", "source", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(dropDir)
-    val q = CuratedVectorSync.streamInto(spark, dropDir, textOut, ivfOut, ckpt)
+    val q = CuratedVectorSync.streamInto(spark, dropDir, textOut, ivfOut, ckpt,
+      searchOut = Some(searchOut))
     try q.processAllAvailable() finally q.stop()
 
     // 3. layout, vector index, and PQ codes all moved in lockstep
@@ -101,6 +105,19 @@ class PipelineE2ESpec extends AnyFunSuite {
       r.getDouble(2) <= minAdc + 1e-12), "ADC serve missed the winner")
     assert(!exact.exists(_.getLong(1) == victim) &&
       !adcRows.exists(_.getLong(1) == victim), "a replaced doc still serves")
+
+    // 5b. the THIRD serve surface: BM25 over the winner's unique words
+    // finds the winner (it inherited the victim's vocabulary and added
+    // its own), and never the victim
+    val bm25 = TextSearchIndex.query(spark, searchOut,
+      words(9100, 3).toList, k = 10).collect()
+    assert(bm25.exists(_.getLong(0) == winner.id),
+      s"BM25 must find the streamed winner: ${bm25.mkString(";")}")
+    val bm25Victim = TextSearchIndex.query(spark, searchOut,
+      baseDocs.find(_.id == victim).get.ws.take(3).toList, k = 50).collect()
+    assert(!bm25Victim.exists(_.getLong(0) == victim) &&
+      bm25Victim.exists(_.getLong(0) == winner.id),
+      "the victim's vocabulary must now serve its replacement only")
 
     // 6. export the curated train slice, audit the sealed bytes, and
     // reconcile the manifest against the layout's own token count
