@@ -1176,21 +1176,11 @@ object DeltaIngest {
     fs(s, mlog).delete(mlog, true)
   }
 
-  /** Swap a staged dir into place: rename the live dir ASIDE (never
-    * delete first), staged in, then drop the old — both renames
-    * checked. */
-  private def swapDir(s: SparkSession, staged: String, path: String): Unit = {
-    val p = new Path(path)
-    val f = fs(s, p)
-    val old = new Path(path + "_old")
-    if (f.exists(old)) f.delete(old, true) // prior completed swap's leftover
-    if (f.exists(p) && !f.rename(p, old))
-      throw new java.io.IOException(s"swapDir: rename $p -> $old failed")
-    if (!f.rename(new Path(staged), p)) {
-      if (f.exists(old)) f.rename(old, p) // roll back: never leave the table absent
-      throw new java.io.IOException(s"swapDir: rename $staged -> $p failed")
-    }
-    f.delete(old, true)
-    s.catalog.refreshByPath(path) // bare renames bypass the FileStatusCache
-  }
+  /** The rename-aside swap — one definition for all three index
+    * operators ([[SegmentLog.swapDir]]). Unlike the segment-log twins,
+    * this compact stages everything at seg=0, so a crashed prior
+    * compaction's staging is fully replaced by the next overwrite (no
+    * stale-seg hazard to clear). */
+  private def swapDir(s: SparkSession, staged: String, path: String): Unit =
+    SegmentLog.swapDir(s, staged, path)
 }
