@@ -68,7 +68,10 @@ object CuratedVectorSync {
     val addKey = s"$key-add"; val rmKey = s"$key-rm"
     val sAddKey = s"$key-sadd"; val sRmKey = s"$key-srm"
     val ivfKeys = IvfMaintenance.committedKeys(s, ivfOut)
-    val searchDone = searchOut.forall { so =>
+    // lazy: on a FRESH batch the ivf-keys check already fails, and the
+    // search marker dir (one FS open per marker) must not be read for
+    // nothing on every delivery
+    lazy val searchDone = searchOut.forall { so =>
       val sk = TextSearchIndex.committedKeys(s, so)
       sk.contains(sAddKey) && sk.contains(sRmKey)
     }
@@ -83,10 +86,19 @@ object CuratedVectorSync {
     // ingests, or the remaining edit list is gone (diagnosed here,
     // not as a read error)
     val segDir = s"$textOut/manifest_log/seg=$seg"
+    // name the side(s) actually missing: a crash can leave the vector
+    // commits done and only the search side pending — "rebuild the
+    // vector index" would then fix nothing
+    def pendingSides: String = {
+      val v = if (ivfKeys.contains(addKey) && ivfKeys.contains(rmKey)) Nil
+        else Seq("vector")
+      val t = if (searchDone) Nil else Seq("search")
+      (v ++ t).mkString("+")
+    }
     require(CurationRun.exists(s, segDir),
       s"manifest increment for batch $key (seg=$seg) was compacted away " +
-        "before its vector sync completed; the index edits for this batch " +
-        "cannot be recovered - rebuild the vector index from the layout")
+        s"before its $pendingSides sync completed; the index edits for " +
+        "this batch cannot be recovered - rebuild that index from the layout")
     val manifestInc =
       s.read.schema("doc_id LONG, dead BOOLEAN")
         .parquet(segDir)

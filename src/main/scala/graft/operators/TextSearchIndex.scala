@@ -180,6 +180,9 @@ object TextSearchIndex {
     require(indexed(s, outDir), s"build has not completed for $outDir")
     if (committedKeys(s, outDir).contains(key)) return 0L
     wipeUncommitted(s, outDir)
+    // the common lockstep batch removes NOTHING — commit the replay
+    // identity without paying the full postings-log scan below
+    if (ids.isEmpty) { commitMarker(s, outDir, -1L, key); return 0L }
     val allowed = committedSegs(s, outDir)
     val seg = allowed.max + 1
     val live = foldPostings(readPostLog(s, outDir, allowed)

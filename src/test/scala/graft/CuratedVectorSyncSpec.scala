@@ -183,6 +183,52 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert((finalIds -- liveIds(ivfOut)).subsetOf(Set(n2.id)))
   }
 
+  test("search sub-commits: a crash suffix completes on redelivery, a full replay is a stats-exact no-op") {
+    import graft.operators.TextSearchIndex
+    val in = tmp("s_in"); val textOut = tmp("s_text")
+    val ivfOut = tmp("s_ivf"); val searchOut = tmp("s_search")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    IvfMaintenance.build(spark,
+      vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 3).as("label"), col("embedding")),
+      ivfOut)
+    TextSearchIndex.build(spark,
+      spark.read.parquet(s"$textOut/final").select("doc_id", "text"), searchOut)
+    // "crash" between the vector and search sides: the first delivery
+    // never knew about the search index
+    val rep1 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "b1")
+    assert(rep1.docs.isDefined && rep1.nSearchIngested == 0)
+    // redelivery WITH the search index: doc+vector replay as no-ops,
+    // the search suffix completes
+    val rep2 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "b1", Some(searchOut))
+    assert(rep2.docs.isEmpty && rep2.nVecIngested == 0, s"$rep2")
+    assert(rep2.nSearchIngested == 2 && rep2.nSearchRemoved == 1, s"$rep2")
+    // the winner's extra vocabulary serves; the replaced keeper's text
+    // no longer resolves to it
+    val hits = TextSearchIndex.query(spark, searchOut,
+      List("zza01", "zza02", "zza03"), k = 10).collect()
+    assert(hits.exists(_.getLong(0) == wWinner.id), s"${hits.mkString(";")}")
+    assert(!hits.exists(_.getLong(0) == bWin.id))
+    // full replay: every sub-commit skips; served scores are unchanged
+    // (a double-ingest would double-count n_docs/sum_dl and shift idf)
+    val want = TextSearchIndex.query(spark, searchOut,
+      List("zza01", "zza02", "zza03"), k = 10).collect().toSeq.map(_.toString)
+    val rep3 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "b1", Some(searchOut))
+    assert(rep3.docs.isEmpty && rep3.nVecIngested == 0 &&
+      rep3.nSearchIngested == 0 && rep3.nSearchRemoved == 0, s"$rep3")
+    assert(TextSearchIndex.query(spark, searchOut,
+      List("zza01", "zza02", "zza03"), k = 10).collect().toSeq.map(_.toString)
+      == want, "a replay moved the served scores — stats double-counted")
+  }
+
   test("PQ codes ride the synced commit: appended docs serve via ADC, removed docs are unreachable") {
     // standalone fixture: enabling PQ on the shared run would change
     // what the other tests' ingests write

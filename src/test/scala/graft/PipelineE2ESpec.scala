@@ -137,8 +137,9 @@ class PipelineE2ESpec extends AnyFunSuite {
       nShards = 4, seqLen = 64, seed = 1L)
     assert(rep1.nTokens == rep.nTokens && rep1.nDocs == rep.nDocs)
     val replay = CuratedVectorSync.ingestDropBatch(spark,
-      spark.read.parquet(dropDir), 0L, textOut, ivfOut)
+      spark.read.parquet(dropDir), 0L, textOut, ivfOut, Some(searchOut))
     assert(replay.isDefined && replay.get.docs.isEmpty &&
-      replay.get.nVecIngested == 0, s"replay must no-op: $replay")
+      replay.get.nVecIngested == 0 && replay.get.nSearchIngested == 0,
+      s"replay must no-op on all three surfaces: $replay")
   }
 }
