@@ -152,6 +152,18 @@ object Bench {
     }
     val qbJson = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Serve-surface latencies (exact kNN / ADC / BM25 on indexes built
+    // from the fixtures) — full-JSON only; the compact driver line must
+    // stay inside its tail-window byte budget.
+    var sbErr = ""
+    val sb = try ServeBench.run(spark, benchDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] serve_bench failed: $e")
+        sbErr = e.toString.take(300)
+        Map.empty[String, Double]
+    }
+    val sbJson = sb.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // CPU calibration probe: a fixed JVM integer-spin, single-thread and
     // all-threads-wall. Rounds run on whatever VM the driver lands on —
     // round 10's host timed byte-identical plans ~2x round 8's on
@@ -208,13 +220,14 @@ object Bench {
     // code-driven speedup)
     val proto = s""""protocol":{"samples":"2+adaptive3rd","aggregation":"min","warmup":"per-query","cacheCleared":true,"relayout_sec":${BigDecimal(relayoutSec).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
     val errJson =
-      if (errs.isEmpty && qbErr.isEmpty) ""
+      if (errs.isEmpty && qbErr.isEmpty && sbErr.isEmpty) ""
       else {
         val qbPart = if (qbErr.isEmpty) "" else s""","queue_bench_err":${jq(qbErr)}"""
-        s""","n_errors":${errs.size}$qbPart"""
+        val sbPart = if (sbErr.isEmpty) "" else s""","serve_bench_err":${jq(sbErr)}"""
+        s""","n_errors":${errs.size}$qbPart$sbPart"""
       }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson$errJson,$hw,$proto,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,"serve_bench":$sbJson$errJson,$hw,$proto,"sf":"$sfDir"}"""
     // The driver captures only a short stdout tail and sbt appends a
     // "[success] Total time: ..." line after the program exits, so the
     // LAST line we print must be a complete, COMPACT JSON object

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{IvfMaintenance, TextSearchIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serve-surface benchmark: builds the maintained indexes from the
+  * fixture tables once, then times warm top-k serving on each surface
+  * (exact kNN, compressed ADC, BM25). Published under `serve_bench` in
+  * BENCH.json (full JSON only — the compact driver line stays within
+  * its tail-window budget). Protocol matches the query bench: one
+  * unmeasured warm pass, then min-of-3. */
+object ServeBench {
+
+  def run(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(s"serve_$n").toString
+    val ivfDir = tmp("ivf"); val searchDir = tmp("search")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint(true)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint(true)
+
+    def once(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def bench(f: => Unit): Double = { f; (1 to 3).map(_ => once(f)).min }
+
+    val ivfBuild = once {
+      IvfMaintenance.build(spark, emb, ivfDir)
+      IvfMaintenance.buildPq(spark, emb.select("label", "embedding"), ivfDir, 8)
+    }
+    val searchBuild = once { TextSearchIndex.build(spark, docs, searchDir) }
+
+    val queries = emb.where(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .localCheckpoint(true)
+    // the t_bm25_topk query convention: the 3 highest-df words len>=4
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 4)
+      .groupBy("w").agg(count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("w").asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+
+    Map(
+      "ivf_build_sec" -> ivfBuild,
+      "search_build_sec" -> searchBuild,
+      "knn_100q_sec" -> bench {
+        IvfMaintenance.knnQuery(spark, ivfDir, queries, k = 5, nprobe = 2)
+          .count(); ()
+      },
+      "adc_100q_sec" -> bench {
+        IvfMaintenance.adcKnn(spark, ivfDir, queries, k = 5, nprobe = 2)
+          .count(); ()
+      },
+      "bm25_sec" -> bench {
+        TextSearchIndex.query(spark, searchDir, terms, 10).count(); ()
+      })
+  }
+}
