@@ -18,6 +18,23 @@ object QueueBench {
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
   def run(spark: SparkSession, jobs: Int = 10000, queues: Int = 20): Map[String, Double] = {
+    // every store gets a registered temp dir, deleted when the bench
+    // ends — the leaked copies accumulated /tmp disk across rounds
+    val tmpDirs = new scala.collection.mutable.ArrayBuffer[String]()
+    def tmpDir(): String = {
+      val d = Files.createTempDirectory("qbench").toString
+      tmpDirs.synchronized { tmpDirs += d }
+      d
+    }
+    try runOn(spark, jobs, queues, tmpDir)
+    finally for (d <- tmpDirs) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  private def runOn(spark: SparkSession, jobs: Int, queues: Int,
+      tmpDir: () => String): Map[String, Double] = {
     WorkerRegistry.register("BenchWorker", (_, _) => { counter.incrementAndGet(); () })
 
     def payload(bytes: Int): String = "[\"" + ("x" * bytes) + "\"]"
@@ -25,7 +42,7 @@ object QueueBench {
     // warm the write path once so the first measured size isn't paying
     // JVM/committer classloading
     locally {
-      val ws = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+      val ws = new QueueStore(spark, tmpDir())
       new DefaultQueueApi(ws).bulkEnqueue("warm", Seq.fill(50)(JobSpec("BenchWorker")))
     }
 
@@ -34,7 +51,7 @@ object QueueBench {
     // per size: single runs swung 10-40% between identical-code rounds.
     val enqueueRates = Seq(512, 1024, 2560).map { bytes =>
       def once(): Double = {
-        val store = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+        val store = new QueueStore(spark, tmpDir())
         val api = new DefaultQueueApi(store)
         val spec = JobSpec("BenchWorker", args = payload(bytes))
         val perQueue = jobs / queues
@@ -50,7 +67,7 @@ object QueueBench {
     }
 
     // -- dequeue → dispatch → ack round-trip ----------------------------
-    val store = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+    val store = new QueueStore(spark, tmpDir())
     val api = new DefaultQueueApi(store)
     api.bulkEnqueue("bench", Seq.fill(jobs)(JobSpec("BenchWorker", args = payload(512))))
     counter.set(0)
@@ -100,7 +117,7 @@ object QueueBench {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     def promoteOnce(): Double = {
-      val hkStore = new QueueStore(spark, Files.createTempDirectory("qbench").toString)
+      val hkStore = new QueueStore(spark, tmpDir())
       val at = new java.sql.Timestamp(System.currentTimeMillis())
       val evs = (0 until 5000).map(i => graft.api.QueueApi.toEvent(
         s"hq${i % 10}", JobSpec("BenchWorker"), graft.api.QueueApi.newJid(), at))

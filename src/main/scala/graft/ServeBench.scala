@@ -16,6 +16,17 @@ object ServeBench {
     def tmp(n: String) =
       java.nio.file.Files.createTempDirectory(s"serve_$n").toString
     val ivfDir = tmp("ivf"); val searchDir = tmp("search")
+    // the fixtures' full IVF+PQ+search copies must not outlive the run:
+    // un-deleted temp dirs accumulated /tmp disk across bench rounds
+    try runOn(spark, sfDir, ivfDir, searchDir)
+    finally for (d <- Seq(ivfDir, searchDir)) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  private def runOn(spark: SparkSession, sfDir: String,
+      ivfDir: String, searchDir: String): Map[String, Double] = {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("label").cast("long").as("label"),

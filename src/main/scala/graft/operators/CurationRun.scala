@@ -75,9 +75,37 @@ object CurationRun {
       .drop("_n", "_u", "_chars", "_top")
   }
 
+  /** The run dir's recorded manifest-shard count (`outDir/_layout`,
+    * written by [[run]]): a layout parameter, not a constant — at
+    * 100 TB, 16 manifest shards is a loader-parallelism ceiling.
+    * Pre-layout run dirs (no record) used the default 16. */
+  val DefaultShards = 16
+
+  private[graft] def layoutShards(s: SparkSession, outDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_layout")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return DefaultShards
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
+    require(n > 0, s"$outDir: garbled _layout '$txt'")
+    n
+  }
+
+  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_layout")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(s"shards=$nShards".getBytes("UTF-8")) finally out.close()
+  }
+
   /** Execute (or resume) the run. Stage dirs live under `outDir`;
     * completed stages are skipped by their _SUCCESS marker. */
-  def run(s: SparkSession, inputDir: String, outDir: String): Report = {
+  def run(s: SparkSession, inputDir: String, outDir: String,
+      nShards: Int = DefaultShards): Report = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val clean = s"$outDir/stage1_clean"
     val deduped = s"$outDir/stage2_deduped"
     val reportPq = s"$outDir/report.parquet"
@@ -87,7 +115,15 @@ object CurationRun {
     // whole run landed — a resume of a completed run is a metadata-only
     // no-op read, never a re-run of split/decontamination/final writes
     // (at 100 TB the most expensive redo in the pipeline)
-    if (exists(s, s"$reportPq/_SUCCESS")) return readReport(s, reportPq)
+    if (exists(s, s"$reportPq/_SUCCESS")) {
+      // a completed run's manifest was routed with the RECORDED count —
+      // resuming with a different request must refuse, not silently
+      // return a manifest sharded differently than asked
+      require(layoutShards(s, outDir) == nShards,
+        s"$outDir completed with ${layoutShards(s, outDir)} manifest " +
+          s"shards; requested $nShards — re-run into a fresh dir")
+      return readReport(s, reportPq)
+    }
 
     // stage 1: quality gate
     if (!done(s, clean))
@@ -144,9 +180,11 @@ object CurationRun {
       .sortWithinPartitions("split", "source", "doc_id")
       .write.mode("overwrite").partitionBy("split", "source")
       .parquet(s"$outDir/final")
-    // manifest: one row per emitted doc, shard-routed (guarded hash)
+    // manifest: one row per emitted doc, shard-routed (guarded hash,
+    // modulus recorded in _layout so every later reader/ingester agrees)
+    writeLayout(s, outDir, nShards)
     fin.select(col("doc_id"), col("split"), col("source"), col("n_chars"),
-      (col("doc_id") % 1000003L * 2654435761L % 16).cast("int").as("shard"))
+      (col("doc_id") % 1000003L * 2654435761L % nShards).cast("int").as("shard"))
       .write.mode("overwrite").parquet(s"$outDir/manifest.parquet")
 
     val nInput = s.read.parquet(s"$inputDir/documents.parquet").count()

@@ -966,9 +966,14 @@ object DeltaIngest {
         .join(newTrainShared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("ns"), lit(0L)).as("n_shared"), lit(false).as("dead")))
+    // the shard modulus is the BASE run's recorded layout (CurationRun
+    // `_layout`), never a literal: a delta routed mod 16 into a 64-shard
+    // manifest would silently desync loader-side shard pruning
+    val manifestShards = CurationRun.layoutShards(s, outDir)
     val manifestSeg = appendRows.select(col("doc_id"), col("split"), col("source"),
         col("n_chars"),
-        (col("doc_id") % 1000003L * 2654435761L % 16).cast("int").as("shard"),
+        (col("doc_id") % 1000003L * 2654435761L % manifestShards)
+          .cast("int").as("shard"),
         lit(false).as("dead"))
       .unionAll(removed.select(col("doc_id"), lit("").as("split"),
         lit("").as("source"), lit(0L).as("n_chars"), lit(0).as("shard"),

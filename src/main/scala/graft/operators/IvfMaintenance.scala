@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   *     ONLY (a cell-keyed, partition-pruned log read — O(cell) work per
   *     split, never a retrain). Sub 0 keeps the cell id; sub 1 takes
   *     max_cell_id + rank (collision-free, deterministic).
+  *   - the UNDERFULL inverse rides removals: [[mergeUnderfull]] retires
+  *     cells below the [[needsMerge]] threshold, argmin-rehoming their
+  *     members onto the nearest surviving centroid in one commit —
+  *     without it, curation churn only ever shrinks cells and a
+  *     long-lived index strands near-empty cells that waste nprobe
+  *     budget.
   *
   * On-disk layout (all segment numbers admitted through ONE marker set,
   * so the centroid snapshot and the lists can never disagree — the
@@ -38,8 +44,10 @@ import org.apache.spark.sql.types._
   *                                cheap) for commit n
   *   outDir/ivf/asg/seg=<n>/      assignment INCREMENT (vec_id, cell,
   *                                e, dead), hive-partitioned on
-  *                                shard = cell % 16 for pruned
+  *                                shard = cell % n_shards for pruned
   *                                cell-keyed probes
+  *   outDir/ivf/_layout           layout record (shards=N) — readers
+  *                                derive every shard modulus from it
   * }}}
   * Readers: centroids = the max committed segment's snapshot;
   * assignments = the increments folded per (cell, vec_id), latest
@@ -68,14 +76,73 @@ object IvfMaintenance {
   def needsSplit(nCell: Column, nTotal: Column): Column =
     nCell * 20 > nTotal * 3
 
+  /** Occupancy below which a cell merges away: under HALF THE MEAN
+    * (2·n_cell·n_cells < n_total) — the underfull inverse of
+    * [[needsSplit]], mean-relative so it behaves at any nlist. Two
+    * structural properties: (a) the all-flagged degenerate case is
+    * impossible (if every cell were under half the mean, the total
+    * would be under half of itself), so a rehoming target always
+    * exists; (b) hysteresis vs the split flag — a survivor absorbing a
+    * merged cell gains at most that cell's sub-half-mean membership,
+    * so one merge cannot ping-pong a cell straight back over the split
+    * threshold (it CAN tip an already-hot cell, which the next ingest's
+    * split check then handles — that is the intended division of
+    * labor). */
+  def needsMerge(nCell: Column, nTotal: Column, nCells: Column): Column =
+    nCell * nCells * 2 < nTotal
+
   /** Committed segments beyond which [[ingest]] self-triggers
     * [[compact]] (same cadence contract as DeltaIngest). */
   val CompactAfterSegments = 16
+
+  /** Default hive-shard count for the assignment log (`shard =
+    * cell % n`). A LAYOUT parameter, not a constant: [[build]] records
+    * the chosen count in `<ivf>/_layout` and every writer and probe
+    * derives its modulus from that record — at 100 TB, 16 partitions
+    * per segment is a parallelism and file-size ceiling, so a large
+    * index builds with a larger count and every cell-keyed prune keeps
+    * working because reader and writer share the recorded value. */
+  val DefaultShards = 16
+
+  private def layoutPath(outDir: String) = new Path(s"${ivfDir(outDir)}/_layout")
+
+  /** Record the index's shard count — written by [[build]] before any
+    * segment lands, so no committed data can exist without its layout. */
+  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit = {
+    val p = layoutPath(outDir)
+    val f = fs(s, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(s"shards=$nShards".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The recorded shard count — REQUIRED: a reader guessing a modulus
+    * against an index sharded differently would silently mis-prune
+    * (missing rows, not an error), so a missing or garbled layout
+    * refuses diagnosably instead. */
+  private[graft] def layoutShards(s: SparkSession, outDir: String): Int = {
+    val p = layoutPath(outDir)
+    val f = fs(s, p)
+    require(f.exists(p),
+      s"$outDir: no _layout record — the index predates (or lost) its " +
+        "layout descriptor; rebuild to record the shard count")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
+    require(n > 0, s"$outDir: garbled _layout '$txt'")
+    n
+  }
 
   final case class IngestReport(
       nDelta: Long,
       nCellsBefore: Long,
       nSplit: Long, // cells split this ingest
+      nCellsAfter: Long)
+
+  final case class MergeReport(
+      nFlagged: Long, // underfull cells retired this merge
+      nRehomed: Long, // live vectors moved to their nearest survivor
       nCellsAfter: Long)
 
   private def ivfDir(outDir: String) = s"$outDir/ivf"
@@ -123,7 +190,7 @@ object IvfMaintenance {
     * them, and the next writer sweeps them before computing. */
   private def wipeUncommitted(s: SparkSession, outDir: String): Unit =
     SegmentLog.wipeUncommitted(s, markerDir(outDir),
-      Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir)))
+      Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir), pqCbRoot(outDir)))
 
   /** The centroid table as of the last committed segment:
     * (cell, c, n_assigned) — n_assigned is ALWAYS the lists' fold
@@ -165,7 +232,8 @@ object IvfMaintenance {
       .where(!col("b.dead"))
       .select(col("vec_id"), col("cell"), col("b.e").as("e"))
 
-  private def shardOf(cell: Column): Column = (cell % 16).cast("int")
+  private def shardOf(cell: Column, nShards: Int): Column =
+    (cell % nShards).cast("int")
 
   /** Write one committed segment: stage every table under seg=<n>,
     * then land the marker — a crash at ANY earlier instant leaves an
@@ -175,10 +243,11 @@ object IvfMaintenance {
   private def writeSegment(s: SparkSession, outDir: String, seg: Long,
       cents: DataFrame, asgInc: DataFrame, key: String,
       codesInc: Option[DataFrame] = None): Unit = {
+    val nsh = layoutShards(s, outDir)
     cents.select("cell", "c", "n_assigned")
       .write.mode("overwrite").parquet(s"${centRoot(outDir)}/seg=$seg")
     asgInc.select(col("vec_id"), col("cell"), col("e"), col("dead"),
-        shardOf(col("cell")).as("shard"))
+        shardOf(col("cell"), nsh).as("shard"))
       .repartition(col("shard")).sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"${asgRoot(outDir)}/seg=$seg")
@@ -226,7 +295,8 @@ object IvfMaintenance {
     * Embeddings: (vec_id: long, label: int-ish, embedding:
     * array<float|double>). */
   def build(s: SparkSession, embeddings: DataFrame, outDir: String,
-      rounds: Int = 3): Unit = {
+      rounds: Int = 3, nShards: Int = DefaultShards): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     VectorFunctions.register(s)
     // a rebuild replaces the index DATA but must PRESERVE the markers:
     // their contents are the replay identity of every committed batch,
@@ -241,6 +311,9 @@ object IvfMaintenance {
     for (r <- Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir))) {
       val p = new Path(r); fs(s, p).delete(p, true)
     }
+    // layout lands before any segment: a rebuild may change the shard
+    // count because it rewrites every sharded table anyway
+    writeLayout(s, outDir, nShards)
     val e = embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("e"))
@@ -272,7 +345,7 @@ object IvfMaintenance {
     // inside the same commit.
     val codes =
       if (pqEnabled(s, outDir)) {
-        val (cb, m, subLen) = loadCodebooks(s, outDir)
+        val (cb, m, subLen, _) = loadCodebooks(s, outDir, committedSegs(s, outDir))
         Some(encode(asg.select(col("vec_id"), col("e")), cb, m, subLen))
       } else None
     writeSegment(s, outDir, seg,
@@ -343,8 +416,9 @@ object IvfMaintenance {
         // the report) give STATIC partition pruning on shard= and
         // row-group skipping on the sorted cell column — the log read
         // touches only the split cells' bytes.
+        val nsh = layoutShards(s, outDir)
         val flaggedCells = flagged.collect().map(_.getLong(0)).toSeq
-        val flaggedShards = flaggedCells.map(c => (c % 16).toInt).distinct
+        val flaggedShards = flaggedCells.map(c => (c % nsh).toInt).distinct
         val baseMembers = foldAsg(
           readAsgLog(s, outDir)
             .where(col("shard").isin(flaggedShards: _*) &&
@@ -411,7 +485,7 @@ object IvfMaintenance {
     // already coded at their own ingest — need nothing here)
     val codesInc =
       if (pqEnabled(s, outDir)) {
-        val (cb, m, subLen) = loadCodebooks(s, outDir)
+        val (cb, m, subLen, _) = loadCodebooks(s, outDir, committedSegs(s, outDir))
         Some(encode(d, cb, m, subLen))
       } else None
     writeSegment(s, outDir, seg, centsSeg, asgInc, key, codesInc)
@@ -432,25 +506,106 @@ object IvfMaintenance {
     * (ingest, serve, split) stay corpus-free. Returns the number of
     * live rows tombstoned (ids absent from the index count zero). */
   def remove(s: SparkSession, ids: DataFrame, outDir: String,
-      key: String = s"rm-${System.nanoTime()}"): Long = {
+      key: String = s"rm-${System.nanoTime()}",
+      maintain: Boolean = true): Long = {
     require(indexed(s, outDir), s"build has not completed for $outDir")
-    if (committedKeys(s, outDir).contains(key)) return 0L
-    wipeUncommitted(s, outDir)
-    if (ids.isEmpty) { commitSkip(s, outDir, key); return 0L }
-    val seg = committedSegs(s, outDir).max + 1
-    val cents = centroids(s, outDir).localCheckpoint(true)
-    val live = foldAsg(readAsgLog(s, outDir)
-        .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
-      .localCheckpoint(true)
-    val n = live.count()
-    val inc = live.select(col("vec_id"), col("cell"),
-      lit(null).cast(ArrayType(DoubleType)).as("e"), lit(true).as("dead"))
-    val centsSeg = cents
-      .join(live.groupBy("cell").agg(count(lit(1)).as("rm")), Seq("cell"), "left")
-      .select(col("cell"), col("c"),
-        (col("n_assigned") - coalesce(col("rm"), lit(0L))).as("n_assigned"))
-    writeSegment(s, outDir, seg, centsSeg, inc, key)
+    val n =
+      if (committedKeys(s, outDir).contains(key)) 0L
+      else if ({ wipeUncommitted(s, outDir); ids.isEmpty }) {
+        commitSkip(s, outDir, key); 0L
+      } else {
+        val seg = committedSegs(s, outDir).max + 1
+        val cents = centroids(s, outDir).localCheckpoint(true)
+        val live = foldAsg(readAsgLog(s, outDir)
+            .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+          .localCheckpoint(true)
+        val nLive = live.count()
+        val inc = live.select(col("vec_id"), col("cell"),
+          lit(null).cast(ArrayType(DoubleType)).as("e"), lit(true).as("dead"))
+        val centsSeg = cents
+          .join(live.groupBy("cell").agg(count(lit(1)).as("rm")), Seq("cell"), "left")
+          .select(col("cell"), col("c"),
+            (col("n_assigned") - coalesce(col("rm"), lit(0L))).as("n_assigned"))
+        writeSegment(s, outDir, seg, centsSeg, inc, key)
+        nLive
+      }
+    // occupancy maintenance rides every removal batch — removal is the
+    // op that shrinks cells, so this is where underfull cells appear.
+    // A DERIVED key, and placed after the replay-skip paths above, so a
+    // crash between the remove commit and the merge commit is healed by
+    // replaying the same remove key (the remove skips, the merge runs).
+    if (maintain) mergeUnderfull(s, outDir, s"$key-merge")
     n
+  }
+
+  /** The underfull half of occupancy maintenance — the inverse of the
+    * ingest-time split: cells below the [[needsMerge]] threshold are
+    * RETIRED in one commit. Each flagged cell's live members are
+    * argmin-rehomed onto the nearest SURVIVING centroid (broadcast,
+    * O(flagged members × survivors) — the corpus is never scanned;
+    * flagged-cell bytes come from the same shard-pruned cell-keyed log
+    * read the split path uses), written as the standard increment
+    * (tombstone in the moved-FROM cell + live row in the new cell, so
+    * the fold still commutes with cell predicates), and the new
+    * centroid snapshot — survivors only, occupancy bumped by what they
+    * absorbed — rides the SAME one-marker segment: no instant shows a
+    * retired centroid with no members or rehomed members under a live
+    * flagged centroid. Surviving centroids do not move (faiss
+    * semantics: reassignment updates occupancy, never re-trains), and
+    * PQ codes need nothing — they are cell-independent and reachable
+    * only through the folded lists.
+    *
+    * Left unmaintained, curation churn ([[remove]], keeper replacement
+    * under [[CuratedVectorSync]]) only ever shrinks cells: a year of
+    * removals strands near-empty cells that burn nprobe budget and
+    * skew the split threshold's n_total. [[remove]] therefore triggers
+    * this automatically (`maintain = true`); it is also callable
+    * standalone on any maintenance cadence. Replay-keyed like every
+    * commit; a no-flag pass commits a skip marker so replays stay
+    * cheap. */
+  def mergeUnderfull(s: SparkSession, outDir: String,
+      key: String = s"merge-${System.nanoTime()}"): MergeReport = {
+    VectorFunctions.register(s)
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    if (committedKeys(s, outDir).contains(key))
+      return MergeReport(0L, 0L, centroids(s, outDir).count())
+    wipeUncommitted(s, outDir)
+    val cents = centroids(s, outDir).localCheckpoint(true)
+    val tot = cents.agg(coalesce(sum("n_assigned"), lit(0L)), count(lit(1))).head()
+    val (nTotal, nCells) = (tot.getLong(0), tot.getLong(1))
+    val flagged = cents
+      .where(needsMerge(col("n_assigned"), lit(nTotal), lit(nCells)))
+      .select("cell")
+    // nlist-bounded driver literals — static pruning for the member read
+    val flaggedCells = flagged.collect().map(_.getLong(0)).toSeq
+    if (flaggedCells.isEmpty) {
+      commitSkip(s, outDir, key)
+      return MergeReport(0L, 0L, nCells)
+    }
+    val seg = committedSegs(s, outDir).max + 1
+    val survivors = cents.where(!col("cell").isin(flaggedCells: _*))
+      .localCheckpoint(true) // needsMerge guarantees nonempty (see scaladoc)
+    val nsh = layoutShards(s, outDir)
+    val flaggedShards = flaggedCells.map(c => (c % nsh).toInt).distinct
+    val members = foldAsg(readAsgLog(s, outDir)
+        .where(col("shard").isin(flaggedShards: _*) &&
+          col("cell").isin(flaggedCells: _*)))
+      .localCheckpoint(true)
+    val re = assign(members.select("vec_id", "e"), survivors)
+      .join(members.select(col("vec_id"), col("cell").as("old_cell"), col("e")),
+        "vec_id")
+      .localCheckpoint(true)
+    val nRehomed = re.count()
+    val inc = re.select(col("vec_id"), col("old_cell").as("cell"),
+        lit(null).cast(ArrayType(DoubleType)).as("e"), lit(true).as("dead"))
+      .unionAll(re.select(col("vec_id"), col("cell"), col("e"),
+        lit(false).as("dead")))
+    val centsSeg = survivors
+      .join(re.groupBy("cell").agg(count(lit(1)).as("got")), Seq("cell"), "left")
+      .select(col("cell"), col("c"),
+        (col("n_assigned") + coalesce(col("got"), lit(0L))).as("n_assigned"))
+    writeSegment(s, outDir, seg, centsSeg, inc, key)
+    MergeReport(flaggedCells.size.toLong, nRehomed, nCells - flaggedCells.size)
   }
 
   /** Serve top-k nearest neighbors (squared-L2, the index's assignment
@@ -507,7 +662,8 @@ object IvfMaintenance {
       .localCheckpoint(true) // the cells collect below would otherwise recompute the argmin for the scored join
     val cells = probes.select("cell").distinct().collect()
       .map(_.getLong(0)).toSeq
-    val shards = cells.map(c => (c % 16).toInt).distinct
+    val nsh = layoutShards(s, outDir)
+    val shards = cells.map(c => (c % nsh).toInt).distinct
     (probes, cells, shards)
   }
 
@@ -573,13 +729,21 @@ object IvfMaintenance {
   //   - [[buildPq]] (once, any time after [[build]]): train
   //     per-(subspace, label) codebooks — the exact pqScored recipe —
   //     over the provided labeled sample, encode EVERY live vector,
-  //     and seal with `pq_cb.parquet` written LAST (the enablement
-  //     marker: a crash mid-build leaves PQ off and the next attempt
-  //     overwrites).
+  //     and seal GENERATION 0 (`pq_cb/seg=<top>`, written LAST — the
+  //     enablement marker: a crash mid-build leaves PQ off and the
+  //     next attempt overwrites).
   //   - [[ingest]]/[[ingestKeyed]] then encode each delta against the
   //     FIXED committed codebooks (faiss semantics: codebooks never
   //     retrain) inside the SAME segment commit, so the codes can
   //     never lag the lists.
+  //   - the fixed-codebook contract gets a monitored escape hatch:
+  //     [[pqRecall]] measures the compressed path's recall against the
+  //     exact path on a held-out query set, and [[maintainPq]] /
+  //     [[refreshPq]] re-train + re-encode as a NEW codebook
+  //     generation when drift degrades it — one marker admits the
+  //     generation and its re-encoded corpus together, and the codes
+  //     fold is bounded to seg >= the active generation so an old
+  //     generation's codes (even at a different m) are unreachable.
   //   - codes need NO tombstones: [[adcKnn]] reaches them only through
   //     the folded assignment ids, so a removed/re-homed vector's
   //     stale codes are unreachable; [[compact]] drops them.
@@ -593,19 +757,40 @@ object IvfMaintenance {
   // is NOT exact kNN — [[knnQuery]] remains the exact-on-candidates
   // path.
 
-  private def pqCbPath(outDir: String) = s"${ivfDir(outDir)}/pq_cb.parquet"
+  private def pqCbRoot(outDir: String) = s"${ivfDir(outDir)}/pq_cb"
   private def pqRoot(outDir: String) = s"${ivfDir(outDir)}/pqcodes"
 
   private val PqCodesSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("m", IntegerType),
     StructField("code", LongType)))
 
-  /** PQ is enabled iff the codebook table sealed. */
-  def pqEnabled(s: SparkSession, outDir: String): Boolean =
-    CurationRun.exists(s, s"${pqCbPath(outDir)}/_SUCCESS")
+  /** Codebooks live as GENERATIONS `pq_cb/seg=<n>` — n is the segment
+    * whose commit activated that generation, so the marker set that
+    * admits a refresh's re-encoded codes admits its codebooks in the
+    * same atomic instant (no window where codes and codebooks
+    * disagree). The active generation is the max committed one; a
+    * generation dir without its `_SUCCESS` (crashed train) or without
+    * its marker (crashed refresh, swept by [[wipeUncommitted]]) is
+    * never admitted. Codes are folded only from `seg >=` the active
+    * generation — every live vector is re-encoded by the refresh that
+    * activates a generation, so earlier generations' codes are pure
+    * shadow and the bound makes even a changed subspace count (m)
+    * safe: stale (vec_id, m) rows from an old shape can never leak
+    * into the fold. */
+  private def activeCbSeg(s: SparkSession, outDir: String,
+      allowed: Set[Long]): Option[Long] =
+    presentSegs(s, pqCbRoot(outDir))
+      .filter(n => allowed(n) &&
+        CurationRun.exists(s, s"${pqCbRoot(outDir)}/seg=$n/_SUCCESS"))
+      .maxOption
 
-  private def readCodebooks(s: SparkSession, outDir: String): DataFrame =
-    s.read.parquet(pqCbPath(outDir)).select("m", "cw", "c")
+  /** PQ is enabled iff a committed codebook generation exists. */
+  def pqEnabled(s: SparkSession, outDir: String): Boolean =
+    activeCbSeg(s, outDir, committedSegs(s, outDir)).isDefined
+
+  private def readCodebooks(s: SparkSession, outDir: String,
+      cbSeg: Long): DataFrame =
+    s.read.parquet(s"${pqCbRoot(outDir)}/seg=$cbSeg").select("m", "cw", "c")
 
   private def readCodesLog(s: SparkSession, outDir: String,
       allowed: Set[Long]): DataFrame = {
@@ -651,10 +836,40 @@ object IvfMaintenance {
     VectorFunctions.register(s)
     require(indexed(s, outDir), s"build has not completed for $outDir")
     if (pqEnabled(s, outDir)) return
+    val (cb, subLen) = trainCodebooks(s, sample, outDir, m)
+    // codes for every live vector, landed under the CURRENT max
+    // committed segment (admitted retroactively — safe because nothing
+    // reads pqcodes until the seal below lands)
+    val top = committedSegs(s, outDir).max
+    encode(assignments(s, outDir).select(col("vec_id"), col("e")), cb, m, subLen)
+      .write.mode("overwrite").parquet(s"${pqRoot(outDir)}/seg=$top")
+    // seal LAST: generation 0 lands at the CURRENT top committed
+    // segment (already admitted), so its dir's _SUCCESS is the
+    // enablement marker — a crash anywhere earlier leaves PQ off and
+    // the next attempt overwrites
+    cb.withColumn("n_sub", lit(m))
+      .write.mode("overwrite").parquet(s"${pqCbRoot(outDir)}/seg=$top")
+  }
+
+  /** Per-(subspace, label) codebooks over the labeled sample — the
+    * registry's pqScored arithmetic, shared verbatim by [[buildPq]]
+    * (generation 0) and [[refreshPq]] (later generations) so the two
+    * train paths cannot drift. */
+  private def trainCodebooks(s: SparkSession, sample: DataFrame,
+      outDir: String, m: Int): (DataFrame, Int) = {
     val sv = sample.select(col("label").cast("long").as("label"),
       col("embedding").cast("array<double>").as("e"))
     val dim = sv.select(size(col("e"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    // the sample must share the INDEX's vector dim: codebooks trained at
+    // a different subLen would make encode()'s slice/d2 silently produce
+    // wrong codes (or an opaque runtime error) for every corpus vector.
+    // One probed live row — not a corpus scan.
+    val idxDim = readAsgLog(s, outDir)
+      .where(col("e").isNotNull).select(size(col("e"))).head().getInt(0)
+    require(idxDim == dim,
+      s"PQ sample dim $dim != index vector dim $idxDim — train on a " +
+        "sample drawn from the indexed distribution")
     val subLen = dim / m
     val subs = sv
       .select(col("label"), posexplode(array((0 until m).map(i =>
@@ -663,15 +878,86 @@ object IvfMaintenance {
       subs.select(col("m"), col("label"), col("sub").as("e")),
       Seq(col("m"), col("label")), Seq("m", "cw"))
       .select("m", "cw", "c").localCheckpoint(true)
-    // codes for every live vector, landed under the CURRENT max
-    // committed segment (admitted retroactively — safe because nothing
-    // reads pqcodes until the seal below lands)
-    val top = committedSegs(s, outDir).max
-    encode(assignments(s, outDir).select(col("vec_id"), col("e")), cb, m, subLen)
-      .write.mode("overwrite").parquet(s"${pqRoot(outDir)}/seg=$top")
-    // seal LAST: the codebook table's _SUCCESS is the enablement marker
+    (cb, subLen)
+  }
+
+  /** Recall of the compressed serve path against the exact one — the
+    * sim_recall_eval measurement composed over the PERSISTED index:
+    * what fraction of [[knnQuery]]'s exact-on-candidates top-k does
+    * [[adcKnn]] reproduce at the same (k, nprobe)? Both paths probe the
+    * same cells, so the number isolates exactly the PQ quantization
+    * loss — the signal that degrades when the corpus distribution
+    * drifts away from the sample the FIXED codebooks were trained on.
+    * Cost: two cell-bounded serves over the held-out query set — never
+    * a corpus scan. */
+  def pqRecall(s: SparkSession, outDir: String, heldOut: DataFrame,
+      k: Int = 5, nprobe: Int = 1): Double = {
+    val exact = knnQuery(s, outDir, heldOut, k, nprobe)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val adc = adcKnn(s, outDir, heldOut, k, nprobe)
+      .select("query_id", "neighbor_id")
+    val r = exact.join(adc, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1))).head().getLong(0)
+    val tot = exact.count()
+    if (tot == 0L) 1.0 else r.toDouble / tot
+  }
+
+  /** Re-train the codebooks on a FRESH sample and re-encode every live
+    * vector — the documented escape hatch from the fixed-codebook
+    * (faiss) contract for when [[pqRecall]] says the corpus has
+    * drifted past what the original sample represents. One atomic
+    * commit: the new generation's codebooks land at `pq_cb/seg=<n>`
+    * and the full re-encoded codes ride segment n (cents snapshot
+    * unchanged, empty list increment), admitted together by segment
+    * n's marker — no instant serves new codes against old codebooks or
+    * vice versa, and a crash anywhere before the marker is swept as an
+    * invisible orphan. Replay-keyed like every commit. */
+  def refreshPq(s: SparkSession, sample: DataFrame, outDir: String,
+      m: Int = 8, key: String = s"pqrefresh-${System.nanoTime()}"): Unit = {
+    VectorFunctions.register(s)
+    require(pqEnabled(s, outDir), s"buildPq has not completed for $outDir")
+    if (committedKeys(s, outDir).contains(key)) return
+    wipeUncommitted(s, outDir)
+    val (cb, subLen) = trainCodebooks(s, sample, outDir, m)
+    val seg = committedSegs(s, outDir).max + 1
+    val codes = encode(assignments(s, outDir).select(col("vec_id"), col("e")),
+      cb, m, subLen)
+    // generation dir first (uncommitted until the marker admits seg) —
+    // then the one-marker segment carrying the re-encoded corpus
     cb.withColumn("n_sub", lit(m))
-      .write.mode("overwrite").parquet(pqCbPath(outDir))
+      .write.mode("overwrite").parquet(s"${pqCbRoot(outDir)}/seg=$seg")
+    val emptyInc = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("vec_id", LongType), StructField("cell", LongType),
+        StructField("e", ArrayType(DoubleType)),
+        StructField("dead", BooleanType))))
+    writeSegment(s, outDir, seg, centroids(s, outDir), emptyInc, key,
+      Some(codes))
+  }
+
+  final case class PqHealth(
+      recallBefore: Double,
+      refreshed: Boolean,
+      recallAfter: Option[Double])
+
+  /** The drift-monitored refresh loop: measure [[pqRecall]] on the
+    * held-out query set; if it has degraded below `minRecall`,
+    * [[refreshPq]] on the provided sample and re-measure. The caller
+    * owns the cadence (after every N ingests, nightly — wherever the
+    * occupancy checks already run) and the held-out set; replay safety
+    * rides the derived refresh key, so a crashed maintenance pass
+    * re-runs to the same decision. */
+  def maintainPq(s: SparkSession, outDir: String, heldOut: DataFrame,
+      sample: DataFrame, minRecall: Double = 0.9, k: Int = 5,
+      nprobe: Int = 1, m: Int = 8,
+      key: String = s"pqmaint-${System.nanoTime()}"): PqHealth = {
+    val before = pqRecall(s, outDir, heldOut, k, nprobe)
+    if (before >= minRecall) PqHealth(before, refreshed = false, None)
+    else {
+      refreshPq(s, sample, outDir, m, s"$key-refresh")
+      PqHealth(before, refreshed = true,
+        Some(pqRecall(s, outDir, heldOut, k, nprobe)))
+    }
   }
 
   /** Serve top-k by asymmetric-distance computation from the PERSISTED
@@ -688,7 +974,7 @@ object IvfMaintenance {
     // ingest committing mid-query would otherwise surface a candidate
     // whose codes the stale snapshot excludes — silently dropping it
     val allowed = committedSegs(s, outDir)
-    val (cb, m, subLen) = loadCodebooks(s, outDir)
+    val (cb, m, subLen, cbSeg) = loadCodebooks(s, outDir, allowed)
     val (probes, cells, shards) =
       probeCells(s, outDir, queries, nprobe, allowed)
     // per-query ADC distance tables: |queries| × m × |codewords| rows —
@@ -719,7 +1005,11 @@ object IvfMaintenance {
     // over 1e-9-quantized longs so it is bit-exact under ANY partial-
     // aggregation order (the registry's sim_pq_adc_knn contract: tied
     // candidates must tie exactly, or ranks flip run to run)
+    // only segments at/after the active codebook generation: every live
+    // vector is re-encoded by the refresh that activates a generation,
+    // so older codes are shadow — the bound keeps even a changed m safe
     val codes = foldCodes(readCodesLog(s, outDir, allowed)
+      .where(col("seg") >= cbSeg)
       .join(pairs.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
     val scored = pairs
       .join(codes, "vec_id") // (query_id, vec_id, m, code)
@@ -736,15 +1026,19 @@ object IvfMaintenance {
         col("adist2"), col("rk"))
   }
 
-  /** Codebooks + (m, subLen) in ONE job: the shape constants ride the
-    * sealed table (n_sub) and the arrays themselves — re-deriving them
-    * with separate aggregates put 2-3 driver-blocking jobs on every
-    * serve/ingest call. */
-  private def loadCodebooks(s: SparkSession, outDir: String)
-      : (DataFrame, Int, Int) = {
-    val cb = readCodebooks(s, outDir).localCheckpoint(true)
+  /** Codebooks + (m, subLen, generation seg) in ONE job: the shape
+    * constants ride the sealed table (n_sub) and the arrays themselves
+    * — re-deriving them with separate aggregates put 2-3
+    * driver-blocking jobs on every serve/ingest call. `allowed` is the
+    * caller's commit snapshot so the generation resolved here and the
+    * code segments folded against it can never mix commit points. */
+  private def loadCodebooks(s: SparkSession, outDir: String,
+      allowed: Set[Long]): (DataFrame, Int, Int, Long) = {
+    val cbSeg = activeCbSeg(s, outDir, allowed).getOrElse(
+      sys.error(s"buildPq has not completed for $outDir"))
+    val cb = readCodebooks(s, outDir, cbSeg).localCheckpoint(true)
     val r = cb.agg(max("m").as("mm"), max(size(col("c"))).as("sl")).head()
-    (cb, r.getInt(0) + 1, r.getInt(1))
+    (cb, r.getInt(0) + 1, r.getInt(1), cbSeg)
   }
 
   /** Fold the assignment log back to ONE segment (numbered with the
@@ -764,8 +1058,9 @@ object IvfMaintenance {
     // and resurrect its rows — clear the staging first
     val stagedAsg = s"${asgRoot(outDir)}_compacted"
     SegmentLog.deleteDir(s, stagedAsg)
+    val nsh = layoutShards(s, outDir)
     folded.select(col("vec_id"), col("cell"), col("e"), col("dead"),
-        shardOf(col("cell")).as("shard"))
+        shardOf(col("cell"), nsh).as("shard"))
       .repartition(col("shard")).sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$stagedAsg/seg=$top")
@@ -778,18 +1073,31 @@ object IvfMaintenance {
     // through the folded lists) and drop here
     val stagedPq =
       if (pqEnabled(s, outDir)) {
+        val cbSeg = activeCbSeg(s, outDir, segs).get
         val liveIds = folded.select("vec_id").distinct()
         val pqStage = s"${pqRoot(outDir)}_compacted"
         SegmentLog.deleteDir(s, pqStage)
         foldCodes(readCodesLog(s, outDir, segs)
+            .where(col("seg") >= cbSeg)
             .join(liveIds, Seq("vec_id"), "left_semi"))
           .localCheckpoint(true)
           .write.mode("overwrite").parquet(s"$pqStage/seg=$top")
-        Some(pqStage)
+        // the active codebook generation re-lands at seg=top (its
+        // content unchanged) — compaction drops every marker except
+        // seg-top, and a generation whose seg is no longer committed
+        // would otherwise be swept, silently disabling PQ
+        val cbStage = s"${pqCbRoot(outDir)}_compacted"
+        SegmentLog.deleteDir(s, cbStage)
+        s.read.parquet(s"${pqCbRoot(outDir)}/seg=$cbSeg")
+          .write.mode("overwrite").parquet(s"$cbStage/seg=$top")
+        Some((pqStage, cbStage))
       } else None
     SegmentLog.swapDir(s, stagedAsg, asgRoot(outDir))
     SegmentLog.swapDir(s, stagedCents, centRoot(outDir))
-    stagedPq.foreach(SegmentLog.swapDir(s, _, pqRoot(outDir)))
+    stagedPq.foreach { case (pqStage, cbStage) =>
+      SegmentLog.swapDir(s, pqStage, pqRoot(outDir))
+      SegmentLog.swapDir(s, cbStage, pqCbRoot(outDir))
+    }
     // replay identity must survive the folded-away segments — the keys
     // consolidate into one file (SegmentLog.consolidateKeys), so
     // committedKeys stays O(segments since last compaction)

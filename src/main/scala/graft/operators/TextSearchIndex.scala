@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * {{{
   *   outDir/search/markers/seg-<n>     commit marker (content = batch key)
   *   outDir/search/postings/seg=<n>/   (term, doc_id, tf, dl, dead),
-  *                                     hive-partitioned shard=h(term)%16
+  *                                     hive-partitioned shard=h(term)%n_shards
+  *                                     (n recorded in search/_layout)
   *   outDir/search/stats/seg=<n>/      ONE row (n_docs, sum_dl) —
   *                                     exact corpus stats snapshot
   * }}}
@@ -43,18 +44,51 @@ object TextSearchIndex {
 
   val CompactAfterSegments = 16
 
+  /** Default postings-shard count (`shard = xxhash64(term) % n`) — a
+    * LAYOUT parameter recorded by [[build]] in `<search>/_layout`, not
+    * a constant: reader pruning derives its modulus from the record, so
+    * a 100 TB index builds with a larger count without any probe
+    * guessing (and mis-pruning) the hash space. */
+  val DefaultShards = 16
+
   private def root(outDir: String) = s"$outDir/search"
   private def postRoot(outDir: String) = s"${root(outDir)}/postings"
   private def statsRoot(outDir: String) = s"${root(outDir)}/stats"
   private def markerDir(outDir: String) = s"${root(outDir)}/markers"
+  private def layoutPath(outDir: String) =
+    new Path(s"${root(outDir)}/_layout")
+
+  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit = {
+    val p = layoutPath(outDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(s"shards=$nShards".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The recorded shard count — REQUIRED (a guessed modulus silently
+    * mis-prunes; refuse diagnosably instead). */
+  private[graft] def layoutShards(s: SparkSession, outDir: String): Int = {
+    val p = layoutPath(outDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(f.exists(p),
+      s"$outDir: no _layout record — the index predates (or lost) its " +
+        "layout descriptor; rebuild to record the shard count")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
+    require(n > 0, s"$outDir: garbled _layout '$txt'")
+    n
+  }
 
   private val PostSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
     StructField("tf", LongType), StructField("dl", LongType),
     StructField("dead", BooleanType), StructField("shard", IntegerType)))
 
-  private def shardOf(term: org.apache.spark.sql.Column) =
-    pmod(xxhash64(term), lit(16L)).cast("int")
+  private def shardOf(term: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(xxhash64(term), lit(nShards.toLong)).cast("int")
 
   // segment-log discipline: the shared SegmentLog helper (one
   // definition with IvfMaintenance — marker semantics cannot drift)
@@ -111,9 +145,10 @@ object TextSearchIndex {
 
   private def writeSegment(s: SparkSession, outDir: String, seg: Long,
       postings: DataFrame, nDocs: Long, sumDl: Long, key: String): Unit = {
+    val nsh = layoutShards(s, outDir)
     postings
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("dead"),
-        shardOf(col("term")).as("shard"))
+        shardOf(col("term"), nsh).as("shard"))
       .repartition(col("shard")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"${postRoot(outDir)}/seg=$seg")
@@ -134,9 +169,14 @@ object TextSearchIndex {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
 
   /** Index a corpus from scratch (seg 0). `docs`: (doc_id, text). */
-  def build(s: SparkSession, docs: DataFrame, outDir: String): Unit = {
+  def build(s: SparkSession, docs: DataFrame, outDir: String,
+      nShards: Int = DefaultShards): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     for (r <- Seq(postRoot(outDir), statsRoot(outDir)))
       SegmentLog.deleteDir(s, r)
+    // layout before any segment: a rebuild may change the shard count
+    // because it rewrites the whole postings log anyway
+    writeLayout(s, outDir, nShards)
     val post = postingsOf(docs).localCheckpoint(true)
     val st = post.groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).head()
@@ -149,12 +189,33 @@ object TextSearchIndex {
   }
 
   /** Append a delta batch's postings — one segment, replay-keyed.
-    * Contract: doc_ids NEW to the index ([[remove]] first to re-home). */
+    * Contract: doc_ids NEW to the index ([[remove]] first to re-home) —
+    * a re-ingested live id would double-count n_docs/sum_dl and leave
+    * postings for terms absent from the new text live, breaking the
+    * bit-exact-vs-rebuild contract. `assertFresh` ENFORCES the
+    * contract with an id-semi-joined count over the postings log
+    * (id-width columns only, but O(index) rows worst case — a
+    * debug/assert mode, not the 100 TB default; the production caller,
+    * [[CuratedVectorSync]], guarantees freshness structurally: its
+    * manifest increment never re-appends a live id). */
   def ingest(s: SparkSession, docs: DataFrame, outDir: String,
-      key: String = s"seq-${System.nanoTime()}"): Long = {
+      key: String = s"seq-${System.nanoTime()}",
+      assertFresh: Boolean = false): Long = {
     require(indexed(s, outDir), s"build has not completed for $outDir")
     if (committedKeys(s, outDir).contains(key)) return 0L
     wipeUncommitted(s, outDir)
+    if (assertFresh) {
+      val stale = foldPostings(
+        readPostLog(s, outDir, committedSegs(s, outDir))
+          .select("term", "doc_id", "tf", "dl", "dead", "seg")
+          .join(docs.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi"))
+        .select("doc_id").distinct().count()
+      require(stale == 0L,
+        s"$outDir: $stale doc_id(s) in this batch are already live in " +
+          "the index — remove() them first (re-ingesting a live id " +
+          "corrupts n_docs/sum_dl and leaves stale postings live)")
+    }
     // count DATA segments, not markers: a rebuild collapses data to one
     // segment while preserving every historical marker
     if (presentSegs(s, postRoot(outDir)).count(committedSegs(s, outDir))
@@ -210,6 +271,12 @@ object TextSearchIndex {
     require(indexed(s, outDir), s"build has not completed for $outDir")
     val allowed = committedSegs(s, outDir)
     val (nd, sumDl) = readStats(s, outDir, allowed)
+    // an emptied-out live corpus (every doc removed) has no answers —
+    // return the empty frame rather than NaN-scoring (avgdl = 0/0)
+    if (nd == 0L)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("doc_id", LongType), StructField("bm25", DoubleType),
+        StructField("n_terms", IntegerType), StructField("rk", IntegerType))))
     val avgdl = sumDl.toDouble / nd.toDouble
     val post = boundedPostings(s, outDir, terms, allowed)
       .localCheckpoint(true) // df + scoring read it; sever from the log files
@@ -241,7 +308,8 @@ object TextSearchIndex {
   private[graft] def boundedPostings(s: SparkSession, outDir: String,
       terms: Seq[String], allowed: Set[Long]): DataFrame = {
     import s.implicits._
-    val shards = terms.toDF("term").select(shardOf(col("term")))
+    val nsh = layoutShards(s, outDir)
+    val shards = terms.toDF("term").select(shardOf(col("term"), nsh))
       .collect().map(_.getInt(0)).distinct.toSeq
     foldPostings(readPostLog(s, outDir, allowed)
       .where(col("shard").isin(shards: _*) && col("term").isin(terms: _*)))
@@ -264,8 +332,9 @@ object TextSearchIndex {
     val stagedStats = s"${statsRoot(outDir)}_compacted"
     SegmentLog.deleteDir(s, stagedPost)
     SegmentLog.deleteDir(s, stagedStats)
+    val nsh = layoutShards(s, outDir)
     folded.select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("dead"), shardOf(col("term")).as("shard"))
+        col("dead"), shardOf(col("term"), nsh).as("shard"))
       .repartition(col("shard")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$stagedPost/seg=$top")

@@ -201,10 +201,12 @@ object TrainingExport {
   def verify(s: SparkSession, exportDir: String): DataFrame = {
     val man = readManifest(s, exportDir)
       .select(col("shard"), col("n_seqs"), col("n_tokens"), col("checksum"))
-    val empty = man.where(col("n_seqs") === 0).count() == man.count()
     val actual =
-      if (empty && !CurationRun.exists(s, shardsDir(exportDir)))
-        // an empty export legitimately has no shards directory
+      if (!CurationRun.exists(s, shardsDir(exportDir)))
+        // no shards directory: legitimate for an all-empty export, a
+        // failure for any manifest row with n_seqs > 0 — substituting
+        // the empty frame makes each such row fail CLEANLY (ok=false)
+        // instead of throwing path-not-found on the whole audit
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("shard",

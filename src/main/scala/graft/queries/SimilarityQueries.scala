@@ -1661,6 +1661,106 @@ object SimilarityQueries {
       "Composed IVF maintenance: assign, flag overgrown cells, split them, emit the post-split assignment."),
 
     QueryDef(
+      "sim_merge_rehome",
+      (s, dir) => {
+        // The INVERSE maintenance step — operators/IvfMaintenance
+        // .mergeUnderfull's rule under one hash gate: assign everything
+        // against the base-slice centroids (sim_split_reassign's
+        // prefix), flag UNDERFULL cells, retire them, and argmin-rehome
+        // exactly their members onto the nearest SURVIVING centroid.
+        // The flag here is 100·n_cell < 9·n_total (0.9x the 10-cell
+        // mean) rather than the operator's production half-mean — the
+        // fixture's cells sit within ±25% of the mean, so the
+        // production constant would leave the rehome branch dead on
+        // every SF; this constant flags 1-2 cells per SF and leaves
+        // 8-9 survivors, exercising BOTH branches under the oracle.
+        // Scale shape: one corpus scan for centroids (broadcast back),
+        // one fused argmin scan, rehome work keyed to the flagged
+        // cells' members x survivor broadcast — never a retrain, never
+        // a second corpus pass.
+        graft.functions.VectorFunctions.register(s)
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+          .cache()
+        v.count() // centroid + argmin + member legs share it
+        val base = v.where(col("vec_id") % 10 =!= 7)
+        val cents = quantMean(
+          base.select(col("label"), posexplode(col("e")).as(Seq("pos", "x"))),
+          Seq(col("label") -> "c_label", (col("pos") + 1) -> "dim"),
+          col("x"), "cv")
+          .groupBy("c_label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+          .select(col("c_label"),
+            transform(col("pairs"), p => p.getField("cv")).as("c"))
+          .cache()
+        cents.count() // the argmin leg and the survivor leg both read it
+        val aall = v.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct((dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
+              dot(col("c"), col("c"))).as("d2"), col("c_label")).as("sc"))
+          .groupBy("vec_id").agg(min(col("sc")).as("b"))
+          .select(col("vec_id"), col("b.c_label").as("cell"))
+          .cache()
+        aall.count() // occupancy + member + pass-through legs race it
+        val tot = v.agg(count(lit(1)).as("n_total"))
+        val fl = aall.groupBy("cell").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .where(col("n") * 100 < col("n_total") * 9)
+          .select("cell")
+        val surv = cents.join(broadcast(fl),
+          cents("c_label") === fl("cell"), "left_anti")
+        val mem = aall.join(broadcast(fl), "cell").join(v, "vec_id")
+          .select(col("vec_id"), col("e"))
+        val re = mem.crossJoin(broadcast(surv))
+          .select(col("vec_id"),
+            struct((dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
+              dot(col("c"), col("c"))).as("d2"), col("c_label")).as("sc"))
+          .groupBy("vec_id").agg(min(col("sc")).as("b"))
+          .select(col("vec_id"), col("b.c_label").cast("long").as("cell"),
+            lit(1).as("rehomed"))
+        aall.join(broadcast(fl), Seq("cell"), "left_anti")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            lit(0).as("rehomed"))
+          .unionAll(re)
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |b0 AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+          |cd AS (SELECT label AS c_label, CAST(dim AS INT) AS dim,
+          |  CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+          |    / 1000000000 / COUNT(*) AS cv
+          |  FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(e) AS x
+          |        FROM b0) GROUP BY 1, 2),
+          |cent AS (SELECT c_label, list(cv ORDER BY dim) AS c FROM cd GROUP BY c_label),
+          |aall AS (SELECT vec_id, c_label AS cell FROM (
+          |  SELECT v.vec_id, cent.c_label, ROW_NUMBER() OVER (
+          |    PARTITION BY v.vec_id ORDER BY
+          |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cent.c)
+          |        + list_dot_product(cent.c, cent.c), cent.c_label) AS rk
+          |  FROM v CROSS JOIN cent) WHERE rk = 1),
+          |fl AS (SELECT cell FROM
+          |  (SELECT cell, COUNT(*) AS n FROM aall GROUP BY cell),
+          |  (SELECT COUNT(*) AS n_total FROM v)
+          |  WHERE n * 100 < n_total * 9),
+          |surv AS (SELECT cent.c_label, cent.c FROM cent
+          |  LEFT JOIN fl ON cent.c_label = fl.cell WHERE fl.cell IS NULL),
+          |mem AS (SELECT a.vec_id, v.e FROM aall a
+          |  JOIN fl ON a.cell = fl.cell JOIN v ON a.vec_id = v.vec_id),
+          |re AS (SELECT vec_id, c_label AS cell FROM (
+          |  SELECT mem.vec_id, surv.c_label, ROW_NUMBER() OVER (
+          |    PARTITION BY mem.vec_id ORDER BY
+          |      list_dot_product(mem.e, mem.e)
+          |        - 2.0 * list_dot_product(mem.e, surv.c)
+          |        + list_dot_product(surv.c, surv.c), surv.c_label) AS rk
+          |  FROM mem CROSS JOIN surv) WHERE rk = 1)
+          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, CAST(0 AS INT) AS rehomed
+          |FROM aall a LEFT JOIN fl ON a.cell = fl.cell WHERE fl.cell IS NULL
+          |UNION ALL
+          |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(1 AS INT) AS rehomed
+          |FROM re""".stripMargin),
+      "Composed IVF maintenance, the underfull inverse: retire flagged cells, argmin-rehome their members to surviving centroids."),
+
+    QueryDef(
       "sim_asg_log_fold",
       (s, dir) => {
         // The log-structured index READ path (operators/IvfMaintenance
