@@ -161,6 +161,81 @@ class TextSearchIndexSpec extends AnyFunSuite {
       s"the stale staged segment rode the swap into the live root: $segDirs")
   }
 
+  test("shard count is a recorded layout parameter: 4 and 64 answer identically, and prune") {
+    val want = {
+      val d16 = tmp("sh16")
+      TextSearchIndex.build(spark, toDF(baseDocs), d16)
+      served(d16).toSeq
+    }
+    for (nsh <- Seq(4, 64)) {
+      val dir = tmp(s"sh$nsh")
+      TextSearchIndex.build(spark, toDF(baseDocs), dir, nShards = nsh)
+      // sharding is pure layout: answers are bit-identical at any count
+      assert(served(dir).toSeq == want, s"nsh=$nsh changed an answer")
+      val seg0 = new java.io.File(s"$dir/search/postings/seg=0").listFiles()
+        .map(_.getName).filter(_.startsWith("shard=")).toSeq
+      assert(seg0.nonEmpty && seg0.forall(_.stripPrefix("shard=").toInt < nsh),
+        s"nsh=$nsh wrote shards $seg0")
+      // pruning derives its modulus from the record
+      val plan = TextSearchIndex.boundedPostings(spark, dir, terms,
+          TextSearchIndex.committedSegs(spark, dir))
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator
+        .filter(l => l.contains("PartitionFilters")).toSeq
+      assert(scans.nonEmpty && scans.forall(
+        _.replaceAll(".*PartitionFilters: \\[", "").contains("shard")),
+        s"nsh=$nsh scan must prune on shard:\n${scans.mkString("\n")}")
+    }
+    // a lost record refuses instead of silently mis-pruning
+    val dir = tmp("lost")
+    TextSearchIndex.build(spark, toDF(baseDocs), dir, nShards = 4)
+    assert(new java.io.File(s"$dir/search/_layout").delete())
+    val e = intercept[IllegalArgumentException] {
+      TextSearchIndex.query(spark, dir, terms, 10).count()
+    }
+    assert(e.getMessage.contains("_layout"), e.getMessage)
+  }
+
+  test("assertFresh catches a re-ingested live doc_id before it corrupts the stats") {
+    val dir = tmp("fresh")
+    TextSearchIndex.build(spark, toDF(baseDocs), dir)
+    // a fresh batch passes the guard
+    assert(TextSearchIndex.ingest(spark, toDF(deltaDocs), dir,
+      key = "f1", assertFresh = true) == deltaDocs.size)
+    // re-ingesting a live id is the contract violation the guard names
+    val e = intercept[IllegalArgumentException] {
+      TextSearchIndex.ingest(spark, toDF(baseDocs.take(3)), dir,
+        key = "f2", assertFresh = true)
+    }
+    assert(e.getMessage.contains("already live"), e.getMessage)
+    // the refused batch committed nothing: stats and answers unchanged
+    val want = {
+      val ref = tmp("fresh_ref")
+      TextSearchIndex.build(spark, toDF(baseDocs ++ deltaDocs), ref)
+      served(ref).toSeq
+    }
+    assert(served(dir).toSeq == want,
+      "a refused ingest must leave the index bit-exact vs rebuild")
+    // remove-then-ingest is the sanctioned re-home path
+    TextSearchIndex.remove(spark,
+      baseDocs.take(3).map(_._1).toDF("doc_id"), dir, key = "f3")
+    assert(TextSearchIndex.ingest(spark, toDF(baseDocs.take(3)), dir,
+      key = "f4", assertFresh = true) == 3)
+    assert(served(dir).toSeq == want, "re-home must restore the rebuilt answers")
+  }
+
+  test("an emptied-out corpus answers with the empty frame, not NaN scores") {
+    val dir = tmp("empty")
+    val three = baseDocs.take(3)
+    TextSearchIndex.build(spark, toDF(three), dir)
+    TextSearchIndex.remove(spark, three.map(_._1).toDF("doc_id"), dir,
+      key = "all-gone")
+    val res = TextSearchIndex.query(spark, dir, terms, 10)
+    assert(res.isEmpty, "no live docs -> no results")
+    assert(res.columns.toSeq == Seq("doc_id", "bm25", "n_terms", "rk"),
+      s"the empty frame must keep the serve schema: ${res.columns.toSeq}")
+  }
+
   test("query reads only the probed term shards (partition-pruned)") {
     val dir = tmp("prune")
     TextSearchIndex.build(spark, toDF(baseDocs), dir)

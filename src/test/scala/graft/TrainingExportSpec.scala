@@ -157,6 +157,13 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(!after(victim), "a lost shard must fail verification")
     assert(after.filter(_._1 != victim).values.forall(identity),
       s"other shards must still pass: $after")
+    // the WHOLE shards directory lost: every non-empty manifest row
+    // fails cleanly (ok=false) instead of the audit throwing
+    rmrf(new java.io.File(s"$dir/shards"))
+    val gone = TrainingExport.verify(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(gone.size == 4 && gone.values.forall(!_),
+      s"a lost shards dir must fail every row: $gone")
   }
 
   test("composes with DeltaIngest: the export reads the FOLDED layout") {
