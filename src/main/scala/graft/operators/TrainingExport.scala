@@ -232,6 +232,149 @@ object TrainingExport {
         col("a_checksum").as("actual_checksum"))
   }
 
+  // ---------------------------------------------------------------
+  // incremental export (generation-append)
+  // ---------------------------------------------------------------
+  //
+  // A full [[export]] re-packs the whole train slice — at 100 TB, the
+  // curate → train loop cannot afford that per delta. The incremental
+  // form appends GENERATIONS: each call packs exactly the train docs
+  // the layout's manifest increments appended since the last call into
+  // `exportDir/gen=<g>/` (a standard export dir: shards + sealed
+  // manifest), and records which DeltaIngest manifest segments the
+  // generation covered in a `gen-<g>` marker. The loader reads all
+  // committed generations; every generation is individually
+  // deterministic (same doc-keyed shuffle hash, same seed), so a
+  // crashed call converges to identical bytes.
+  //
+  // Two documented tradeoffs of O(delta) export:
+  //   - boundary waste: each generation's final sequence per shard may
+  //     be short — O(generations × shards) short sequences, repacked
+  //     away by the next full-epoch export (a new seed into a fresh
+  //     dir, which is the epoch cadence anyway);
+  //   - shipped shards are immutable: a doc REMOVED from the layout
+  //     after its generation sealed stays in that generation until the
+  //     next epoch re-export — retraction from training data already
+  //     shipped is an epoch-level operation, not a delta-level one.
+  //
+  // Crash protocol: `_covered` (the seg list) is staged into the gen
+  // dir BEFORE packing; the gen's manifest seals the bytes; the
+  // `gen-<g>` marker lands LAST and admits the generation. A crash
+  // between seal and marker replays: the next call re-derives the same
+  // gen number, sees the sealed dir, re-commits the marker from
+  // `_covered` (NOT from a fresh seg listing — later ingests may have
+  // landed since, and marking them covered would silently drop their
+  // docs), and leaves genuinely-new segments to the following call.
+
+  private def genDir(exportDir: String, gen: Long) = s"$exportDir/gen=$gen"
+  private def genMarkerDir(exportDir: String) = s"$exportDir/export_markers"
+
+  private def hfs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def writeSmallFile(s: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = hfs(s, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = hfs(s, p).open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+  }
+
+  /** Committed generations → the manifest segments each covers. */
+  private[graft] def genMarkers(s: SparkSession, exportDir: String): Map[Long, Set[Long]] = {
+    val root = new org.apache.hadoop.fs.Path(genMarkerDir(exportDir))
+    val f = hfs(s, root)
+    if (!f.exists(root)) Map.empty
+    else f.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName.stripPrefix("gen-").toLongOption.map { g =>
+        g -> readSmallFile(s, st.getPath.toString)
+          .split(',').flatMap(_.trim.toLongOption).toSet
+      }
+    }.toMap
+  }
+
+  /** Export the train docs appended by manifest segments not yet
+    * covered by any committed generation — ONE generation per call
+    * (crash resume finishes a sealed-but-unmarked generation first);
+    * call again until None to drain. Returns the generation number and
+    * its report, or None when every committed segment is covered. */
+  def exportIncremental(s: SparkSession, outDir: String, exportDir: String,
+      nShards: Int = 8, seqLen: Int = 64, seed: Long = 0L)
+      : Option[(Long, ExportReport)] = {
+    require(nShards > 0 && seqLen > 0, s"bad shape: $nShards shards × $seqLen")
+    val markers = genMarkers(s, exportDir)
+    // shape consistency across generations: a mixed-shape export dir
+    // is refusal territory, same as a mismatched sealed replay
+    markers.keys.maxOption.foreach { g =>
+      val r = readReport(s, genDir(exportDir, g))
+      require(r.nShards == nShards && r.seqLen == seqLen && r.seed == seed,
+        s"$exportDir generations have shape (${r.nShards}, ${r.seqLen}, " +
+          s"${r.seed}); requested ($nShards, $seqLen, $seed) — start a new " +
+          "epoch dir to change shape")
+    }
+    val covered = markers.values.flatten.toSet
+    val gen = markers.keys.maxOption.map(_ + 1).getOrElse(0L)
+    val dir = genDir(exportDir, gen)
+    // crash resume: a sealed generation without its marker re-commits
+    // from ITS OWN staged coverage record
+    if (CurationRun.exists(s, s"${manifestDir(dir)}/_SUCCESS") &&
+        CurationRun.exists(s, s"$dir/_covered")) {
+      val segs = readSmallFile(s, s"$dir/_covered")
+        .split(',').flatMap(_.trim.toLongOption).toSeq
+      val rep = readReport(s, dir)
+      require(rep.nShards == nShards && rep.seqLen == seqLen && rep.seed == seed,
+        s"sealed generation $gen has a different shape than requested")
+      writeSmallFile(s, s"${genMarkerDir(exportDir)}/gen-$gen",
+        segs.sorted.mkString(","))
+      return Some((gen, rep))
+    }
+    val committed = DeltaIngest.committedSegs(s, outDir)
+    val newSegs = (committed -- covered).toSeq.sorted
+    if (newSegs.isEmpty) return None
+    // the uncovered increments must still exist: DeltaIngest.compact
+    // folds the manifest log away, so an export lagging past the
+    // compaction cadence is diagnosed, not silently emptied
+    for (n <- newSegs if n != 0L)
+      require(CurationRun.exists(s, s"$outDir/manifest_log/seg=$n"),
+        s"manifest increment seg=$n was compacted away before its export " +
+          "generation sealed; run a full epoch export instead")
+    val appended = newSegs.map {
+      case 0L => s.read.parquet(s"$outDir/manifest.parquet")
+        .select("doc_id", "split")
+      case n => s.read.schema("doc_id LONG, split STRING, dead BOOLEAN")
+        .parquet(s"$outDir/manifest_log/seg=$n")
+        .where(!col("dead")).select("doc_id", "split")
+    }.reduce(_ unionAll _)
+      .where(col("split") === "train").select("doc_id").distinct()
+    // text from the LIVE layout (partition-pruned to split=train): a
+    // doc appended in these segs but since removed or re-split is
+    // absent from final/train and exports nothing
+    val docs = s.read.parquet(s"$outDir/final")
+      .where(col("split") === "train")
+      .join(appended, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    writeSmallFile(s, s"$dir/_covered", newSegs.sorted.mkString(","))
+    val rep = exportDocs(s, docs, dir, nShards, seqLen, seed)
+    writeSmallFile(s, s"${genMarkerDir(exportDir)}/gen-$gen",
+      newSegs.sorted.mkString(","))
+    Some((gen, rep))
+  }
+
+  /** Per-shard manifests of every committed generation, with a `gen`
+    * column — the loader's one-stop listing. */
+  def readManifests(s: SparkSession, exportDir: String): DataFrame = {
+    val gens = genMarkers(s, exportDir).keys.toSeq.sorted
+    require(gens.nonEmpty, s"$exportDir has no committed generations")
+    gens.map(g => readManifest(s, genDir(exportDir, g))
+      .withColumn("gen", lit(g))).reduce(_ unionAll _)
+  }
+
   private def readReport(s: SparkSession, exportDir: String): ExportReport = {
     val m = readManifest(s, exportDir)
     // an empty train slice seals an empty manifest — the replayed

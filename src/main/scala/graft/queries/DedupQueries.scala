@@ -835,6 +835,66 @@ object DedupQueries {
       "LSH recall eval: verified-band pairs vs exhaustive Jaccard ground truth."),
 
     QueryDef(
+      "dedup_lsh_recall_sampled",
+      (s, dir) => {
+        // The PRODUCTION form of dedup_lsh_recall: ground truth on a
+        // deterministic 40% id-hash shard (the guarded-hash currency;
+        // BOTH endpoints must sample in, so the quadratic all-pairs
+        // baseline runs on ~16% of the pair space — and the fraction
+        // is the knob that keeps it tractable at any corpus size,
+        // where the exhaustive form is quadratic by construction and
+        // stays a small-n spec-side check). The LSH side is the
+        // production pipeline UNCHANGED; recall is estimated on the
+        // sampled pair population — an unbiased estimator because the
+        // sample is independent of both the band hashes and the
+        // Jaccard values.
+        val samp = col("doc_id") % 1000003L * 2654435761L % 100 < 40
+        val sh = shingleDF(s, dir).where(samp).cache()
+        sh.count() // populate BEFORE the self-join legs race it
+        val cnt = shingleCounts(s, dir).where(samp)
+        val exact = sh.as("a")
+          .join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count("*").as("shared"))
+          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+          .where(col("shared").cast("double") /
+            (col("ca.n") + col("cb.n") - col("shared")) >= 0.3)
+          .select("doc_a", "doc_b")
+        val lsh = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        exact.agg(count("*").as("n_exact"))
+          .crossJoin(lsh.agg(count("*").as("n_lsh")))
+          .crossJoin(hits.agg(count("*").as("n_hit")))
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            when(col("n_exact") === 0, lit(null).cast("double"))
+              .otherwise(col("n_hit").cast("double") / col("n_exact"))
+              .as("recall"))
+      },
+      Some(
+        s"""$ShingleCte,
+           |$LshPairsCtes,
+           |ss AS (SELECT * FROM sh
+           |  WHERE doc_id % 1000003 * 2654435761 % 100 < 40),
+           |xcnt AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY doc_id),
+           |xp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           |  FROM ss a JOIN ss b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |exact AS (SELECT doc_a, doc_b FROM xp
+           |  JOIN xcnt ca ON xp.doc_a = ca.doc_id
+           |  JOIN xcnt cb ON xp.doc_b = cb.doc_id
+           |  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3),
+           |hits AS (SELECT e.doc_a, e.doc_b FROM exact e
+           |  JOIN pairs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b)
+           |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           |  (SELECT COUNT(*) FROM pairs) AS n_lsh,
+           |  (SELECT COUNT(*) FROM hits) AS n_hit,
+           |  CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+           |    ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+           |      / (SELECT COUNT(*) FROM exact) END AS recall""".stripMargin),
+      "LSH recall eval, production form: sampled-shard Jaccard ground truth vs the unchanged LSH pipeline."),
+
+    QueryDef(
       "dedup_simhash",
       (s, dir) => {
         // ZERO-shuffle SimHash: the per-doc bit votes fold inside the

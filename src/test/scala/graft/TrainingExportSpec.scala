@@ -186,4 +186,103 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(!liveTrainDocs(out).exists(_._1 == victim._1),
       "the beaten doc must be out of the live train slice the export reads")
   }
+
+  // from-scratch expectation over an EXPLICIT doc set (the incremental
+  // generations pack subsets the layout helpers can't see)
+  private def expectedShardsOf(ds: Seq[(Long, Vector[String])], nShards: Int,
+      l: Int, seed: Long): Map[Int, Vector[Vector[String]]] =
+    ds.map { case (id, ws) => (key(id, seed), id, ws) }
+      .groupBy(t => (t._1 % nShards).toInt)
+      .map { case (sh, g) =>
+        val stream = g.sortBy(t => (t._1, t._2)).flatMap(_._3).toVector
+        sh -> stream.grouped(l).map(_.toVector).toVector
+      }
+
+  private def genShards(dir: String, g: Long): Map[Int, Vector[Vector[String]]] =
+    exportedShards(s"$dir/gen=$g")
+
+  test("incremental export: gen 0 equals a full export; a delta appends exactly its docs as gen 1") {
+    val in = tmp("i_in"); val out = tmp("i_out")
+    toDF(docs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val dir = tmp("i_exp")
+    val baseTrain = liveTrainDocs(out)
+    val r0 = TrainingExport.exportIncremental(spark, out, dir, nShards = 4,
+      seqLen = 64)
+    assert(r0.exists(_._1 == 0L), s"first call must commit gen 0: $r0")
+    // gen 0 == a full export of the base layout, byte for byte
+    val full = tmp("i_full")
+    TrainingExport.export(spark, out, full, nShards = 4, seqLen = 64)
+    assert(genShards(dir, 0L) == exportedShards(full),
+      "gen 0 must equal the full export of the base layout")
+    // nothing new -> None
+    assert(TrainingExport.exportIncremental(spark, out, dir, nShards = 4,
+      seqLen = 64).isEmpty)
+    // a delta: one winner replacing a base keeper + two fresh docs
+    val victim = baseTrain.maxBy(_._1)
+    val winner = Doc(9101, victim._2 ++ words(9101, 4))
+    val fresh1 = Doc(9102, words(9102, 25)); val fresh2 = Doc(9103, words(9103, 70))
+    DeltaIngest.ingestDelta(spark, toDF(Seq(winner, fresh1, fresh2)), out)
+    val r1 = TrainingExport.exportIncremental(spark, out, dir, nShards = 4,
+      seqLen = 64)
+    assert(r1.exists(_._1 == 1L), s"the delta's segment must export as gen 1: $r1")
+    // gen 1 holds exactly the delta's appended LIVE train docs, packed
+    // by the same deterministic recipe
+    val appendedLive = liveTrainDocs(out)
+      .filterNot(d => baseTrain.exists(_._1 == d._1))
+    assert(appendedLive.map(_._1).toSet.subsetOf(Set(9101L, 9102L, 9103L)))
+    assert(genShards(dir, 1L) == expectedShardsOf(appendedLive, 4, 64, 0L),
+      "gen 1 must pack exactly the appended live train docs")
+    // shipped generations are immutable: the replaced keeper stays in
+    // gen 0 (retraction is an epoch-level re-export, documented)
+    val gen0Tokens = genShards(dir, 0L).values.flatten.flatten.toVector
+    assert(victim._2.forall(gen0Tokens.contains),
+      "gen 0 bytes must be untouched by the later removal")
+    // the loader listing covers both generations
+    val mans = TrainingExport.readManifests(spark, dir)
+      .select("gen").distinct().collect().map(_.getLong(0)).toSet
+    assert(mans == Set(0L, 1L))
+    // token conservation across generations: every live train doc's
+    // tokens appear exactly once in its own generation, no doc twice
+    val allTokens = gen0Tokens ++ genShards(dir, 1L).values.flatten.flatten
+    val want = (baseTrain ++ appendedLive).flatMap(_._2)
+    assert(allTokens.groupBy(identity).view.mapValues(_.size).toMap ==
+      want.groupBy(identity).view.mapValues(_.size).toMap,
+      "generations must conserve the exported token multiset")
+  }
+
+  test("incremental export crash-converges: a sealed-but-unmarked generation re-commits its own coverage") {
+    val in = tmp("c_in"); val out = tmp("c_out")
+    toDF(docs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val dir = tmp("c_exp")
+    TrainingExport.exportIncremental(spark, out, dir, nShards = 4, seqLen = 64)
+    DeltaIngest.ingestDelta(spark, toDF(Seq(Doc(9201, words(9201, 30)))), out)
+    val r1 = TrainingExport.exportIncremental(spark, out, dir, nShards = 4,
+      seqLen = 64)
+    assert(r1.exists(_._1 == 1L))
+    val g1 = genShards(dir, 1L)
+    // crash simulation: the marker vanishes after the seal — and a
+    // FURTHER ingest lands before the replay
+    assert(new java.io.File(s"$dir/export_markers/gen-1").delete())
+    DeltaIngest.ingestDelta(spark, toDF(Seq(Doc(9202, words(9202, 40)))), out)
+    val replay = TrainingExport.exportIncremental(spark, out, dir,
+      nShards = 4, seqLen = 64)
+    assert(replay.exists(_._1 == 1L),
+      s"the replay must re-commit the sealed generation first: $replay")
+    assert(genShards(dir, 1L) == g1, "replay must not repack gen 1")
+    // the newer ingest's docs were NOT swallowed into gen 1's coverage
+    val r2 = TrainingExport.exportIncremental(spark, out, dir, nShards = 4,
+      seqLen = 64)
+    assert(r2.exists(_._1 == 2L), s"the later segment must export as gen 2: $r2")
+    val g2tokens = genShards(dir, 2L).values.flatten.flatten.toSet
+    assert(words(9202, 40).forall(g2tokens.contains),
+      "the post-crash ingest's doc must land in its own generation")
+    assert(TrainingExport.exportIncremental(spark, out, dir, nShards = 4,
+      seqLen = 64).isEmpty)
+  }
 }
