@@ -46,6 +46,36 @@ object DedupQueries {
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
     shinglesOf(s, t(s, dir, "documents"))
 
+  /** The EXHAUSTIVE LSH-recall eval — all-pairs Jaccard ground truth,
+    * quadratic by construction, so it lives SPEC-SIDE as the small-n
+    * baseline that calibrates the registry's sampled production form
+    * (dedup_lsh_recall_sampled). Output: (n_exact, n_lsh, n_hit,
+    * recall). */
+  private[graft] def exhaustiveLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDF(s, dir).cache()
+    sh.count() // populate BEFORE the self-join legs race it
+    val cnt = shingleCounts(s, dir)
+    val exact = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("shared"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .where(col("shared").cast("double") /
+        (col("ca.n") + col("cb.n") - col("shared")) >= 0.3)
+      .select("doc_a", "doc_b")
+    val lsh = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+    val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count("*").as("n_exact"))
+      .crossJoin(lsh.agg(count("*").as("n_lsh")))
+      .crossJoin(hits.agg(count("*").as("n_hit")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
   /** DataFrame variant of the shingle stage (delta-ingest shares the
     * exact verification currency with the batch pipeline). */
   private[graft] def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -780,59 +810,6 @@ object DedupQueries {
            |  CAST(n_shared AS DOUBLE) / n AS contam_frac
            |FROM tr JOIN cnt ON tr.doc_id = cnt.doc_id""".stripMargin),
       "Bloom-prefiltered decontamination: sketch semi-join reduction + exact confirm (same rows, scale plan)."),
-
-    QueryDef(
-      "dedup_lsh_recall",
-      (s, dir) => {
-        // Recall of the LSH scale path against exhaustive ground truth —
-        // the dedup twin of sim_recall_eval: how many true Jaccard>=0.3
-        // pairs do the MinHash bands + hot-bucket cap actually surface?
-        // The measurement that turns the band/cap knobs into a number.
-        // At 100 TB ground truth comes from a SAMPLED shard (the
-        // all-pairs join is the documented small-n baseline); the
-        // LSH side is the production pipeline unchanged.
-        val sh = shingleDF(s, dir).cache()
-        sh.count() // populate BEFORE the self-join legs race it
-        val cnt = shingleCounts(s, dir)
-        val exact = sh.as("a")
-          .join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count("*").as("shared"))
-          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-          .where(col("shared").cast("double") /
-            (col("ca.n") + col("cb.n") - col("shared")) >= 0.3)
-          .select("doc_a", "doc_b")
-        val lsh = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
-        val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
-        exact.agg(count("*").as("n_exact"))
-          .crossJoin(lsh.agg(count("*").as("n_lsh")))
-          .crossJoin(hits.agg(count("*").as("n_hit")))
-          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
-            when(col("n_exact") === 0, lit(null).cast("double"))
-              .otherwise(col("n_hit").cast("double") / col("n_exact"))
-              .as("recall"))
-      },
-      Some(
-        s"""$ShingleCte,
-           |$LshPairsCtes,
-           |xcnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-           |xp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-           |exact AS (SELECT doc_a, doc_b FROM xp
-           |  JOIN xcnt ca ON xp.doc_a = ca.doc_id
-           |  JOIN xcnt cb ON xp.doc_b = cb.doc_id
-           |  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3),
-           |hits AS (SELECT e.doc_a, e.doc_b FROM exact e
-           |  JOIN pairs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b)
-           |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
-           |  (SELECT COUNT(*) FROM pairs) AS n_lsh,
-           |  (SELECT COUNT(*) FROM hits) AS n_hit,
-           |  CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
-           |    ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-           |      / (SELECT COUNT(*) FROM exact) END AS recall""".stripMargin),
-      "LSH recall eval: verified-band pairs vs exhaustive Jaccard ground truth."),
 
     QueryDef(
       "dedup_lsh_recall_sampled",

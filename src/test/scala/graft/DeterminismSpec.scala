@@ -57,7 +57,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_split_reassign",
     // log-fold: latest-wins max(struct) per (cell, vec_id) — the sweep
     // pins the fold against partial-aggregation regrouping
-    "sim_asg_log_fold")
+    "sim_asg_log_fold",
+    "sim_merge_rehome", "dedup_lsh_recall_sampled")
 
   private def rows(name: String): Set[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
