@@ -318,6 +318,12 @@ object IvfMaintenance {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("e"))
       .localCheckpoint(true)
+    // an empty corpus would publish a footer-less segment every later
+    // read trips over with an opaque schema-inference error — refuse
+    // here, where the cause is nameable (ingest grows an index; build
+    // needs something to train on)
+    require(e.head(1).nonEmpty,
+      s"build on an empty embeddings input — nothing to train on")
     var cents = quantCentroid(s, e.select(col("label"), col("e")),
       Seq(col("label")), Seq("cell")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -864,9 +870,14 @@ object IvfMaintenance {
     // the sample must share the INDEX's vector dim: codebooks trained at
     // a different subLen would make encode()'s slice/d2 silently produce
     // wrong codes (or an opaque runtime error) for every corpus vector.
-    // One probed live row — not a corpus scan.
-    val idxDim = readAsgLog(s, outDir)
-      .where(col("e").isNotNull).select(size(col("e"))).head().getInt(0)
+    // One probed live row — not a corpus scan. An index whose lists are
+    // EMPTY (everything removed) has nothing to encode and no dim to
+    // check — refuse diagnosably rather than NoSuchElementException.
+    val probe = readAsgLog(s, outDir)
+      .where(col("e").isNotNull).select(size(col("e"))).head(1)
+    require(probe.nonEmpty,
+      s"$outDir holds no live vectors — nothing to train or encode")
+    val idxDim = probe(0).getInt(0)
     require(idxDim == dim,
       s"PQ sample dim $dim != index vector dim $idxDim — train on a " +
         "sample drawn from the indexed distribution")

@@ -366,6 +366,17 @@ object TrainingExport {
     Some((gen, rep))
   }
 
+  /** [[verify]] over every committed generation of an incremental
+    * export — each generation is a standard sealed export dir, so the
+    * same bytes-vs-manifest audit applies per generation; `gen` column
+    * appended. */
+  def verifyAll(s: SparkSession, exportDir: String): DataFrame = {
+    val gens = genMarkers(s, exportDir).keys.toSeq.sorted
+    require(gens.nonEmpty, s"$exportDir has no committed generations")
+    gens.map(g => verify(s, genDir(exportDir, g)).withColumn("gen", lit(g)))
+      .reduce(_ unionAll _)
+  }
+
   /** Per-shard manifests of every committed generation, with a `gen`
     * column — the loader's one-stop listing. */
   def readManifests(s: SparkSession, exportDir: String): DataFrame = {

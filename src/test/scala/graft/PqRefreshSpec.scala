@@ -151,6 +151,34 @@ class PqRefreshSpec extends AnyFunSuite {
       "a refused train must leave PQ off")
   }
 
+  test("PQ on an emptied-out index: enables for future ingests; a no-history index refuses") {
+    // an index whose members were all removed still KNOWS its dim (the
+    // superseded log rows carry it), so buildPq legitimately enables —
+    // the empty code set serves empty, and the next delta is coded
+    val out = tmp("emptyidx")
+    IvfMaintenance.build(spark, corpusA, out)
+    IvfMaintenance.remove(spark, corpusA.select("vec_id"), out, key = "all-out")
+    IvfMaintenance.buildPq(spark, corpusA.select("label", "embedding"), out, M)
+    assert(IvfMaintenance.pqEnabled(spark, out))
+    val e5 = corpusA.where(col("vec_id") === 5L)
+      .select("embedding").head().getSeq[Double](0)
+    val q = Seq((905000L, e5)).toDF("query_id", "embedding")
+    assert(IvfMaintenance.adcKnn(spark, out, q, k = 3,
+      nprobe = 3).isEmpty, "an emptied corpus serves empty, not wrong")
+    IvfMaintenance.ingest(spark, Seq((906000L, e5)).toDF("vec_id", "embedding"), out)
+    val rows = IvfMaintenance.adcKnn(spark, out, q, k = 5, nprobe = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2))
+    assert(rows.contains(906000L -> rows.map(_._2).min),
+      s"the post-enable delta must be coded and served: ${rows.toSeq}")
+    // and the degenerate root is refused at its source: a build on an
+    // EMPTY corpus would publish a footer-less segment that every later
+    // read trips over opaquely
+    val err = intercept[IllegalArgumentException] {
+      IvfMaintenance.build(spark, corpusA.limit(0), tmp("nohist"))
+    }
+    assert(err.getMessage.contains("empty embeddings"), err.getMessage)
+  }
+
   test("a crashed refresh (no marker) is invisible and swept; the old generation keeps serving") {
     val out = tmp("crash")
     IvfMaintenance.build(spark, corpusA, out)

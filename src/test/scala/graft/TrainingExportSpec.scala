@@ -244,6 +244,10 @@ class TrainingExportSpec extends AnyFunSuite {
     val mans = TrainingExport.readManifests(spark, dir)
       .select("gen").distinct().collect().map(_.getLong(0)).toSet
     assert(mans == Set(0L, 1L))
+    // and the per-generation bytes-vs-manifest audit is clean
+    val audit = TrainingExport.verifyAll(spark, dir).collect()
+    assert(audit.nonEmpty && audit.forall(_.getAs[Boolean]("ok")),
+      s"verifyAll must pass a clean incremental export: ${audit.mkString(";")}")
     // token conservation across generations: every live train doc's
     // tokens appear exactly once in its own generation, no doc twice
     val allTokens = gen0Tokens ++ genShards(dir, 1L).values.flatten.flatten
