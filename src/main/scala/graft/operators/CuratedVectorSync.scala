@@ -75,8 +75,15 @@ object CuratedVectorSync {
       val sk = TextSearchIndex.committedKeys(s, so)
       sk.contains(sAddKey) && sk.contains(sRmKey)
     }
-    if (ivfKeys.contains(addKey) && ivfKeys.contains(rmKey) && searchDone)
+    if (ivfKeys.contains(addKey) && ivfKeys.contains(rmKey) && searchDone) {
+      // heal the one commit this early return would otherwise skip: the
+      // occupancy maintenance riding the remove (its DERIVED key) can
+      // crash after the remove committed — without this line it would
+      // wait for the next removal batch instead of this replay. A
+      // committed key makes it a cheap no-op.
+      IvfMaintenance.mergeUnderfull(s, ivfOut, s"$rmKey-merge")
       return SyncReport(docReport, 0L, 0L)
+    }
     // the batch's OWN manifest increment: O(delta) rows, no fold
     // needed. Explicit schema: a batch that appended and removed
     // nothing leaves a part-less segment dir, which would fail schema

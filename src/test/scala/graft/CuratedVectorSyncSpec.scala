@@ -106,6 +106,28 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert(liveIds(ivfOut) == before)
   }
 
+  test("a crashed occupancy-maintenance commit heals on a fully-synced replay") {
+    val (textOut, ivfOut, _, _) = run
+    // the merge rides remove() under the derived key — simulate its
+    // crash by dropping exactly that commit's marker (located by its
+    // CONTENT: a no-flag pass is a skip marker, a flagged pass a seg one)
+    val marker = new java.io.File(s"$ivfOut/ivf/markers").listFiles()
+      .find { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString.trim == "b1-rm-merge" finally src.close()
+      }
+    assert(marker.isDefined, "the fixture's sync must have committed its maintenance key")
+    assert(marker.get.delete())
+    assert(!IvfMaintenance.committedKeys(spark, ivfOut).contains("b1-rm-merge"))
+    // the fully-synced early-return replay must re-commit it, not wait
+    // for the next removal batch
+    val rep = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "b1")
+    assert(rep.docs.isEmpty && rep.nVecIngested == 0)
+    assert(IvfMaintenance.committedKeys(spark, ivfOut).contains("b1-rm-merge"),
+      "the replay must heal the crashed maintenance commit")
+  }
+
   test("streaming drops: docs + embeddings flow end to end; a replayed batchId is a no-op") {
     val (textOut, ivfOut, _, _) = run
     val h1 = Doc(7001, words(9600)); val h2 = Doc(7002, words(9601))

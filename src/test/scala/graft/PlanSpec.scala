@@ -546,4 +546,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("sim_merge_rehome: centroid/survivor scoring broadcasts, members stay id-keyed") {
+    // two argmin legs (corpus x centroids, flagged members x survivors)
+    // are the only nested loops allowed, and both nest over a BROADCAST
+    // nlist-sized side — never a cartesian over corpus-sized frames
+    val p = plan("sim_merge_rehome")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("dedup_lsh_recall_sampled: the quadratic baseline runs on the SAMPLED shingles only") {
+    // the whole point of the sampled twin: the all-pairs self-join's
+    // both inputs must carry the sample predicate below the join (the
+    // LSH side stays the production pipeline — band-keyed, never
+    // quadratic)
+    val p = plan("dedup_lsh_recall_sampled")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in:\n$p")
+    assert(p.contains("2654435761"),
+      s"the sample predicate must appear in the plan:\n${p.take(2000)}")
+  }
 }
