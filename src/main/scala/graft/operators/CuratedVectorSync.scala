@@ -78,10 +78,12 @@ object CuratedVectorSync {
     if (ivfKeys.contains(addKey) && ivfKeys.contains(rmKey) && searchDone) {
       // heal the one commit this early return would otherwise skip: the
       // occupancy maintenance riding the remove (its DERIVED key) can
-      // crash after the remove committed — without this line it would
-      // wait for the next removal batch instead of this replay. A
-      // committed key makes it a cheap no-op.
-      IvfMaintenance.mergeUnderfull(s, ivfOut, s"$rmKey-merge")
+      // crash after the remove committed — without this it would wait
+      // for the next removal batch instead of this replay. The already-
+      // loaded key set guards it, so a routine redelivery of a fully-
+      // synced batch stays metadata-only (no Spark job).
+      if (!ivfKeys.contains(s"$rmKey-merge"))
+        IvfMaintenance.mergeUnderfull(s, ivfOut, s"$rmKey-merge")
       return SyncReport(docReport, 0L, 0L)
     }
     // the batch's OWN manifest increment: O(delta) rows, no fold

@@ -77,29 +77,22 @@ object CurationRun {
 
   /** The run dir's recorded manifest-shard count (`outDir/_layout`,
     * written by [[run]]): a layout parameter, not a constant — at
-    * 100 TB, 16 manifest shards is a loader-parallelism ceiling.
-    * Pre-layout run dirs (no record) used the default 16. */
+    * 100 TB, 16 manifest shards is a loader-parallelism ceiling. A
+    * missing record REFUSES like the index twins' readers do — a
+    * silent default would let a lost record on a non-16-shard run
+    * route delta manifest rows with the wrong modulus, the exact
+    * mis-shard the record exists to prevent (every run since the
+    * record was introduced writes one; none predate it). */
   val DefaultShards = 16
 
-  private[graft] def layoutShards(s: SparkSession, outDir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/_layout")
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) return DefaultShards
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
-    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
-    require(n > 0, s"$outDir: garbled _layout '$txt'")
-    n
-  }
+  private[graft] def layoutShards(s: SparkSession, outDir: String): Int =
+    SegmentLog.readLayoutShards(s, s"$outDir/_layout").getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir: no _layout record — the run predates (or lost) its " +
+          "layout descriptor; re-run to record the manifest shard count"))
 
-  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/_layout")
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    f.mkdirs(p.getParent)
-    val out = f.create(p, true)
-    try out.write(s"shards=$nShards".getBytes("UTF-8")) finally out.close()
-  }
+  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit =
+    SegmentLog.writeLayout(s, s"$outDir/_layout", nShards)
 
   /** Execute (or resume) the run. Stage dirs live under `outDir`;
     * completed stages are skipped by their _SUCCESS marker. */

@@ -104,35 +104,22 @@ object IvfMaintenance {
     * working because reader and writer share the recorded value. */
   val DefaultShards = 16
 
-  private def layoutPath(outDir: String) = new Path(s"${ivfDir(outDir)}/_layout")
+  private def layoutPath(outDir: String) = s"${ivfDir(outDir)}/_layout"
 
   /** Record the index's shard count — written by [[build]] before any
     * segment lands, so no committed data can exist without its layout. */
-  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit = {
-    val p = layoutPath(outDir)
-    val f = fs(s, p)
-    f.mkdirs(p.getParent)
-    val out = f.create(p, true)
-    try out.write(s"shards=$nShards".getBytes("UTF-8")) finally out.close()
-  }
+  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit =
+    SegmentLog.writeLayout(s, layoutPath(outDir), nShards)
 
   /** The recorded shard count — REQUIRED: a reader guessing a modulus
     * against an index sharded differently would silently mis-prune
     * (missing rows, not an error), so a missing or garbled layout
     * refuses diagnosably instead. */
-  private[graft] def layoutShards(s: SparkSession, outDir: String): Int = {
-    val p = layoutPath(outDir)
-    val f = fs(s, p)
-    require(f.exists(p),
-      s"$outDir: no _layout record — the index predates (or lost) its " +
-        "layout descriptor; rebuild to record the shard count")
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
-    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
-    require(n > 0, s"$outDir: garbled _layout '$txt'")
-    n
-  }
+  private[graft] def layoutShards(s: SparkSession, outDir: String): Int =
+    SegmentLog.readLayoutShards(s, layoutPath(outDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir: no _layout record — the index predates (or lost) its " +
+          "layout descriptor; rebuild to record the shard count"))
 
   final case class IngestReport(
       nDelta: Long,
@@ -518,7 +505,11 @@ object IvfMaintenance {
     val n =
       if (committedKeys(s, outDir).contains(key)) 0L
       else if ({ wipeUncommitted(s, outDir); ids.isEmpty }) {
-        commitSkip(s, outDir, key); 0L
+        commitSkip(s, outDir, key)
+        // nothing shrank — commit the maintenance identity without
+        // paying the occupancy check (the common append-only batch)
+        if (maintain) commitSkip(s, outDir, s"$key-merge")
+        0L
       } else {
         val seg = committedSegs(s, outDir).max + 1
         val cents = centroids(s, outDir).localCheckpoint(true)
@@ -540,7 +531,9 @@ object IvfMaintenance {
     // A DERIVED key, and placed after the replay-skip paths above, so a
     // crash between the remove commit and the merge commit is healed by
     // replaying the same remove key (the remove skips, the merge runs).
-    if (maintain) mergeUnderfull(s, outDir, s"$key-merge")
+    // The committed-key guard keeps a replayed remove metadata-only.
+    if (maintain && !committedKeys(s, outDir).contains(s"$key-merge"))
+      mergeUnderfull(s, outDir, s"$key-merge")
     n
   }
 
@@ -957,11 +950,19 @@ object IvfMaintenance {
     * owns the cadence (after every N ingests, nightly — wherever the
     * occupancy checks already run) and the held-out set; replay safety
     * rides the derived refresh key, so a crashed maintenance pass
-    * re-runs to the same decision. */
+    * re-runs to the SAME decision: a replay whose refresh already
+    * committed reports `refreshed = true` (with both readings measured
+    * post-refresh — the pre-refresh number died with the crash), never
+    * a healthy-looking `refreshed = false` that hides an activated
+    * generation from alerting/accounting built on this report. */
   def maintainPq(s: SparkSession, outDir: String, heldOut: DataFrame,
       sample: DataFrame, minRecall: Double = 0.9, k: Int = 5,
       nprobe: Int = 1, m: Int = 8,
       key: String = s"pqmaint-${System.nanoTime()}"): PqHealth = {
+    if (committedKeys(s, outDir).contains(s"$key-refresh")) {
+      val now = pqRecall(s, outDir, heldOut, k, nprobe)
+      return PqHealth(now, refreshed = true, Some(now))
+    }
     val before = pqRecall(s, outDir, heldOut, k, nprobe)
     if (before >= minRecall) PqHealth(before, refreshed = false, None)
     else {

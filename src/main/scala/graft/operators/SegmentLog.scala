@@ -47,17 +47,59 @@ private[graft] object SegmentLog {
       }.toSet
   }
 
+  /** Atomic small-file write: content lands in a dotfile tmp (never
+    * parsed by any marker/layout reader) and a CHECKED rename publishes
+    * it — a crash mid-write can never leave a named file with empty or
+    * truncated content. That matters everywhere this is used: a
+    * truncated commit-marker KEY would make a replay re-ingest a
+    * committed batch (duplicate rows); a truncated export-generation
+    * marker would re-export covered segments (duplicate training
+    * docs). */
+  def writeSmallFile(s: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val f = fs(s, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"writeSmallFile: rename $tmp -> $p failed")
+  }
+
+  def readSmallFile(s: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val in = fs(s, p).open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+  }
+
   /** Marker NAME carries the segment (visibility); CONTENT carries the
-    * batch key (replay identity). seg < 0 writes a skip marker. */
+    * batch key (replay identity). seg < 0 writes a skip marker.
+    * Published atomically ([[writeSmallFile]]) so an admitted segment
+    * can never carry a lost replay key. */
   def commitMarker(s: SparkSession, markerDir: String, seg: Long,
       key: String): Unit = {
-    val dir = new Path(markerDir)
-    val f = fs(s, dir)
-    f.mkdirs(dir)
     val name = if (seg >= 0) s"seg-$seg"
       else "skip-" + key.replaceAll("[^A-Za-z0-9_.-]", "_")
-    val out = f.create(new Path(dir, name), true)
-    try out.write(key.getBytes("UTF-8")) finally out.close()
+    writeSmallFile(s, s"$markerDir/$name", key)
+  }
+
+  /** The index-layout record (`shards=N`) the sharded tables' readers
+    * derive every modulus from — ONE definition for all index
+    * operators, like the marker discipline above. [[readLayoutShards]]
+    * returns None for a missing record (each caller owns its refusal
+    * message — a guessed modulus silently mis-prunes) and throws on a
+    * garbled one. */
+  def writeLayout(s: SparkSession, layoutPath: String, nShards: Int): Unit =
+    writeSmallFile(s, layoutPath, s"shards=$nShards")
+
+  def readLayoutShards(s: SparkSession, layoutPath: String): Option[Int] = {
+    val p = new Path(layoutPath)
+    if (!fs(s, p).exists(p)) return None
+    val txt = readSmallFile(s, layoutPath)
+    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
+    require(n > 0, s"$layoutPath: garbled layout record '$txt'")
+    Some(n)
   }
 
   def presentSegs(s: SparkSession, root: String): Seq[Long] = {

@@ -55,32 +55,18 @@ object TextSearchIndex {
   private def postRoot(outDir: String) = s"${root(outDir)}/postings"
   private def statsRoot(outDir: String) = s"${root(outDir)}/stats"
   private def markerDir(outDir: String) = s"${root(outDir)}/markers"
-  private def layoutPath(outDir: String) =
-    new Path(s"${root(outDir)}/_layout")
+  private def layoutPath(outDir: String) = s"${root(outDir)}/_layout"
 
-  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit = {
-    val p = layoutPath(outDir)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    f.mkdirs(p.getParent)
-    val out = f.create(p, true)
-    try out.write(s"shards=$nShards".getBytes("UTF-8")) finally out.close()
-  }
+  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit =
+    SegmentLog.writeLayout(s, layoutPath(outDir), nShards)
 
   /** The recorded shard count — REQUIRED (a guessed modulus silently
     * mis-prunes; refuse diagnosably instead). */
-  private[graft] def layoutShards(s: SparkSession, outDir: String): Int = {
-    val p = layoutPath(outDir)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(f.exists(p),
-      s"$outDir: no _layout record — the index predates (or lost) its " +
-        "layout descriptor; rebuild to record the shard count")
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
-    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
-    require(n > 0, s"$outDir: garbled _layout '$txt'")
-    n
-  }
+  private[graft] def layoutShards(s: SparkSession, outDir: String): Int =
+    SegmentLog.readLayoutShards(s, layoutPath(outDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir: no _layout record — the index predates (or lost) its " +
+          "layout descriptor; rebuild to record the shard count"))
 
   private val PostSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
@@ -172,6 +158,12 @@ object TextSearchIndex {
   def build(s: SparkSession, docs: DataFrame, outDir: String,
       nShards: Int = DefaultShards): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    // an empty corpus would publish a footer-less postings segment that
+    // remove/compact/assertFresh-ingest later trip over with an opaque
+    // schema-inference error — refuse at the source (the IvfMaintenance
+    // build guard, same rationale)
+    require(docs.head(1).nonEmpty,
+      "build on an empty docs input — nothing to index")
     for (r <- Seq(postRoot(outDir), statsRoot(outDir)))
       SegmentLog.deleteDir(s, r)
     // layout before any segment: a rebuild may change the shard count

@@ -272,19 +272,15 @@ object TrainingExport {
   private def hfs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def writeSmallFile(s: SparkSession, path: String, content: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = hfs(s, p)
-    f.mkdirs(p.getParent)
-    val out = f.create(p, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
+  // atomic (tmp + checked rename) — a crash mid-write of a generation
+  // marker must never admit a generation with truncated coverage: the
+  // next call would re-export its segments as a new generation and the
+  // loader would train on those docs twice, with no error anywhere
+  private def writeSmallFile(s: SparkSession, path: String, content: String): Unit =
+    SegmentLog.writeSmallFile(s, path, content)
 
-  private def readSmallFile(s: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val in = hfs(s, p).open(p)
-    try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-  }
+  private def readSmallFile(s: SparkSession, path: String): String =
+    SegmentLog.readSmallFile(s, path)
 
   /** Committed generations → the manifest segments each covers. */
   private[graft] def genMarkers(s: SparkSession, exportDir: String): Map[Long, Set[Long]] = {

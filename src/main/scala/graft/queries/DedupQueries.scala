@@ -46,15 +46,18 @@ object DedupQueries {
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
     shinglesOf(s, t(s, dir, "documents"))
 
-  /** The EXHAUSTIVE LSH-recall eval — all-pairs Jaccard ground truth,
-    * quadratic by construction, so it lives SPEC-SIDE as the small-n
-    * baseline that calibrates the registry's sampled production form
-    * (dedup_lsh_recall_sampled). Output: (n_exact, n_lsh, n_hit,
-    * recall). */
-  private[graft] def exhaustiveLshRecall(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDF(s, dir).cache()
+  /** Shared LSH-recall eval body: exact Jaccard ground truth over the
+    * (optionally sampled) shingle set vs the UNCHANGED production LSH
+    * pipeline. One definition for both forms, so the threshold, pair
+    * dedup, and recall arithmetic cannot drift between them — the spec
+    * proves the sampled form's ground truth is exactly the
+    * both-endpoints-sampled subset of the exhaustive one. */
+  private def lshRecallEval(s: SparkSession, dir: String,
+      samp: Option[org.apache.spark.sql.Column]): DataFrame = {
+    def bound(df: DataFrame) = samp.map(df.where).getOrElse(df)
+    val sh = bound(shingleDF(s, dir)).cache()
     sh.count() // populate BEFORE the self-join legs race it
-    val cnt = shingleCounts(s, dir)
+    val cnt = bound(shingleCounts(s, dir))
     val exact = sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -75,6 +78,14 @@ object DedupQueries {
           .otherwise(col("n_hit").cast("double") / col("n_exact"))
           .as("recall"))
   }
+
+  /** The EXHAUSTIVE LSH-recall eval — all-pairs Jaccard ground truth,
+    * quadratic by construction, so it lives SPEC-SIDE as the small-n
+    * baseline that calibrates the registry's sampled production form
+    * (dedup_lsh_recall_sampled). Output: (n_exact, n_lsh, n_hit,
+    * recall). */
+  private[graft] def exhaustiveLshRecall(s: SparkSession, dir: String): DataFrame =
+    lshRecallEval(s, dir, None)
 
   /** DataFrame variant of the shingle stage (delta-ingest shares the
     * exact verification currency with the batch pipeline). */
@@ -814,40 +825,18 @@ object DedupQueries {
     QueryDef(
       "dedup_lsh_recall_sampled",
       (s, dir) => {
-        // The PRODUCTION form of dedup_lsh_recall: ground truth on a
+        // The PRODUCTION form of the recall eval: ground truth on a
         // deterministic 40% id-hash shard (the guarded-hash currency;
         // BOTH endpoints must sample in, so the quadratic all-pairs
-        // baseline runs on ~16% of the pair space — and the fraction
-        // is the knob that keeps it tractable at any corpus size,
-        // where the exhaustive form is quadratic by construction and
-        // stays a small-n spec-side check). The LSH side is the
-        // production pipeline UNCHANGED; recall is estimated on the
-        // sampled pair population — an unbiased estimator because the
-        // sample is independent of both the band hashes and the
-        // Jaccard values.
-        val samp = col("doc_id") % 1000003L * 2654435761L % 100 < 40
-        val sh = shingleDF(s, dir).where(samp).cache()
-        sh.count() // populate BEFORE the self-join legs race it
-        val cnt = shingleCounts(s, dir).where(samp)
-        val exact = sh.as("a")
-          .join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count("*").as("shared"))
-          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-          .where(col("shared").cast("double") /
-            (col("ca.n") + col("cb.n") - col("shared")) >= 0.3)
-          .select("doc_a", "doc_b")
-        val lsh = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
-        val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
-        exact.agg(count("*").as("n_exact"))
-          .crossJoin(lsh.agg(count("*").as("n_lsh")))
-          .crossJoin(hits.agg(count("*").as("n_hit")))
-          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
-            when(col("n_exact") === 0, lit(null).cast("double"))
-              .otherwise(col("n_hit").cast("double") / col("n_exact"))
-              .as("recall"))
+        // baseline runs on ~16% of the pair space — the fraction is
+        // the knob that keeps it tractable at any corpus size; the
+        // exhaustive form is quadratic by construction and lives
+        // spec-side as exhaustiveLshRecall). The LSH side is the
+        // production pipeline UNCHANGED; recall estimated on the
+        // sampled pair population is unbiased because the sample is
+        // independent of both the band hashes and the Jaccard values.
+        lshRecallEval(s, dir,
+          Some(col("doc_id") % 1000003L * 2654435761L % 100 < 40))
       },
       Some(
         s"""$ShingleCte,

@@ -109,6 +109,27 @@ class CurationRunSpec extends AnyFunSuite {
       "stage 3 re-ran on a completed run — final outputs were rewritten")
   }
 
+  test("shard layout: the record rides the run; a resume refuses a mismatch or a lost record") {
+    val (dir, _) = out
+    assert(CurationRun.layoutShards(spark, dir) == CurationRun.DefaultShards)
+    // a resume asking a different manifest-shard count must refuse —
+    // silently returning the 16-shard manifest as if it were 64 desyncs
+    // loader-side pruning
+    val e = intercept[IllegalArgumentException] {
+      CurationRun.run(spark, sf, dir, nShards = 64)
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+    // a LOST record refuses too (a fallback default would route delta
+    // manifest rows with the wrong modulus on any non-default run)
+    val d2 = java.nio.file.Files.createTempDirectory("curation_lost").toString
+    CurationRun.run(spark, sf, d2)
+    assert(new java.io.File(s"$d2/_layout").delete())
+    val e2 = intercept[IllegalArgumentException] {
+      CurationRun.layoutShards(spark, d2)
+    }
+    assert(e2.getMessage.contains("_layout"), e2.getMessage)
+  }
+
   test("crash AFTER stage 3's outputs but before the report marker re-runs stage 3 only") {
     // the report parquet is the stage-3 _SUCCESS: if the run died
     // between the final writes and the report write, the gate must NOT

@@ -78,6 +78,20 @@ class PqRefreshSpec extends AnyFunSuite {
       minRecall = 0.9, k = 5, nprobe = 2, m = M, key = "pqm-2")
     assert(!h2.refreshed && h2.recallAfter.isEmpty,
       s"recovered recall must not re-trip the refresh: $h2")
+    // a REPLAY of the completed maintenance pass (crash after its
+    // refresh committed) re-runs to the SAME decision — refreshed=true,
+    // not a healthy-looking false that hides the activated generation —
+    // and commits nothing new
+    val gensBefore = new java.io.File(s"$out/ivf/pq_cb").listFiles()
+      .map(_.getName).toSet
+    val h3 = IvfMaintenance.maintainPq(spark, out, heldOut,
+      sample = corpusA.select("label", "embedding"),
+      minRecall = 0.9, k = 5, nprobe = 2, m = M, key = "pqm-1")
+    assert(h3.refreshed && h3.recallAfter.isDefined,
+      s"a replayed completed refresh must report refreshed=true: $h3")
+    assert(new java.io.File(s"$out/ivf/pq_cb").listFiles()
+      .map(_.getName).toSet == gensBefore,
+      "a replayed maintenance pass must not commit a new generation")
   }
 
   test("a refresh can change the subspace count: old-shape codes never leak into the fold") {

@@ -224,6 +224,15 @@ class TextSearchIndexSpec extends AnyFunSuite {
     assert(served(dir).toSeq == want, "re-home must restore the rebuilt answers")
   }
 
+  test("build on an empty docs input refuses at the source") {
+    // it would publish a footer-less postings segment every later read
+    // trips over opaquely (the IvfMaintenance build guard, same shape)
+    val e = intercept[IllegalArgumentException] {
+      TextSearchIndex.build(spark, toDF(Nil), tmp("emptybuild"))
+    }
+    assert(e.getMessage.contains("empty docs"), e.getMessage)
+  }
+
   test("an emptied-out corpus answers with the empty frame, not NaN scores") {
     val dir = tmp("empty")
     val three = baseDocs.take(3)
