@@ -42,7 +42,15 @@ object CuratedVectorSync {
       nVecMissing: Long = 0L, // appended docs the caller gave no vector for
       ivf: Option[IvfMaintenance.IngestReport] = None,
       nSearchIngested: Long = 0L,
-      nSearchRemoved: Long = 0L)
+      nSearchRemoved: Long = 0L,
+      export: Option[(Long, TrainingExport.ExportReport)] = None)
+
+  /** Shape of the optional training-export lockstep: the incremental
+    * export's target dir + packing shape. The shape is FIXED per
+    * export dir (exportIncremental refuses a mismatch) — a new epoch
+    * is a new dir. */
+  final case class ExportCfg(dir: String, nShards: Int = 8,
+      seqLen: Int = 64, seed: Long = 0L)
 
   /** Ingest one delta (documents + their embeddings) into a curated
     * run at `textOut` (indexed by [[DeltaIngest.buildIndex]]) and its
@@ -51,10 +59,20 @@ object CuratedVectorSync {
     * lockstep — appended docs' postings ingest, removed docs tombstone
     * — through two more skip-if-committed sub-commits (`<key>-sadd` /
     * `<key>-srm`), so ALL THREE serve surfaces (near-dup probe, vector
-    * kNN, BM25) move atomically-per-batch with the layout. */
+    * kNN, BM25) move atomically-per-batch with the layout.
+    * `exportOut`, when given, drains [[TrainingExport.exportIncremental]]
+    * after the batch commits — the FOURTH surface: training shards stay
+    * current with the layout, coverage-driven (the manifest segments
+    * themselves are the replay identity, so no extra key is needed; the
+    * first enabled call brings the whole backlog current as one
+    * generation, and a replayed batch exports nothing). */
   def ingest(s: SparkSession, deltaDocs: DataFrame, deltaVecs: DataFrame,
       textOut: String, ivfOut: String, key: String,
-      searchOut: Option[String] = None): SyncReport = {
+      searchOut: Option[String] = None,
+      exportOut: Option[ExportCfg] = None): SyncReport = {
+    def drainExport(): Option[(Long, TrainingExport.ExportReport)] =
+      exportOut.flatMap(c => TrainingExport.exportIncremental(
+        s, textOut, c.dir, c.nShards, c.seqLen, c.seed))
     // ---- doc side (skip-if-committed carries the replay) ----
     val docReport = DeltaIngest.committedSegOf(s, textOut, key) match {
       case Some(_) => None
@@ -84,7 +102,9 @@ object CuratedVectorSync {
       // synced batch stays metadata-only (no Spark job).
       if (!ivfKeys.contains(s"$rmKey-merge"))
         IvfMaintenance.mergeUnderfull(s, ivfOut, s"$rmKey-merge")
-      return SyncReport(docReport, 0L, 0L)
+      // the export drain is coverage-driven: a fully-synced replay has
+      // nothing uncovered (a few FS reads), a crashed export resumes
+      return SyncReport(docReport, 0L, 0L, export = drainExport())
     }
     // the batch's OWN manifest increment: O(delta) rows, no fold
     // needed. Explicit schema: a batch that appended and removed
@@ -150,7 +170,8 @@ object CuratedVectorSync {
       nVecMissing = nVecMissing,
       ivf = ivfReport,
       nSearchIngested = nSIn,
-      nSearchRemoved = nSRm)
+      nSearchRemoved = nSRm,
+      export = drainExport())
   }
 
   // ---------------------------------------------------------------
@@ -171,7 +192,8 @@ object CuratedVectorSync {
       ivfOut: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
-      searchOut: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      searchOut: Option[String] = None,
+      exportOut: Option[ExportCfg] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val schema = graft.sources.TextIngest.rawSchema
       .add("embedding", ArrayType(DoubleType))
@@ -182,7 +204,8 @@ object CuratedVectorSync {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestDropBatch(spark, batch, batchId, textOut, ivfOut, searchOut); ()
+        ingestDropBatch(spark, batch, batchId, textOut, ivfOut, searchOut,
+          exportOut); ()
       }
       .start()
   }
@@ -195,7 +218,8 @@ object CuratedVectorSync {
       batchId: Long,
       textOut: String,
       ivfOut: String,
-      searchOut: Option[String] = None): Option[SyncReport] = {
+      searchOut: Option[String] = None,
+      exportOut: Option[ExportCfg] = None): Option[SyncReport] = {
     val docs = graft.sources.TextIngest.normalize(
       batch.drop("embedding")
         .withColumn("_corrupt_record", lit(null).cast("string")))
@@ -205,6 +229,6 @@ object CuratedVectorSync {
     Some(ingest(spark, docs,
       batch.select(col("doc_id"), col("embedding"))
         .where(col("embedding").isNotNull),
-      textOut, ivfOut, s"batch-$batchId", searchOut))
+      textOut, ivfOut, s"batch-$batchId", searchOut, exportOut))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CurationRun, CuratedVectorSync, DeltaIngest, IvfMaintenance}
+import graft.operators.{CurationRun, CuratedVectorSync, DeltaIngest, IvfMaintenance, TrainingExport}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -104,6 +104,41 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert(rep.docs.isEmpty && rep.nVecIngested == 0 && rep.nVecRemoved == 0,
       s"$rep")
     assert(liveIds(ivfOut) == before)
+  }
+
+  test("the export lockstep: training shards stay current with the layout, one generation per batch") {
+    val in = tmp("e_in"); val textOut = tmp("e_text"); val ivfOut = tmp("e_ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    IvfMaintenance.build(spark,
+      vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 3).as("label"), col("embedding")),
+      ivfOut)
+    val cfg = CuratedVectorSync.ExportCfg(tmp("e_exp"), nShards = 4)
+    // the first enabled sync brings the base backlog current (gen 0
+    // covers the base manifest) AND exports the batch's own appends
+    val rep = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "e1", exportOut = Some(cfg))
+    assert(rep.export.isDefined, "the enabled sync must commit a generation")
+    val (gen0, r0) = rep.export.get
+    assert(gen0 == 0L && r0.nDocs > 0)
+    // gen 0's docs == the post-batch live train slice (base + appends,
+    // both manifest segments covered in one backlog generation)
+    val liveTrain = spark.read.parquet(s"$textOut/final")
+      .where(col("split") === "train").count()
+    assert(r0.nDocs == liveTrain,
+      s"gen 0 must cover the whole live train slice: ${r0.nDocs} vs $liveTrain")
+    // a replayed batch exports nothing (coverage-driven no-op)
+    val rep2 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "e1", exportOut = Some(cfg))
+    assert(rep2.export.isEmpty, s"a replay must not re-export: ${rep2.export}")
+    // the audit passes over what the lockstep shipped
+    assert(TrainingExport.verifyAll(spark, cfg.dir).collect()
+      .forall(_.getAs[Boolean]("ok")))
   }
 
   test("a crashed occupancy-maintenance commit heals on a fully-synced replay") {
