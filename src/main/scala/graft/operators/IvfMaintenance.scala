@@ -537,6 +537,43 @@ object IvfMaintenance {
     n
   }
 
+  final case class IndexHealth(
+      nCells: Long,
+      nVectors: Long,
+      minOcc: Long,
+      maxOcc: Long,
+      nSplitFlagged: Long, // cells the next ingest would split
+      nMergeFlagged: Long, // cells a maintenance pass would retire
+      nSegments: Int, // committed data segments (compaction pressure)
+      pq: Boolean,
+      nShards: Int)
+
+  /** One-call operational snapshot of the index — the number the
+    * maintenance cadences key off, read ENTIRELY from the published
+    * centroid snapshot and the filesystem (occupancy is maintained
+    * incrementally, so no corpus bytes are touched): cell count, live
+    * vectors, occupancy spread, how many cells sit past each
+    * maintenance threshold, log depth, PQ state, recorded layout. */
+  def health(s: SparkSession, outDir: String): IndexHealth = {
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    val allowed = committedSegs(s, outDir)
+    val r = centroidsAt(s, outDir, allowed)
+      .agg(count(lit(1)), coalesce(sum("n_assigned"), lit(0L)),
+        coalesce(min("n_assigned"), lit(0L)),
+        coalesce(max("n_assigned"), lit(0L)))
+      .head()
+    val (nCells, nTotal) = (r.getLong(0), r.getLong(1))
+    val flags = centroidsAt(s, outDir, allowed)
+      .agg(
+        sum(needsSplit(col("n_assigned"), lit(nTotal)).cast("long")),
+        sum(needsMerge(col("n_assigned"), lit(nTotal), lit(nCells)).cast("long")))
+      .head()
+    IndexHealth(nCells, nTotal, r.getLong(2), r.getLong(3),
+      flags.getLong(0), flags.getLong(1),
+      presentSegs(s, asgRoot(outDir)).count(allowed),
+      pqEnabled(s, outDir), layoutShards(s, outDir))
+  }
+
   /** The underfull half of occupancy maintenance — the inverse of the
     * ingest-time split: cells below the [[needsMerge]] threshold are
     * RETIRED in one commit. Each flagged cell's live members are

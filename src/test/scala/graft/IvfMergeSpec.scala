@@ -195,6 +195,52 @@ class IvfMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("health reads the operational snapshot corpus-free and its flags match the thresholds") {
+    val out = tmp("health")
+    IvfMaintenance.build(spark, embeddings, out)
+    val h0 = IvfMaintenance.health(spark, out)
+    val occ = centSnap(out).map(_._3)
+    assert(h0.nCells == occ.length && h0.nVectors == occ.sum)
+    assert(h0.minOcc == occ.min && h0.maxOcc == occ.max)
+    assert(h0.nSplitFlagged == 0 && h0.nMergeFlagged == 0,
+      s"a freshly trained index is balanced: $h0")
+    assert(h0.nSegments == 1 && !h0.pq && h0.nShards == 16)
+    // drain one cell below half the mean WITHOUT maintenance: health
+    // must flag exactly it; the maintenance pass must then clear it
+    val target = centSnap(out).minBy(_._1)._1
+    val members = IvfMaintenance.assignments(spark, out)
+      .where(col("cell") === target).select("vec_id").collect()
+      .map(_.getLong(0)).sorted
+    IvfMaintenance.remove(spark, members.drop(3).toSeq.toDF("vec_id"), out,
+      key = "h-rm", maintain = false)
+    val h1 = IvfMaintenance.health(spark, out)
+    assert(h1.nMergeFlagged == 1, s"the drained cell must flag: $h1")
+    IvfMaintenance.mergeUnderfull(spark, out, "h-merge")
+    val h2 = IvfMaintenance.health(spark, out)
+    assert(h2.nMergeFlagged == 0 && h2.nCells == h0.nCells - 1,
+      s"maintenance must clear the flag by retiring the cell: $h2")
+  }
+
+  test("compaction folds a merged log without changing any answer") {
+    val out = tmp("mcompact")
+    IvfMaintenance.build(spark, embeddings, out)
+    val target = centSnap(out).minBy(_._1)._1
+    val members = IvfMaintenance.assignments(spark, out)
+      .where(col("cell") === target).select("vec_id").collect()
+      .map(_.getLong(0)).sorted
+    IvfMaintenance.remove(spark, members.drop(4).toSeq.toDF("vec_id"), out,
+      key = "mc-rm") // auto-merge: tombstones + rehomed rows in the log
+    def snap() = (
+      centSnap(out).toSet,
+      IvfMaintenance.assignments(spark, out)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val before = snap()
+    IvfMaintenance.compact(spark, out)
+    assert(snap() == before,
+      "compaction changed a post-merge answer (tombstone fold broke)")
+  }
+
   test("shard count is a recorded layout parameter: 4 and 64 both build, serve, and prune") {
     for (nsh <- Seq(4, 64)) {
       val out = tmp(s"sh$nsh")
