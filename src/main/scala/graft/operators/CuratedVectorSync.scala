@@ -70,9 +70,26 @@ object CuratedVectorSync {
       textOut: String, ivfOut: String, key: String,
       searchOut: Option[String] = None,
       exportOut: Option[ExportCfg] = None): SyncReport = {
+    // drain to EMPTY, not one call: exportIncremental commits ONE
+    // generation per call, and its crash-resume path spends its call
+    // re-committing a sealed-but-unmarked generation — a single call
+    // after such a crash would leave THIS batch's manifest segment
+    // uncovered until the next delivery. The loop runs until every
+    // committed segment is covered (the common case is one generation +
+    // one metadata-only no-op probe); reported: the LAST generation
+    // this drain committed — the one carrying the current batch.
     def drainExport(): Option[(Long, TrainingExport.ExportReport)] =
-      exportOut.flatMap(c => TrainingExport.exportIncremental(
-        s, textOut, c.dir, c.nShards, c.seqLen, c.seed))
+      exportOut.flatMap { c =>
+        var last: Option[(Long, TrainingExport.ExportReport)] = None
+        var cur = TrainingExport.exportIncremental(
+          s, textOut, c.dir, c.nShards, c.seqLen, c.seed)
+        while (cur.isDefined) {
+          last = cur
+          cur = TrainingExport.exportIncremental(
+            s, textOut, c.dir, c.nShards, c.seqLen, c.seed)
+        }
+        last
+      }
     // ---- doc side (skip-if-committed carries the replay) ----
     val docReport = DeltaIngest.committedSegOf(s, textOut, key) match {
       case Some(_) => None

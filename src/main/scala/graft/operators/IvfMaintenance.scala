@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   *     (O(|delta| × nlist), the corpus is never rescanned), appended as
   *     a delta-sized `asg` increment, and each cell's post-ingest
   *     occupancy is checked against the split threshold
-  *     (20·n_cell > 3·n_total, the integer cross-ratio form). The
+  *     ([[needsSplit]]: over double the mean occupancy, or over double
+  *     the recorded occupancy budget — the pair that lets nlist track
+  *     corpus growth). The
   *     occupancy check reads NO corpus rows: published `n_assigned` is
   *     always the inverted lists' fold count, so post-delta occupancy
   *     is n_assigned + the delta's per-cell counts.
@@ -70,11 +72,41 @@ import org.apache.spark.sql.types._
   */
 object IvfMaintenance {
 
-  /** Post-ingest occupancy above which a cell is split:
-    * 20·n_cell > 3·n_total (i.e. n_cell > 1.5× the mean of ~10 cells),
-    * the sim_incremental_assign flag, verbatim. */
-  def needsSplit(nCell: Column, nTotal: Column): Column =
-    nCell * 20 > nTotal * 3
+  /** Post-ingest occupancy above which a cell is split — two terms,
+    * OR'd, each owning one growth regime:
+    *
+    *   - SKEW: `n_cell · n_cells > 2 · n_total` (over double the mean)
+    *     — the exact scale-free dual of [[needsMerge]]'s half-mean, so
+    *     the pair is symmetric at ANY nlist. (The registry's
+    *     sim_incremental_assign keeps its fixture-tuned
+    *     `20·n > 3·n_total` flag — corpus-total-relative, which is
+    *     mean-relative only at the fixture's ~10 cells; an operator
+    *     inheriting it would never split a 4096-cell index while merge
+    *     kept retiring cells, drifting nlist toward ≤7 and turning
+    *     every probe into a near-scan.)
+    *   - GROWTH: `n_cell > 2 · target_occ`, an ABSOLUTE occupancy
+    *     budget recorded in `_layout` at build. Under uniform corpus
+    *     growth every cell grows in lockstep, n/mean stays 1, and no
+    *     mean-relative term ever fires — without a budget, nlist would
+    *     freeze at its build-time value and per-probe candidate work
+    *     would grow linearly with the corpus. With it, mean occupancy
+    *     hovers in [target/2, 2·target] as the index grows, so
+    *     nlist ≈ N/target tracks the corpus and serve cost per probe
+    *     stays ~flat. Uniform growth makes the splits ARRIVE in waves
+    *     (many cells cross 2·target in the same ingest — one
+    *     O(crossing cells' members) ingest that ~doubles nlist), which
+    *     amortizes to O(1) split work per vector over its lifetime.
+    *
+    * Hysteresis vs [[needsMerge]] (half the mean): a balanced split of
+    * a just-flagged cell leaves two subs at ≥ the mean (skew term) or
+    * ≥ target (growth term, with mean ≤ 2·target) — neither side can
+    * land under half the mean, so a split's subs never immediately
+    * merge back. An UNBALANCED 2-means can produce a sub-half-mean
+    * sub; merge then retires it into its nearest survivor — healing,
+    * bounded to one cycle per ingest, same as pre-budget behavior. */
+  def needsSplit(nCell: Column, nTotal: Column, nCells: Column,
+      targetOcc: Column): Column =
+    nCell * nCells > nTotal * 2 || nCell > targetOcc * 2
 
   /** Occupancy below which a cell merges away: under HALF THE MEAN
     * (2·n_cell·n_cells < n_total) — the underfull inverse of
@@ -104,12 +136,40 @@ object IvfMaintenance {
     * working because reader and writer share the recorded value. */
   val DefaultShards = 16
 
+  /** Default per-cell occupancy budget for [[needsSplit]]'s growth
+    * term. Sizing: candidates per probe ≈ nprobe · target, so the
+    * budget is the serve-latency knob; nlist ≈ N/target is the
+    * centroid-broadcast + split-cadence knob. 1024 keeps a
+    * billion-vector index at ~1M cells (a few-hundred-MB broadcast of
+    * d=64 centroids) with ~1k-candidate probes; small fixtures never
+    * reach it, so their splits are driven by the skew term alone. */
+  val DefaultTargetOcc = 1024L
+
   private def layoutPath(outDir: String) = s"${ivfDir(outDir)}/_layout"
 
-  /** Record the index's shard count — written by [[build]] before any
-    * segment lands, so no committed data can exist without its layout. */
-  private def writeLayout(s: SparkSession, outDir: String, nShards: Int): Unit =
-    SegmentLog.writeLayout(s, layoutPath(outDir), nShards)
+  /** Record the index's build-time constants — shard count, occupancy
+    * budget, vector dim — written by [[build]] before any segment
+    * lands, so no committed data can exist without its layout. */
+  private def writeLayout(s: SparkSession, outDir: String, nShards: Int,
+      targetOcc: Long, dim: Int): Unit =
+    SegmentLog.writeLayoutFields(s, layoutPath(outDir),
+      Seq("shards" -> nShards.toLong, "occ" -> targetOcc, "dim" -> dim.toLong))
+
+  /** The recorded occupancy budget; pre-budget layouts (older builds)
+    * fall back to the default — their split behavior changes only in
+    * the growth term, which a fixture-sized index never reaches. */
+  private[graft] def layoutTargetOcc(s: SparkSession, outDir: String): Long =
+    SegmentLog.readLayoutFields(s, layoutPath(outDir))
+      .flatMap(_.get("occ")).getOrElse(DefaultTargetOcc)
+
+  /** The recorded vector dim — the compaction-independent answer to
+    * "what shape does this index hold": an index emptied by removals
+    * still trains/refuses PQ identically whether or not a compact has
+    * folded its superseded rows away. None for pre-dim layouts (their
+    * callers fall back to probing a live log row). */
+  private[graft] def layoutDim(s: SparkSession, outDir: String): Option[Int] =
+    SegmentLog.readLayoutFields(s, layoutPath(outDir))
+      .flatMap(_.get("dim")).map(_.toInt)
 
   /** The recorded shard count — REQUIRED: a reader guessing a modulus
     * against an index sharded differently would silently mis-prune
@@ -277,14 +337,65 @@ object IvfMaintenance {
       .groupBy("vec_id").agg(min(col("sc")).as("b"))
       .select(col("vec_id"), col("b.cell").as("cell"))
 
-  /** Train the index with the sim_ivf_train loop (label-seeded Lloyd,
-    * `rounds` full assign→recompute rounds) and publish segment 0.
-    * Embeddings: (vec_id: long, label: int-ish, embedding:
-    * array<float|double>). */
+  /** Train the index with the sim_ivf_train loop (`rounds` full
+    * assign→recompute Lloyd rounds) and publish segment 0.
+    * Embeddings: (vec_id: long, embedding: array<float|double>), plus
+    * a `label` column when `nlist` is None.
+    *
+    * Seeding — nlist is a REAL parameter, not an accident of the
+    * input: with `nlist = Some(k)`, k seed vectors are drawn by a
+    * deterministic pseudo-random id order (xxhash64 over vec_id — the
+    * Forgy init, reproducible with no RNG state) and labels are not
+    * required; with None, seeds are the per-label means (the
+    * registry's sim_ivf_train shape — right when curated labels
+    * approximate a clustering, and the historical default). Either
+    * way the PUBLISHED cell count then tracks the corpus through
+    * [[needsSplit]]'s growth term and [[needsMerge]] — a production
+    * build picks k ≈ N/targetOcc and lets maintenance keep it there.
+    * Lloyd can retire a seed (a round may leave a cell memberless);
+    * the published nlist is the surviving cells. */
   def build(s: SparkSession, embeddings: DataFrame, outDir: String,
-      rounds: Int = 3, nShards: Int = DefaultShards): Unit = {
+      rounds: Int = 3, nShards: Int = DefaultShards,
+      nlist: Option[Int] = None,
+      targetOcc: Long = DefaultTargetOcc): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(targetOcc > 0, s"targetOcc must be positive, got $targetOcc")
+    nlist.foreach(k => require(k > 0, s"nlist must be positive, got $k"))
     VectorFunctions.register(s)
+    val e = (nlist match {
+      case Some(_) => embeddings.select(col("vec_id"),
+        lit(0L).as("label"), col("embedding").cast("array<double>").as("e"))
+      case None => embeddings.select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+    }).localCheckpoint(true)
+    // an empty corpus would publish a footer-less segment every later
+    // read trips over with an opaque schema-inference error — refuse
+    // here, where the cause is nameable (ingest grows an index; build
+    // needs something to train on), and BEFORE the sweep below so a
+    // refused rebuild leaves the standing index intact
+    val dimProbe = e.select(size(col("e"))).head(1)
+    require(dimProbe.nonEmpty,
+      s"build on an empty embeddings input — nothing to train on")
+    val dim = dimProbe(0).getInt(0)
+    // a rebuild under an enabled PQ layer keeps the committed codebooks
+    // (faiss semantics: codebooks never retrain — only codes rewrite,
+    // below) — which is only sound if the new corpus has the SAME dim:
+    // encode()'s fixed subLen slices against a different dim would
+    // produce wrong codes with no error anywhere. Checked before any
+    // data is swept, so a refused rebuild is a no-op.
+    val pqCb =
+      if (pqEnabled(s, outDir)) {
+        val loaded @ (_, m, subLen, _) =
+          loadCodebooks(s, outDir, committedSegs(s, outDir))
+        require(m * subLen == dim,
+          s"rebuild dim $dim != index vector dim ${m * subLen} of the " +
+            s"active PQ codebooks (m=$m × subLen=$subLen) — re-encoding " +
+            "against them would silently corrupt every code; refreshPq " +
+            "on a matching sample after a same-dim rebuild, or delete " +
+            s"${pqCbRoot(outDir)} (disabling PQ) before a dim change")
+        Some(loaded)
+      } else None
     // a rebuild replaces the index DATA but must PRESERVE the markers:
     // their contents are the replay identity of every committed batch,
     // and an index rebuilt from a layout that already contains batch
@@ -299,20 +410,25 @@ object IvfMaintenance {
       val p = new Path(r); fs(s, p).delete(p, true)
     }
     // layout lands before any segment: a rebuild may change the shard
-    // count because it rewrites every sharded table anyway
-    writeLayout(s, outDir, nShards)
-    val e = embeddings
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        col("embedding").cast("array<double>").as("e"))
-      .localCheckpoint(true)
-    // an empty corpus would publish a footer-less segment every later
-    // read trips over with an opaque schema-inference error — refuse
-    // here, where the cause is nameable (ingest grows an index; build
-    // needs something to train on)
-    require(e.head(1).nonEmpty,
-      s"build on an empty embeddings input — nothing to train on")
-    var cents = quantCentroid(s, e.select(col("label"), col("e")),
-      Seq(col("label")), Seq("cell")).localCheckpoint(true)
+    // count (it rewrites every sharded table anyway), the budget, or —
+    // PQ off — the dim
+    writeLayout(s, outDir, nShards, targetOcc, dim)
+    var cents = (nlist match {
+      case Some(k) =>
+        // Forgy init: the k hash-first vectors ARE the seed centroids.
+        // The pick is a TakeOrdered (top-k by hash, no full sort) and
+        // the k-row window is nlist-bounded — the same driver-scale
+        // bound every flagged-cell collect in this file rides.
+        val wk = org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("vec_id"))
+        e.select(col("vec_id"), col("e"), xxhash64(col("vec_id")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(k)
+          .select((row_number().over(wk) - 1).cast("long").as("cell"),
+            col("e").as("c"))
+      case None =>
+        quantCentroid(s, e.select(col("label"), col("e")),
+          Seq(col("label")), Seq("cell")).select("cell", "c")
+    }).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val asg = assign(e, cents).localCheckpoint(true)
       cents = quantCentroid(s,
@@ -336,11 +452,9 @@ object IvfMaintenance {
     // codes join would silently drop them from every candidate set.
     // Codebooks stay FIXED (faiss semantics) — only codes are rewritten,
     // inside the same commit.
-    val codes =
-      if (pqEnabled(s, outDir)) {
-        val (cb, m, subLen, _) = loadCodebooks(s, outDir, committedSegs(s, outDir))
-        Some(encode(asg.select(col("vec_id"), col("e")), cb, m, subLen))
-      } else None
+    val codes = pqCb.map { case (cb, m, subLen, _) =>
+      encode(asg.select(col("vec_id"), col("e")), cb, m, subLen)
+    }
     writeSegment(s, outDir, seg,
       cents.select("cell", "c").join(occ, Seq("cell"), "left")
         .select(col("cell"), col("c"),
@@ -395,7 +509,8 @@ object IvfMaintenance {
         (col("n_assigned") + coalesce(col("dn"), lit(0L))).as("n_assigned"))
       .localCheckpoint(true)
     val nTotal = cents.agg(sum("n_assigned")).collect()(0).getLong(0) + nDelta
-    val flagged = occAfter.where(needsSplit(col("n_assigned"), lit(nTotal)))
+    val flagged = occAfter.where(needsSplit(col("n_assigned"), lit(nTotal),
+        lit(nCellsBefore), lit(layoutTargetOcc(s, outDir))))
       .select("cell").localCheckpoint(true)
     val nSplit = flagged.count()
     val (centsSeg, asgInc) =
@@ -565,7 +680,8 @@ object IvfMaintenance {
     val (nCells, nTotal) = (r.getLong(0), r.getLong(1))
     val flags = centroidsAt(s, outDir, allowed)
       .agg(
-        sum(needsSplit(col("n_assigned"), lit(nTotal)).cast("long")),
+        sum(needsSplit(col("n_assigned"), lit(nTotal), lit(nCells),
+          lit(layoutTargetOcc(s, outDir))).cast("long")),
         sum(needsMerge(col("n_assigned"), lit(nTotal), lit(nCells)).cast("long")))
       .head()
     IndexHealth(nCells, nTotal, r.getLong(2), r.getLong(3),
@@ -900,14 +1016,19 @@ object IvfMaintenance {
     // the sample must share the INDEX's vector dim: codebooks trained at
     // a different subLen would make encode()'s slice/d2 silently produce
     // wrong codes (or an opaque runtime error) for every corpus vector.
-    // One probed live row — not a corpus scan. An index whose lists are
-    // EMPTY (everything removed) has nothing to encode and no dim to
-    // check — refuse diagnosably rather than NoSuchElementException.
-    val probe = readAsgLog(s, outDir)
-      .where(col("e").isNotNull).select(size(col("e"))).head(1)
-    require(probe.nonEmpty,
-      s"$outDir holds no live vectors — nothing to train or encode")
-    val idxDim = probe(0).getInt(0)
+    // The dim comes from the _layout record (free, and compaction-
+    // independent: an index emptied by removals trains identically
+    // whether or not a compact has folded its superseded rows away);
+    // pre-dim layouts fall back to probing one log row, where an
+    // all-removed-then-compacted index has no row left — refuse
+    // diagnosably rather than NoSuchElementException.
+    val idxDim = layoutDim(s, outDir).getOrElse {
+      val probe = readAsgLog(s, outDir)
+        .where(col("e").isNotNull).select(size(col("e"))).head(1)
+      require(probe.nonEmpty,
+        s"$outDir holds no live vectors — nothing to train or encode")
+      probe(0).getInt(0)
+    }
     require(idxDim == dim,
       s"PQ sample dim $dim != index vector dim $idxDim — train on a " +
         "sample drawn from the indexed distribution")

@@ -91,15 +91,38 @@ private[graft] object SegmentLog {
     * message — a guessed modulus silently mis-prunes) and throws on a
     * garbled one. */
   def writeLayout(s: SparkSession, layoutPath: String, nShards: Int): Unit =
-    writeSmallFile(s, layoutPath, s"shards=$nShards")
+    writeLayoutFields(s, layoutPath, Seq("shards" -> nShards.toLong))
 
-  def readLayoutShards(s: SparkSession, layoutPath: String): Option[Int] = {
+  def readLayoutShards(s: SparkSession, layoutPath: String): Option[Int] =
+    readLayoutFields(s, layoutPath).map { m =>
+      val n = m.getOrElse("shards", 0L)
+      require(n > 0, s"$layoutPath: layout record missing a positive shards field")
+      n.toInt
+    }
+
+  /** Multi-field layout record (`k1=v1;k2=v2;…`) — the same one-file
+    * build-time descriptor, grown for operators that fix more than a
+    * shard modulus at build (IVF records its occupancy budget and
+    * vector dim too). `shards=N` is the degenerate single-field form,
+    * so pre-extension layouts parse unchanged and other operators'
+    * layouts are untouched. */
+  def writeLayoutFields(s: SparkSession, layoutPath: String,
+      fields: Seq[(String, Long)]): Unit =
+    writeSmallFile(s, layoutPath,
+      fields.map { case (k, v) => s"$k=$v" }.mkString(";"))
+
+  def readLayoutFields(s: SparkSession, layoutPath: String): Option[Map[String, Long]] = {
     val p = new Path(layoutPath)
     if (!fs(s, p).exists(p)) return None
     val txt = readSmallFile(s, layoutPath)
-    val n = txt.stripPrefix("shards=").toIntOption.getOrElse(0)
-    require(n > 0, s"$layoutPath: garbled layout record '$txt'")
-    Some(n)
+    val m = txt.split(';').toSeq.map { f =>
+      f.split('=') match {
+        case Array(k, v) if v.toLongOption.isDefined => k.trim -> v.toLong
+        case _ => throw new IllegalArgumentException(
+          s"$layoutPath: garbled layout record '$txt'")
+      }
+    }.toMap
+    Some(m)
   }
 
   def presentSegs(s: SparkSession, root: String): Seq[Long] = {

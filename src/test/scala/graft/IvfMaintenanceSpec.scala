@@ -411,20 +411,86 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       s"excludeSelfId=false must return the identical vector: ${external.toSeq}")
   }
 
-  test("split flags mirror sim_incremental_assign on the same fixture") {
+  test("split flags mirror sim_incremental_assign's occupancy arithmetic") {
     // ingest the SAME 10% delta the registry query models; the cells
-    // the operator splits must be exactly the query's needs_split set
-    // the query computes centroids in ONE shot (label means, no Lloyd
-    // rounds), so build the matching index with rounds = 0
+    // the operator splits must be exactly the operator's mean-relative
+    // predicate evaluated over the query's per-cell occupancy output
+    // (the query keeps its fixture-tuned corpus-total flag
+    // 20·n > 3·n_total — registry-side; the OPERATOR's threshold is
+    // the scale-symmetric dual of needsMerge plus the growth budget,
+    // which this fixture never reaches). The query computes centroids
+    // in ONE shot (label means, no Lloyd rounds), so build the
+    // matching index with rounds = 0.
     val out0 = tmp("mirror0")
     IvfMaintenance.build(spark, embeddings.where(col("vec_id") % 10 =!= 7),
       out0, rounds = 0)
-    val flaggedByQuery = SparkEntry.queries("sim_incremental_assign")(spark, sf)
-      .where(col("needs_split") === 1).select("c_label")
-      .collect().map(_.getLong(0)).toSet
+    val occ = SparkEntry.queries("sim_incremental_assign")(spark, sf)
+      .select("c_label", "n_base", "n_new")
+      .collect().map(r => r.getAs[Number]("c_label").longValue() ->
+        (r.getLong(1) + r.getLong(2)))
+    val nCells = occ.length.toLong
+    val nTotal = occ.map(_._2).sum
+    val flaggedByArith = occ
+      .filter { case (_, n) => n * nCells > nTotal * 2 }.map(_._1).toSet
     val r = IvfMaintenance.ingest(spark,
       embeddings.where(col("vec_id") % 10 === 7), out0)
-    assert(r.nSplit == flaggedByQuery.size,
-      s"operator split ${r.nSplit} cells, query flags $flaggedByQuery")
+    assert(r.nSplit == flaggedByArith.size,
+      s"operator split ${r.nSplit} cells, arithmetic flags $flaggedByArith")
+  }
+
+  test("nlist growth: the budget keeps per-probe candidate work flat as the corpus grows 10x") {
+    // The 100x-scale property the fixture-scale thresholds can't show:
+    // build with a sampled-seed nlist and a SMALL occupancy budget,
+    // then grow the corpus ~10x through uniform delta ingests (no
+    // manufactured skew — precisely the regime where a mean-relative
+    // split NEVER fires and an unbudgeted index freezes its nlist).
+    // The growth term must keep splitting so (a) cell count rises with
+    // the corpus, (b) mean occupancy stays pinned near the budget, and
+    // (c) the serve-side candidate count per probe — the quantity that
+    // regressed 1.9x at 10x under fixed nlist — stays ~flat.
+    import spark.implicits._
+    val out = tmp("growth")
+    val dim = 8
+    val budget = 40L
+    def vecs(ids: Range): DataFrame = ids.map { i =>
+      // deterministic scatter over a dim-8 cube: uniform-ish, unlabeled
+      val v = Seq.tabulate(dim)(d => math.sin(0.7 * i + 1.3 * d) +
+        0.01 * ((i * 31 + d * 17) % 13))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    IvfMaintenance.build(spark, vecs(0 until 400), out,
+      rounds = 2, nlist = Some(10), targetOcc = budget)
+    val h0 = IvfMaintenance.health(spark, out)
+    val meanOcc0 = h0.nVectors.toDouble / h0.nCells
+    // 9 uniform deltas of 400 → 4000 vectors total
+    for (b <- 1 to 9)
+      IvfMaintenance.ingest(spark, vecs(b * 400 until (b + 1) * 400), out)
+    val h = IvfMaintenance.health(spark, out)
+    assert(h.nVectors == 4000L, s"corpus must be 10x: $h")
+    // (a) nlist grew with the corpus — not frozen at the seed count
+    assert(h.nCells >= h0.nCells * 4,
+      s"cell count must track 10x growth: ${h0.nCells} -> ${h.nCells}")
+    // (b) mean occupancy pinned by the budget (split fires past
+    // 2·budget, so the steady-state mean lives under ~2·budget; merge
+    // floors it at budget-scale rather than letting cells dribble)
+    val meanOcc = h.nVectors.toDouble / h.nCells
+    assert(meanOcc <= 2.5 * budget,
+      s"mean occupancy must stay near the budget: $meanOcc vs $budget")
+    // (c) per-probe candidate work ~flat vs the 1x index: probing the
+    // nearest cell costs its occupancy, and no cell may have grown
+    // unchecked past the split point + one delta's worth of slack
+    assert(h.maxOcc <= 2 * budget + 400,
+      s"a cell outgrew the split cadence: maxOcc=${h.maxOcc}")
+    // serve stays correct through the churn: an indexed vector's
+    // nearest neighbor at nprobe=4 includes its exact self-match
+    val q = Seq((123L, Seq.tabulate(dim)(d => math.sin(0.7 * 123 + 1.3 * d) +
+      0.01 * ((123 * 31 + d * 17) % 13)))).toDF("query_id", "embedding")
+    val top = IvfMaintenance.knnQuery(spark, out, q, k = 1, nprobe = 4,
+      excludeSelfId = false).select("neighbor_id", "dist2").head()
+    assert(top.getLong(0) == 123L && top.getDouble(1) == 0.0,
+      s"post-growth serve lost the exact match: $top")
+    // and mean occupancy at 1x was in the same band — the budget, not
+    // corpus size, sets the operating point at every scale
+    assert(meanOcc0 <= 2.5 * budget, s"1x mean occupancy off-band: $meanOcc0")
   }
 }
