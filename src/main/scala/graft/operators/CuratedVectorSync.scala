@@ -43,7 +43,8 @@ object CuratedVectorSync {
       ivf: Option[IvfMaintenance.IngestReport] = None,
       nSearchIngested: Long = 0L,
       nSearchRemoved: Long = 0L,
-      export: Option[(Long, TrainingExport.ExportReport)] = None)
+      export: Option[(Long, TrainingExport.ExportReport)] = None,
+      pq: Option[IvfMaintenance.PqHealth] = None) // None = not due / already checked
 
   /** Shape of the optional training-export lockstep: the incremental
     * export's target dir + packing shape. The shape is FIXED per
@@ -51,6 +52,21 @@ object CuratedVectorSync {
     * is a new dir. */
   final case class ExportCfg(dir: String, nShards: Int = 8,
       seqLen: Int = 64, seed: Long = 0L)
+
+  /** Shape of the optional PQ drift-maintenance lockstep
+    * ([[IvfMaintenance.maintainPq]] on the standing cadence, verdict-
+    * style: measure compressed-vs-exact recall on `heldOut`; refresh
+    * the codebook generation from `sample` when it degrades below
+    * `minRecall`). `cadenceBatches` thins the check: 1 = every batch;
+    * n > 1 selects batches by a DETERMINISTIC hash of the batch key
+    * (≈ every nth batch, replay-stable — the same redelivered key
+    * always reaches the same due/not-due decision, so a crash can
+    * never dodge or double a scheduled check). The recall measurement
+    * costs two cell-bounded serves of `heldOut` per due batch — size
+    * the cadence to the batch rate, not to the corpus. */
+  final case class PqCfg(heldOut: DataFrame, sample: DataFrame,
+      minRecall: Double = 0.9, k: Int = 5, nprobe: Int = 1, m: Int = 8,
+      cadenceBatches: Int = 1)
 
   /** Ingest one delta (documents + their embeddings) into a curated
     * run at `textOut` (indexed by [[DeltaIngest.buildIndex]]) and its
@@ -65,11 +81,23 @@ object CuratedVectorSync {
     * current with the layout, coverage-driven (the manifest segments
     * themselves are the replay identity, so no extra key is needed; the
     * first enabled call brings the whole backlog current as one
-    * generation, and a replayed batch exports nothing). */
+    * generation, and a replayed batch exports nothing).
+    * `pqOut`, when given, rides the same cadence for the FIFTH
+    * maintenance concern: PQ recall drift ([[PqCfg]]) — the check's
+    * replay identity is `<key>-pq` (a skip marker when healthy; the
+    * refresh, when triggered, commits `<key>-pq-refresh` inside
+    * maintainPq, so a redelivered batch re-reads `refreshed = true`
+    * without retraining). `telemetry`, when given, receives one
+    * corpus-free health snapshot per enabled surface after every
+    * delivery (`ivf_health` / `search_health` / `export_health` — the
+    * D5 parity for the serve layer), so the maintenance cadences are
+    * observable the way queue batches are. */
   def ingest(s: SparkSession, deltaDocs: DataFrame, deltaVecs: DataFrame,
       textOut: String, ivfOut: String, key: String,
       searchOut: Option[String] = None,
-      exportOut: Option[ExportCfg] = None): SyncReport = {
+      exportOut: Option[ExportCfg] = None,
+      pqOut: Option[PqCfg] = None,
+      telemetry: Option[graft.metrics.EventHandler] = None): SyncReport = {
     // drain to EMPTY, not one call: exportIncremental commits ONE
     // generation per call, and its crash-resume path spends its call
     // re-committing a sealed-but-unmarked generation — a single call
@@ -90,6 +118,58 @@ object CuratedVectorSync {
         }
         last
       }
+    // The PQ drift check, keyed `<key>-pq`. `keys` is the ivf marker
+    // set loaded at delivery start: a healthy check committed a skip
+    // marker under that key, so a redelivery is metadata-only; a
+    // TRIGGERED refresh deliberately commits no skip — maintainPq's
+    // own `<key>-pq-refresh` guard makes the redelivery re-measure and
+    // report `refreshed = true` (the accounting-visible truth) without
+    // retraining. A crash between the vector commits and this check is
+    // healed on redelivery the same way the merge heal works: due-ness
+    // is a pure function of the key, so the replay reaches the same
+    // decision.
+    def runPqMaintenance(keys: Set[String]): Option[IvfMaintenance.PqHealth] =
+      pqOut.flatMap { c =>
+        val pqKey = s"$key-pq"
+        val due = c.cadenceBatches <= 1 || math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(key), c.cadenceBatches) == 0
+        if (!due || keys.contains(pqKey)) None
+        else {
+          require(IvfMaintenance.pqEnabled(s, ivfOut),
+            s"pqOut requires buildPq to have completed for $ivfOut")
+          val h = IvfMaintenance.maintainPq(s, ivfOut, c.heldOut, c.sample,
+            c.minRecall, c.k, c.nprobe, c.m, key = pqKey)
+          if (!h.refreshed) IvfMaintenance.commitSkip(s, ivfOut, pqKey)
+          Some(h)
+        }
+      }
+    // one corpus-free snapshot per enabled surface, after the delivery
+    // settles — reads the published centroid/stats tables and manifest
+    // metadata only, never corpus bytes
+    def emitHealth(): Unit = telemetry.foreach { h =>
+      val ih = IvfMaintenance.health(s, ivfOut)
+      h.handle("ivf_health", ivfOut, Map(
+        "nCells" -> ih.nCells.toDouble, "nVectors" -> ih.nVectors.toDouble,
+        "minOcc" -> ih.minOcc.toDouble, "maxOcc" -> ih.maxOcc.toDouble,
+        "nSplitFlagged" -> ih.nSplitFlagged.toDouble,
+        "nMergeFlagged" -> ih.nMergeFlagged.toDouble,
+        "nSegments" -> ih.nSegments.toDouble,
+        "pq" -> (if (ih.pq) 1.0 else 0.0)))
+      searchOut.foreach { so =>
+        val sh = TextSearchIndex.health(s, so)
+        h.handle("search_health", so, Map(
+          "nDocs" -> sh.nDocs.toDouble, "sumDl" -> sh.sumDl.toDouble,
+          "nSegments" -> sh.nSegments.toDouble))
+      }
+      exportOut.foreach { c =>
+        val eh = TrainingExport.health(s, c.dir)
+        h.handle("export_health", c.dir, Map(
+          "nGenerations" -> eh.nGenerations.toDouble,
+          "nCoveredSegs" -> eh.nCoveredSegs.toDouble,
+          "nDocs" -> eh.nDocs.toDouble, "nSeqs" -> eh.nSeqs.toDouble,
+          "nTokens" -> eh.nTokens.toDouble))
+      }
+    }
     // ---- doc side (skip-if-committed carries the replay) ----
     val docReport = DeltaIngest.committedSegOf(s, textOut, key) match {
       case Some(_) => None
@@ -120,8 +200,12 @@ object CuratedVectorSync {
       if (!ivfKeys.contains(s"$rmKey-merge"))
         IvfMaintenance.mergeUnderfull(s, ivfOut, s"$rmKey-merge")
       // the export drain is coverage-driven: a fully-synced replay has
-      // nothing uncovered (a few FS reads), a crashed export resumes
-      return SyncReport(docReport, 0L, 0L, export = drainExport())
+      // nothing uncovered (a few FS reads), a crashed export resumes;
+      // the PQ check heals the same way (skip-marker-guarded)
+      val rep = SyncReport(docReport, 0L, 0L, export = drainExport(),
+        pq = runPqMaintenance(ivfKeys))
+      emitHealth()
+      return rep
     }
     // the batch's OWN manifest increment: O(delta) rows, no fold
     // needed. Explicit schema: a batch that appended and removed
@@ -181,14 +265,17 @@ object CuratedVectorSync {
         TextSearchIndex.remove(s,
           manifestInc.where(col("dead")).select("doc_id"), so, sRmKey))
     }.getOrElse((0L, 0L))
-    SyncReport(docReport,
+    val rep = SyncReport(docReport,
       nVecIngested = ivfReport.map(_.nDelta).getOrElse(0L),
       nVecRemoved = nRemoved,
       nVecMissing = nVecMissing,
       ivf = ivfReport,
       nSearchIngested = nSIn,
       nSearchRemoved = nSRm,
-      export = drainExport())
+      export = drainExport(),
+      pq = runPqMaintenance(ivfKeys))
+    emitHealth()
+    rep
   }
 
   // ---------------------------------------------------------------
@@ -210,7 +297,9 @@ object CuratedVectorSync {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
       searchOut: Option[String] = None,
-      exportOut: Option[ExportCfg] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      exportOut: Option[ExportCfg] = None,
+      pqOut: Option[PqCfg] = None,
+      telemetry: Option[graft.metrics.EventHandler] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val schema = graft.sources.TextIngest.rawSchema
       .add("embedding", ArrayType(DoubleType))
@@ -222,7 +311,7 @@ object CuratedVectorSync {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestDropBatch(spark, batch, batchId, textOut, ivfOut, searchOut,
-          exportOut); ()
+          exportOut, pqOut, telemetry); ()
       }
       .start()
   }
@@ -236,7 +325,9 @@ object CuratedVectorSync {
       textOut: String,
       ivfOut: String,
       searchOut: Option[String] = None,
-      exportOut: Option[ExportCfg] = None): Option[SyncReport] = {
+      exportOut: Option[ExportCfg] = None,
+      pqOut: Option[PqCfg] = None,
+      telemetry: Option[graft.metrics.EventHandler] = None): Option[SyncReport] = {
     val docs = graft.sources.TextIngest.normalize(
       batch.drop("embedding")
         .withColumn("_corrupt_record", lit(null).cast("string")))
@@ -246,6 +337,7 @@ object CuratedVectorSync {
     Some(ingest(spark, docs,
       batch.select(col("doc_id"), col("embedding"))
         .where(col("embedding").isNotNull),
-      textOut, ivfOut, s"batch-$batchId", searchOut, exportOut))
+      textOut, ivfOut, s"batch-$batchId", searchOut, exportOut, pqOut,
+      telemetry))
   }
 }

@@ -129,6 +129,24 @@ object TextSearchIndex {
     (r.getLong(0), r.getLong(1))
   }
 
+  final case class SearchHealth(
+      nDocs: Long, // live docs (the BM25 N)
+      sumDl: Long, // live token mass (avgdl = sumDl / nDocs)
+      nSegments: Int, // committed postings segments (compaction pressure)
+      nShards: Int)
+
+  /** One-call operational snapshot — the [[IvfMaintenance.health]]
+    * twin for the BM25 surface, read entirely from the incrementally-
+    * maintained stats row and the filesystem (no postings bytes):
+    * corpus stats the scorer serves with, log depth, recorded layout. */
+  def health(s: SparkSession, outDir: String): SearchHealth = {
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    val allowed = committedSegs(s, outDir)
+    val (nDocs, sumDl) = readStats(s, outDir, allowed)
+    SearchHealth(nDocs, sumDl,
+      presentSegs(s, postRoot(outDir)).count(allowed), layoutShards(s, outDir))
+  }
+
   private def writeSegment(s: SparkSession, outDir: String, seg: Long,
       postings: DataFrame, nDocs: Long, sumDl: Long, key: String): Unit = {
     val nsh = layoutShards(s, outDir)

@@ -373,6 +373,28 @@ object TrainingExport {
       .reduce(_ unionAll _)
   }
 
+  final case class ExportHealth(
+      nGenerations: Long,
+      nCoveredSegs: Long, // manifest segments the generations cover
+      nDocs: Long,
+      nSeqs: Long,
+      nTokens: Long)
+
+  /** One-call operational snapshot of an incremental export dir — the
+    * [[IvfMaintenance.health]] twin for the training-shard surface,
+    * read from the generation markers and sealed manifests only
+    * (nShards rows per generation — never the shard bytes). Zeroes for
+    * a dir with no committed generation yet (an enabled-but-undrained
+    * lockstep is a legitimate observable state, not an error). */
+  def health(s: SparkSession, exportDir: String): ExportHealth = {
+    val markers = genMarkers(s, exportDir)
+    if (markers.isEmpty) return ExportHealth(0L, 0L, 0L, 0L, 0L)
+    val m = readManifests(s, exportDir)
+      .agg(sum("n_docs"), sum("n_seqs"), sum("n_tokens")).head()
+    ExportHealth(markers.size.toLong, markers.values.flatten.toSet.size.toLong,
+      m.getLong(0), m.getLong(1), m.getLong(2))
+  }
+
   /** Per-shard manifests of every committed generation, with a `gen`
     * column — the loader's one-stop listing. */
   def readManifests(s: SparkSession, exportDir: String): DataFrame = {

@@ -329,4 +329,107 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert(winnerRow.exists(_.getDouble(2) <= minD + 1e-12),
       s"the synced winner must tie at the ADC minimum: $winnerRow vs $minD")
   }
+
+  // a fresh curated run + IVF(+PQ) fixture for the maintenance-lockstep
+  // tests — built per test (they mutate maintenance state)
+  private def pqFixture(tag: String): (String, String, CuratedVectorSync.PqCfg) = {
+    val in = tmp(s"${tag}_in"); val textOut = tmp(s"${tag}_text")
+    val ivfOut = tmp(s"${tag}_ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = spark.read.parquet(s"$textOut/final")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val labeled = vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+      (col("doc_id") % 3).as("label"), col("embedding"))
+    IvfMaintenance.build(spark, labeled, ivfOut)
+    IvfMaintenance.buildPq(spark, labeled.select("label", "embedding"),
+      ivfOut, m = 4)
+    val cfg = CuratedVectorSync.PqCfg(
+      heldOut = vecsOf(baseFinal.take(5))
+        .select(col("doc_id").as("query_id"), col("embedding")),
+      sample = labeled.select("label", "embedding"),
+      m = 4)
+    (textOut, ivfOut, cfg)
+  }
+
+  test("the PQ maintenance lockstep: healthy check commits its skip; a triggered refresh replays as refreshed=true without retraining") {
+    val (textOut, ivfOut, cfg) = pqFixture("pq")
+    // batch 1, healthy regime (minRecall = 0 can never trigger): the
+    // check runs, reports refreshed = false, and commits its skip
+    val d1 = Seq(Doc(6001, words(9101)), Doc(6002, words(9102)))
+    val r1 = CuratedVectorSync.ingest(spark, toDF(d1), vecsOf(d1.map(_.id)),
+      textOut, ivfOut, "p1", pqOut = Some(cfg.copy(minRecall = 0.0)))
+    assert(r1.pq.exists(h => !h.refreshed && h.recallAfter.isEmpty), s"${r1.pq}")
+    assert(IvfMaintenance.committedKeys(spark, ivfOut).contains("p1-pq"),
+      "a healthy check must commit its skip marker")
+    // its redelivery is metadata-only: no re-measure, pq = None
+    val r1b = CuratedVectorSync.ingest(spark, toDF(d1), vecsOf(d1.map(_.id)),
+      textOut, ivfOut, "p1", pqOut = Some(cfg.copy(minRecall = 0.0)))
+    assert(r1b.pq.isEmpty, s"a checked batch's replay must skip: ${r1b.pq}")
+    // batch 2, forced-fire regime (minRecall > 1 always triggers —
+    // PqRefreshSpec owns the genuine-drift decisioning; this pins the
+    // TRIGGER PATH through the sync): the refresh commits under the
+    // derived key and the report carries both readings
+    val d2 = Seq(Doc(6003, words(9103)), Doc(6004, words(9104)))
+    val r2 = CuratedVectorSync.ingest(spark, toDF(d2), vecsOf(d2.map(_.id)),
+      textOut, ivfOut, "p2", pqOut = Some(cfg.copy(minRecall = 1.01)))
+    assert(r2.pq.exists(h => h.refreshed && h.recallAfter.isDefined), s"${r2.pq}")
+    assert(IvfMaintenance.committedKeys(spark, ivfOut).contains("p2-pq-refresh"))
+    val segsAfterRefresh = IvfMaintenance.health(spark, ivfOut).nSegments
+    // the replayed batch re-reads refreshed = true WITHOUT retraining:
+    // same report shape, and no new segment landed (a retrain commits one)
+    val r2b = CuratedVectorSync.ingest(spark, toDF(d2), vecsOf(d2.map(_.id)),
+      textOut, ivfOut, "p2", pqOut = Some(cfg.copy(minRecall = 1.01)))
+    assert(r2b.pq.exists(h => h.refreshed && h.recallAfter.isDefined),
+      s"the replay must re-read the refresh decision: ${r2b.pq}")
+    assert(IvfMaintenance.health(spark, ivfOut).nSegments == segsAfterRefresh,
+      "a replayed refresh must not commit a new segment")
+    // cadence: a batch whose key hashes off-cadence is not checked —
+    // deterministic, so pick a modulus that excludes the key
+    val d3 = Seq(Doc(6005, words(9105)))
+    val n = (2 to 10).find(m => math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash("p3"), m) != 0).get
+    val r3 = CuratedVectorSync.ingest(spark, toDF(d3), vecsOf(d3.map(_.id)),
+      textOut, ivfOut, "p3",
+      pqOut = Some(cfg.copy(minRecall = 1.01, cadenceBatches = n)))
+    assert(r3.pq.isEmpty, s"an off-cadence batch must not measure: ${r3.pq}")
+    assert(!IvfMaintenance.committedKeys(spark, ivfOut).contains("p3-pq-refresh"))
+  }
+
+  test("telemetry: every enabled surface emits one health snapshot per delivery") {
+    val (textOut, ivfOut, cfg) = pqFixture("tel")
+    val searchOut = tmp("tel_search"); val expCfg =
+      CuratedVectorSync.ExportCfg(tmp("tel_exp"), nShards = 4)
+    operators.TextSearchIndex.build(spark,
+      spark.read.parquet(s"$textOut/final").select("doc_id", "text"), searchOut)
+    val handler = new graft.metrics.InMemoryEventHandler()
+    val d1 = Seq(Doc(6101, words(9111)), Doc(6102, words(9112)))
+    CuratedVectorSync.ingest(spark, toDF(d1), vecsOf(d1.map(_.id)),
+      textOut, ivfOut, "t1", searchOut = Some(searchOut),
+      exportOut = Some(expCfg), pqOut = Some(cfg.copy(minRecall = 0.0)),
+      telemetry = Some(handler))
+    val ivfG = handler.gauges.get((ivfOut, "ivf_health"))
+    assert(ivfG.isDefined, s"missing ivf_health: ${handler.gauges.keySet}")
+    val ih = IvfMaintenance.health(spark, ivfOut)
+    assert(ivfG.get("nVectors") == ih.nVectors.toDouble &&
+      ivfG.get("nCells") == ih.nCells.toDouble && ivfG.get("pq") == 1.0,
+      s"${ivfG.get} vs $ih")
+    val sG = handler.gauges.get((searchOut, "search_health"))
+    assert(sG.isDefined && sG.get("nDocs") ==
+      operators.TextSearchIndex.health(spark, searchOut).nDocs.toDouble)
+    val eG = handler.gauges.get((expCfg.dir, "export_health"))
+    assert(eG.isDefined && eG.get("nGenerations") >= 1.0 &&
+      eG.get("nDocs") == TrainingExport.health(spark, expCfg.dir).nDocs.toDouble)
+    // the replay path emits too — the cadence is observable per
+    // delivery, not per fresh batch
+    handler.gauges.clear()
+    CuratedVectorSync.ingest(spark, toDF(d1), vecsOf(d1.map(_.id)),
+      textOut, ivfOut, "t1", searchOut = Some(searchOut),
+      exportOut = Some(expCfg), pqOut = Some(cfg.copy(minRecall = 0.0)),
+      telemetry = Some(handler))
+    assert(handler.gauges.contains((ivfOut, "ivf_health")),
+      "a fully-synced replay must still emit its snapshot")
+  }
 }
