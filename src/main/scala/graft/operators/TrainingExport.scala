@@ -255,7 +255,8 @@ object TrainingExport {
   //   - shipped shards are immutable: a doc REMOVED from the layout
   //     after its generation sealed stays in that generation until the
   //     next epoch re-export — retraction from training data already
-  //     shipped is an epoch-level operation, not a delta-level one.
+  //     shipped is an epoch-level operation ([[exportEpoch]] is that
+  //     operation: re-pack, audit, THEN GC the superseded dir).
   //
   // Crash protocol: `_covered` (the seg list) is staged into the gen
   // dir BEFORE packing; the gen's manifest seals the bytes; the
@@ -360,6 +361,76 @@ object TrainingExport {
     writeSmallFile(s, s"${genMarkerDir(exportDir)}/gen-$gen",
       newSegs.sorted.mkString(","))
     Some((gen, rep))
+  }
+
+  final case class EpochReport(
+      report: ExportReport, // the new epoch's gen 0 (the full live slice)
+      nCoveredSegs: Long, // manifest segments gen 0 marks covered
+      oldDirRemoved: Boolean) // false when there was nothing to GC
+
+  /** The epoch cadence — the RETRACTION operation the per-delta
+    * generations deliberately defer: re-pack the layout's CURRENT live
+    * train slice into a fresh incremental export dir (gen 0, new
+    * `seed` = the new epoch's permutation), audit every shard of the
+    * new epoch against its manifests, and only after that audit passes
+    * GC the superseded dir — a doc removed from the layout since it
+    * shipped exists in no post-epoch byte, and a failed audit leaves
+    * the old epoch serving untouched (never a window with no intact
+    * export). The new dir is a standard incremental dir whose gen 0
+    * covers every committed manifest segment, so the standing
+    * [[CuratedVectorSync]] lockstep continues there unchanged (point
+    * its ExportCfg at the new dir; later batches append gen 1+).
+    *
+    * Works from the LIVE layout, not the manifest increments, so it is
+    * compaction-independent — this is also the documented escape hatch
+    * when an incremental export lagged past the compaction cadence.
+    * Single-writer like every layout operation: run it on the same
+    * cadence slot as ingest, not concurrently with one (a segment
+    * committing mid-pack would land in gen 0's bytes but not its
+    * coverage, and the next incremental call would ship those docs
+    * twice). Crash-convergent: a re-run re-seals gen 0 from the same
+    * deterministic inputs (or re-commits a sealed-but-unmarked gen 0
+    * from its own staged coverage), re-audits, and re-attempts only
+    * the GC. */
+  def exportEpoch(s: SparkSession, outDir: String, oldExportDir: String,
+      newExportDir: String, seed: Long, nShards: Int = 8,
+      seqLen: Int = 64): EpochReport = {
+    require(newExportDir != oldExportDir,
+      "the new epoch needs its own dir — the old one must keep serving " +
+        "until the new one verifies")
+    require(nShards > 0 && seqLen > 0, s"bad shape: $nShards shards × $seqLen")
+    val markers = genMarkers(s, newExportDir)
+    require(markers.keySet.subsetOf(Set(0L)),
+      s"$newExportDir already has post-epoch generations ${markers.keySet} — " +
+        "it is a live export dir, not a fresh epoch target")
+    val dir = genDir(newExportDir, 0L)
+    val (rep, covered) = markers.get(0L) match {
+      case Some(segs) => // a completed (or GC-crashed) epoch re-run
+        val r = readReport(s, dir)
+        require(r.nShards == nShards && r.seqLen == seqLen && r.seed == seed,
+          s"$newExportDir gen 0 is sealed with shape (${r.nShards}, " +
+            s"${r.seqLen}, ${r.seed}); requested ($nShards, $seqLen, $seed)")
+        (r, segs)
+      case None =>
+        val committed = DeltaIngest.committedSegs(s, outDir).toSeq.sorted
+        val docs = s.read.parquet(s"$outDir/final")
+          .where(col("split") === "train")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        writeSmallFile(s, s"$dir/_covered", committed.mkString(","))
+        val r = exportDocs(s, docs, dir, nShards, seqLen, seed)
+        writeSmallFile(s, s"${genMarkerDir(newExportDir)}/gen-0",
+          committed.mkString(","))
+        (r, committed.toSet)
+    }
+    // audit BEFORE any GC — the one ordering that can never strand
+    // training with zero intact epochs
+    val badRows = verifyAll(s, newExportDir).where(!col("ok")).count()
+    require(badRows == 0,
+      s"epoch export $newExportDir failed its audit on $badRows shard " +
+        s"rows — superseded epoch $oldExportDir left in place")
+    val p = new org.apache.hadoop.fs.Path(oldExportDir)
+    val removed = hfs(s, p).exists(p) && hfs(s, p).delete(p, true)
+    EpochReport(rep, covered.size.toLong, removed)
   }
 
   /** [[verify]] over every committed generation of an incremental

@@ -289,4 +289,75 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(TrainingExport.exportIncremental(spark, out, dir, nShards = 4,
       seqLen = 64).isEmpty)
   }
+
+  test("exportEpoch retracts: a doc removed after it shipped is in no post-epoch byte; the old dir is GC'd") {
+    val in = tmp("ep_in"); val out = tmp("ep_out")
+    toDF(docs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val dirA = tmp("ep_a")
+    TrainingExport.exportIncremental(spark, out, dirA, nShards = 4, seqLen = 64)
+    // a delta REPLACES a live train keeper: the victim leaves the
+    // layout, but its tokens stay in dirA's immutable gen-0 shards —
+    // exactly the retraction gap the epoch operation exists to close
+    val victim = liveTrainDocs(out).maxBy(_._1)
+    val winner = Doc(9301, victim._2 ++ words(9301, 4))
+    DeltaIngest.ingestDelta(spark, toDF(Seq(winner)), out)
+    TrainingExport.exportIncremental(spark, out, dirA, nShards = 4, seqLen = 64)
+    // the winner CONTAINS the victim's tokens (that's how it won), so
+    // the retraction signature is MULTIPLICITY: pre-epoch the victim's
+    // first token exists twice in dirA's bytes (victim's gen-0 copy +
+    // winner's gen-1 copy); post-epoch exactly once (winner only)
+    val marker = victim._2.head // globally unique per doc by construction
+    def countOf(dir: String): Int =
+      TrainingExport.genMarkers(spark, dir).keys.toSeq
+        .flatMap(g => genShards(dir, g).values.flatten.flatten)
+        .count(_ == marker)
+    assert(countOf(dirA) == 2,
+      "fixture: the removed doc's bytes must still sit in the old epoch")
+    val dirB = tmp("ep_b")
+    val ep = TrainingExport.exportEpoch(spark, out, dirA, dirB, seed = 7L,
+      nShards = 4, seqLen = 64)
+    assert(ep.oldDirRemoved && !new java.io.File(dirA).exists(),
+      s"the superseded epoch must be GC'd: $ep")
+    // gen 0 of the new epoch == the CURRENT live slice under the new
+    // seed's permutation, token-exact — the victim's own copy is gone
+    assert(genShards(dirB, 0L) == expectedShards(out, 4, 64, 7L))
+    assert(countOf(dirB) == 1,
+      "retraction failed: the removed doc's own copy survived the epoch")
+    // the standing lockstep continues in the new dir: the next ingest's
+    // docs append as gen 1 (gen 0's coverage includes every pre-epoch seg)
+    DeltaIngest.ingestDelta(spark, toDF(Seq(Doc(9302, words(9302, 25)))), out)
+    val r1 = TrainingExport.exportIncremental(spark, out, dirB, nShards = 4,
+      seqLen = 64, seed = 7L)
+    assert(r1.exists(_._1 == 1L), s"post-epoch delta must append as gen 1: $r1")
+    assert(TrainingExport.verifyAll(spark, dirB).collect()
+      .forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("exportEpoch GCs nothing when the new epoch's audit fails") {
+    val in = tmp("eg_in"); val out = tmp("eg_out")
+    toDF(docs.take(30)).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val dirA = tmp("eg_a")
+    TrainingExport.exportIncremental(spark, out, dirA, nShards = 4, seqLen = 64)
+    // a sealed-but-corrupted epoch target (the crash-resume entry
+    // path): gen 0 sealed by a prior attempt, then a shard file lost
+    val dirB = tmp("eg_b")
+    TrainingExport.exportIncremental(spark, out, dirB, nShards = 4, seqLen = 64)
+    val lost = new java.io.File(s"$dirB/gen=0/shards").listFiles()
+      .filter(_.getName.startsWith("shard=")).maxBy(_.getName)
+    assert(lost.listFiles().filter(_.getName.endsWith(".parquet"))
+      .forall(_.delete()))
+    val e = intercept[IllegalArgumentException] {
+      TrainingExport.exportEpoch(spark, out, dirA, dirB, seed = 0L,
+        nShards = 4, seqLen = 64)
+    }
+    assert(e.getMessage.contains("failed its audit"), e.getMessage)
+    assert(new java.io.File(dirA).exists(),
+      "a failed audit must leave the superseded epoch serving")
+  }
 }
