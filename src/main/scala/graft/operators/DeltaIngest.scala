@@ -23,8 +23,8 @@ import org.apache.spark.sql.types._
   *      merged-cluster election (a delta doc CAN replace a base keeper
   *      it beats) → split assign → two-sided 8-gram decontamination
   *      (delta train vs the full holdout; base train vs the NEW holdout
-  *      grams) → final-layout edits (append survivors, rewrite only the
-  *      partitions holding removed docs) → index updates.
+  *      grams) → final-layout edits (one O(delta) increment: appended
+  *      survivors live, removed docs tombstoned) → index updates.
   *
   * == Durability: a write-ahead edit log ==
   *
@@ -44,14 +44,15 @@ import org.apache.spark.sql.types._
   *     nothing: the replay wipes the partial staging and recomputes
   *     from identical inputs.
   *   - APPLY: staged tables move into their `seg=<n>` positions
-  *     (idempotent: skip-if-sealed, else replace), the final layout is
-  *     edited (removals via dynamic partition overwrite of affected
-  *     partitions; appends land as `b<n>-` prefixed files so a replay
-  *     can delete exactly its own partial output), and the COMMIT
-  *     marker (`delta_markers/<key>`, carrying the segment number)
-  *     lands last. A crash mid-apply replays from the sealed staging —
-  *     same decisions, idempotent re-application — never from a
-  *     recompute against half-mutated state.
+  *     (idempotent: skip-if-sealed, else replace) — the final layout's
+  *     edits included, as a `final_log/seg=<n>` increment over the
+  *     IMMUTABLE base `final/` dir ([[readFinal]] is the folded view;
+  *     [[compact]] folds the log back into a fresh base) — and the
+  *     COMMIT marker (`delta_markers/<key>`, carrying the segment
+  *     number) lands last. Nothing any reader holds open is ever
+  *     rewritten mid-batch; a crash mid-apply replays from the sealed
+  *     staging — same decisions, idempotent re-application — never
+  *     from a recompute against half-mutated state.
   *
   * Readers see snapshot isolation: folds only admit segments whose
   * batch COMMITTED (seg=0 = the base index), so a crashed batch's
@@ -241,6 +242,41 @@ object DeltaIngest {
   def readManifest(s: SparkSession, outDir: String): DataFrame =
     foldLog(manifestAll(s, outDir, committedSegs(s, outDir)), Seq("doc_id"))
       .select("doc_id", "split", "source", "n_chars", "shard")
+
+  private val FinalCols = Seq("doc_id", "text", "lang", "n_chars", "split", "source")
+
+  /** The curated FINAL layout (text included) as of the last committed
+    * ingest — `final/` (the run's output, IMMUTABLE once written) plus
+    * the `final_log/seg=<n>` edit increments each ingest commits
+    * (appended docs live, removed docs tombstoned). This is the ONE
+    * read path for the layout's documents; the base dir alone is stale
+    * the moment an ingest lands.
+    *
+    * Scale shape: the base side never shuffles — edits are subtracted
+    * by an anti-join on the log's O(delta × segments) touched-id set
+    * (broadcast-sized between compactions), and only LOG rows go
+    * through the latest-wins fold. A split/source predicate on the
+    * result pushes into the partitioned base scan through the union
+    * and the anti-join, so slice readers (export reads split=train)
+    * keep their partition pruning. [[compact]] folds the log back into
+    * a fresh immutable base — removals physically leave the corpus
+    * there, one bounded rewrite per compaction instead of a partition
+    * rewrite per removal batch. Works on a plain CurationRun dir (no
+    * log → the base). */
+  def readFinal(s: SparkSession, outDir: String): DataFrame = {
+    val base = s.read.parquet(s"$outDir/final").select(FinalCols.map(col): _*)
+    val root = s"$outDir/final_log"
+    val segs = presentSegs(s, root).filter(committedSegs(s, outDir))
+    if (segs.isEmpty) base
+    else {
+      val log = s.read.option("basePath", root)
+        .parquet(segs.map(n => s"$root/seg=$n"): _*)
+        .withColumn("seg", col("seg").cast("long"))
+      val edited = log.select("doc_id").distinct()
+      base.join(edited, Seq("doc_id"), "left_anti")
+        .unionAll(foldLog(log, Seq("doc_id")).select(FinalCols.map(col): _*))
+    }
+  }
 
   // ---------------------------------------------------------------
   // index build (seg=0 of every log table)
@@ -617,11 +653,10 @@ object DeltaIngest {
     for (t <- LogTables; n <- presentSegs(s, s"$idx/$t") if !allowed(n)) {
       val p = new Path(s"$idx/$t/seg=$n"); fs(s, p).delete(p, true)
     }
-    for (n <- presentSegs(s, s"$outDir/manifest_log") if !allowed(n)) {
-      val p = new Path(s"$outDir/manifest_log/seg=$n"); fs(s, p).delete(p, true)
+    for (root <- Seq(s"$outDir/manifest_log", s"$outDir/final_log");
+        n <- presentSegs(s, root) if !allowed(n)) {
+      val p = new Path(s"$root/seg=$n"); fs(s, p).delete(p, true)
     }
-    deleteBatchFiles(s, s"$outDir/final",
-      n => !allowed(n))
     val stRoot = new Path(s"$outDir/delta_staging")
     val f = fs(s, stRoot)
     if (f.exists(stRoot)) f.listStatus(stRoot).foreach { st =>
@@ -632,52 +667,6 @@ object DeltaIngest {
       if (f.exists(markerPath(outDir, key)) || !f.exists(sealedP))
         f.delete(st.getPath, true)
     }
-  }
-
-  /** Delete `b<n>-*` data files under dir for every n the predicate
-    * admits; prunes partition dirs left empty. */
-  private def deleteBatchFiles(s: SparkSession, dir: String, drop: Long => Boolean): Unit = {
-    val root = new Path(dir)
-    val f = fs(s, root)
-    if (!f.exists(root)) return
-    val it = f.listFiles(root, true)
-    val pat = "^b(\\d+)-".r
-    while (it.hasNext) {
-      val st = it.next()
-      pat.findFirstMatchIn(st.getPath.getName)
-        .map(_.group(1).toLong).filter(drop)
-        .foreach(_ => f.delete(st.getPath, false))
-    }
-  }
-
-  /** Append a frame to a partitioned dir as `b<seg>-` prefixed files —
-    * replayable appends: the writer stages a normal parquet write, then
-    * renames each data file into the live partition dir under the
-    * batch-prefixed name, so a replay deletes exactly `b<seg>-*` and
-    * re-appends. Parquet readers never care about file names. */
-  private def appendPrefixed(
-      s: SparkSession, df: DataFrame, dir: String, seg: Long,
-      partCols: Seq[String]): Unit = {
-    val staged = s"${dir}_append_b$seg"
-    df.repartition(partCols.map(col): _*)
-      .sortWithinPartitions((partCols :+ "doc_id").map(col): _*)
-      .write.mode("overwrite").partitionBy(partCols: _*).parquet(staged)
-    val stagedP = new Path(staged)
-    val f = fs(s, stagedP)
-    val it = f.listFiles(stagedP, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) { // skip _SUCCESS/.crc
-        val rel = st.getPath.toUri.getPath.stripPrefix(stagedP.toUri.getPath)
-          .stripPrefix("/")
-        val target = new Path(s"$dir/${rel.stripSuffix(name)}b$seg-$name")
-        f.mkdirs(target.getParent)
-        if (!f.rename(st.getPath, target))
-          throw new java.io.IOException(s"append rename ${st.getPath} -> $target failed")
-      }
-    }
-    f.delete(stagedP, true)
   }
 
   private def readStagedReport(
@@ -741,12 +730,14 @@ object DeltaIngest {
       df.write.mode("overwrite").parquet(s"$staging/$name")
 
     // ---- stage 1: quality gate (row-local, same rules as the run) ----
-    // Every shared frame below is localCheckpoint(true), NOT cache():
-    // this phase must be severed from the files it read the moment it
-    // materializes — the apply phase writes new segments next to them,
-    // and a cached-plan refresh would otherwise silently RECOMPUTE a
-    // late consumer against post-apply state (the first cut of this
-    // operator corrupted its own report and index exactly that way).
+    // Since the final_log conversion, everything this phase reads is
+    // IMMUTABLE for the batch's whole lifetime (committed seg dirs, the
+    // base final/ and manifest; the apply phase only ADDS seg dirs that
+    // no pinned read lists), so the localCheckpoints below are no
+    // longer correctness guards — they remain on the multi-consumer
+    // frames purely as recompute economy: each feeds 2-5 downstream
+    // joins, and materializing once beats re-running the LSH prefix
+    // per consumer. Single-consumer frames stay lazy.
     val gated = CurationRun.qualityGate(delta, s).localCheckpoint(true)
 
     // ---- stage 2a: within-delta near-dedup (same LSH + CC plans) ----
@@ -844,8 +835,10 @@ object DeltaIngest {
       .select(col("k_id").as("doc_id"), col("k_cluster"), col("dcid"))
       .distinct()
       .localCheckpoint(true)
+    // lazy since the final_log conversion: both inputs are checkpointed
+    // and nothing it reads can mutate mid-batch, so its two consumers
+    // (withSplit, the nKept count) just re-run one cheap semi-join
     val kept = gated.join(keptIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
 
     // ---- stage 3: split + two-sided decontamination ----
     val withSplit = kept
@@ -881,15 +874,19 @@ object DeltaIngest {
       readLog(s, outDir, "train_meta", MetaSchema)
         .join(newShared.select("doc_id"), Seq("doc_id"), "left_semi"),
       Seq("doc_id")).localCheckpoint(true)
+    // lazy (same reason as `kept`): a filter over two checkpointed
+    // frames — its consumers re-run a delta-sized join, not the log read
     val baseContam = metaCand.join(newShared, "doc_id")
       .where((col("n_shared") + col("n_new")) * 5 >= col("n_grams"))
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id")
 
     // ---- the final-layout edit set ----
     // a replaced keeper may not be IN final (the base run could have
     // dropped it as contaminated train): removals are counted against
-    // what the layout actually holds
-    val finalIds = s.read.parquet(s"$outDir/final").select("doc_id")
+    // what the layout actually holds — the FOLDED view (the base dir
+    // alone would re-tombstone docs earlier batches already removed,
+    // inflating nRemoved and the manifest's dead rows)
+    val finalIds = readFinal(s, outDir).select("doc_id")
     val removed = replacedBase.select("doc_id").unionAll(baseContam).distinct()
       .join(finalIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
     val appendRows = withSplit
@@ -991,6 +988,16 @@ object DeltaIngest {
     stage(appendRows, "append_rows")
     stage(removed, "removed")
     stage(manifestSeg, "manifest_inc")
+    // the final-layout edit increment: one O(delta) segment — appends
+    // live, removals tombstoned (their payload columns never matter:
+    // the fold drops dead rows and the reader's anti-join works on ids)
+    stage(appendRows.withColumn("dead", lit(false))
+      .unionAll(removed.select(col("doc_id"),
+        lit(null).cast(StringType).as("text"),
+        lit(null).cast(StringType).as("lang"), lit(0L).as("n_chars"),
+        lit(null).cast(StringType).as("split"),
+        lit(null).cast(StringType).as("source"), lit(true).as("dead"))),
+      "final_inc")
     // Report counters: nothing above branches on a count, so every one
     // of them rides ONE batched job here (a union of single-row
     // aggregates over the already-checkpointed frames) instead of ~10
@@ -1068,54 +1075,14 @@ object DeltaIngest {
     }
     placeSegment(s, new Path(s"$staging/manifest_inc"),
       new Path(s"$outDir/manifest_log/seg=$seg"))
-
-    // (2) final-layout edits, from the STAGED decisions
-    val finalDir = s"$outDir/final"
-    deleteBatchFiles(s, finalDir, _ == seg) // this batch's partial appends
-    val removed = s.read.parquet(s"$staging/removed").localCheckpoint(true)
-    if (removed.head(1).nonEmpty) {
-      // rewrite ONLY the (split, source) partitions still holding
-      // removed docs: locate them with a column-pruned scan, then
-      // dynamic-partition-overwrite the remainder (delete outright if
-      // empty). On replay, already-rewritten partitions hold no removed
-      // docs and drop out of `affected` — the rewrite re-runs only
-      // where it never landed.
-      val affected = s.read.parquet(finalDir)
-        .join(removed, Seq("doc_id"), "left_semi")
-        .select("split", "source").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1)))
-      if (affected.nonEmpty) {
-        val affCond = affected.map { case (sp, so) =>
-          col("split") === sp && col("source") === so
-        }.reduce(_ || _)
-        val slice = s.read.parquet(finalDir).where(affCond)
-        val remainder = slice.join(removed, Seq("doc_id"), "left_anti")
-          .select("doc_id", "text", "lang", "n_chars", "split", "source")
-          .localCheckpoint(true) // sever lineage from the dir being rewritten
-        remainder
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("split", "source")
-          .parquet(finalDir)
-        // dynamic overwrite leaves a partition untouched when the new
-        // data has NO rows for it — an emptied partition must be deleted
-        val left = remainder.select("split", "source").distinct().collect()
-          .map(r => (r.getString(0), r.getString(1))).toSet
-        val conf = s.sparkContext.hadoopConfiguration
-        affected.filterNot(left).foreach { case (sp, so) =>
-          val p = new Path(s"$finalDir/split=$sp/source=$so")
-          p.getFileSystem(conf).delete(p, true)
-        }
-      }
-    }
-    appendPrefixed(s,
-      s.read.parquet(s"$staging/append_rows")
-        .select("doc_id", "text", "lang", "n_chars", "split", "source"),
-      finalDir, seg, Seq("split", "source"))
-    // the prefixed appends land by bare FS rename, which bypasses
-    // DataFrameWriter's cache invalidation — refresh so the session's
-    // FileStatusCache can't serve the pre-append listing
-    s.catalog.refreshByPath(finalDir)
+    // (2) final-layout edits: ONE placed increment, exactly like every
+    // other table — the base `final/` dir is never mutated (appends and
+    // removals live in final_log until compaction folds them in), so
+    // the apply phase has no partition rewrite, no rename-appends, and
+    // no FileStatusCache hazard, and every frame the compute phase read
+    // stays immutably readable throughout.
+    placeSegment(s, new Path(s"$staging/final_inc"),
+      new Path(s"$outDir/final_log/seg=$seg"))
   }
 
   /** Move a staged table dir into its segment position. Idempotent:
@@ -1179,6 +1146,25 @@ object DeltaIngest {
     swapDir(s, staged, s"$outDir/manifest.parquet")
     val mlog = new Path(s"$outDir/manifest_log")
     fs(s, mlog).delete(mlog, true)
+    // final layout: fold the edit log into a fresh IMMUTABLE base —
+    // this is where removals physically leave the corpus (one bounded
+    // rewrite per compaction, not a partition rewrite per removal
+    // batch). The staged write reads the live base + log and lands in
+    // a sibling dir, so no source byte moves until the swap; a crash
+    // after the swap but before the log delete re-folds the same rows
+    // idempotently (dead ids are already gone from the new base, live
+    // log rows fold to identical content). This is the ONE place the
+    // corpus text shuffles (the (split, source) re-layout) — per
+    // compaction, never per ingest.
+    val finalStaged = s"$outDir/final_compacted"
+    readFinal(s, outDir)
+      .repartition(col("split"), col("source"))
+      .sortWithinPartitions("split", "source", "doc_id")
+      .write.mode("overwrite").partitionBy("split", "source")
+      .parquet(finalStaged)
+    swapDir(s, finalStaged, s"$outDir/final")
+    val flog = new Path(s"$outDir/final_log")
+    fs(s, flog).delete(flog, true)
   }
 
   /** The rename-aside swap — one definition for all three index

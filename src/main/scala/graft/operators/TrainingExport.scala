@@ -70,10 +70,10 @@ object TrainingExport {
       2654435761L % 1048573L
   }
 
-  /** Export the layout's live train docs (the `final/` table [[
-    * CurationRun.run]] writes and [[DeltaIngest.ingestDelta]] edits in
-    * place — partition-pruned to split=train, so val/test text is
-    * never read) as packed shards. Idempotent per exportDir: a sealed
+  /** Export the layout's live train docs ([[DeltaIngest.readFinal]] —
+    * the base `final/` table plus the committed edit log, with the
+    * split=train predicate pruning the partitioned base so val/test
+    * text is never read) as packed shards. Idempotent per exportDir: a sealed
     * export returns its report without touching data — and REFUSES a
     * replay with a different shape (a silently-returned seed-0 report
     * would let a caller train a "new epoch" on last epoch's bytes). */
@@ -88,7 +88,7 @@ object TrainingExport {
           s"($nShards, $seqLen, $seed) — export each epoch to its own dir")
       return rep
     }
-    val docs = s.read.parquet(s"$outDir/final")
+    val docs = DeltaIngest.readFinal(s, outDir)
       .where(col("split") === "train")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     exportDocs(s, docs, exportDir, nShards, seqLen, seed)
@@ -352,7 +352,7 @@ object TrainingExport {
     // text from the LIVE layout (partition-pruned to split=train): a
     // doc appended in these segs but since removed or re-split is
     // absent from final/train and exports nothing
-    val docs = s.read.parquet(s"$outDir/final")
+    val docs = DeltaIngest.readFinal(s, outDir)
       .where(col("split") === "train")
       .join(appended, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -413,7 +413,7 @@ object TrainingExport {
         (r, segs)
       case None =>
         val committed = DeltaIngest.committedSegs(s, outDir).toSeq.sorted
-        val docs = s.read.parquet(s"$outDir/final")
+        val docs = DeltaIngest.readFinal(s, outDir)
           .where(col("split") === "train")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
         writeSmallFile(s, s"$dir/_covered", committed.mkString(","))

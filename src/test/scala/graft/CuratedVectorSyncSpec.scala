@@ -58,7 +58,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     CurationRun.run(spark, in, textOut)
     DeltaIngest.buildIndex(spark, textOut)
     // the base vector index covers exactly the base FINAL layout
-    val baseFinal = spark.read.parquet(s"$textOut/final")
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     IvfMaintenance.build(spark,
       vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
@@ -75,7 +75,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     val d = rep.docs.get
     assert(d.nAppended == 2 && d.nDupDropped == 1 && d.nRemoved == 1, s"$d")
     assert(rep.nVecIngested == 2 && rep.nVecRemoved == 1, s"$rep")
-    val finalIds = spark.read.parquet(s"$textOut/final")
+    val finalIds = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(finalIds == baseFinal - bWin.id + fFresh.id + wWinner.id)
     // the index live set IS the final layout
@@ -112,7 +112,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
       .parquet(s"$in/documents.parquet")
     CurationRun.run(spark, in, textOut)
     DeltaIngest.buildIndex(spark, textOut)
-    val baseFinal = spark.read.parquet(s"$textOut/final")
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     IvfMaintenance.build(spark,
       vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
@@ -128,7 +128,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert(gen0 == 0L && r0.nDocs > 0)
     // gen 0's docs == the post-batch live train slice (base + appends,
     // both manifest segments covered in one backlog generation)
-    val liveTrain = spark.read.parquet(s"$textOut/final")
+    val liveTrain = DeltaIngest.readFinal(spark, textOut)
       .where(col("split") === "train").count()
     assert(r0.nDocs == liveTrain,
       s"gen 0 must cover the whole live train slice: ${r0.nDocs} vs $liveTrain")
@@ -174,7 +174,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     val q = operators.CuratedVectorSync.streamInto(
       spark, in, textOut, ivfOut, ckpt)
     try { q.processAllAvailable() } finally { q.stop() }
-    val finalIds = spark.read.parquet(s"$textOut/final")
+    val finalIds = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(finalIds.contains(h1.id) && finalIds.contains(h2.id))
     assert(liveIds(ivfOut) == finalIds,
@@ -233,7 +233,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert(rep.docs.isEmpty, "the committed doc batch must not re-ingest")
     assert(rep.nVecIngested == 1, s"$rep")
     assert(liveIds(ivfOut).contains(g.id))
-    val finalIds = spark.read.parquet(s"$textOut/final")
+    val finalIds = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // lockstep modulo the doc the missing-vector test DELIBERATELY
     // ingested without an embedding (tests share the run fixture)
@@ -248,14 +248,14 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
       .parquet(s"$in/documents.parquet")
     CurationRun.run(spark, in, textOut)
     DeltaIngest.buildIndex(spark, textOut)
-    val baseFinal = spark.read.parquet(s"$textOut/final")
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     IvfMaintenance.build(spark,
       vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
         (col("doc_id") % 3).as("label"), col("embedding")),
       ivfOut)
     TextSearchIndex.build(spark,
-      spark.read.parquet(s"$textOut/final").select("doc_id", "text"), searchOut)
+      DeltaIngest.readFinal(spark, textOut).select("doc_id", "text"), searchOut)
     // "crash" between the vector and search sides: the first delivery
     // never knew about the search index
     val rep1 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
@@ -294,7 +294,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
       .parquet(s"$in/documents.parquet")
     CurationRun.run(spark, in, textOut)
     DeltaIngest.buildIndex(spark, textOut)
-    val baseFinal = spark.read.parquet(s"$textOut/final")
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     val labeled = vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
       (col("doc_id") % 3).as("label"), col("embedding"))
@@ -339,7 +339,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
       .parquet(s"$in/documents.parquet")
     CurationRun.run(spark, in, textOut)
     DeltaIngest.buildIndex(spark, textOut)
-    val baseFinal = spark.read.parquet(s"$textOut/final")
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     val labeled = vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
       (col("doc_id") % 3).as("label"), col("embedding"))
@@ -403,7 +403,7 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     val searchOut = tmp("tel_search"); val expCfg =
       CuratedVectorSync.ExportCfg(tmp("tel_exp"), nShards = 4)
     operators.TextSearchIndex.build(spark,
-      spark.read.parquet(s"$textOut/final").select("doc_id", "text"), searchOut)
+      DeltaIngest.readFinal(spark, textOut).select("doc_id", "text"), searchOut)
     val handler = new graft.metrics.InMemoryEventHandler()
     val d1 = Seq(Doc(6101, words(9111)), Doc(6102, words(9112)))
     CuratedVectorSync.ingest(spark, toDF(d1), vecsOf(d1.map(_.id)),

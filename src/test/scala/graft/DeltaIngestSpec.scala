@@ -74,7 +74,7 @@ class DeltaIngestSpec extends AnyFunSuite {
       .parquet(s"$dir/documents.parquet")
 
   private def finalRows(dir: String): Set[(Long, String, String)] =
-    spark.read.parquet(s"$dir/final")
+    DeltaIngest.readFinal(spark, dir)
       .select("doc_id", "split", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
 
@@ -280,7 +280,7 @@ class DeltaIngestSpec extends AnyFunSuite {
     assert(replay.get == cleanReport, s"${replay.get}\nvs\n$cleanReport")
     assert(finalRows(out) == finalRows(ref),
       "replayed crash must converge to the clean ingest's layout")
-    val dup = spark.read.parquet(s"$out/final").groupBy("doc_id")
+    val dup = DeltaIngest.readFinal(spark, out).groupBy("doc_id")
       .count().where(col("count") > 1).count()
     assert(dup == 0, "replay must not duplicate appended docs")
   }

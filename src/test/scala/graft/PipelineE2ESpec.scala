@@ -46,7 +46,7 @@ class PipelineE2ESpec extends AnyFunSuite {
     // 1. curate + index the base (text index, vector index, PQ layer)
     CurationRun.run(spark, in, textOut)
     DeltaIngest.buildIndex(spark, textOut)
-    val baseFinal = spark.read.parquet(s"$textOut/final")
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     val labeled = baseFinal.map(id => (id, id % 3, vec(id)))
       .toDF("vec_id", "label", "embedding")
@@ -55,7 +55,7 @@ class PipelineE2ESpec extends AnyFunSuite {
       ivfOut, m = 8)
     val searchOut = tmp("search")
     TextSearchIndex.build(spark,
-      spark.read.parquet(s"$textOut/final").select("doc_id", "text"), searchOut)
+      DeltaIngest.readFinal(spark, textOut).select("doc_id", "text"), searchOut)
 
     // 2. a streamed drop: one fresh doc, one near-dup that BEATS a
     // live base keeper. The victim must be a TRAIN doc: a holdout
@@ -77,7 +77,7 @@ class PipelineE2ESpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
 
     // 3. layout, vector index, and PQ codes all moved in lockstep
-    val finalIds = spark.read.parquet(s"$textOut/final")
+    val finalIds = DeltaIngest.readFinal(spark, textOut)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(finalIds.contains(winner.id) && finalIds.contains(fresh.id) &&
       !finalIds.contains(victim), s"layout after drop: $finalIds")
@@ -126,7 +126,7 @@ class PipelineE2ESpec extends AnyFunSuite {
       nShards = 4, seqLen = 64, seed = 0L)
     val v = TrainingExport.verify(spark, expDir).collect()
     assert(v.forall(_.getBoolean(1)), s"export failed its own audit: ${v.mkString(";")}")
-    val trainTok = spark.read.parquet(s"$textOut/final")
+    val trainTok = DeltaIngest.readFinal(spark, textOut)
       .where(col("split") === "train")
       .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
     assert(rep.nTokens == trainTok, s"${rep.nTokens} exported vs $trainTok live")

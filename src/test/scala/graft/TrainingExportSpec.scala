@@ -49,7 +49,7 @@ class TrainingExportSpec extends AnyFunSuite {
     (id + seed) % 1000003L * 2654435761L % 1048573L
 
   private def liveTrainDocs(out: String): Seq[(Long, Vector[String])] =
-    spark.read.parquet(s"$out/final").where(col("split") === "train")
+    DeltaIngest.readFinal(spark, out).where(col("split") === "train")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ").toVector)).toSeq
 
