@@ -492,5 +492,30 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     // and mean occupancy at 1x was in the same band — the budget, not
     // corpus size, sets the operating point at every scale
     assert(meanOcc0 <= 2.5 * budget, s"1x mean occupancy off-band: $meanOcc0")
+    // the PAIR works both directions: shrink the corpus back ~4x and
+    // the merge side (riding remove()) retires cells, pulling the
+    // count DOWN with the corpus instead of stranding near-empty cells
+    IvfMaintenance.remove(spark,
+      vecs(1000 until 4000).select("vec_id"), out, key = "shrink")
+    val hs = IvfMaintenance.health(spark, out)
+    assert(hs.nVectors == 1000L, s"shrink fixture: $hs")
+    assert(hs.nCells < h.nCells,
+      s"merge must retire cells as the corpus shrinks: ${h.nCells} -> ${hs.nCells}")
+    // one pass per batch is the contract — retiring cells raises the
+    // mean, so a mass removal legitimately leaves some cells flagged
+    // for the NEXT pass. The cadence must CONVERGE: standalone
+    // maintenance passes (health() is what a deployment keys them off)
+    // drive the flag count to zero in a few rounds, never oscillate
+    var flagged = hs.nMergeFlagged
+    var passes = 0
+    while (flagged > 0 && passes < 5) {
+      IvfMaintenance.mergeUnderfull(spark, out, key = s"shrink-heal-$passes")
+      passes += 1
+      flagged = IvfMaintenance.health(spark, out).nMergeFlagged
+    }
+    assert(flagged == 0,
+      s"maintenance cadence failed to converge after $passes extra passes")
+    val hf = IvfMaintenance.health(spark, out)
+    assert(hf.nVectors == 1000L && hf.nCells < hs.nCells, s"$hf")
   }
 }
