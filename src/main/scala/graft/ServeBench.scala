@@ -15,18 +15,20 @@ object ServeBench {
   def run(spark: SparkSession, sfDir: String): Map[String, Double] = {
     def tmp(n: String) =
       java.nio.file.Files.createTempDirectory(s"serve_$n").toString
-    val ivfDir = tmp("ivf"); val searchDir = tmp("search")
+    val ivfDir = tmp("ivf"); val sizedDir = tmp("ivf_sized")
+    val searchDir = tmp("search")
     // the fixtures' full IVF+PQ+search copies must not outlive the run:
     // un-deleted temp dirs accumulated /tmp disk across bench rounds
-    try runOn(spark, sfDir, ivfDir, searchDir)
-    finally for (d <- Seq(ivfDir, searchDir)) {
+    try runOn(spark, sfDir, ivfDir, sizedDir, searchDir)
+    finally for (d <- Seq(ivfDir, sizedDir, searchDir)) {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
   private def runOn(spark: SparkSession, sfDir: String,
-      ivfDir: String, searchDir: String): Map[String, Double] = {
+      ivfDir: String, sizedDir: String,
+      searchDir: String): Map[String, Double] = {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -44,6 +46,16 @@ object ServeBench {
       IvfMaintenance.build(spark, emb, ivfDir)
       IvfMaintenance.buildPq(spark, emb.select("label", "embedding"), ivfDir, 8)
     }
+    // production sizing: nlist = N / targetOcc (the serve path whose
+    // per-probe work stays flat as the corpus grows) — a SECOND key
+    // set, so the label-seeded numbers stay cross-round comparable
+    val targetOcc = 100L
+    val sizedBuild = once {
+      val n = emb.count()
+      IvfMaintenance.build(spark, emb, sizedDir,
+        nlist = Some(math.max(1L, n / targetOcc).toInt), targetOcc = targetOcc)
+      IvfMaintenance.buildPq(spark, emb.select("label", "embedding"), sizedDir, 8)
+    }
     val searchBuild = once { TextSearchIndex.build(spark, docs, searchDir) }
 
     val queries = emb.where(col("vec_id") < 100)
@@ -59,6 +71,7 @@ object ServeBench {
 
     Map(
       "ivf_build_sec" -> ivfBuild,
+      "ivf_build_sized_sec" -> sizedBuild,
       "search_build_sec" -> searchBuild,
       "knn_100q_sec" -> bench {
         IvfMaintenance.knnQuery(spark, ivfDir, queries, k = 5, nprobe = 2)
@@ -66,6 +79,14 @@ object ServeBench {
       },
       "adc_100q_sec" -> bench {
         IvfMaintenance.adcKnn(spark, ivfDir, queries, k = 5, nprobe = 2)
+          .count(); ()
+      },
+      "knn_sized_100q_sec" -> bench {
+        IvfMaintenance.knnQuery(spark, sizedDir, queries, k = 5, nprobe = 2)
+          .count(); ()
+      },
+      "adc_sized_100q_sec" -> bench {
+        IvfMaintenance.adcKnn(spark, sizedDir, queries, k = 5, nprobe = 2)
           .count(); ()
       },
       "bm25_sec" -> bench {
