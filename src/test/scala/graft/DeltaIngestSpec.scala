@@ -417,4 +417,29 @@ class DeltaIngestSpec extends AnyFunSuite {
     val r = DeltaIngest.ingestDelta(spark, delta, out)
     assert(r.nAppended == 1 && finalRows(out).map(_._1).contains(y.id))
   }
+
+  test("readFinal plan pin: split filter prunes the partitioned base; the edit anti-join is id-width") {
+    // the scale shape the final_log conversion promises — a split
+    // predicate must reach the base dir as a PartitionFilter (val/test
+    // text never read) with the projection pruned to the selected
+    // columns, and the base-side edit subtraction must read the log
+    // id-width (never the log text twice)
+    val (out, _, _) = run
+    val p = DeltaIngest.readFinal(spark, out).where(col("split") === "train")
+      .select("doc_id", "text").queryExecution.executedPlan.toString
+    val lines = p.split('\n')
+    val baseScan = lines.find(l => l.contains("FileScan") &&
+      l.contains("/final]"))
+    assert(baseScan.isDefined, s"no base final/ scan in:\n${p.take(3000)}")
+    assert(baseScan.get.contains("PartitionFilters") &&
+      baseScan.get.replaceAll("#\\d+", "").contains("(split = train)"),
+      s"split filter must prune the base scan: ${baseScan.get.take(400)}")
+    assert(!baseScan.get.substring(baseScan.get.indexOf("ReadSchema"))
+      .contains("lang"),
+      s"base projection must prune unselected columns: ${baseScan.get.take(400)}")
+    val idWidthLogScan = lines.exists(l => l.contains("FileScan") &&
+      l.contains("final_log") && l.contains("ReadSchema: struct<doc_id:bigint"))
+    assert(idWidthLogScan,
+      s"the edited-id anti-join side must scan the log id-width:\n${p.take(3000)}")
+  }
 }
