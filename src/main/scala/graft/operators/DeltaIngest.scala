@@ -252,17 +252,22 @@ object DeltaIngest {
     * read path for the layout's documents; the base dir alone is stale
     * the moment an ingest lands.
     *
-    * Scale shape: the base side never shuffles — edits are subtracted
-    * by an anti-join on the log's O(delta × segments) touched-id set
-    * (broadcast-sized between compactions), and only LOG rows go
-    * through the latest-wins fold. A split/source predicate on the
-    * result pushes into the partitioned base scan through the union
-    * and the anti-join, so slice readers (export reads split=train)
-    * keep their partition pruning. [[compact]] folds the log back into
-    * a fresh immutable base — removals physically leave the corpus
-    * there, one bounded rewrite per compaction instead of a partition
-    * rewrite per removal batch. Works on a plain CurationRun dir (no
-    * log → the base). */
+    * Scale shape: the base side never shuffles — the anti-join
+    * subtracts only the log's DEAD ids (an appended id cannot exist in
+    * the base: the ingest routes a colliding doc through the election,
+    * never to an append, so live log rows need no base subtraction).
+    * Dead ids are the REMOVALS since the last compaction — a small
+    * fraction of any delta, broadcast-sized even when append-heavy
+    * batches make the full touched-id set too big to broadcast (which
+    * would otherwise flip the anti-join to a plan that shuffles the
+    * base TEXT by doc_id). Only LOG rows go through the latest-wins
+    * fold. A split/source predicate on the result pushes into the
+    * partitioned base scan through the union and the anti-join, so
+    * slice readers (export reads split=train) keep their partition
+    * pruning. [[compact]] folds the log back into a fresh immutable
+    * base — removals physically leave the corpus there, one bounded
+    * rewrite per compaction instead of a partition rewrite per removal
+    * batch. Works on a plain CurationRun dir (no log → the base). */
   def readFinal(s: SparkSession, outDir: String): DataFrame = {
     val base = s.read.parquet(s"$outDir/final").select(FinalCols.map(col): _*)
     val root = s"$outDir/final_log"
@@ -272,8 +277,11 @@ object DeltaIngest {
       val log = s.read.option("basePath", root)
         .parquet(segs.map(n => s"$root/seg=$n"): _*)
         .withColumn("seg", col("seg").cast("long"))
-      val edited = log.select("doc_id").distinct()
-      base.join(edited, Seq("doc_id"), "left_anti")
+      // a dead row's id may also be log-APPENDED-then-removed (not in
+      // base) — the anti-join is a no-op for those and the fold drops
+      // their live rows, so dead-only stays exact for every history
+      val deadIds = log.where(col("dead")).select("doc_id").distinct()
+      base.join(deadIds, Seq("doc_id"), "left_anti")
         .unionAll(foldLog(log, Seq("doc_id")).select(FinalCols.map(col): _*))
     }
   }
