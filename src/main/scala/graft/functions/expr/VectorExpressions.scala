@@ -207,6 +207,101 @@ case class Sq8Recon(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Merge-able quantized vector sum: per group, the elementwise sum of
+  * `round(v_i · 1e9)::long` over array<double> rows — the centroid
+  * kernel (`sum(round(v*1e9)::long)::double / 1e9 / count`) as ONE
+  * aggregate over whole arrays instead of a posexplode to (row × dim)
+  * rows. The explode form shuffles N·d rows per k-means round; this
+  * buffer shuffles N-row partial sums (map-side combined), a d× cut in
+  * exchange volume on every IVF build/split/PQ-train path.
+  *
+  * Bit-exactness contract: rounding is Spark's own HALF_UP
+  * (BigDecimal.valueOf, NaN/Inf rejected by the long conversion the
+  * explode form would also throw on under ANSI), and long addition is
+  * associative+commutative, so ANY partial-aggregation order yields
+  * the identical sums — the same guarantee the per-dim
+  * `sum(long)` had. Caller divides by 1e9 and the group count,
+  * exactly as before. Empty/absent input → null (a group with no
+  * non-null arrays has no centroid). Mixed dims in one group are
+  * corrupt input and refuse loudly — the explode form would silently
+  * mis-fold them. */
+case class VecSumQ(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vecsum_q expects array<double>, got ${other.simpleString}")
+  }
+
+  // the double multiply happens FIRST (identical to the Column form
+  // `round(v * 1e9)` computing the product in IEEE double), then
+  // Spark's HALF_UP decimal rounding of that product
+  private def q(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1e9)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val b = if (buffer.length == 0 && n > 0) new Array[Long](n) else buffer
+    require(b.length == n,
+      s"graft_vecsum_q: mixed vector dims in one group ($n vs ${b.length})")
+    var i = 0
+    while (i < n) {
+      require(!arr.isNullAt(i), "graft_vecsum_q: null vector element")
+      b(i) += q(arr.getDouble(i)); i += 1
+    }
+    b
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2.length == 0) return b1
+    if (b1.length == 0) return b2
+    require(b1.length == b2.length,
+      s"graft_vecsum_q: mixed vector dims across partials (${b1.length} vs ${b2.length})")
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VecSumQ =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VecSumQ =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): VecSumQ =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Register the SQL-callable forms once per session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -218,5 +313,9 @@ object VectorExpressions {
       "graft_unit", exprs => UnitVector(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq8", exprs => Sq8Recon(exprs.head), "built-in")
+    // a bare AggregateFunction: the analyzer wraps it into its
+    // AggregateExpression, same as the built-in agg builders
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vecsum_q", exprs => VecSumQ(exprs.head), "built-in")
   }
 }

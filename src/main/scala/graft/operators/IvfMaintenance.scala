@@ -308,23 +308,25 @@ object IvfMaintenance {
   private def d2(e: Column, c: Column): Column =
     dot(e, e) - lit(2.0) * dot(e, c) + dot(c, c)
 
-  /** The (cell, dim)-keyed 1e-9-quantized exact mean every centroid op
-    * here uses (the sim_ivf_train arithmetic), collected back to one
-    * array row per group. */
+  /** The 1e-9-quantized exact mean every centroid op here uses (the
+    * sim_ivf_train arithmetic: per dim, `sum(round(v·1e9)::long)
+    * ::double / 1e9 / count`) — computed with the merge-able
+    * [[graft.functions.expr.VecSumQ]] array aggregate, so the exchange
+    * carries ONE partial-summed buffer row per group instead of the
+    * registry form's posexplode to (row × dim) rows: a d× cut in
+    * shuffle volume on every build/split/PQ-train path, bit-identical
+    * by the long-sum associativity contract (the spec pins sub-centroid
+    * equality against the explode arithmetic recomputed from scratch). */
   private def quantCentroid(
       s: SparkSession, vecs: DataFrame, grp: Seq[Column], names: Seq[String]): DataFrame = {
-    val cd = vecs
-      .select((grp.zip(names).map { case (c, n) => c.as(n) } :+
-        posexplode(col("e")).as(Seq("pos", "v"))): _*)
-      .groupBy((names.map(col) :+ (col("pos") + 1).as("dim")): _*)
-      .agg((sum(round(col("v") * 1e9).cast("long")).cast("double") / 1e9 /
-        count(lit(1))).as("cv"),
-        count(lit(1)).as("cnt"))
-    cd.groupBy(names.map(col): _*)
-      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"),
-        max(col("cnt")).as("n_assigned"))
+    vecs
+      .select((grp.zip(names).map { case (c, n) => c.as(n) } :+ col("e")): _*)
+      .groupBy(names.map(col): _*)
+      .agg(call_function("graft_vecsum_q", col("e")).as("sq"),
+        count(lit(1)).as("n_assigned"))
       .select((names.map(col) :+
-        transform(col("pairs"), p => p.getField("cv")).as("c") :+
+        transform(col("sq"),
+          x => x.cast("double") / 1e9 / col("n_assigned")).as("c") :+
         col("n_assigned")): _*)
   }
 

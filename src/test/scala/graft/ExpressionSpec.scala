@@ -132,4 +132,45 @@ class ExpressionSpec extends AnyFunSuite {
     assert((64 - java.lang.Long.numberOfLeadingZeros(1L)) == 1)
     assert((64 - java.lang.Long.numberOfLeadingZeros(1023L)) == 10)
   }
+
+  test("graft_vecsum_q equals the posexplode round-sum arithmetic, through the merge path") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // adversarial values: negatives, exact .5 quanta both signs (HALF_UP
+    // away from zero under Spark's BigDecimal rounding), the famous
+    // double just under .5 whose +0.5 rounds UP in naive float math
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val v = Seq.tabulate(8) {
+        case 0 => 2.5e-9 // round(2.5) = 3
+        case 1 => -2.5e-9 // round(-2.5) = -3 (HALF_UP, not HALF_EVEN)
+        case 2 => 0.49999999999999994e-9 // rounds to 0, not 1
+        case _ => rnd.nextDouble() * 2 - 1
+      }
+      (i.toLong % 7, v)
+    }
+    // 13 partitions force partial buffers through serialize+merge
+    val df = rows.toDF("g", "e").repartition(13)
+    val got = df.groupBy("g")
+      .agg(call_function("graft_vecsum_q", col("e")).as("sq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val want = df
+      .select(col("g"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("g", "pos")
+      .agg(sum(round(col("v") * 1e9).cast("long")).as("s"))
+      .groupBy("g")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("p"))
+      .select(col("g"), transform(col("p"), x => x.getField("s")).as("sq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(got == want, s"vecsum_q diverged from the explode form")
+    // mixed dims in one group refuse loudly (the explode form would
+    // silently mis-fold ragged vectors)
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq((0L, Seq(1.0, 2.0)), (0L, Seq(1.0, 2.0, 3.0))).toDF("g", "e")
+        .groupBy("g").agg(call_function("graft_vecsum_q", col("e"))).collect()
+    }
+    assert(e.getMessage.contains("mixed vector dims") ||
+      Option(e.getCause).exists(_.getMessage.contains("mixed vector dims")),
+      e.getMessage)
+  }
 }
