@@ -336,6 +336,58 @@ class TrainingExportSpec extends AnyFunSuite {
       .forall(_.getAs[Boolean]("ok")))
   }
 
+  test("exportEpoch crash windows: a lost gen-0 marker re-commits; a mid-pack crash converges; GC-crash re-runs clean") {
+    val in = tmp("ec_in"); val out = tmp("ec_out")
+    toDF(docs.take(40)).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val dirA = tmp("ec_a")
+    TrainingExport.exportIncremental(spark, out, dirA, nShards = 4, seqLen = 64)
+    val dirB = tmp("ec_b")
+    val ep = TrainingExport.exportEpoch(spark, out, dirA, dirB, seed = 3L,
+      nShards = 4, seqLen = 64)
+    val want = genShards(dirB, 0L)
+    // crash window 1: epoch completed but the old-dir GC already
+    // happened — a re-run (same args) is metadata-only + no-op GC
+    val ep2 = TrainingExport.exportEpoch(spark, out, dirA, dirB, seed = 3L,
+      nShards = 4, seqLen = 64)
+    assert(ep2.report == ep.report && !ep2.oldDirRemoved,
+      s"re-run must re-read the sealed epoch: $ep2 vs $ep")
+    assert(genShards(dirB, 0L) == want, "re-run must not repack")
+    // crash window 2: the gen-0 marker vanishes after the seal (the
+    // classic seal-to-marker window) — the re-run re-commits from the
+    // sealed dir and converges to identical bytes
+    assert(new java.io.File(s"$dirB/export_markers/gen-0").delete())
+    val ep3 = TrainingExport.exportEpoch(spark, out, tmp("ec_gone"), dirB,
+      seed = 3L, nShards = 4, seqLen = 64)
+    assert(ep3.report == ep.report, s"$ep3 vs $ep")
+    assert(genShards(dirB, 0L) == want,
+      "marker-crash re-run must converge to the sealed bytes")
+    assert(TrainingExport.verifyAll(spark, dirB).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    // crash window 3: mid-pack (shards half-written, no manifest, no
+    // marker) — the re-run overwrites from the same deterministic
+    // inputs
+    val dirC = tmp("ec_c")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    // simulate: run once, strip manifest + marker, damage a shard
+    TrainingExport.exportEpoch(spark, out, tmp("ec_old2"), dirC, seed = 5L,
+      nShards = 4, seqLen = 64)
+    val wantC = genShards(dirC, 0L)
+    rmrf(new java.io.File(s"$dirC/gen=0/export_manifest.parquet"))
+    rmrf(new java.io.File(s"$dirC/export_markers"))
+    rmrf(new java.io.File(s"$dirC/gen=0/shards/shard=0"))
+    val epc = TrainingExport.exportEpoch(spark, out, tmp("ec_old3"), dirC,
+      seed = 5L, nShards = 4, seqLen = 64)
+    assert(genShards(dirC, 0L) == wantC,
+      "mid-pack crash re-run must converge to identical bytes")
+    assert(epc.report.nDocs == wantC.values.map(_.size).sum ||
+      epc.report.nSeqs == wantC.values.map(_.size).sum)
+  }
+
   test("exportEpoch GCs nothing when the new epoch's audit fails") {
     val in = tmp("eg_in"); val out = tmp("eg_out")
     toDF(docs.take(30)).coalesce(2).write.mode("overwrite")
