@@ -130,19 +130,54 @@ object DeltaIngest {
   // segment log primitives
   // ---------------------------------------------------------------
 
-  /** Segment numbers of COMMITTED batches (marker file contents) —
-    * the visibility set for every fold, plus seg 0 (the base index). */
-  private[graft] def committedSegs(s: SparkSession, outDir: String): Set[Long] = {
+  /** The consolidated marker map (`delta_markers/_keys`, one
+    * `key<TAB>seg` line per batch): [[compact]] folds every
+    * single-file marker into it, so marker reads stay
+    * O(batches since last compaction), not O(batches ever) — the same
+    * keys-consolidation discipline the SegmentLog indexes run. A
+    * 100 TB deployment ingesting micro-batches would otherwise list
+    * and read tens of thousands of one-line files on EVERY ingest. */
+  private def keysMapPath(outDir: String) = s"$outDir/delta_markers/_keys"
+
+  private def readKeysMap(s: SparkSession, outDir: String): Map[String, Long] = {
+    val p = new Path(keysMapPath(outDir))
+    if (!fs(s, p).exists(p)) Map.empty
+    else SegmentLog.readSmallFile(s, keysMapPath(outDir))
+      .split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(k, v) if v.toLongOption.isDefined => Some(k -> v.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"${keysMapPath(outDir)}: garbled marker-map line '$line'")
+        }
+      }.toMap
+  }
+
+  /** Unconsolidated single-file markers (name = batch key, content =
+    * segment). Dotfiles and `_`-prefixed names are never batch keys
+    * ([[commitMarker]] refuses them), so the map file itself and
+    * atomic-write temps are excluded structurally. */
+  private def singleMarkers(s: SparkSession, outDir: String): Seq[(Path, Long)] = {
     val root = new Path(s"$outDir/delta_markers")
     val f = fs(s, root)
-    val segs =
-      if (!f.exists(root)) Set.empty[Long]
-      else f.listStatus(root).toSeq.flatMap { st =>
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filterNot { st =>
+        val n = st.getPath.getName; n.startsWith("_") || n.startsWith(".")
+      }
+      .flatMap { st =>
         val in = f.open(st.getPath)
         val txt = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-        if (txt.isEmpty) None else txt.toLongOption
-      }.filter(_ > 0).toSet
+        txt.toLongOption.map(st.getPath -> _)
+      }
+  }
+
+  /** Segment numbers of COMMITTED batches (consolidated map + any
+    * markers since the last compaction) — the visibility set for every
+    * fold, plus seg 0 (the base index). */
+  private[graft] def committedSegs(s: SparkSession, outDir: String): Set[Long] = {
+    val segs = (readKeysMap(s, outDir).valuesIterator ++
+      singleMarkers(s, outDir).iterator.map(_._2)).filter(_ > 0).toSet
     segs + 0L
   }
 
@@ -583,8 +618,7 @@ object DeltaIngest {
       batchId: Long,
       outDir: String): Option[DeltaReport] = {
     val key = s"batch-$batchId"
-    val f = fs(spark, markerPath(outDir, key))
-    if (f.exists(markerPath(outDir, key))) return None
+    if (committedSegOf(spark, outDir, key).isDefined) return None
     val delta = graft.sources.TextIngest.normalize(batch)
     if (delta.isEmpty) {
       commitMarker(spark, outDir, key, -1L)
@@ -615,10 +649,12 @@ object DeltaIngest {
   private[graft] def ingestKeyed(
       s: SparkSession, delta: DataFrame, outDir: String, key: String): DeltaReport = {
     require(indexed(s, outDir), s"buildIndex has not completed for $outDir")
+    validateKey(key)
     val staging = stagingDir(outDir, key)
     val stagedMarker = new Path(s"$staging/_STAGED")
     val f = fs(s, stagedMarker)
-    require(!f.exists(markerPath(outDir, key)), s"batch $key already committed")
+    require(committedSegOf(s, outDir, key).isEmpty,
+      s"batch $key already committed") // single marker OR consolidated map
     if (f.exists(stagedMarker)) {
       // crash happened mid-APPLY: re-apply the sealed decisions
       val report = readStagedReport(s, outDir, key).get
@@ -645,7 +681,7 @@ object DeltaIngest {
     if (!f.exists(stRoot)) return
     f.listStatus(stRoot).foreach { st =>
       val key = st.getPath.getName.stripPrefix("batch=")
-      if (!f.exists(markerPath(outDir, key)) &&
+      if (committedSegOf(s, outDir, key).isEmpty &&
           f.exists(new Path(st.getPath, "_STAGED")))
         applyStaged(s, outDir, key)
     }
@@ -672,7 +708,7 @@ object DeltaIngest {
       val sealedP = new Path(st.getPath, "_STAGED")
       // keep SEALED uncommitted staging (a mid-apply crash resumes from
       // it through its own key); wipe unsealed or already-committed
-      if (f.exists(markerPath(outDir, key)) || !f.exists(sealedP))
+      if (committedSegOf(s, outDir, key).isDefined || !f.exists(sealedP))
         f.delete(st.getPath, true)
     }
   }
@@ -703,16 +739,26 @@ object DeltaIngest {
       s: SparkSession, outDir: String, key: String): Option[Long] = {
     val p = markerPath(outDir, key)
     val f = fs(s, p)
-    if (!f.exists(p)) None
-    else {
+    if (f.exists(p)) {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
       txt.toLongOption
-    }
+    } else readKeysMap(s, outDir).get(key) // consolidated by a compact
   }
 
+  /** The key becomes a marker FILENAME and a line in the consolidated
+    * map — refuse the characters either representation cannot carry
+    * (a "/" key would silently commit under a subdir no reader lists).
+    * Checked at batch ENTRY too, so a bad key refuses before the
+    * compute phase spends anything. */
+  private def validateKey(key: String): Unit =
+    require(key.nonEmpty && !key.startsWith("_") && !key.startsWith(".") &&
+      !key.exists(c => c == '/' || c == '\t' || c == '\n' || c == '\r'),
+      s"batch key '$key' is not marker-safe (no leading _/. and no / tab newline)")
+
   private def commitMarker(s: SparkSession, outDir: String, key: String, seg: Long): Unit = {
+    validateKey(key)
     val p = markerPath(outDir, key)
     val f = fs(s, p)
     f.mkdirs(p.getParent)
@@ -1173,6 +1219,23 @@ object DeltaIngest {
     swapDir(s, finalStaged, s"$outDir/final")
     val flog = new Path(s"$outDir/final_log")
     fs(s, flog).delete(flog, true)
+    // marker consolidation: fold every single-file marker into the
+    // _keys map (key<TAB>seg) and drop the singles — replay identity
+    // (committedSegOf) survives forever while marker reads stay
+    // O(batches since last compaction), not O(batches ever). Crash
+    // windows converge: the map lands atomically FIRST and carries a
+    // superset, so a crash mid-single-delete leaves a harmless union
+    // (a key present in both reads the same seg from either), and the
+    // next compaction re-folds.
+    val singles = singleMarkers(s, outDir)
+    if (singles.nonEmpty) {
+      val all = readKeysMap(s, outDir) ++
+        singles.map { case (p, seg) => p.getName -> seg }
+      SegmentLog.writeSmallFile(s, keysMapPath(outDir),
+        all.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+      val f = fs(s, new Path(s"$outDir/delta_markers"))
+      singles.foreach { case (p, _) => f.delete(p, false) }
+    }
   }
 
   /** The rename-aside swap — one definition for all three index

@@ -418,6 +418,53 @@ class DeltaIngestSpec extends AnyFunSuite {
     assert(r.nAppended == 1 && finalRows(out).map(_._1).contains(y.id))
   }
 
+  test("compaction consolidates markers: replay identity survives in the _keys map, singles are gone") {
+    val in = tmp("mk_in"); writeInput(baseDocs, in)
+    val out = tmp("mk_out")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val d1 = Doc(pickId(9501, _ => true), words(30), "web")
+    val d2 = Doc(pickId(9502, _ => true), words(31), "web")
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(d1)), out, "mk-a")
+    DeltaIngest.ingestBatch(spark,
+      toDF(Seq(d2)).withColumn("_corrupt_record", lit(null).cast("string")),
+      42L, out)
+    val segOfA = DeltaIngest.committedSegOf(spark, out, "mk-a")
+    val before = finalRows(out)
+    DeltaIngest.compact(spark, out)
+    // singles folded into ONE map file (dotfiles aside)
+    val names = new java.io.File(s"$out/delta_markers").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(names == Set("_keys"), s"markers not consolidated: $names")
+    // replay identity survives the fold: per-key lookups unchanged,
+    // a replayed direct key refuses, a replayed streaming batch no-ops
+    assert(DeltaIngest.committedSegOf(spark, out, "mk-a") == segOfA)
+    val e = intercept[IllegalArgumentException] {
+      DeltaIngest.ingestKeyed(spark, toDF(Seq(d1)), out, "mk-a")
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    assert(DeltaIngest.ingestBatch(spark,
+      toDF(Seq(d2)).withColumn("_corrupt_record", lit(null).cast("string")),
+      42L, out).isEmpty, "a consolidated batch id must replay as a no-op")
+    assert(finalRows(out) == before)
+    // the layout still ingests and a SECOND compaction re-folds the
+    // new single into the map (the union crash window converges the
+    // same way: map-first write, then single deletes)
+    val d3 = Doc(pickId(9503, _ => true), words(32), "web")
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(d3)), out, "mk-c")
+    DeltaIngest.compact(spark, out)
+    val names2 = new java.io.File(s"$out/delta_markers").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(names2 == Set("_keys"))
+    assert(DeltaIngest.committedSegOf(spark, out, "mk-c").isDefined)
+    assert(finalRows(out).map(_._1).contains(d3.id))
+    // marker-unsafe keys refuse at batch entry, before any compute
+    val bad = intercept[IllegalArgumentException] {
+      DeltaIngest.ingestKeyed(spark, toDF(Seq(d3)), out, "_sneaky")
+    }
+    assert(bad.getMessage.contains("marker-safe"), bad.getMessage)
+  }
+
   test("readFinal plan pin: split filter prunes the partitioned base; the edit anti-join is id-width") {
     // the scale shape the final_log conversion promises — a split
     // predicate must reach the base dir as a PartitionFilter (val/test
