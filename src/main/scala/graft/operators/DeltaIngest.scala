@@ -130,26 +130,67 @@ object DeltaIngest {
   // segment log primitives
   // ---------------------------------------------------------------
 
-  /** The consolidated marker map (`delta_markers/_keys`, one
-    * `key<TAB>seg` line per batch): [[compact]] folds every
-    * single-file marker into it, so marker reads stay
-    * O(batches since last compaction), not O(batches ever) — the same
-    * keys-consolidation discipline the SegmentLog indexes run. A
-    * 100 TB deployment ingesting micro-batches would otherwise list
-    * and read tens of thousands of one-line files on EVERY ingest. */
-  private def keysMapPath(outDir: String) = s"$outDir/delta_markers/_keys"
+  /** The consolidated marker map (one `key<TAB>seg` line per batch):
+    * [[compact]] folds every single-file marker into it, so marker
+    * reads stay O(batches since last compaction), not
+    * O(batches ever) — the same keys-consolidation discipline the
+    * SegmentLog indexes run. A 100 TB deployment ingesting
+    * micro-batches would otherwise list and read tens of thousands of
+    * one-line files on EVERY ingest.
+    *
+    * The map is VERSIONED (`_keys-<n>`; a bare `_keys` is the legacy
+    * version 0): each compaction publishes the next version as a brand
+    * new file (first-creation rename — atomic) and deletes older
+    * versions only AFTER the publish. An overwrite-in-place of one
+    * `_keys` file would be delete-then-rename under the small-file
+    * writer — a crash between the two on a second-or-later compaction
+    * would lose the ENTIRE replay map while its source singles were
+    * already gone, shrinking committedSegs and letting the crash sweep
+    * delete committed segment data. Readers take the highest version
+    * present. */
+  private def keysMapVersions(s: SparkSession, outDir: String): Seq[(Path, Long)] = {
+    val root = new Path(s"$outDir/delta_markers")
+    val f = fs(s, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n == "_keys") Some(st.getPath -> 0L)
+      else if (n.startsWith("_keys-")) n.stripPrefix("_keys-").toLongOption.map(st.getPath -> _)
+      else None
+    }
+  }
 
   private def readKeysMap(s: SparkSession, outDir: String): Map[String, Long] = {
-    val p = new Path(keysMapPath(outDir))
-    if (!fs(s, p).exists(p)) Map.empty
-    else SegmentLog.readSmallFile(s, keysMapPath(outDir))
-      .split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
-        line.split('\t') match {
-          case Array(k, v) if v.toLongOption.isDefined => Some(k -> v.toLong)
-          case _ => throw new IllegalArgumentException(
-            s"${keysMapPath(outDir)}: garbled marker-map line '$line'")
-        }
-      }.toMap
+    val versions = keysMapVersions(s, outDir)
+    if (versions.isEmpty) return Map.empty
+    val p = versions.maxBy(_._2)._1
+    val txt =
+      try SegmentLog.readSmallFile(s, p.toString)
+      catch { case _: java.io.FileNotFoundException =>
+        // lost a race with a compaction dropping a superseded version
+        // between our listing and the read — the newest file is never
+        // deleted, so one re-list settles it
+        val again = keysMapVersions(s, outDir)
+        if (again.isEmpty) return Map.empty
+        SegmentLog.readSmallFile(s, again.maxBy(_._2)._1.toString)
+      }
+    txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      line.split('\t') match {
+        case Array(k, v) if v.toLongOption.isDefined => Some(k -> v.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"$p: garbled marker-map line '$line'")
+      }
+    }.toMap
+  }
+
+  /** Largest final_log segment already folded into the live `final/`
+    * base (0 when the base predates any compaction). The record lives
+    * INSIDE the base dir so the compaction swap publishes base and
+    * epoch in one atomic rename. */
+  private def foldedEpoch(s: SparkSession, outDir: String): Long = {
+    val p = new Path(s"$outDir/final/_folded_max_seg")
+    if (!fs(s, p).exists(p)) 0L
+    else SegmentLog.readSmallFile(s, p.toString).toLong
   }
 
   /** Unconsolidated single-file markers (name = batch key, content =
@@ -302,11 +343,25 @@ object DeltaIngest {
     * pruning. [[compact]] folds the log back into a fresh immutable
     * base — removals physically leave the corpus there, one bounded
     * rewrite per compaction instead of a partition rewrite per removal
-    * batch. Works on a plain CurationRun dir (no log → the base). */
+    * batch. Works on a plain CurationRun dir (no log → the base).
+    *
+    * Crash window closed by the fold epoch: [[compact]] swaps in a base
+    * that already CONTAINS the log's live rows, and only then deletes
+    * `final_log` — between those two steps the dead-only anti-join
+    * would return every appended doc twice (base copy + fold copy), and
+    * a compact re-run would write the duplicates into the next base
+    * permanently. The staged base therefore carries
+    * `_folded_max_seg` (the largest segment folded into it, moved
+    * atomically WITH the swap), and this reader ignores log segments at
+    * or below it. Segment numbers are never reused (the replay map
+    * pins every batch's segment forever), so a stale-looking epoch can
+    * never mask a NEW segment. */
   def readFinal(s: SparkSession, outDir: String): DataFrame = {
     val base = s.read.parquet(s"$outDir/final").select(FinalCols.map(col): _*)
     val root = s"$outDir/final_log"
-    val segs = presentSegs(s, root).filter(committedSegs(s, outDir))
+    val epoch = foldedEpoch(s, outDir)
+    val committed = committedSegs(s, outDir)
+    val segs = presentSegs(s, root).filter(n => n > epoch && committed(n))
     if (segs.isEmpty) base
     else {
       val log = s.read.option("basePath", root)
@@ -667,7 +722,13 @@ object DeltaIngest {
     // committed state
     resumeIncomplete(s, outDir)
     wipeUncommitted(s, outDir)
-    if (committedSegs(s, outDir).size > CompactAfterSegments) compact(s, outDir)
+    // count only segments NOT yet folded into the base: committedSegs
+    // keeps every batch ever (replay identity), so its raw size grows
+    // monotonically and would trip this on EVERY ingest past the
+    // threshold — a full base rewrite per micro-batch
+    val epoch = foldedEpoch(s, outDir)
+    if (committedSegs(s, outDir).count(_ > epoch) > CompactAfterSegments)
+      compact(s, outDir)
     val seg = nextSeg(s, outDir)
     val report = computeAndStage(s, delta, outDir, key, seg)
     applyStaged(s, outDir, key)
@@ -1204,18 +1265,29 @@ object DeltaIngest {
     // this is where removals physically leave the corpus (one bounded
     // rewrite per compaction, not a partition rewrite per removal
     // batch). The staged write reads the live base + log and lands in
-    // a sibling dir, so no source byte moves until the swap; a crash
-    // after the swap but before the log delete re-folds the same rows
-    // idempotently (dead ids are already gone from the new base, live
-    // log rows fold to identical content). This is the ONE place the
-    // corpus text shuffles (the (split, source) re-layout) — per
-    // compaction, never per ingest.
+    // a sibling dir, so no source byte moves until the swap. The
+    // staged base carries `_folded_max_seg` — the largest log segment
+    // folded into it — so the swap atomically tells readFinal to stop
+    // consulting those segments; a crash after the swap but before the
+    // log delete is then invisible (the stale segments are epoch-
+    // filtered, not double-counted), and a compact re-run folds a base
+    // that is already complete. This is the ONE place the corpus text
+    // shuffles (the (split, source) re-layout) — per compaction, never
+    // per ingest.
+    // epoch = max over ALL committed segs at the fold snapshot (not
+    // just the ones with final edits): a committed batch with no final
+    // edit has no final_log dir to filter, but it must still stop
+    // counting toward the compaction trigger once folded
+    val priorEpoch = foldedEpoch(s, outDir)
+    val foldedMax = (committedSegs(s, outDir) + priorEpoch).max
     val finalStaged = s"$outDir/final_compacted"
     readFinal(s, outDir)
       .repartition(col("split"), col("source"))
       .sortWithinPartitions("split", "source", "doc_id")
       .write.mode("overwrite").partitionBy("split", "source")
       .parquet(finalStaged)
+    SegmentLog.writeSmallFile(s, s"$finalStaged/_folded_max_seg",
+      foldedMax.toString)
     swapDir(s, finalStaged, s"$outDir/final")
     val flog = new Path(s"$outDir/final_log")
     fs(s, flog).delete(flog, true)
@@ -1223,17 +1295,23 @@ object DeltaIngest {
     // _keys map (key<TAB>seg) and drop the singles — replay identity
     // (committedSegOf) survives forever while marker reads stay
     // O(batches since last compaction), not O(batches ever). Crash
-    // windows converge: the map lands atomically FIRST and carries a
-    // superset, so a crash mid-single-delete leaves a harmless union
-    // (a key present in both reads the same seg from either), and the
+    // windows converge: the map lands atomically FIRST as a brand-new
+    // VERSION file (first-creation rename — never delete-then-rename
+    // over the live map) carrying a superset, so a crash at any point
+    // leaves either the old version intact or both (readers take the
+    // highest); superseded versions and singles are dropped only after
+    // the publish, and a crash mid-delete leaves a harmless union the
     // next compaction re-folds.
     val singles = singleMarkers(s, outDir)
     if (singles.nonEmpty) {
       val all = readKeysMap(s, outDir) ++
         singles.map { case (p, seg) => p.getName -> seg }
-      SegmentLog.writeSmallFile(s, keysMapPath(outDir),
+      val versions = keysMapVersions(s, outDir)
+      val newVer = (versions.map(_._2) :+ 0L).max + 1
+      SegmentLog.writeSmallFile(s, s"$outDir/delta_markers/_keys-$newVer",
         all.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
       val f = fs(s, new Path(s"$outDir/delta_markers"))
+      versions.foreach { case (p, _) => f.delete(p, false) }
       singles.foreach { case (p, _) => f.delete(p, false) }
     }
   }

@@ -317,13 +317,20 @@ object IvfMaintenance {
     * shuffle volume on every build/split/PQ-train path, bit-identical
     * by the long-sum associativity contract (the spec pins sub-centroid
     * equality against the explode arithmetic recomputed from scratch). */
-  private def quantCentroid(
+  private[graft] def quantCentroid(
       s: SparkSession, vecs: DataFrame, grp: Seq[Column], names: Seq[String]): DataFrame = {
     vecs
       .select((grp.zip(names).map { case (c, n) => c.as(n) } :+ col("e")): _*)
       .groupBy(names.map(col): _*)
+      // n_assigned = NON-NULL count: graft_vecsum_q skips null inputs
+      // (as the posexplode form's sum did), so dividing by count(*)
+      // would deflate any group containing null-embedding rows — and an
+      // all-null group would emit c = null, whose null struct field
+      // sorts lowest and could win every assign() argmin. Such groups
+      // are dropped instead (the explode form never produced them).
       .agg(call_function("graft_vecsum_q", col("e")).as("sq"),
-        count(lit(1)).as("n_assigned"))
+        count(col("e")).as("n_assigned"))
+      .where(col("sq").isNotNull)
       .select((names.map(col) :+
         transform(col("sq"),
           x => x.cast("double") / 1e9 / col("n_assigned")).as("c") :+

@@ -395,9 +395,25 @@ object TrainingExport {
   def exportEpoch(s: SparkSession, outDir: String, oldExportDir: String,
       newExportDir: String, seed: Long, nShards: Int = 8,
       seqLen: Int = 64): EpochReport = {
-    require(newExportDir != oldExportDir,
-      "the new epoch needs its own dir — the old one must keep serving " +
-        "until the new one verifies")
+    // compare FILESYSTEM-qualified paths, not raw strings: a trailing
+    // slash / relative spelling / ./ prefix of the same dir would pass
+    // a string inequality and the post-audit GC would then delete the
+    // just-verified epoch — the zero-intact-epochs outcome the audit
+    // ordering exists to prevent. A parent/child pair is refused for
+    // the same reason (deleting old would take new with it).
+    val (newQ, oldQ) = {
+      def qual(d: String) = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        hfs(s, p).makeQualified(p).toUri.normalize
+      }
+      (qual(newExportDir), qual(oldExportDir))
+    }
+    def covers(a: java.net.URI, b: java.net.URI): Boolean =
+      a == b || (a.getScheme == b.getScheme && a.getAuthority == b.getAuthority &&
+        (b.getPath + "/").startsWith(a.getPath.stripSuffix("/") + "/"))
+    require(!covers(newQ, oldQ) && !covers(oldQ, newQ),
+      s"the new epoch needs its own dir — the old one must keep serving " +
+        s"until the new one verifies (got old=$oldQ new=$newQ)")
     require(nShards > 0 && seqLen > 0, s"bad shape: $nShards shards × $seqLen")
     val markers = genMarkers(s, newExportDir)
     require(markers.keySet.subsetOf(Set(0L)),

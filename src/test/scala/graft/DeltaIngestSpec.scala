@@ -432,10 +432,10 @@ class DeltaIngestSpec extends AnyFunSuite {
     val segOfA = DeltaIngest.committedSegOf(spark, out, "mk-a")
     val before = finalRows(out)
     DeltaIngest.compact(spark, out)
-    // singles folded into ONE map file (dotfiles aside)
+    // singles folded into ONE (versioned) map file (dotfiles aside)
     val names = new java.io.File(s"$out/delta_markers").listFiles()
       .map(_.getName).filterNot(_.startsWith(".")).toSet
-    assert(names == Set("_keys"), s"markers not consolidated: $names")
+    assert(names == Set("_keys-1"), s"markers not consolidated: $names")
     // replay identity survives the fold: per-key lookups unchanged,
     // a replayed direct key refuses, a replayed streaming batch no-ops
     assert(DeltaIngest.committedSegOf(spark, out, "mk-a") == segOfA)
@@ -453,9 +453,12 @@ class DeltaIngestSpec extends AnyFunSuite {
     val d3 = Doc(pickId(9503, _ => true), words(32), "web")
     DeltaIngest.ingestKeyed(spark, toDF(Seq(d3)), out, "mk-c")
     DeltaIngest.compact(spark, out)
+    // the next version PUBLISHES first, then the old one is dropped —
+    // an in-place overwrite of one file would have a delete-then-rename
+    // hole that loses the whole replay map on a crash
     val names2 = new java.io.File(s"$out/delta_markers").listFiles()
       .map(_.getName).filterNot(_.startsWith(".")).toSet
-    assert(names2 == Set("_keys"))
+    assert(names2 == Set("_keys-2"), s"$names2")
     assert(DeltaIngest.committedSegOf(spark, out, "mk-c").isDefined)
     assert(finalRows(out).map(_._1).contains(d3.id))
     // marker-unsafe keys refuse at batch entry, before any compute
@@ -463,6 +466,67 @@ class DeltaIngestSpec extends AnyFunSuite {
       DeltaIngest.ingestKeyed(spark, toDF(Seq(d3)), out, "_sneaky")
     }
     assert(bad.getMessage.contains("marker-safe"), bad.getMessage)
+  }
+
+  test("compact crash window: a resurrected final_log never double-counts appended docs") {
+    // the hazard: compact swaps in a base that already CONTAINS the
+    // log's live rows, then crashes BEFORE deleting final_log. The
+    // stale segments are still committed (the replay map keeps them
+    // forever), so without the fold epoch readFinal would return every
+    // appended doc twice — and a compact re-run would bake the
+    // duplicates into the next base permanently.
+    val in = tmp("cw_in"); writeInput(baseDocs, in)
+    val out = tmp("cw_out")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val d1 = Doc(pickId(9601, _ => true), words(50), "web")
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(d1)), out, "cw-a")
+    val before = finalRows(out)
+    // save the log aside, compact, then restore it = the crash state
+    val flog = java.nio.file.Paths.get(out, "final_log")
+    val saved = java.nio.file.Paths.get(tmp("cw_saved"), "final_log")
+    org.apache.commons.io.FileUtils.copyDirectory(flog.toFile, saved.toFile)
+    DeltaIngest.compact(spark, out)
+    assert(!flog.toFile.exists, "compact should have dropped the log")
+    org.apache.commons.io.FileUtils.copyDirectory(saved.toFile, flog.toFile)
+    spark.catalog.refreshByPath(s"$out/final_log")
+    // the epoch (inside final/, swapped in atomically with the base)
+    // masks the stale segments: no duplicates, same rows
+    val window = DeltaIngest.readFinal(spark, out)
+    assert(window.groupBy("doc_id").count().where(col("count") > 1).count() == 0,
+      "crash window double-counted appended docs")
+    assert(finalRows(out) == before)
+    // the compact re-run converges: log gone, rows still exact, and a
+    // NEW ingest (seg number above the epoch) is visible again
+    DeltaIngest.compact(spark, out)
+    assert(!flog.toFile.exists)
+    assert(finalRows(out) == before)
+    val d2 = Doc(pickId(9602, _ => true), words(51), "web")
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(d2)), out, "cw-b")
+    assert(finalRows(out).map(_._1).contains(d2.id),
+      "a post-compaction segment must not be epoch-masked")
+    assert(finalRows(out).map(_._1).contains(d1.id))
+  }
+
+  test("_keys map versions: readers take the highest; a stale lower version is inert") {
+    val in = tmp("kv_in"); writeInput(baseDocs, in)
+    val out = tmp("kv_out")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val d1 = Doc(pickId(9701, _ => true), words(60), "web")
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(d1)), out, "kv-a")
+    DeltaIngest.compact(spark, out)
+    val seg = DeltaIngest.committedSegOf(spark, out, "kv-a")
+    assert(seg.isDefined)
+    // a crash after publishing _keys-2 but before dropping _keys-1
+    // leaves BOTH; readers must take the highest (the superset)
+    val legacy = java.nio.file.Paths.get(out, "delta_markers", "_keys")
+    java.nio.file.Files.write(legacy, "phantom-key\t999\n".getBytes("UTF-8"))
+    assert(DeltaIngest.committedSegOf(spark, out, "kv-a") == seg,
+      "highest version must win")
+    assert(DeltaIngest.committedSegOf(spark, out, "phantom-key").isEmpty,
+      "a superseded lower version must be inert")
+    java.nio.file.Files.delete(legacy)
   }
 
   test("readFinal plan pin: split filter prunes the partitioned base; the edit anti-join is id-width") {

@@ -173,4 +173,25 @@ class ExpressionSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("mixed vector dims")),
       e.getMessage)
   }
+
+  test("quantCentroid null semantics match the explode form: non-null divisor, all-null group absent") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // group 0: {(2,4), null} → centroid (2,4) over n_assigned=1 (the
+    // explode form divided by the NON-null count; count(*) would halve
+    // it); group 1: all null → absent (not a null centroid that would
+    // sort below every real distance and win each assign argmin)
+    val df = Seq(
+      (0L, 10L, Option(Seq(2.0, 4.0))), (0L, 11L, Option.empty[Seq[Double]]),
+      (1L, 12L, Option.empty[Seq[Double]]), (1L, 13L, Option.empty[Seq[Double]]),
+      (2L, 14L, Option(Seq(1.0, 3.0))), (2L, 15L, Option(Seq(3.0, 5.0))))
+      .toDF("cell", "vec_id", "e")
+    val got = graft.operators.IvfMaintenance
+      .quantCentroid(spark, df, Seq(col("cell")), Seq("cell"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toVector, r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, Vector(2.0, 4.0), 1L),
+      (2L, Vector(2.0, 4.0), 2L)), got.mkString(", "))
+  }
 }

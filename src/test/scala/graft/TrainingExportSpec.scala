@@ -412,4 +412,27 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(new java.io.File(dirA).exists(),
       "a failed audit must leave the superseded epoch serving")
   }
+
+  test("exportEpoch path guard: aliased spellings and nested dirs refuse before any GC") {
+    // raw string inequality let two spellings of ONE dir through: the
+    // audit then passed on the new epoch and the GC deleted it — the
+    // zero-intact-epochs outcome. The guard compares fs-qualified
+    // normalized paths and refuses parent/child nesting both ways.
+    val base = tmp("alias")
+    val d = s"$base/epoch"
+    new java.io.File(d).mkdirs()
+    for (alias <- Seq(d, d + "/", s"$base/./epoch", s"$base/epoch/../epoch")) {
+      val e = intercept[IllegalArgumentException] {
+        TrainingExport.exportEpoch(spark, tmp("alias_out"), alias, d, seed = 0L)
+      }
+      assert(e.getMessage.contains("its own dir"), s"$alias: ${e.getMessage}")
+      assert(new java.io.File(d).exists(), s"$alias: target must survive the refusal")
+    }
+    for ((o, n) <- Seq((base, d), (d, base))) {
+      val e = intercept[IllegalArgumentException] {
+        TrainingExport.exportEpoch(spark, tmp("alias_out"), o, n, seed = 0L)
+      }
+      assert(e.getMessage.contains("its own dir"), e.getMessage)
+    }
+  }
 }
