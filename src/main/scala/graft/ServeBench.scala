@@ -57,6 +57,10 @@ object ServeBench {
       IvfMaintenance.buildPq(spark, emb.select("label", "embedding"), sizedDir, 8)
     }
     val searchBuild = once { TextSearchIndex.build(spark, docs, searchDir) }
+    // hierarchical coarse layer over the production-sized index — the
+    // serve shape that stays shippable past ~1M cells (broadcasts
+    // O(sqrt(nlist)), never the full centroid table)
+    val superBuild = once { IvfMaintenance.buildSuper(spark, sizedDir) }
 
     val queries = emb.where(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -88,6 +92,15 @@ object ServeBench {
       "adc_sized_100q_sec" -> bench {
         IvfMaintenance.adcKnn(spark, sizedDir, queries, k = 5, nprobe = 2)
           .count(); ()
+      },
+      "super_build_sec" -> superBuild,
+      "knn_hier_100q_sec" -> bench {
+        IvfMaintenance.knnQuery(spark, sizedDir, queries, k = 5, nprobe = 2,
+          sprobe = Some(4)).count(); ()
+      },
+      "adc_hier_100q_sec" -> bench {
+        IvfMaintenance.adcKnn(spark, sizedDir, queries, k = 5, nprobe = 2,
+          sprobe = Some(4)).count(); ()
       },
       "bm25_sec" -> bench {
         TextSearchIndex.query(spark, searchDir, terms, 10).count(); ()

@@ -355,9 +355,12 @@ object IvfMaintenance {
     * input: with `nlist = Some(k)`, k seed vectors are drawn by a
     * deterministic pseudo-random id order (xxhash64 over vec_id — the
     * Forgy init, reproducible with no RNG state) and labels are not
-    * required; with None, seeds are the per-label means (the
-    * registry's sim_ivf_train shape — right when curated labels
-    * approximate a clustering, and the historical default). Either
+    * required; with None and a `label` column, seeds are the per-label
+    * means (the registry's sim_ivf_train shape — right when curated
+    * labels approximate a clustering, and the historical default);
+    * with None and NO label column, k auto-sizes to ceil(N/targetOcc)
+    * sampled seeding — a production build cannot accidentally freeze
+    * at a fixture-shaped cell count. Either
     * way the PUBLISHED cell count then tracks the corpus through
     * [[needsSplit]]'s growth term and [[needsMerge]] — a production
     * build picks k ≈ N/targetOcc and lets maintenance keep it there.
@@ -371,13 +374,21 @@ object IvfMaintenance {
     require(targetOcc > 0, s"targetOcc must be positive, got $targetOcc")
     nlist.foreach(k => require(k > 0, s"nlist must be positive, got $k"))
     VectorFunctions.register(s)
-    val e = (nlist match {
-      case Some(_) => embeddings.select(col("vec_id"),
-        lit(0L).as("label"), col("embedding").cast("array<double>").as("e"))
-      case None => embeddings.select(col("vec_id"),
+    // an unlabeled corpus with no explicit nlist auto-sizes to
+    // k = ceil(N/targetOcc) sampled seeding — a production build must
+    // not be able to freeze at a fixture-shaped cell count just
+    // because no label column exists to seed from
+    val hasLabel = embeddings.columns.contains("label")
+    val e = (if (nlist.isDefined || !hasLabel)
+        embeddings.select(col("vec_id"),
+          lit(0L).as("label"), col("embedding").cast("array<double>").as("e"))
+      else embeddings.select(col("vec_id"),
         col("label").cast("long").as("label"),
-        col("embedding").cast("array<double>").as("e"))
-    }).localCheckpoint(true)
+        col("embedding").cast("array<double>").as("e"))).localCheckpoint(true)
+    val resolvedNlist: Option[Int] = nlist.orElse(
+      if (hasLabel) None
+      else Some(math.max(1L,
+        math.ceil(e.count().toDouble / targetOcc).toLong).toInt))
     // an empty corpus would publish a footer-less segment every later
     // read trips over with an opaque schema-inference error — refuse
     // here, where the cause is nameable (ingest grows an index; build
@@ -415,14 +426,19 @@ object IvfMaintenance {
     // too when PQ is on — the rebuild re-encodes the full corpus below,
     // so keeping the old whole-corpus segments would only pile shadowed
     // bytes onto every future fold until a compact
-    for (r <- Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir))) {
+    // the super layer goes too: a rebuild re-trains centroids in a
+    // FRESH cell-id space that overlaps the old one numerically, so a
+    // surviving cell→super map would silently mis-prune every hier
+    // probe (wrong supers for every cell, not just degraded coverage)
+    for (r <- Seq(centRoot(outDir), asgRoot(outDir), pqRoot(outDir),
+        superRoot(outDir))) {
       val p = new Path(r); fs(s, p).delete(p, true)
     }
     // layout lands before any segment: a rebuild may change the shard
     // count (it rewrites every sharded table anyway), the budget, or —
     // PQ off — the dim
     writeLayout(s, outDir, nShards, targetOcc, dim)
-    var cents = (nlist match {
+    var cents = (resolvedNlist match {
       case Some(k) =>
         // Forgy init: the k hash-first vectors ARE the seed centroids.
         // The pick is a TakeOrdered (top-k by hash, no full sort) and
@@ -783,15 +799,23 @@ object IvfMaintenance {
     * every registry kNN query uses. Pass FALSE when query ids live in
     * their own id space: with the default, an external query numbered
     * like a corpus vector would silently lose that vector from its
-    * candidates. */
+    * candidates.
+    *
+    * `sprobe = Some(sp)` routes the probe through the hierarchical
+    * coarse quantizer ([[buildSuper]], [[probeCellsHier]]): required
+    * past ~1M cells, where the flat probe's full-centroid broadcast
+    * stops shipping. Everything after the probe is byte-identical. */
   def knnQuery(s: SparkSession, outDir: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 1, excludeSelfId: Boolean = true): DataFrame = {
+      k: Int = 5, nprobe: Int = 1, excludeSelfId: Boolean = true,
+      sprobe: Option[Int] = None): DataFrame = {
     VectorFunctions.register(s)
     require(indexed(s, outDir), s"build has not completed for $outDir")
     import org.apache.spark.sql.expressions.Window
     val allowed = committedSegs(s, outDir)
-    val (probes, cells, shards) =
-      probeCells(s, outDir, queries, nprobe, allowed)
+    val (probes, cells, shards) = sprobe match {
+      case Some(sp) => probeCellsHier(s, outDir, queries, nprobe, sp, allowed)
+      case None => probeCells(s, outDir, queries, nprobe, allowed)
+    }
     val cand = foldAsg(readAsgLog(s, outDir, Some(allowed))
       .where(col("shard").isin(shards: _*) && col("cell").isin(cells: _*)))
     val scored = probes.join(cand, "cell")
@@ -826,6 +850,207 @@ object IvfMaintenance {
     val nsh = layoutShards(s, outDir)
     val shards = cells.map(c => (c % nsh).toInt).distinct
     (probes, cells, shards)
+  }
+
+  // ---------------------------------------------------------------
+  // hierarchical coarse quantizer (two-level probe)
+  // ---------------------------------------------------------------
+
+  private def superRoot(outDir: String) = s"${ivfDir(outDir)}/super"
+
+  /** Published super-layer generation: the largest `marker-<seg>`
+    * whose data dirs exist. Marker files are first-creation renames
+    * (never overwritten), so no crash instant can lose a published
+    * generation; [[buildSuper]] drops superseded ones after its new
+    * marker lands. */
+  private[graft] def superSeg(s: SparkSession, outDir: String): Option[Long] = {
+    val root = new Path(superRoot(outDir))
+    val f = fs(s, root)
+    if (!f.exists(root)) return None
+    f.listStatus(root).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("marker-").toLongOption match {
+        case some @ Some(n)
+          if f.exists(new Path(s"${superRoot(outDir)}/cents/seg=$n")) &&
+             f.exists(new Path(s"${superRoot(outDir)}/map/seg=$n")) => some
+        case _ => None
+      }) match {
+      case Seq() => None
+      case segs => Some(segs.max)
+    }
+  }
+
+  /** Build (or rebuild) the coarse-over-coarse layer: cluster the
+    * committed CENTROID snapshot into ~√nlist super-cells with the
+    * same Lloyd kernels the index itself trains with, and publish
+    * (super centroids, cell→super map) as one generation.
+    *
+    * Why: [[probeCells]] broadcasts the FULL centroid table to every
+    * probe — fine through ~1B vectors at nlist = N/targetOcc, but at
+    * 1M cells that broadcast is hundreds of MB and unshippable past
+    * it. The two-stage probe broadcasts O(√nlist) super-centroids,
+    * then ONLY the probed super-cells' children — O(√nlist +
+    * sprobe·√nlist) rows end to end, corpus-size-independent per
+    * probe.
+    *
+    * The layer is DERIVED data keyed to the centroid snapshot it
+    * summarizes: cells created after this build (ingest splits, new
+    * seeds) are "orphans" the hier probe hands to every query until
+    * the next buildSuper — exact, just progressively less pruned, so
+    * rebuild on the same cadence as [[mergeUnderfull]]. Cells retired
+    * since the build drop out structurally (the serve path joins the
+    * map against the LIVE snapshot). Deterministic like [[build]]:
+    * xxhash64-ordered Forgy seeding, no RNG state. */
+  def buildSuper(s: SparkSession, outDir: String, nSuper: Option[Int] = None,
+      rounds: Int = 2): Unit = {
+    require(indexed(s, outDir), s"build has not completed for $outDir")
+    nSuper.foreach(k => require(k > 0, s"nSuper must be positive, got $k"))
+    VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val allowed = committedSegs(s, outDir)
+    val seg = allowed.max
+    val items = centroidsAt(s, outDir, allowed)
+      .select(col("cell").as("vec_id"), col("c").as("e"))
+      .localCheckpoint(true)
+    val k = nSuper.getOrElse {
+      val n = items.count()
+      math.max(1L, math.round(math.sqrt(n.toDouble))).toInt
+    }
+    val wk = Window.orderBy(col("h"), col("vec_id"))
+    var sup = items
+      .select(col("vec_id"), col("e"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select((row_number().over(wk) - 1).cast("long").as("cell"),
+        col("e").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val asg = assign(items, sup).localCheckpoint(true)
+      sup = quantCentroid(s,
+        asg.join(items, "vec_id").select(col("cell"), col("e")),
+        Seq(col("cell")), Seq("cell")).select("cell", "c").localCheckpoint(true)
+    }
+    // the published map is the argmin against the PUBLISHED super
+    // centroids (same discipline as build: lists match the snapshot)
+    val map = assign(items, sup)
+      .select(col("vec_id").as("cell"), col("cell").as("super_id"))
+      .localCheckpoint(true)
+    sup.select(col("cell").as("super_id"), col("c"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${superRoot(outDir)}/cents/seg=$seg")
+    map.write.mode("overwrite").parquet(s"${superRoot(outDir)}/map/seg=$seg")
+    val marker = new Path(s"${superRoot(outDir)}/marker-$seg")
+    val f = fs(s, marker)
+    if (!f.exists(marker))
+      SegmentLog.writeSmallFile(s, marker.toString, seg.toString)
+    // drop superseded generations only AFTER the new marker landed
+    f.listStatus(new Path(superRoot(outDir))).toSeq.foreach { st =>
+      st.getPath.getName.stripPrefix("marker-").toLongOption.foreach { n =>
+        if (n != seg) {
+          f.delete(new Path(s"${superRoot(outDir)}/cents/seg=$n"), true)
+          f.delete(new Path(s"${superRoot(outDir)}/map/seg=$n"), true)
+          f.delete(st.getPath, false)
+        }
+      }
+    }
+  }
+
+  /** Cells in the LIVE snapshot not covered by the published super
+    * map — each one is handed to every hier probe unpruned, so this is
+    * the "rebuild the super layer" pressure gauge (None: no layer). */
+  def superOrphans(s: SparkSession, outDir: String): Option[Long] =
+    superSeg(s, outDir).map { sg =>
+      centroids(s, outDir)
+        .join(s.read.parquet(s"${superRoot(outDir)}/map/seg=$sg")
+          .select("cell"), Seq("cell"), "left_anti")
+        .count()
+    }
+
+  /** The two-stage probe — same contract as [[probeCells]] (one
+    * definition of the serve prefix, shared by both serve paths), but
+    * the centroid argmin runs super-first so no broadcast ever carries
+    * the full centroid table:
+    *
+    *   1. queries × broadcast(√nlist super-centroids) → per query the
+    *      `sprobe` nearest super-cells (window argmin, ties to the
+    *      smaller id — the [[probeCells]] convention).
+    *   2. the probed supers' CHILDREN only: the cell→super map scan is
+    *      In-pruned to the collected super ids (id-width), joined to
+    *      the live snapshot, and THAT pruned slice broadcasts for the
+    *      per-query cell argmin. Orphan cells (newer than the super
+    *      build) join every query's candidate set, so results stay
+    *      exact as the layer ages — coverage decays, never
+    *      correctness.
+    *
+    * With sprobe ≥ the super count the candidate cell set is the full
+    * snapshot and the probe is EQUAL to the flat one by construction
+    * (the spec pins this); smaller sprobe trades recall for probe
+    * cost exactly like nprobe does one level down. */
+  private def probeCellsHier(s: SparkSession, outDir: String,
+      queries: DataFrame, nprobe: Int, sprobe: Int,
+      allowed: Set[Long]): (DataFrame, Seq[Long], Seq[Int]) = {
+    val sProbes = hierStage1(s, outDir, queries, sprobe)
+      .localCheckpoint(true) // collected twice below (ids, then join)
+    val supIds = sProbes.select("super_id").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val probes = hierStage2(s, outDir, sProbes, supIds, nprobe, allowed)
+      .localCheckpoint(true) // same recompute guard as probeCells
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val nsh = layoutShards(s, outDir)
+    val shards = cells.map(c => (c % nsh).toInt).distinct
+    (probes, cells, shards)
+  }
+
+  /** Stage 1 pre-checkpoint: per query the `sprobe` nearest super-
+    * cells against the broadcast O(√nlist) super-centroid table.
+    * `private[graft]` so the spec pins THIS frame's plan — the serve
+    * plan only shows the checkpointed probe as an ExistingRDD. */
+  private[graft] def hierStage1(s: SparkSession, outDir: String,
+      queries: DataFrame, sprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sprobe > 0, s"sprobe must be positive, got $sprobe")
+    val sg = superSeg(s, outDir).getOrElse(throw new IllegalArgumentException(
+      s"no super layer published for $outDir — run buildSuper first " +
+        "(or serve with sprobe = None for the flat probe)"))
+    val sup = s.read.parquet(s"${superRoot(outDir)}/cents/seg=$sg")
+    val ws = Window.partitionBy("query_id").orderBy(col("dst"), col("super_id"))
+    queries.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .crossJoin(broadcast(sup.select(col("super_id"), col("c").as("sc"))))
+      .select(col("query_id"), col("qe"), col("super_id"),
+        d2(col("qe"), col("sc")).as("dst"))
+      .withColumn("srk", row_number().over(ws)).where(col("srk") <= sprobe)
+      .select("query_id", "qe", "super_id")
+  }
+
+  /** Stage 2 pre-checkpoint: the probed supers' children only — the
+    * map scan is In-pruned to `supIds` BEFORE anything broadcasts, so
+    * the exchanged slice is O(|probed supers| × targetOcc children),
+    * never O(nlist); orphans (cells newer than the super build) join
+    * every query so coverage decay can't cost correctness. */
+  private[graft] def hierStage2(s: SparkSession, outDir: String,
+      sProbes: DataFrame, supIds: Seq[Long], nprobe: Int,
+      allowed: Set[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sg = superSeg(s, outDir).get
+    val cents = centroidsAt(s, outDir, allowed)
+    val map = s.read.parquet(s"${superRoot(outDir)}/map/seg=$sg")
+    val children = cents
+      .join(broadcast(map.where(col("super_id").isin(supIds: _*))), "cell")
+      .select(col("super_id"), col("cell"), col("c"))
+    val orphans = cents
+      .join(map.select("cell"), Seq("cell"), "left_anti")
+      .select(col("cell"), col("c"))
+    val wq = Window.partitionBy("query_id").orderBy(col("dst"), col("cell"))
+    val stage2 = sProbes.join(broadcast(children), "super_id")
+      .select(col("query_id"), col("qe"), col("cell"), col("c"))
+      .unionAll(sProbes.select("query_id", "qe").distinct()
+        .crossJoin(broadcast(orphans))
+        .select(col("query_id"), col("qe"), col("cell"), col("c")))
+    stage2
+      .select(col("query_id"), col("qe"), col("cell"),
+        d2(col("qe"), col("c")).as("dst"))
+      .withColumn("prk", row_number().over(wq)).where(col("prk") <= nprobe)
+      .select("query_id", "qe", "cell")
   }
 
   // ---------------------------------------------------------------
@@ -1145,7 +1370,8 @@ object IvfMaintenance {
     * each candidate costs m table lookups instead of a d-dim product.
     * Output: (query_id, neighbor_id, adist2, rk). */
   def adcKnn(s: SparkSession, outDir: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 1, excludeSelfId: Boolean = true): DataFrame = {
+      k: Int = 5, nprobe: Int = 1, excludeSelfId: Boolean = true,
+      sprobe: Option[Int] = None): DataFrame = {
     VectorFunctions.register(s)
     require(pqEnabled(s, outDir), s"buildPq has not completed for $outDir")
     import org.apache.spark.sql.expressions.Window
@@ -1154,8 +1380,10 @@ object IvfMaintenance {
     // whose codes the stale snapshot excludes — silently dropping it
     val allowed = committedSegs(s, outDir)
     val (cb, m, subLen, cbSeg) = loadCodebooks(s, outDir, allowed)
-    val (probes, cells, shards) =
-      probeCells(s, outDir, queries, nprobe, allowed)
+    val (probes, cells, shards) = sprobe match {
+      case Some(sp) => probeCellsHier(s, outDir, queries, nprobe, sp, allowed)
+      case None => probeCells(s, outDir, queries, nprobe, allowed)
+    }
     // per-query ADC distance tables: |queries| × m × |codewords| rows —
     // broadcast-sized (the whole point of ADC)
     val qd = probes.select(col("query_id"), col("qe")).distinct()
