@@ -29,6 +29,35 @@ object Bench {
       .resolve("BENCH.json")
   }
 
+  /** Bench-noise classifier — the NOTES r15 protocol note, one
+    * definition shared with the standalone tool (tools/bench_diff.py
+    * carries the same thresholds; BenchDiffSpec runs BOTH on shared
+    * examples so they cannot drift). Returns (verdict, gap, breadth,
+    * top5_share, top movers), or None under 20 common keys. */
+  private[graft] def classifyNoise(prev: Map[String, Double],
+      cur: Map[String, Double])
+      : Option[(String, Double, Double, Double, Seq[(String, Double)])] = {
+    val keys = prev.keySet.intersect(cur.keySet).toSeq.sorted
+    if (keys.size < 20) return None
+    val deltas = keys.map(k => k -> (cur(k) - prev(k)))
+    val baseTotal = keys.map(prev).sum
+    val gap = deltas.map(_._2).sum
+    val floor = math.max(1.0, 0.02 * baseTotal)
+    val sign = if (gap > 0) 1.0 else -1.0
+    val movers = deltas.sortBy { case (_, d) => -math.abs(d) }.take(5)
+    val breadth =
+      deltas.count { case (_, d) => sign * d > 0.03 }.toDouble / keys.size
+    val topShare = movers.collect {
+      case (_, d) if sign * d > 0 => sign * d }.sum /
+      math.max(sign * gap, 1e-9)
+    val verdict =
+      if (math.abs(gap) < floor) "in-band"
+      else if (topShare >= 0.6) "concentrated"
+      else if (breadth >= 0.4 && topShare <= 0.5) "uniform"
+      else "mixed"
+    Some((verdict, gap, breadth, topShare, movers))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -202,13 +231,41 @@ object Bench {
     // 1.24, just under threshold, on a host already 1.6x off canonical).
     // The previous committed BENCH.json's probe still rides the artifact
     // as cpu_probe_mt_prev_sec for continuity, but does not adjudicate.
-    val prevMt: Option[Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          benchJsonPath), "UTF-8")
-        """"cpu_probe_mt_sec":([0-9.]+)""".r
-          .findFirstMatchIn(txt).map(_.group(1).toDouble)
-      } catch { case _: Throwable => None }
+    val prevTxt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        benchJsonPath), "UTF-8"))
+      catch { case _: Throwable => None }
+    val prevMt: Option[Double] = prevTxt.flatMap(
+      """"cpu_probe_mt_sec":([0-9.]+)""".r
+        .findFirstMatchIn(_).map(_.group(1).toDouble))
+    // Bench-noise classifier vs the previous committed BENCH.json —
+    // the NOTES r15 protocol note mechanized (tools/bench_diff.py is
+    // the standalone twin with the SAME thresholds; BenchDiffSpec pins
+    // the two to shared worked examples). Uniform small inflation
+    // across many queries with no small group explaining the gap is
+    // machine noise; a handful explaining most of it is a regression
+    // candidate. The verdict rides the full JSON and one stdout line,
+    // so cross-artifact adjudication no longer needs a repo archaeology
+    // session.
+    val prevQueries: Map[String, Double] = prevTxt.flatMap { txt =>
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+    }.map { body =>
+      """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val noiseVerdict: Option[String] = classifyNoise(prevQueries,
+      results.collect { case (n, Right(t)) => n -> t }.toMap)
+      .map { case (verdict, gap, breadth, topShare, movers) =>
+        def r3(v: Double) =
+          BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+        val moversJson = movers.map { case (k, d) =>
+          s"""{"query":${jq(k)},"delta_sec":${r3(d)}}""" }
+          .mkString("[", ",", "]")
+        System.err.println(s"[bench] noise verdict vs previous " +
+          s"BENCH.json: $verdict (gap ${if (gap > 0) "+" else ""}${r3(gap)}s, " +
+          f"breadth ${breadth * 100}%.0f%%, top5 ${topShare * 100}%.0f%%)")
+        s""""noise_verdict":{"verdict":"$verdict","gap_sec":${r3(gap)},"breadth":${r3(breadth)},"top5_share":${r3(topShare)},"top_movers":$moversJson}"""
+      }
     val bandSuspect =
       math.max(mt, CanonicalMtRefSec) / math.min(mt, CanonicalMtRefSec) > 1.25
     val refJson = s""","cpu_probe_mt_ref_sec":$CanonicalMtRefSec""" +
@@ -226,8 +283,9 @@ object Bench {
         val sbPart = if (sbErr.isEmpty) "" else s""","serve_bench_err":${jq(sbErr)}"""
         s""","n_errors":${errs.size}$qbPart$sbPart"""
       }
+    val nvJson = noiseVerdict.map("," + _).getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,"serve_bench":$sbJson$errJson,$hw,$proto,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queue_bench":$qbJson,"serve_bench":$sbJson$errJson$nvJson,$hw,$proto,"sf":"$sfDir"}"""
     // The driver captures only a short stdout tail and sbt appends a
     // "[success] Total time: ..." line after the program exits, so the
     // LAST line we print must be a complete, COMPACT JSON object
