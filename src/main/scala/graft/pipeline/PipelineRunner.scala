@@ -44,9 +44,17 @@ class PipelineRunner(
     store: QueueStore,
     cfg: PipelineConfig,
     engine: EngineConfig = EngineConfig(),
-    handler: graft.metrics.EventHandler = graft.metrics.NoopEventHandler) {
+    handler: graft.metrics.EventHandler = graft.metrics.NoopEventHandler,
+    workers: WorkerSet = WorkerSet.empty) {
 
   private val spark: SparkSession = store.spark
+  /** The cluster-mode worker path: the set broadcasts ONCE here and
+    * the dispatch closures resolve from the broadcast value first
+    * (per-JVM [[WorkerRegistry]] as fallback) — executors never need a
+    * static-initializer registration story. Empty set ⇒ no broadcast. */
+  private val workerBc: Option[org.apache.spark.broadcast.Broadcast[WorkerSet]] =
+    if (workers.size == 0) None
+    else Some(spark.sparkContext.broadcast(workers))
   /** Per-pipeline telemetry gate (pipeline.ex:17): unless
     * `cfg.instrument` is true, per-job telemetry is skipped entirely,
     * matching instrumentation.ex:10-11 / worker.ex:41. */
@@ -353,14 +361,23 @@ class PipelineRunner(
     val timeoutMs = engine.dispatchTimeoutMs
     val events = claimed.select(
       (Schemas.event.fieldNames :+ "claim_id").map(col).toSeq: _*)
+    // local val so the task closures capture the broadcast handle and
+    // the timeout, never `this` (the runner holds the SparkSession)
+    val bc = workerBc
     cfg.batchSize match {
       case Some(bs) =>
         events.as[ClaimedEvent]
           .groupByKey(e => (e.clazz, e.function))
-          .flatMapGroups((_: (String, String), it: Iterator[ClaimedEvent]) =>
-            it.grouped(bs).flatMap(c => PipelineRunner.dispatchBulk(c.toSeq, timeoutMs)))
+          .flatMapGroups { (_: (String, String), it: Iterator[ClaimedEvent]) =>
+            val ws = bc.map(_.value)
+            it.grouped(bs).flatMap(c =>
+              PipelineRunner.dispatchBulk(c.toSeq, timeoutMs, ws))
+          }
       case None =>
-        events.as[ClaimedEvent].mapPartitions(_.map(PipelineRunner.dispatchOne(_, timeoutMs)))
+        events.as[ClaimedEvent].mapPartitions { it =>
+          val ws = bc.map(_.value)
+          it.map(PipelineRunner.dispatchOne(_, timeoutMs, ws))
+        }
     }
   }
 
@@ -484,10 +501,12 @@ object PipelineRunner extends Serializable {
       }
     }
 
-  private[pipeline] def dispatchOne(e: ClaimedEvent, timeoutMs: Long = 0): Outcome = {
+  private[pipeline] def dispatchOne(e: ClaimedEvent, timeoutMs: Long = 0,
+      ws: Option[WorkerSet] = None): Outcome = {
     val t0 = System.nanoTime()
     val result =
-      timed(timeoutMs)(WorkerRegistry.resolve(e.clazz, e.function)(e.args, e.context))
+      timed(timeoutMs)(ws.flatMap(_.resolve(e.clazz, e.function))
+        .getOrElse(WorkerRegistry.resolve(e.clazz, e.function))(e.args, e.context))
     val durMs = (System.nanoTime() - t0) / 1e6
     result match {
       case None => e.toOutcome(success = true, None, durationMs = durMs)
@@ -504,10 +523,13 @@ object PipelineRunner extends Serializable {
   /** One worker call per chunk; all members succeed or fail together
     * (bulk_event/worker.ex:33-64). The timeout scales with chunk size:
     * one call does N jobs' work, so the per-job bound multiplies. */
-  private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent], timeoutMs: Long = 0): Seq[Outcome] = {
+  private[pipeline] def dispatchBulk(chunk: Seq[ClaimedEvent], timeoutMs: Long = 0,
+      ws: Option[WorkerSet] = None): Seq[Outcome] = {
     val t0 = System.nanoTime()
     val result = timed(if (timeoutMs <= 0) timeoutMs else timeoutMs * chunk.size)(
-      WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function)(chunk.map(_.args)))
+      ws.flatMap(_.resolveBulk(chunk.head.clazz, chunk.head.function))
+        .getOrElse(WorkerRegistry.resolveBulk(chunk.head.clazz, chunk.head.function))(
+          chunk.map(_.args)))
     // one worker call per chunk → each member carries the call's duration
     val durMs = (System.nanoTime() - t0) / 1e6
     result match {
