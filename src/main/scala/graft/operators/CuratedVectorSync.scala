@@ -44,14 +44,37 @@ object CuratedVectorSync {
       nSearchIngested: Long = 0L,
       nSearchRemoved: Long = 0L,
       export: Option[(Long, TrainingExport.ExportReport)] = None,
-      pq: Option[IvfMaintenance.PqHealth] = None) // None = not due / already checked
+      pq: Option[IvfMaintenance.PqHealth] = None, // None = not due / already checked
+      epoch: Option[TrainingExport.EpochReport] = None) // Some = this delivery rotated the epoch
 
   /** Shape of the optional training-export lockstep: the incremental
     * export's target dir + packing shape. The shape is FIXED per
     * export dir (exportIncremental refuses a mismatch) — a new epoch
-    * is a new dir. */
+    * is a new dir.
+    *
+    * With `epoch = Some(policy)`, `dir` becomes the EPOCH ROOT: the
+    * live export dir is `dir/epoch=<k>` (k = highest present; the
+    * first delivery creates epoch=0), each epoch k packs with seed
+    * `seed + k` (a fresh permutation per re-pack, deterministic), and
+    * [[EpochPolicy]] schedules [[TrainingExport.exportEpoch]]
+    * rotations through the sync — retraction hygiene on a cadence, not
+    * remembered. */
   final case class ExportCfg(dir: String, nShards: Int = 8,
-      seqLen: Int = 64, seed: Long = 0L)
+      seqLen: Int = 64, seed: Long = 0L,
+      epoch: Option[EpochPolicy] = None)
+
+  /** When to rotate the export epoch. The pressure gauge is STALE
+    * BYTES, measured from committed metadata only: the live epoch's
+    * exported-doc total (per-generation manifest sums — docs never
+    * leave an epoch's bytes) minus the layout's live train-doc count
+    * (id-width manifest) = retracted-but-still-packed docs. Rotate
+    * when it reaches `maxStale`. Deterministic in committed state, so
+    * a redelivered batch reaches the same due/not-due decision — and
+    * after a completed rotation reads pressure ≈ 0 and re-packs
+    * nothing. `cadenceBatches` hash-thins the evaluation exactly like
+    * [[PqCfg.cadenceBatches]] (the gauge costs one id-width manifest
+    * count per due delivery). */
+  final case class EpochPolicy(maxStale: Long, cadenceBatches: Int = 1)
 
   /** Shape of the optional PQ drift-maintenance lockstep
     * ([[IvfMaintenance.maintainPq]] on the standing cadence, verdict-
@@ -67,6 +90,87 @@ object CuratedVectorSync {
   final case class PqCfg(heldOut: DataFrame, sample: DataFrame,
       minRecall: Double = 0.9, k: Int = 5, nprobe: Int = 1, m: Int = 8,
       cadenceBatches: Int = 1)
+
+  // ---------------------------------------------------------------
+  // epoch cadence (ExportCfg.epoch)
+  // ---------------------------------------------------------------
+
+  private def epochDirsPresent(s: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .flatMap(st => st.getPath.getName.stripPrefix("epoch=").toLongOption)
+      .sorted
+  }
+
+  /** Every epoch packs with its own deterministic seed (`seed + k`):
+    * a rotation IS the next permutation, reproducibly. */
+  private def epochSeed(c: ExportCfg, k: Long): Long =
+    if (c.epoch.isDefined) c.seed + k else c.seed
+
+  /** Highest-present epoch dir — the metadata-only resolution health
+    * snapshots use (no transition completion, no Spark job). */
+  private def liveEpochDir(s: SparkSession, c: ExportCfg): String =
+    c.epoch match {
+      case None => c.dir
+      case Some(_) =>
+        val ks = epochDirsPresent(s, c.dir)
+        if (ks.isEmpty) s"${c.dir}/epoch=0" else s"${c.dir}/epoch=${ks.last}"
+    }
+
+  /** The live export dir under an epoch policy (the cfg dir itself
+    * without one). TWO epoch dirs present = a prior rotation crashed
+    * between its audit and the old-dir GC: complete it FIRST — the
+    * re-run re-reads the sealed gen-0 marker (no re-pack), re-audits,
+    * and only then GCs the old dir — because draining new generations
+    * into the fresh epoch before the transition settles would hit
+    * exportEpoch's gen-0-only refusal on the next resume. */
+  private def resolveEpoch(s: SparkSession, textOut: String,
+      c: ExportCfg): (String, Long) = c.epoch match {
+    case None => (c.dir, 0L)
+    case Some(_) =>
+      val ks = epochDirsPresent(s, c.dir)
+      if (ks.isEmpty) (s"${c.dir}/epoch=0", 0L)
+      else {
+        if (ks.size >= 2) {
+          val o = ks(ks.size - 2); val n = ks.last
+          TrainingExport.exportEpoch(s, textOut, s"${c.dir}/epoch=$o",
+            s"${c.dir}/epoch=$n", epochSeed(c, n), c.nShards, c.seqLen)
+        }
+        (s"${c.dir}/epoch=${ks.last}", ks.last)
+      }
+  }
+
+  /** The stale-bytes gauge and the rotation it schedules. Pressure =
+    * exported-doc total of the live epoch (docs never leave an epoch's
+    * bytes) − live train docs (id-width manifest count) = retracted-
+    * but-still-packed docs. Pure function of committed state plus the
+    * hash-thinned cadence gate, so a redelivered key reaches the same
+    * decision — and after a completed rotation reads ≈ 0 and re-packs
+    * nothing. The rotation itself is [[TrainingExport.exportEpoch]]:
+    * audit BEFORE GC, crash-convergent, its own matrix spec-pinned. */
+  private def maybeRotateEpoch(s: SparkSession, textOut: String,
+      c: ExportCfg, liveDir: String, k: Long,
+      key: String): Option[TrainingExport.EpochReport] =
+    c.epoch.flatMap { pol =>
+      val due = pol.cadenceBatches <= 1 || math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(key), pol.cadenceBatches) == 0
+      if (!due) None
+      else {
+        val packed = TrainingExport.health(s, liveDir).nDocs
+        if (packed == 0L) None
+        else {
+          val live = DeltaIngest.readManifest(s, textOut)
+            .where(col("split") === "train").count()
+          if (packed - live < pol.maxStale) None
+          else Some(TrainingExport.exportEpoch(s, textOut, liveDir,
+            s"${c.dir}/epoch=${k + 1}", epochSeed(c, k + 1), c.nShards,
+            c.seqLen))
+        }
+      }
+    }
 
   /** Ingest one delta (documents + their embeddings) into a curated
     * run at `textOut` (indexed by [[DeltaIngest.buildIndex]]) and its
@@ -106,17 +210,25 @@ object CuratedVectorSync {
     // committed segment is covered (the common case is one generation +
     // one metadata-only no-op probe); reported: the LAST generation
     // this drain committed — the one carrying the current batch.
-    def drainExport(): Option[(Long, TrainingExport.ExportReport)] =
-      exportOut.flatMap { c =>
-        var last: Option[(Long, TrainingExport.ExportReport)] = None
-        var cur = TrainingExport.exportIncremental(
-          s, textOut, c.dir, c.nShards, c.seqLen, c.seed)
-        while (cur.isDefined) {
-          last = cur
-          cur = TrainingExport.exportIncremental(
-            s, textOut, c.dir, c.nShards, c.seqLen, c.seed)
-        }
-        last
+    // Under an epoch policy the drain first resolves (and, if a prior
+    // rotation crashed between audit and GC, COMPLETES) the live
+    // epoch, drains into it, then evaluates the rotation trigger.
+    def drainExport(): (Option[(Long, TrainingExport.ExportReport)],
+        Option[TrainingExport.EpochReport]) =
+      exportOut match {
+        case None => (None, None)
+        case Some(c) =>
+          val (dir, k) = resolveEpoch(s, textOut, c)
+          val seed = epochSeed(c, k)
+          var last: Option[(Long, TrainingExport.ExportReport)] = None
+          var cur = TrainingExport.exportIncremental(
+            s, textOut, dir, c.nShards, c.seqLen, seed)
+          while (cur.isDefined) {
+            last = cur
+            cur = TrainingExport.exportIncremental(
+              s, textOut, dir, c.nShards, c.seqLen, seed)
+          }
+          (last, maybeRotateEpoch(s, textOut, c, dir, k, key))
       }
     // The PQ drift check, keyed `<key>-pq`. `keys` is the ivf marker
     // set loaded at delivery start: a healthy check committed a skip
@@ -162,7 +274,7 @@ object CuratedVectorSync {
           "nSegments" -> sh.nSegments.toDouble))
       }
       exportOut.foreach { c =>
-        val eh = TrainingExport.health(s, c.dir)
+        val eh = TrainingExport.health(s, liveEpochDir(s, c))
         h.handle("export_health", c.dir, Map(
           "nGenerations" -> eh.nGenerations.toDouble,
           "nCoveredSegs" -> eh.nCoveredSegs.toDouble,
@@ -202,8 +314,9 @@ object CuratedVectorSync {
       // the export drain is coverage-driven: a fully-synced replay has
       // nothing uncovered (a few FS reads), a crashed export resumes;
       // the PQ check heals the same way (skip-marker-guarded)
-      val rep = SyncReport(docReport, 0L, 0L, export = drainExport(),
-        pq = runPqMaintenance(ivfKeys))
+      val (exp, ep) = drainExport()
+      val rep = SyncReport(docReport, 0L, 0L, export = exp,
+        pq = runPqMaintenance(ivfKeys), epoch = ep)
       emitHealth()
       return rep
     }
@@ -265,6 +378,7 @@ object CuratedVectorSync {
         TextSearchIndex.remove(s,
           manifestInc.where(col("dead")).select("doc_id"), so, sRmKey))
     }.getOrElse((0L, 0L))
+    val (exp, ep) = drainExport()
     val rep = SyncReport(docReport,
       nVecIngested = ivfReport.map(_.nDelta).getOrElse(0L),
       nVecRemoved = nRemoved,
@@ -272,8 +386,9 @@ object CuratedVectorSync {
       ivf = ivfReport,
       nSearchIngested = nSIn,
       nSearchRemoved = nSRm,
-      export = drainExport(),
-      pq = runPqMaintenance(ivfKeys))
+      export = exp,
+      pq = runPqMaintenance(ivfKeys),
+      epoch = ep)
     emitHealth()
     rep
   }
