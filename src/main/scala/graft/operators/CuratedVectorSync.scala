@@ -45,7 +45,8 @@ object CuratedVectorSync {
       nSearchRemoved: Long = 0L,
       export: Option[(Long, TrainingExport.ExportReport)] = None,
       pq: Option[IvfMaintenance.PqHealth] = None, // None = not due / already checked
-      epoch: Option[TrainingExport.EpochReport] = None) // Some = this delivery rotated the epoch
+      epoch: Option[TrainingExport.EpochReport] = None, // Some = this delivery rotated the epoch
+      superRebuilt: Boolean = false) // this delivery refreshed the hier coarse layer
 
   /** Shape of the optional training-export lockstep: the incremental
     * export's target dir + packing shape. The shape is FIXED per
@@ -75,6 +76,23 @@ object CuratedVectorSync {
     * [[PqCfg.cadenceBatches]] (the gauge costs one id-width manifest
     * count per due delivery). */
   final case class EpochPolicy(maxStale: Long, cadenceBatches: Int = 1)
+
+  /** Maintenance cadence for the hierarchical coarse quantizer
+    * ([[IvfMaintenance.buildSuper]]): cells born after the last super
+    * build (ingest splits, fresh seeds) are ORPHANS every hier probe
+    * hands to every query unpruned — exact but progressively less
+    * pruned, so the layer needs the same scheduled refresh the
+    * occupancy maintenance gets. Rebuild when orphans exceed
+    * `maxOrphanFrac` of the live cells (and always on the first
+    * enabled delivery, which creates the layer). The gauge is an
+    * id-width anti-join over the centroid table — corpus-free — and a
+    * pure function of committed state, so a redelivered batch reaches
+    * the same decision and reads zero orphans after a completed
+    * rebuild. buildSuper itself is deterministic and keyed to the
+    * committed segment (same seg → identical derived tables), so a
+    * crash mid-rebuild is healed by simply running again. */
+  final case class SuperCfg(maxOrphanFrac: Double = 0.1,
+      nSuper: Option[Int] = None, cadenceBatches: Int = 1)
 
   /** Shape of the optional PQ drift-maintenance lockstep
     * ([[IvfMaintenance.maintainPq]] on the standing cadence, verdict-
@@ -201,7 +219,26 @@ object CuratedVectorSync {
       searchOut: Option[String] = None,
       exportOut: Option[ExportCfg] = None,
       pqOut: Option[PqCfg] = None,
-      telemetry: Option[graft.metrics.EventHandler] = None): SyncReport = {
+      telemetry: Option[graft.metrics.EventHandler] = None,
+      superOut: Option[SuperCfg] = None): SyncReport = {
+    // hier-layer refresh ([[SuperCfg]]): evaluated after the vector
+    // commits on every delivery path (fresh or replay) — the gauge is
+    // corpus-free and the rebuild deterministic, so no replay key is
+    // needed; a crashed rebuild is finished by the next evaluation
+    def maintainSuper(): Boolean = superOut.exists { c =>
+      val due = c.cadenceBatches <= 1 || math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(key), c.cadenceBatches) == 0
+      if (!due) false
+      else IvfMaintenance.superOrphans(s, ivfOut) match {
+        case None => // first enabled delivery: create the layer
+          IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); true
+        case Some(0L) => false
+        case Some(orphans) =>
+          val nCells = IvfMaintenance.centroids(s, ivfOut).count()
+          if (orphans.toDouble / nCells < c.maxOrphanFrac) false
+          else { IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); true }
+      }
+    }
     // drain to EMPTY, not one call: exportIncremental commits ONE
     // generation per call, and its crash-resume path spends its call
     // re-committing a sealed-but-unmarked generation — a single call
@@ -266,7 +303,9 @@ object CuratedVectorSync {
         "nSplitFlagged" -> ih.nSplitFlagged.toDouble,
         "nMergeFlagged" -> ih.nMergeFlagged.toDouble,
         "nSegments" -> ih.nSegments.toDouble,
-        "pq" -> (if (ih.pq) 1.0 else 0.0)))
+        "pq" -> (if (ih.pq) 1.0 else 0.0)) ++
+        IvfMaintenance.superOrphans(s, ivfOut)
+          .map(o => "superOrphans" -> o.toDouble))
       searchOut.foreach { so =>
         val sh = TextSearchIndex.health(s, so)
         h.handle("search_health", so, Map(
@@ -316,7 +355,8 @@ object CuratedVectorSync {
       // the PQ check heals the same way (skip-marker-guarded)
       val (exp, ep) = drainExport()
       val rep = SyncReport(docReport, 0L, 0L, export = exp,
-        pq = runPqMaintenance(ivfKeys), epoch = ep)
+        pq = runPqMaintenance(ivfKeys), epoch = ep,
+        superRebuilt = maintainSuper())
       emitHealth()
       return rep
     }
@@ -388,7 +428,8 @@ object CuratedVectorSync {
       nSearchRemoved = nSRm,
       export = exp,
       pq = runPqMaintenance(ivfKeys),
-      epoch = ep)
+      epoch = ep,
+      superRebuilt = maintainSuper())
     emitHealth()
     rep
   }
@@ -414,7 +455,8 @@ object CuratedVectorSync {
       searchOut: Option[String] = None,
       exportOut: Option[ExportCfg] = None,
       pqOut: Option[PqCfg] = None,
-      telemetry: Option[graft.metrics.EventHandler] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      telemetry: Option[graft.metrics.EventHandler] = None,
+      superOut: Option[SuperCfg] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val schema = graft.sources.TextIngest.rawSchema
       .add("embedding", ArrayType(DoubleType))
@@ -426,7 +468,7 @@ object CuratedVectorSync {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestDropBatch(spark, batch, batchId, textOut, ivfOut, searchOut,
-          exportOut, pqOut, telemetry); ()
+          exportOut, pqOut, telemetry, superOut); ()
       }
       .start()
   }
@@ -442,7 +484,8 @@ object CuratedVectorSync {
       searchOut: Option[String] = None,
       exportOut: Option[ExportCfg] = None,
       pqOut: Option[PqCfg] = None,
-      telemetry: Option[graft.metrics.EventHandler] = None): Option[SyncReport] = {
+      telemetry: Option[graft.metrics.EventHandler] = None,
+      superOut: Option[SuperCfg] = None): Option[SyncReport] = {
     val docs = graft.sources.TextIngest.normalize(
       batch.drop("embedding")
         .withColumn("_corrupt_record", lit(null).cast("string")))
@@ -453,6 +496,6 @@ object CuratedVectorSync {
       batch.select(col("doc_id"), col("embedding"))
         .where(col("embedding").isNotNull),
       textOut, ivfOut, s"batch-$batchId", searchOut, exportOut, pqOut,
-      telemetry))
+      telemetry, superOut))
   }
 }

@@ -223,6 +223,59 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
       .forall(_.getAs[Boolean]("ok")))
   }
 
+  test("super-layer cadence: first delivery creates the layer, split-born orphans trigger rebuild, replay no-ops") {
+    val in = tmp("sp_in"); val textOut = tmp("sp_text"); val ivfOut = tmp("sp_ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    IvfMaintenance.build(spark,
+      vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 3).as("label"), col("embedding")),
+      ivfOut)
+    val sCfg = CuratedVectorSync.SuperCfg(maxOrphanFrac = 0.05)
+    // delivery 1: creates the layer (no layer yet = always due)
+    val rep1 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "sp1",
+      superOut = Some(sCfg))
+    assert(rep1.superRebuilt, "first enabled delivery must create the layer")
+    assert(IvfMaintenance.superOrphans(spark, ivfOut).contains(0L))
+    // delivery 2: a dense delta aimed at ONE cell's centroid overgrows
+    // it → split → split-born cells postdate the layer → orphans →
+    // the same delivery's cadence rebuilds
+    val c0 = IvfMaintenance.centroids(spark, ivfOut)
+      .orderBy("cell").select("c").head().getSeq[Double](0)
+    val docs2 = (0 until 80).map(k => Doc(7000 + k, words(8000 + k)))
+    val vecs2 = docs2.map(d => (d.id,
+      c0.zipWithIndex.map { case (x, i) => x + 0.001 * ((d.id + i) % 7) }))
+      .toDF("doc_id", "embedding")
+    val rep2 = CuratedVectorSync.ingest(spark, toDF(docs2), vecs2,
+      textOut, ivfOut, "sp2", superOut = Some(sCfg))
+    assert(rep2.ivf.exists(_.nSplit > 0), s"fixture must split: ${rep2.ivf}")
+    assert(rep2.superRebuilt, "split-born orphans must trigger the rebuild")
+    assert(IvfMaintenance.superOrphans(spark, ivfOut).contains(0L),
+      "a completed rebuild covers every live cell")
+    // replayed delivery: zero orphans → no rebuild, layer untouched
+    val segBefore = IvfMaintenance.superSeg(spark, ivfOut)
+    val rep3 = CuratedVectorSync.ingest(spark, toDF(docs2), vecs2,
+      textOut, ivfOut, "sp2", superOut = Some(sCfg))
+    assert(!rep3.superRebuilt, "replay with a fresh layer must not rebuild")
+    assert(IvfMaintenance.superSeg(spark, ivfOut) == segBefore)
+    // the maintained layer serves: hier probe at full sprobe equals flat
+    val q = vecs2.limit(5)
+      .select(col("doc_id").as("query_id"), col("embedding"))
+    val nSup = spark.read.parquet(
+      s"$ivfOut/ivf/super/cents/seg=${segBefore.get}").count().toInt
+    val flat = IvfMaintenance.knnQuery(spark, ivfOut, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val hier = IvfMaintenance.knnQuery(spark, ivfOut, q, k = 3, nprobe = 2,
+      sprobe = Some(nSup))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(hier == flat)
+  }
+
   test("a crashed occupancy-maintenance commit heals on a fully-synced replay") {
     val (textOut, ivfOut, _, _) = run
     // the merge rides remove() under the derived key — simulate its
