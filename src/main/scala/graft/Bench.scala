@@ -12,6 +12,12 @@ object Bench {
     * slow host is flagged even when the previous run was slow too. */
   val CanonicalMtRefSec = 0.50
 
+  /** Canonical empty-job round-trip (median, local[32], this VM class
+    * healthy). The scheduler-latency axis of band certification —
+    * orthogonal to the CPU-spin probes (see the jobLatMs comment in
+    * main). */
+  val CanonicalJobLatMs = 20.0
+
   /** BENCH.json lives at the repo root (next to build.sbt), found by
     * walking up from the working directory — a CWD-relative path reads
     * (and writes) the wrong file when the bench is launched from a
@@ -220,6 +226,24 @@ object Bench {
     }
     spin(20000000L) // JIT warm
     val (st, mt) = (probeSt(), probeMt())
+    // Scheduler-latency probe — the contention mode the CPU-spin pair
+    // CANNOT see (r15/r16 evidence: two runs with band-clean spin
+    // probes and +12 s / +50 s totals concentrated in many-job
+    // iterative queries; a direct measurement found empty-job
+    // round-trips at 102 ms on a spin-clean host vs ~10-30 ms
+    // healthy). Spin measures pure userspace compute; query wall time
+    // is also thread wakeups, futexes, and task dispatch — iterative
+    // CC queries run hundreds of short jobs and amplify every extra
+    // millisecond. Median of 30 empty jobs, against a pinned canonical
+    // 20 ms; > 2.5x flags the run band-suspect like the spin probe.
+    val jobLatMs: Double = {
+      (1 to 5).foreach(_ => spark.range(1).count()) // scheduler warm
+      val ls = (1 to 30).map { _ =>
+        val t0 = System.nanoTime(); spark.range(1).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ls(ls.size / 2)
+    }
     // Band self-certification: the round artifact (BENCH_r{N}.json, the
     // parsed compact line) must carry its own hardware yardstick — the
     // full BENCH.json embeds the probes, but adjudicating a cross-round
@@ -267,10 +291,11 @@ object Bench {
         s""""noise_verdict":{"verdict":"$verdict","gap_sec":${r3(gap)},"breadth":${r3(breadth)},"top5_share":${r3(topShare)},"top_movers":$moversJson}"""
       }
     val bandSuspect =
-      math.max(mt, CanonicalMtRefSec) / math.min(mt, CanonicalMtRefSec) > 1.25
+      math.max(mt, CanonicalMtRefSec) / math.min(mt, CanonicalMtRefSec) > 1.25 ||
+        jobLatMs > CanonicalJobLatMs * 2.5
     val refJson = s""","cpu_probe_mt_ref_sec":$CanonicalMtRefSec""" +
       prevMt.map(r => s""","cpu_probe_mt_prev_sec":$r""").getOrElse("")
-    val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)},"cpu_probe_st_sec":${BigDecimal(st).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"cpu_probe_mt_sec":${BigDecimal(mt).setScale(3, BigDecimal.RoundingMode.HALF_UP)}$refJson,"band_suspect":$bandSuspect}"""
+    val hw = s""""hardware":{"cpus":"$cpus","maxHeapGb":${Runtime.getRuntime.maxMemory / (1L << 30)},"cpu_probe_st_sec":${BigDecimal(st).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"cpu_probe_mt_sec":${BigDecimal(mt).setScale(3, BigDecimal.RoundingMode.HALF_UP)}$refJson,"job_probe_ms":${BigDecimal(jobLatMs).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"job_probe_ref_ms":$CanonicalJobLatMs,"band_suspect":$bandSuspect}"""
     // Measurement protocol, embedded so cross-round consumers can
     // detect a protocol break (the r5→r6 best-of-N switch made totals
     // incomparable with single-pass rounds and was misreadable as a
@@ -296,7 +321,7 @@ object Bench {
     val qbCompact = qb.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"relayout_sec":${r3(relayoutSec)},"queue_bench":$qbCompact,"cpu_probe_st_sec":${r3(st)},"cpu_probe_mt_sec":${r3(mt)},"band_suspect":$bandSuspect,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"relayout_sec":${r3(relayoutSec)},"queue_bench":$qbCompact,"cpu_probe_st_sec":${r3(st)},"cpu_probe_mt_sec":${r3(mt)},"job_probe_ms":${BigDecimal(jobLatMs).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"band_suspect":$bandSuspect,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser (round-1 failure mode:
     // async executor ERROR lines landed after the JSON): (1) persist the
     // full metrics to BENCH.json, (2) fully stop Spark so no log line can
