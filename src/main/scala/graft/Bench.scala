@@ -64,6 +64,64 @@ object Bench {
     Some((verdict, gap, breadth, topShare, movers))
   }
 
+  /** Extract the top-level NUMERIC entries of a BENCH.json line's
+    * `"queries":{...}` object. A flat `[^}]*` regex truncates the
+    * capture at the first nested `}` — any `{"err":...}` entry silently
+    * drops every query after it, and escaped quotes inside the err
+    * string can fake `"k":num` pairs — so this is a brace-depth-aware
+    * scan: nested objects (err entries) are skipped whole, strings are
+    * walked with escape handling, and only depth-1 `"name":number`
+    * pairs are kept. */
+  private[graft] def parsePrevQueries(txt: String): Map[String, Double] = {
+    val marker = "\"queries\":{"
+    val start = txt.indexOf(marker)
+    if (start < 0) return Map.empty
+    var i = start + marker.length
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // reads the string starting at txt(i)=='"'; leaves i past the close
+    def readString(): String = {
+      val sb = new StringBuilder; i += 1
+      while (i < txt.length && txt(i) != '"') {
+        if (txt(i) == '\\' && i + 1 < txt.length) { sb += txt(i + 1); i += 2 }
+        else { sb += txt(i); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    // skips a {...} or [...] value starting at txt(i); strings inside
+    // are walked so braces in err text can't unbalance the count
+    def skipComposite(): Unit = {
+      var d = 0
+      do {
+        txt(i) match {
+          case '"' => readString()
+          case '{' | '[' => d += 1; i += 1
+          case '}' | ']' => d -= 1; i += 1
+          case _ => i += 1
+        }
+      } while (i < txt.length && d > 0)
+    }
+    var done = false
+    while (i < txt.length && !done) {
+      txt(i) match {
+        case '"' =>
+          val key = readString()
+          while (i < txt.length && (txt(i) == ':' || txt(i).isWhitespace)) i += 1
+          if (i < txt.length) txt(i) match {
+            case '{' | '[' => skipComposite() // err entry — skip whole
+            case _ =>
+              val j0 = i
+              while (i < txt.length && "+-.eE0123456789".indexOf(txt(i)) >= 0) i += 1
+              try out(key) = txt.substring(j0, i).toDouble
+              catch { case _: NumberFormatException => () }
+          }
+        case '}' => done = true
+        case _ => i += 1
+      }
+    }
+    out.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -271,12 +329,8 @@ object Bench {
     // candidate. The verdict rides the full JSON and one stdout line,
     // so cross-artifact adjudication no longer needs a repo archaeology
     // session.
-    val prevQueries: Map[String, Double] = prevTxt.flatMap { txt =>
-      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
-    }.map { body =>
-      """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
+    val prevQueries: Map[String, Double] =
+      prevTxt.map(parsePrevQueries).getOrElse(Map.empty)
     val noiseVerdict: Option[String] = classifyNoise(prevQueries,
       results.collect { case (n, Right(t)) => n -> t }.toMap)
       .map { case (verdict, gap, breadth, topShare, movers) =>

@@ -226,17 +226,22 @@ object CuratedVectorSync {
     // corpus-free and the rebuild deterministic, so no replay key is
     // needed; a crashed rebuild is finished by the next evaluation
     def maintainSuper(): Boolean = superOut.exists { c =>
-      val due = c.cadenceBatches <= 1 || math.floorMod(
-        scala.util.hashing.MurmurHash3.stringHash(key), c.cadenceBatches) == 0
-      if (!due) false
-      else IvfMaintenance.superOrphans(s, ivfOut) match {
-        case None => // first enabled delivery: create the layer
+      // missing-layer check BEFORE the cadence gate: the SuperCfg
+      // contract is "created on the first ENABLED delivery" — with
+      // cadenceBatches > 1 a not-due first key must still create the
+      // layer, or sprobe-serving throws until some later due delivery
+      IvfMaintenance.superOrphans(s, ivfOut) match {
+        case None =>
           IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); true
-        case Some(0L) => false
         case Some(orphans) =>
-          val nCells = IvfMaintenance.centroids(s, ivfOut).count()
-          if (orphans.toDouble / nCells < c.maxOrphanFrac) false
-          else { IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); true }
+          val due = c.cadenceBatches <= 1 || math.floorMod(
+            scala.util.hashing.MurmurHash3.stringHash(key), c.cadenceBatches) == 0
+          if (!due || orphans == 0L) false
+          else {
+            val nCells = IvfMaintenance.centroids(s, ivfOut).count()
+            if (orphans.toDouble / nCells < c.maxOrphanFrac) false
+            else { IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); true }
+          }
       }
     }
     // drain to EMPTY, not one call: exportIncremental commits ONE
@@ -314,11 +319,23 @@ object CuratedVectorSync {
       }
       exportOut.foreach { c =>
         val eh = TrainingExport.health(s, liveEpochDir(s, c))
+        // the rotation-pressure gauge, surfaced per delivery: packed
+        // docs of the live epoch (docs never leave an epoch's bytes) −
+        // live train docs (id-width manifest count) = retracted-but-
+        // still-packed docs. Without it an operator could only observe
+        // pressure by triggering maybeRotateEpoch's own check; clamped
+        // at 0 (an enabled-but-undrained lockstep reads live > packed)
+        val liveTrain = DeltaIngest.readManifest(s, textOut)
+          .where(col("split") === "train").count()
+        val epochK = c.epoch.map(_ =>
+          epochDirsPresent(s, c.dir).lastOption.getOrElse(0L)).getOrElse(0L)
         h.handle("export_health", c.dir, Map(
           "nGenerations" -> eh.nGenerations.toDouble,
           "nCoveredSegs" -> eh.nCoveredSegs.toDouble,
           "nDocs" -> eh.nDocs.toDouble, "nSeqs" -> eh.nSeqs.toDouble,
-          "nTokens" -> eh.nTokens.toDouble))
+          "nTokens" -> eh.nTokens.toDouble,
+          "epoch" -> epochK.toDouble,
+          "staleDocs" -> math.max(0L, eh.nDocs - liveTrain).toDouble))
       }
     }
     // ---- doc side (skip-if-committed carries the replay) ----

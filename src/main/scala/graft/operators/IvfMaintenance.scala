@@ -951,6 +951,23 @@ object IvfMaintenance {
         }
       }
     }
+    // ...and markerless debris: a crash between the data-dir writes and
+    // the marker leaves cents/map seg dirs the marker sweep above never
+    // matches — without this, every such crash leaks a generation of
+    // disk forever (later rebuilds publish at higher segs and only
+    // sweep marker-bearing ones). Safe because readers only ever
+    // resolve through the marker, so a markerless non-published dir is
+    // unreachable by construction.
+    Seq("cents", "map").foreach { sub =>
+      val d = new Path(s"${superRoot(outDir)}/$sub")
+      if (f.exists(d)) f.listStatus(d).toSeq.foreach { st =>
+        st.getPath.getName.stripPrefix("seg=").toLongOption.foreach { n =>
+          if (n != seg &&
+              !f.exists(new Path(s"${superRoot(outDir)}/marker-$n")))
+            f.delete(st.getPath, true)
+        }
+      }
+    }
   }
 
   /** Cells in the LIVE snapshot not covered by the published super

@@ -48,13 +48,21 @@ class PipelineRunner(
     workers: WorkerSet = WorkerSet.empty) {
 
   private val spark: SparkSession = store.spark
-  /** The cluster-mode worker path: the set broadcasts ONCE here and
-    * the dispatch closures resolve from the broadcast value first
-    * (per-JVM [[WorkerRegistry]] as fallback) — executors never need a
-    * static-initializer registration story. Empty set ⇒ no broadcast. */
-  private val workerBc: Option[org.apache.spark.broadcast.Broadcast[WorkerSet]] =
+  /** The cluster-mode worker path: the set broadcasts lazily (once per
+    * start/stop cycle) and the dispatch closures resolve from the
+    * broadcast value first (per-JVM [[WorkerRegistry]] as fallback) —
+    * executors never need a static-initializer registration story.
+    * Empty set ⇒ no broadcast. `stop()` destroys the handle so
+    * long-lived drivers constructing many runners don't accumulate
+    * broadcast blocks; a restart re-broadcasts on first dispatch. */
+  @volatile private var workerBcHandle: Option[org.apache.spark.broadcast.Broadcast[WorkerSet]] = None
+  private def workerBc: Option[org.apache.spark.broadcast.Broadcast[WorkerSet]] =
     if (workers.size == 0) None
-    else Some(spark.sparkContext.broadcast(workers))
+    else synchronized {
+      if (workerBcHandle.isEmpty)
+        workerBcHandle = Some(spark.sparkContext.broadcast(workers))
+      workerBcHandle
+    }
   /** Per-pipeline telemetry gate (pipeline.ex:17): unless
     * `cfg.instrument` is true, per-job telemetry is skipped entirely,
     * matching instrumentation.ex:10-11 / worker.ex:41. */
@@ -203,6 +211,12 @@ class PipelineRunner(
       if (pendingStop == drain && !drain.exists(_.isAlive)) pendingStop = None
     }
     toStop.foreach(_.stop())
+    // free the WorkerSet broadcast blocks (driver + executors) now that
+    // no query can dispatch through it; a later start() re-broadcasts
+    synchronized {
+      workerBcHandle.foreach(_.destroy())
+      workerBcHandle = None
+    }
   }
   def activeQuery: Option[StreamingQuery] = query
 

@@ -70,4 +70,37 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(Bench.classifyNoise(
       Map("a" -> 1.0, "b" -> 2.0), Map("a" -> 9.0, "b" -> 9.0)).isEmpty)
   }
+
+  test("python side refuses tiny key overlap too (lockstep with Scala)") {
+    def js(m: Map[String, Double]) =
+      m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
+        .mkString("""{"queries":{""", ",", "}}")
+    val dir = java.nio.file.Files.createTempDirectory("bdiff-refuse")
+    val fb = dir.resolve("b.json"); val fc = dir.resolve("c.json")
+    java.nio.file.Files.write(fb,
+      js(Map("a" -> 1.0, "b" -> 2.0)).getBytes("UTF-8"))
+    java.nio.file.Files.write(fc,
+      js(Map("a" -> 9.0, "b" -> 9.0)).getBytes("UTF-8"))
+    val p = new ProcessBuilder("python3", "tools/bench_diff.py",
+      fb.toString, fc.toString).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    assert(p.waitFor() != 0, s"expected refusal exit, got:\n$out")
+    assert(out.contains("refusing verdict"), s"unexpected refusal text:\n$out")
+  }
+
+  test("prev-BENCH parser survives err entries and escaped quotes") {
+    // an err object mid-map used to truncate the flat-regex capture at
+    // its closing brace (dropping q3/q4) and the escaped quotes inside
+    // the err string could fake phantom "k":num pairs
+    val txt = """{"metric":"total","queries":{"q1":1.5,""" +
+      """"q2":{"err":"boom \"x\":9 {nested} end"},"q3":2.25,""" +
+      """"q4":{"err":"twice{{"},"q5":0.75},"queue_bench":{"z":9.0}}"""
+    assert(Bench.parsePrevQueries(txt) ==
+      Map("q1" -> 1.5, "q3" -> 2.25, "q5" -> 0.75))
+    // clean map: identical result to the old regex path
+    val clean = """{"queries":{"a":1.0,"b":2.5}}"""
+    assert(Bench.parsePrevQueries(clean) == Map("a" -> 1.0, "b" -> 2.5))
+    // no queries object at all
+    assert(Bench.parsePrevQueries("""{"metric":"total"}""").isEmpty)
+  }
 }

@@ -223,6 +223,85 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
       .forall(_.getAs[Boolean]("ok")))
   }
 
+  test("export_health carries the rotation-pressure gauge: staleDocs rises across retracting deliveries, resets after the rotation") {
+    val in = tmp("eg_in"); val textOut = tmp("eg_text"); val ivfOut = tmp("eg_ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    IvfMaintenance.build(spark,
+      vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 3).as("label"), col("embedding")),
+      ivfOut)
+    val root = tmp("eg_root")
+    val cfg = CuratedVectorSync.ExportCfg(root, nShards = 4,
+      epoch = Some(CuratedVectorSync.EpochPolicy(maxStale = 2)))
+    val handler = new graft.metrics.InMemoryEventHandler()
+    def gauge(k: String): Double =
+      handler.gauges((root, "export_health"))(k)
+    // batch 1: appends only — gen 0 packs AFTER the batch commits, so
+    // it covers the post-batch layout: zero pressure, epoch 0
+    val d1 = Seq(Doc(6201, words(9211)))
+    CuratedVectorSync.ingest(spark, toDF(d1), vecsOf(d1.map(_.id)),
+      textOut, ivfOut, "eg1", exportOut = Some(cfg),
+      telemetry = Some(handler))
+    assert(gauge("staleDocs") == 0.0 && gauge("epoch") == 0.0,
+      s"${handler.gauges((root, "export_health"))}")
+    // batch 2: replaces an already-packed keeper — its victim's bytes
+    // stay in epoch 0, so the gauge must read the pressure (1 <
+    // maxStale: no rotation yet), observable WITHOUT triggering the
+    // rotation check
+    val v1 = baseDocs(10)
+    val w1 = Doc(6301, v1.ws ++ Vector("qqa01", "qqa02", "qqa03"))
+    val r2 = CuratedVectorSync.ingest(spark, toDF(Seq(w1)),
+      vecsOf(Seq(w1.id)), textOut, ivfOut, "eg2", exportOut = Some(cfg),
+      telemetry = Some(handler))
+    assert(r2.epoch.isEmpty, s"below maxStale must not rotate: ${r2.epoch}")
+    assert(gauge("staleDocs") == 1.0 && gauge("epoch") == 0.0,
+      s"${handler.gauges((root, "export_health"))}")
+    // batch 3: a second replacement reaches maxStale — the sync
+    // rotates, and the post-delivery snapshot reads the RESET gauge
+    // plus the advanced epoch index
+    val v2 = baseDocs(11)
+    val w2 = Doc(6302, v2.ws ++ Vector("qqb01", "qqb02", "qqb03"))
+    val r3 = CuratedVectorSync.ingest(spark, toDF(Seq(w2)),
+      vecsOf(Seq(w2.id)), textOut, ivfOut, "eg3", exportOut = Some(cfg),
+      telemetry = Some(handler))
+    assert(r3.epoch.isDefined, "accumulated pressure must rotate")
+    assert(gauge("staleDocs") == 0.0 && gauge("epoch") == 1.0,
+      s"${handler.gauges((root, "export_health"))}")
+  }
+
+  test("super-layer cadence: a NOT-due key still creates a missing layer (SuperCfg first-delivery contract)") {
+    val in = tmp("spc_in"); val textOut = tmp("spc_text"); val ivfOut = tmp("spc_ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    IvfMaintenance.build(spark,
+      vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 3).as("label"), col("embedding")),
+      ivfOut)
+    // a key the cadence hash-gate would SKIP: before the fix the first
+    // delivery under such a key never created the layer and
+    // sprobe-serving threw until some later due delivery
+    val cadence = 64
+    val notDue = (1 to 1000).map(i => s"nd$i").find(k => math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(k), cadence) != 0).get
+    val sCfg = CuratedVectorSync.SuperCfg(maxOrphanFrac = 0.05,
+      cadenceBatches = cadence)
+    val rep1 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, notDue,
+      superOut = Some(sCfg))
+    assert(rep1.superRebuilt,
+      "a missing layer must be created even when the key is not due")
+    assert(IvfMaintenance.superOrphans(spark, ivfOut).contains(0L))
+  }
+
   test("super-layer cadence: first delivery creates the layer, split-born orphans trigger rebuild, replay no-ops") {
     val in = tmp("sp_in"); val textOut = tmp("sp_text"); val ivfOut = tmp("sp_ivf")
     toDF(baseDocs).coalesce(2).write.mode("overwrite")

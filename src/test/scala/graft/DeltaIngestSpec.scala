@@ -529,6 +529,46 @@ class DeltaIngestSpec extends AnyFunSuite {
     java.nio.file.Files.delete(legacy)
   }
 
+  test("legacy bare _keys (version 0) migrates: compaction folds singles into _keys-1, replay identity preserved") {
+    // an r15-shaped layout: the pre-versioning code wrote the replay
+    // map as ONE bare `_keys` file overwritten in place — the version-0
+    // shape keysMapVersions still accepts. The upgrade path the
+    // versioning change created: the first post-upgrade compaction must
+    // read the bare map, fold new singles into `_keys-1`, and drop the
+    // legacy file, with every key's committedSegOf unchanged.
+    val in = tmp("v0_in"); writeInput(baseDocs, in)
+    val out = tmp("v0_out")
+    CurationRun.run(spark, in, out)
+    DeltaIngest.buildIndex(spark, out)
+    val d1 = Doc(pickId(9801, _ => true), words(70), "web")
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(d1)), out, "v0-a")
+    DeltaIngest.compact(spark, out)
+    val segA = DeltaIngest.committedSegOf(spark, out, "v0-a")
+    assert(segA.isDefined)
+    // fabricate r15: demote the versioned map to the legacy bare name
+    val dir = java.nio.file.Paths.get(out, "delta_markers")
+    java.nio.file.Files.move(dir.resolve("_keys-1"), dir.resolve("_keys"))
+    assert(DeltaIngest.committedSegOf(spark, out, "v0-a") == segA,
+      "the bare legacy map must still be read (as version 0)")
+    // post-upgrade traffic: a fresh single marker on the legacy layout
+    val d2 = Doc(pickId(9802, _ => true), words(71), "web")
+    DeltaIngest.ingestKeyed(spark, toDF(Seq(d2)), out, "v0-b")
+    val segB = DeltaIngest.committedSegOf(spark, out, "v0-b")
+    DeltaIngest.compact(spark, out)
+    val names = new java.io.File(s"$out/delta_markers").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(names == Set("_keys-1"),
+      s"legacy map + singles must fold into _keys-1: $names")
+    assert(DeltaIngest.committedSegOf(spark, out, "v0-a") == segA &&
+      DeltaIngest.committedSegOf(spark, out, "v0-b") == segB,
+      "replay identity must survive the migration fold")
+    // the migrated keys still refuse a replay at batch entry
+    val e = intercept[IllegalArgumentException] {
+      DeltaIngest.ingestKeyed(spark, toDF(Seq(d1)), out, "v0-a")
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+  }
+
   test("readFinal plan pin: split filter prunes the partitioned base; the edit anti-join is id-width") {
     // the scale shape the final_log conversion promises — a split
     // predicate must reach the base dir as a PartitionFilter (val/test

@@ -190,6 +190,28 @@ class IvfHierSpec extends AnyFunSuite {
       "a fresh rebuild covers every live cell")
   }
 
+  test("buildSuper sweeps markerless crash debris (data dirs written, marker never landed)") {
+    val out = tmp("debris")
+    IvfMaintenance.build(spark, clustered, out, nlist = Some(12),
+      targetOcc = 40L)
+    IvfMaintenance.buildSuper(spark, out, nSuper = Some(3))
+    // fabricate the crash: a rebuild wrote its cents/map dirs at some
+    // seg but died before its marker — the old GC only swept
+    // marker-bearing generations, so these leaked forever
+    val root = s"$out/ivf/super"
+    for (sub <- Seq("cents", "map")) {
+      val d = new java.io.File(s"$root/$sub/seg=999"); d.mkdirs()
+      java.nio.file.Files.write(d.toPath.resolve("part-crashed.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    IvfMaintenance.buildSuper(spark, out, nSuper = Some(3))
+    for (sub <- Seq("cents", "map"))
+      assert(!new java.io.File(s"$root/$sub/seg=999").exists(),
+        s"markerless $sub debris must be swept by the next rebuild")
+    // the published generation is intact and fully covering
+    assert(IvfMaintenance.superOrphans(spark, out).contains(0L))
+  }
+
   test("unlabeled build with no nlist auto-sizes to ~N/targetOcc cells") {
     // `clustered` has NO label column: the build must not demand one —
     // it auto-sizes k = ceil(N/targetOcc) with sampled seeding, so a

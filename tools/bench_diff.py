@@ -14,10 +14,10 @@ them per query and classify the total-time disagreement:
                 regression candidate; those queries are listed
   mixed         neither signature dominates; eyeball the listing
 
-The same thresholds run inside graft.Bench when
-SPARK_GRAFT_BENCH_BASELINE points at a previous full BENCH.json — keep
-the two in lockstep (test: BenchDiffSpec pins the Scala side to the
-worked examples in this file's __main__ fixtures).
+The same thresholds run inside graft.Bench, which compares every run
+against the previous committed BENCH.json at the repo root — keep the
+two in lockstep (test: BenchDiffSpec runs BOTH sides on shared worked
+examples, including the under-20-keys refusal).
 
 With a third argument — the round's TOUCHED query names/prefixes,
 comma-separated ("" = the round touched no queries) — the tool runs
@@ -32,6 +32,7 @@ Usage: python3 tools/bench_diff.py BASELINE.json CANDIDATE.json [touched]
 import json
 import sys
 
+MIN_COMMON_KEYS = 20       # below this, refuse: no verdict beats junk
 TIMER_NOISE_SEC = 0.03     # per-query deltas below this are ignored
 GAP_FLOOR_SEC = 1.0        # total gaps below this are in-band outright
 GAP_FLOOR_FRAC = 0.02      # ... or below 2% of the baseline total
@@ -43,8 +44,12 @@ UNIFORM_MIN_BREADTH = 0.4  # >= 40% of queries inflated above noise
 
 def classify(base: dict, cand: dict, touched=None) -> dict:
     keys = sorted(set(base) & set(cand))
-    if not keys:
-        raise SystemExit("no common query keys between the two files")
+    if len(keys) < MIN_COMMON_KEYS:
+        # same refusal as Bench.classifyNoise: a verdict computed from a
+        # handful of overlapping keys is statistically meaningless
+        raise SystemExit(
+            f"refusing verdict: only {len(keys)} common query keys "
+            f"(< {MIN_COMMON_KEYS}) between the two files")
     deltas = {k: cand[k] - base[k] for k in keys}
     base_total = sum(base[k] for k in keys)
     cand_total = sum(cand[k] for k in keys)
