@@ -16,11 +16,11 @@ object ServeBench {
     def tmp(n: String) =
       java.nio.file.Files.createTempDirectory(s"serve_$n").toString
     val ivfDir = tmp("ivf"); val sizedDir = tmp("ivf_sized")
-    val searchDir = tmp("search")
+    val searchDir = tmp("search"); val cellsDir = tmp("ivf_cells")
     // the fixtures' full IVF+PQ+search copies must not outlive the run:
     // un-deleted temp dirs accumulated /tmp disk across bench rounds
-    try runOn(spark, sfDir, ivfDir, sizedDir, searchDir)
-    finally for (d <- Seq(ivfDir, sizedDir, searchDir)) {
+    try runOn(spark, sfDir, ivfDir, sizedDir, searchDir, cellsDir)
+    finally for (d <- Seq(ivfDir, sizedDir, searchDir, cellsDir)) {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
@@ -28,7 +28,7 @@ object ServeBench {
 
   private def runOn(spark: SparkSession, sfDir: String,
       ivfDir: String, sizedDir: String,
-      searchDir: String): Map[String, Double] = {
+      searchDir: String, cellsDir: String): Map[String, Double] = {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -104,6 +104,80 @@ object ServeBench {
       },
       "bm25_sec" -> bench {
         TextSearchIndex.query(spark, searchDir, terms, 10).count(); ()
+      }) ++ cellsSized(spark, emb, cellsDir, once, bench)
+  }
+
+  /** Hier-vs-flat at a DESIGN-POINT cell count. The probe cost the
+    * hier layer exists to bound is a function of nlist, and the
+    * fixture corpora top out at tens of cells — so the `*_hier_100q`
+    * keys above can only show the layer's fixed overhead, never its
+    * win. This family builds a cells-heavy index: the fixture
+    * embeddings replicated with deterministic id-offset perturbations
+    * to ~24k vectors, one label per vector (occupancy ≈ 1), rounds = 0
+    * — the PROBE then faces ~24k centroids, two orders past the other
+    * keys, while the corpus stays bench-sized. At that width the flat
+    * probe must broadcast and argmin the full 24k-row centroid table
+    * per call; the hier probe broadcasts ~√24k supers plus probed
+    * children. Keys publish the measured crossover (sized hier vs
+    * sized flat) each certified run. */
+  private def cellsSized(spark: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, cellsDir: String,
+      once: (=> Unit) => Double,
+      bench: (=> Unit) => Double): Map[String, Double] = {
+    // 8k cells: the smallest width where the crossover is already
+    // measurable (flat pays the full-table broadcast+argmin per call)
+    // while the one-off build stays bench-sized — the build's final
+    // assign is O(nCells²·dim), so doubling the width quadruples it
+    val nTarget = 8000L
+    val nEmb = emb.count()
+    val reps = math.max(1L, (nTarget + nEmb - 1) / nEmb)
+    val big = emb.crossJoin(spark.range(reps).toDF("r"))
+      .select((col("vec_id") * reps + col("r")).as("vec_id"),
+        (col("vec_id") * reps + col("r")).as("label"),
+        transform(col("embedding"), (x, i) =>
+          x + (col("r") * (i + lit(1)) % lit(97)).cast("double") * lit(0.013))
+          .as("embedding"))
+      .localCheckpoint(true)
+    val nCells = big.count()
+    val buildSec = once {
+      IvfMaintenance.build(spark, big, cellsDir, rounds = 0)
+      // PQ codebooks are per-(subspace, label): the per-vector labels
+      // that seed the occ-1 cells would make the codebook AS BIG AS
+      // the corpus (degenerate, and O(N²) to encode) — train on a
+      // coarse 256-bucket relabeling, the realistic codebook width
+      IvfMaintenance.buildPq(spark,
+        big.select((col("vec_id") % 256).as("label"), col("embedding")),
+        cellsDir, 8)
+    }
+    val superSec = once { IvfMaintenance.buildSuper(spark, cellsDir) }
+    // deterministic 100: the r=0 replica of the first 100 originals
+    val queries = big
+      .where(col("vec_id") % reps === 0 && col("vec_id") < lit(100L) * reps)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .localCheckpoint(true)
+    // sprobe ≈ √(super count): same pruning ratio at each level
+    val sprobe = math.max(2,
+      math.round(math.pow(nCells.toDouble, 0.25)).toInt)
+    Map(
+      "cells_sized_nlist" -> nCells.toDouble,
+      "cells_sized_sprobe" -> sprobe.toDouble,
+      "cells_sized_build_sec" -> buildSec,
+      "cells_sized_super_build_sec" -> superSec,
+      "knn_flat_sized_100q_sec" -> bench {
+        IvfMaintenance.knnQuery(spark, cellsDir, queries, k = 5, nprobe = 8)
+          .count(); ()
+      },
+      "knn_hier_sized_100q_sec" -> bench {
+        IvfMaintenance.knnQuery(spark, cellsDir, queries, k = 5, nprobe = 8,
+          sprobe = Some(sprobe)).count(); ()
+      },
+      "adc_flat_sized_100q_sec" -> bench {
+        IvfMaintenance.adcKnn(spark, cellsDir, queries, k = 5, nprobe = 8)
+          .count(); ()
+      },
+      "adc_hier_sized_100q_sec" -> bench {
+        IvfMaintenance.adcKnn(spark, cellsDir, queries, k = 5, nprobe = 8,
+          sprobe = Some(sprobe)).count(); ()
       })
   }
 }

@@ -46,7 +46,8 @@ object CuratedVectorSync {
       export: Option[(Long, TrainingExport.ExportReport)] = None,
       pq: Option[IvfMaintenance.PqHealth] = None, // None = not due / already checked
       epoch: Option[TrainingExport.EpochReport] = None, // Some = this delivery rotated the epoch
-      superRebuilt: Boolean = false) // this delivery refreshed the hier coarse layer
+      superRebuilt: Boolean = false, // this delivery re-trained the hier coarse layer
+      superMapped: Long = 0L) // cells incrementally mapped onto existing supers this delivery
 
   /** Shape of the optional training-export lockstep: the incremental
     * export's target dir + packing shape. The shape is FIXED per
@@ -81,16 +82,22 @@ object CuratedVectorSync {
     * ([[IvfMaintenance.buildSuper]]): cells born after the last super
     * build (ingest splits, fresh seeds) are ORPHANS every hier probe
     * hands to every query unpruned — exact but progressively less
-    * pruned, so the layer needs the same scheduled refresh the
-    * occupancy maintenance gets. Rebuild when orphans exceed
-    * `maxOrphanFrac` of the live cells (and always on the first
-    * enabled delivery, which creates the layer). The gauge is an
-    * id-width anti-join over the centroid table — corpus-free — and a
-    * pure function of committed state, so a redelivered batch reaches
-    * the same decision and reads zero orphans after a completed
-    * rebuild. buildSuper itself is deterministic and keyed to the
-    * committed segment (same seg → identical derived tables), so a
-    * crash mid-rebuild is healed by simply running again. */
+    * pruned. Two-tier upkeep: (1) EVERY enabled delivery incrementally
+    * maps uncovered cells onto their nearest EXISTING super
+    * ([[IvfMaintenance.mapNewCellsToSuper]] — one argmin vs the
+    * broadcast √nlist super table, O(new cells)), so orphans stay ≈ 0
+    * at any ingest churn; (2) on the hash-thinned cadence, when the
+    * incrementally-mapped share of live cells exceeds `maxOrphanFrac`,
+    * the layer RE-TRAINS (full [[IvfMaintenance.buildSuper]], which
+    * folds the deltas away) — the full rebuild is drift correction,
+    * not a coverage necessity. The layer is always created on the
+    * first enabled delivery (even off-cadence). Both gauges are
+    * id-width and corpus-free, pure functions of committed state, so a
+    * redelivered batch reaches the same decision — and the incremental
+    * map is deterministic, so a replay writes nothing (zero uncovered
+    * cells). buildSuper itself is deterministic and keyed to the
+    * committed segment, so a crash mid-rebuild is healed by running
+    * again. */
   final case class SuperCfg(maxOrphanFrac: Double = 0.1,
       nSuper: Option[Int] = None, cadenceBatches: Int = 1)
 
@@ -225,25 +232,41 @@ object CuratedVectorSync {
     // commits on every delivery path (fresh or replay) — the gauge is
     // corpus-free and the rebuild deterministic, so no replay key is
     // needed; a crashed rebuild is finished by the next evaluation
-    def maintainSuper(): Boolean = superOut.exists { c =>
+    def maintainSuper(): (Boolean, Long) = superOut.map { c =>
       // missing-layer check BEFORE the cadence gate: the SuperCfg
       // contract is "created on the first ENABLED delivery" — with
       // cadenceBatches > 1 a not-due first key must still create the
       // layer, or sprobe-serving throws until some later due delivery
       IvfMaintenance.superOrphans(s, ivfOut) match {
         case None =>
-          IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); true
+          IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); (true, 0L)
         case Some(orphans) =>
+          // incremental upkeep EVERY delivery, before any cadence:
+          // cells born since the layer (ingest splits, fresh seeds)
+          // argmin onto the EXISTING supers — O(new cells), so the
+          // serve-side orphan fan-out stays ≈ 0 at any ingest churn
+          // instead of growing until the next full rebuild
+          val mapped =
+            if (orphans == 0L) 0L
+            else IvfMaintenance.mapNewCellsToSuper(s, ivfOut)
+          // drift correction on the cadence: incrementally-mapped
+          // cells joined supers never retrained around them — when
+          // their share of the live cells passes the threshold, the
+          // full rebuild re-trains the layer (and clears the deltas)
           val due = c.cadenceBatches <= 1 || math.floorMod(
             scala.util.hashing.MurmurHash3.stringHash(key), c.cadenceBatches) == 0
-          if (!due || orphans == 0L) false
+          if (!due) (false, mapped)
           else {
-            val nCells = IvfMaintenance.centroids(s, ivfOut).count()
-            if (orphans.toDouble / nCells < c.maxOrphanFrac) false
-            else { IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); true }
+            val nDelta = IvfMaintenance.superMappedCells(s, ivfOut)
+            if (nDelta == 0L) (false, mapped)
+            else {
+              val nCells = IvfMaintenance.centroids(s, ivfOut).count()
+              if (nDelta.toDouble / nCells < c.maxOrphanFrac) (false, mapped)
+              else { IvfMaintenance.buildSuper(s, ivfOut, c.nSuper); (true, mapped) }
+            }
           }
       }
-    }
+    }.getOrElse((false, 0L))
     // drain to EMPTY, not one call: exportIncremental commits ONE
     // generation per call, and its crash-resume path spends its call
     // re-committing a sealed-but-unmarked generation — a single call
@@ -310,7 +333,13 @@ object CuratedVectorSync {
         "nSegments" -> ih.nSegments.toDouble,
         "pq" -> (if (ih.pq) 1.0 else 0.0)) ++
         IvfMaintenance.superOrphans(s, ivfOut)
-          .map(o => "superOrphans" -> o.toDouble))
+          .map(o => Map(
+            "superOrphans" -> o.toDouble,
+            // drift pressure: share of live cells mapped onto supers
+            // that were never retrained around them (see SuperCfg)
+            "superMappedCells" ->
+              IvfMaintenance.superMappedCells(s, ivfOut).toDouble))
+          .getOrElse(Map.empty))
       searchOut.foreach { so =>
         val sh = TextSearchIndex.health(s, so)
         h.handle("search_health", so, Map(
@@ -371,9 +400,10 @@ object CuratedVectorSync {
       // nothing uncovered (a few FS reads), a crashed export resumes;
       // the PQ check heals the same way (skip-marker-guarded)
       val (exp, ep) = drainExport()
+      val (sRebuilt, sMapped) = maintainSuper()
       val rep = SyncReport(docReport, 0L, 0L, export = exp,
         pq = runPqMaintenance(ivfKeys), epoch = ep,
-        superRebuilt = maintainSuper())
+        superRebuilt = sRebuilt, superMapped = sMapped)
       emitHealth()
       return rep
     }
@@ -436,6 +466,7 @@ object CuratedVectorSync {
           manifestInc.where(col("dead")).select("doc_id"), so, sRmKey))
     }.getOrElse((0L, 0L))
     val (exp, ep) = drainExport()
+    val (sRebuilt, sMapped) = maintainSuper()
     val rep = SyncReport(docReport,
       nVecIngested = ivfReport.map(_.nDelta).getOrElse(0L),
       nVecRemoved = nRemoved,
@@ -446,7 +477,7 @@ object CuratedVectorSync {
       export = exp,
       pq = runPqMaintenance(ivfKeys),
       epoch = ep,
-      superRebuilt = maintainSuper())
+      superRebuilt = sRebuilt, superMapped = sMapped)
     emitHealth()
     rep
   }

@@ -933,6 +933,15 @@ object IvfMaintenance {
     val map = assign(items, sup)
       .select(col("vec_id").as("cell"), col("cell").as("super_id"))
       .localCheckpoint(true)
+    // clear incremental map deltas ([[mapNewCellsToSuper]]) BEFORE the
+    // data writes: the fresh base map covers every live cell, so a
+    // delta surviving a crash after a same-seg republish would
+    // DUPLICATE cells in the extended map (two probe slots for one
+    // cell). Deleting first converges the other way — a crash here
+    // re-orphans the delta-mapped cells, which serve exactly (unpruned)
+    // until the next maintenance pass re-maps them.
+    val fm = fs(s, new Path(mapdRoot(outDir)))
+    fm.delete(new Path(mapdRoot(outDir)), true)
     sup.select(col("cell").as("super_id"), col("c"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"${superRoot(outDir)}/cents/seg=$seg")
@@ -970,14 +979,100 @@ object IvfMaintenance {
     }
   }
 
+  private def mapdRoot(outDir: String) = s"${superRoot(outDir)}/mapd"
+
+  /** Committed incremental map-delta dirs for super generation `sg`
+    * (empty when none). Deltas are keyed to the generation they extend
+    * — a fresh [[buildSuper]] covers every live cell, so it clears the
+    * whole mapd tree. */
+  private def mapdDirs(s: SparkSession, outDir: String,
+      sg: Long): Seq[String] = {
+    val root = new Path(s"${mapdRoot(outDir)}/sseg=$sg")
+    val f = fs(s, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** The published cell→super map EXTENDED by the committed
+    * incremental deltas ([[mapNewCellsToSuper]]) — the one map
+    * definition every reader (probe stage 2, orphan gauge) resolves
+    * through, so an incrementally-mapped cell prunes exactly like a
+    * build-mapped one. */
+  private def superMapAt(s: SparkSession, outDir: String,
+      sg: Long): DataFrame = {
+    val base = s.read.parquet(s"${superRoot(outDir)}/map/seg=$sg")
+    val deltas = mapdDirs(s, outDir, sg)
+    if (deltas.isEmpty) base
+    else base.unionAll(s.read.parquet(deltas: _*))
+  }
+
+  /** Rows in the incremental map deltas — the DRIFT gauge once
+    * [[mapNewCellsToSuper]] keeps orphans ≈ 0: an incrementally-mapped
+    * cell joined supers that were never retrained around it, so when
+    * their share of the live cells grows past the rebuild threshold
+    * the layer re-trains (the full rebuild becomes a drift-correction
+    * cadence, not a coverage necessity). 0 when no layer/deltas. */
+  def superMappedCells(s: SparkSession, outDir: String): Long =
+    superSeg(s, outDir) match {
+      case None => 0L
+      case Some(sg) =>
+        val deltas = mapdDirs(s, outDir, sg)
+        if (deltas.isEmpty) 0L else s.read.parquet(deltas: _*).count()
+    }
+
+  /** Incremental super-map upkeep: every live cell not yet covered by
+    * the (extended) map — ingest splits, fresh seeds born since the
+    * last [[buildSuper]] — is assigned to its nearest EXISTING super
+    * centroid: one argmin against the broadcast O(√nlist) super table,
+    * O(new cells) rows appended, no retraining. Without this, a cell
+    * born from an ingest split is an orphan handed to EVERY query
+    * until the next full rebuild — at high-churn ingest the orphan set
+    * IS the serve cost. Deterministic (argmin against published
+    * supers, ties to the smaller super id), and replay-safe by
+    * construction: a re-run sees zero uncovered cells and writes
+    * nothing. The append is staged-then-renamed, so a crash leaves
+    * either no delta or a committed one; a stale stage dir is swept on
+    * the next call. Returns cells mapped (0: no layer / all covered). */
+  def mapNewCellsToSuper(s: SparkSession, outDir: String): Long =
+    superSeg(s, outDir) match {
+      case None => 0L
+      case Some(sg) =>
+        VectorFunctions.register(s)
+        val uncovered = centroids(s, outDir)
+          .join(superMapAt(s, outDir, sg).select("cell"), Seq("cell"),
+            "left_anti")
+          .select(col("cell").as("vec_id"), col("c").as("e"))
+          .localCheckpoint(true)
+        val n = uncovered.count()
+        if (n == 0L) 0L
+        else {
+          val sup = s.read.parquet(s"${superRoot(outDir)}/cents/seg=$sg")
+            .select(col("super_id").as("cell"), col("c"))
+          val delta = assign(uncovered, sup)
+            .select(col("vec_id").as("cell"), col("cell").as("super_id"))
+          val dRoot = s"${mapdRoot(outDir)}/sseg=$sg"
+          val f = fs(s, new Path(dRoot))
+          f.delete(new Path(s"$dRoot/.stage"), true)
+          val next = (mapdDirs(s, outDir, sg)
+            .map(_.split('/').last.stripPrefix("d-").toLong) :+ 0L).max + 1
+          delta.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dRoot/.stage")
+          f.rename(new Path(s"$dRoot/.stage"), new Path(s"$dRoot/d-$next"))
+          n
+        }
+    }
+
   /** Cells in the LIVE snapshot not covered by the published super
-    * map — each one is handed to every hier probe unpruned, so this is
-    * the "rebuild the super layer" pressure gauge (None: no layer). */
+    * map (including committed incremental deltas) — each one is handed
+    * to every hier probe unpruned, so this is the "map the new cells"
+    * pressure gauge (None: no layer). */
   def superOrphans(s: SparkSession, outDir: String): Option[Long] =
     superSeg(s, outDir).map { sg =>
       centroids(s, outDir)
-        .join(s.read.parquet(s"${superRoot(outDir)}/map/seg=$sg")
-          .select("cell"), Seq("cell"), "left_anti")
+        .join(superMapAt(s, outDir, sg).select("cell"), Seq("cell"),
+          "left_anti")
         .count()
     }
 
@@ -1050,7 +1145,7 @@ object IvfMaintenance {
     import org.apache.spark.sql.expressions.Window
     val sg = superSeg(s, outDir).get
     val cents = centroidsAt(s, outDir, allowed)
-    val map = s.read.parquet(s"${superRoot(outDir)}/map/seg=$sg")
+    val map = superMapAt(s, outDir, sg)
     val children = cents
       .join(broadcast(map.where(col("super_id").isin(supIds: _*))), "cell")
       .select(col("super_id"), col("cell"), col("c"))

@@ -302,6 +302,61 @@ class CuratedVectorSyncSpec extends AnyFunSuite {
     assert(IvfMaintenance.superOrphans(spark, ivfOut).contains(0L))
   }
 
+  test("super-layer cadence: below the drift threshold, split-born cells are incrementally mapped — no rebuild, orphans 0, serving exact") {
+    val in = tmp("spm_in"); val textOut = tmp("spm_text"); val ivfOut = tmp("spm_ivf")
+    toDF(baseDocs).coalesce(2).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    CurationRun.run(spark, in, textOut)
+    DeltaIngest.buildIndex(spark, textOut)
+    val baseFinal = DeltaIngest.readFinal(spark, textOut)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    IvfMaintenance.build(spark,
+      vecsOf(baseFinal).select(col("doc_id").as("vec_id"),
+        (col("doc_id") % 3).as("label"), col("embedding")),
+      ivfOut)
+    // drift threshold that can never trip: the rebuild path must not
+    // fire — coverage has to come from the incremental mapping alone
+    val sCfg = CuratedVectorSync.SuperCfg(maxOrphanFrac = 1.1)
+    val rep1 = CuratedVectorSync.ingest(spark, toDF(deltaDocs),
+      vecsOf(deltaDocs.map(_.id)), textOut, ivfOut, "spm1",
+      superOut = Some(sCfg))
+    assert(rep1.superRebuilt, "first enabled delivery creates the layer")
+    val segAfterCreate = IvfMaintenance.superSeg(spark, ivfOut)
+    // a dense delta aimed at one cell's centroid → split → new cells
+    val c0 = IvfMaintenance.centroids(spark, ivfOut)
+      .orderBy("cell").select("c").head().getSeq[Double](0)
+    val docs2 = (0 until 80).map(k => Doc(7400 + k, words(8400 + k)))
+    val vecs2 = docs2.map(d => (d.id,
+      c0.zipWithIndex.map { case (x, i) => x + 0.001 * ((d.id + i) % 7) }))
+      .toDF("doc_id", "embedding")
+    val rep2 = CuratedVectorSync.ingest(spark, toDF(docs2), vecs2,
+      textOut, ivfOut, "spm2", superOut = Some(sCfg))
+    assert(rep2.ivf.exists(_.nSplit > 0), s"fixture must split: ${rep2.ivf}")
+    assert(!rep2.superRebuilt,
+      "below the drift threshold the layer must NOT re-train")
+    assert(rep2.superMapped > 0,
+      "split-born cells must be incrementally mapped in the same delivery")
+    assert(IvfMaintenance.superOrphans(spark, ivfOut).contains(0L),
+      "the extended map must cover every live cell")
+    assert(IvfMaintenance.superSeg(spark, ivfOut) == segAfterCreate)
+    // serving through the extended map stays exact: full-sprobe ≡ flat
+    val q = vecs2.limit(5)
+      .select(col("doc_id").as("query_id"), col("embedding"))
+    val nSup = spark.read.parquet(
+      s"$ivfOut/ivf/super/cents/seg=${segAfterCreate.get}").count().toInt
+    val flat = IvfMaintenance.knnQuery(spark, ivfOut, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val hier = IvfMaintenance.knnQuery(spark, ivfOut, q, k = 3, nprobe = 2,
+      sprobe = Some(nSup))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(hier == flat)
+    // replayed delivery: nothing uncovered → maps nothing, still no rebuild
+    val rep3 = CuratedVectorSync.ingest(spark, toDF(docs2), vecs2,
+      textOut, ivfOut, "spm2", superOut = Some(sCfg))
+    assert(!rep3.superRebuilt && rep3.superMapped == 0L,
+      s"replay must be a no-op: ${rep3.superRebuilt} ${rep3.superMapped}")
+  }
+
   test("super-layer cadence: first delivery creates the layer, split-born orphans trigger rebuild, replay no-ops") {
     val in = tmp("sp_in"); val textOut = tmp("sp_text"); val ivfOut = tmp("sp_ivf")
     toDF(baseDocs).coalesce(2).write.mode("overwrite")

@@ -190,6 +190,59 @@ class IvfHierSpec extends AnyFunSuite {
       "a fresh rebuild covers every live cell")
   }
 
+  test("incremental super-map upkeep: split-born cells map onto existing supers without a rebuild; orphans stay 0 across N ingests; drift gauge guards") {
+    import spark.implicits._
+    val out = tmp("mapd")
+    IvfMaintenance.build(spark, clustered, out, nlist = Some(12),
+      targetOcc = 40L)
+    IvfMaintenance.buildSuper(spark, out, nSuper = Some(4))
+    val seg0 = IvfMaintenance.superSeg(spark, out)
+    var nextId = 100000L
+    var sawSplit = false
+    for (round <- 1 to 3) {
+      // a dense delta aimed at one cell's centroid overgrows it →
+      // split → split-born cells postdate the super layer
+      val c0 = IvfMaintenance.centroids(spark, out)
+        .orderBy("cell").select("c").head().getSeq[Double](0)
+      val delta = (0 until 90).map { j =>
+        val id = nextId + j
+        (id, c0.zipWithIndex.map { case (x, i) => x + 0.001 * ((id + i) % 7) })
+      }.toDF("vec_id", "embedding")
+      nextId += 1000
+      IvfMaintenance.ingest(spark, delta, out)
+      val orphans = IvfMaintenance.superOrphans(spark, out).get
+      if (orphans > 0) sawSplit = true
+      // the upkeep maps exactly the uncovered cells, no retraining
+      val mapped = IvfMaintenance.mapNewCellsToSuper(spark, out)
+      assert(mapped == orphans, s"round $round: $mapped vs $orphans")
+      assert(IvfMaintenance.superOrphans(spark, out).contains(0L),
+        s"round $round: orphans must be 0 after upkeep")
+      assert(IvfMaintenance.superSeg(spark, out) == seg0,
+        "incremental upkeep must not republish the layer")
+    }
+    assert(sawSplit, "fixture must have split at least once")
+    assert(IvfMaintenance.superMappedCells(spark, out) > 0L)
+    // replay: nothing uncovered → nothing written (no duplicate rows)
+    val nDelta = IvfMaintenance.superMappedCells(spark, out)
+    assert(IvfMaintenance.mapNewCellsToSuper(spark, out) == 0L)
+    assert(IvfMaintenance.superMappedCells(spark, out) == nDelta)
+    // serve exactness THROUGH the extended map: full-sprobe hier probe
+    // equals the flat probe over the grown index
+    for (np <- Seq(1, 3)) {
+      val flat = served(IvfMaintenance.knnQuery(spark, out, queries,
+        k = 4, nprobe = np))
+      val hier = served(IvfMaintenance.knnQuery(spark, out, queries,
+        k = 4, nprobe = np, sprobe = Some(4)))
+      assert(hier == flat, s"nprobe=$np diverged through the extended map")
+    }
+    // a full rebuild is drift correction: it folds the deltas away and
+    // covers everything in the fresh base map
+    IvfMaintenance.buildSuper(spark, out, nSuper = Some(4))
+    assert(IvfMaintenance.superMappedCells(spark, out) == 0L,
+      "rebuild must clear the incremental deltas")
+    assert(IvfMaintenance.superOrphans(spark, out).contains(0L))
+  }
+
   test("buildSuper sweeps markerless crash debris (data dirs written, marker never landed)") {
     val out = tmp("debris")
     IvfMaintenance.build(spark, clustered, out, nlist = Some(12),
