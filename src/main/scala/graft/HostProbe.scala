@@ -12,14 +12,20 @@ import org.apache.spark.sql.SparkSession
   * bench only on "healthy": the r16 session burned three blind
   * 25-minute runs on a host whose scheduler latency (98–190 ms
   * round-trips, healthy 10–30 ms) was invisible until measured.
+  *
+  * The probe primitives are shared with [[IngestBench]] so every
+  * committed artifact carries its own hardware yardstick.
   */
 object HostProbe {
-  def main(args: Array[String]): Unit = {
-    def spin(iters: Long): Long = {
-      var x = 0x9e3779b97f4a7c15L; var i = 0L
-      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      x
-    }
+  private def spin(iters: Long): Long = {
+    var x = 0x9e3779b97f4a7c15L; var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  /** (single-thread, all-threads-wall) CPU-spin seconds — the Bench
+    * probe pair, JIT-warmed. */
+  def cpuProbes(): (Double, Double) = {
     spin(20000000L) // JIT warm
     val t0 = System.nanoTime(); spin(200000000L)
     val st = (System.nanoTime() - t0) / 1e9
@@ -31,19 +37,30 @@ object HostProbe {
     }))
     fs.foreach(_.get())
     pool.shutdown()
-    val mt = (System.nanoTime() - t1) / 1e9
+    (st, (System.nanoTime() - t1) / 1e9)
+  }
+
+  /** Median (and p90) empty-job round-trip over 30 `range(1).count()`
+    * jobs after a 5-job scheduler warm — the contention axis the
+    * CPU-spin pair cannot see. */
+  def jobProbeMs(spark: SparkSession): (Double, Double) = {
+    (1 to 5).foreach(_ => spark.range(1).count())
+    val ls = (1 to 30).map { _ =>
+      val s = System.nanoTime(); spark.range(1).count()
+      (System.nanoTime() - s) / 1e6
+    }.sorted
+    (ls(ls.size / 2), ls((ls.size * 9) / 10))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (st, mt) = cpuProbes()
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to 5).foreach(_ => spark.range(1).count()) // scheduler warm
-    val ls = (1 to 30).map { _ =>
-      val s = System.nanoTime(); spark.range(1).count()
-      (System.nanoTime() - s) / 1e6
-    }.sorted
-    val jobMs = ls(ls.size / 2)
+    val (jobMs, jobP90) = jobProbeMs(spark)
     spark.stop()
     val mtOk =
       math.max(mt, Bench.CanonicalMtRefSec) /
@@ -51,6 +68,6 @@ object HostProbe {
     val jobOk = jobMs < 40.0 // NOTES/VERDICT fire-when threshold
     def r3(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    println(s"""{"probe":"host","cpu_probe_st_sec":${r3(st)},"cpu_probe_mt_sec":${r3(mt)},"job_probe_ms":${r3(jobMs)},"job_probe_p90_ms":${r3(ls((ls.size * 9) / 10))},"mt_ok":$mtOk,"job_ok":$jobOk,"healthy":${mtOk && jobOk}}""")
+    println(s"""{"probe":"host","cpu_probe_st_sec":${r3(st)},"cpu_probe_mt_sec":${r3(mt)},"job_probe_ms":${r3(jobMs)},"job_probe_p90_ms":${r3(jobP90)},"mt_ok":$mtOk,"job_ok":$jobOk,"healthy":${mtOk && jobOk}}""")
   }
 }

@@ -67,11 +67,31 @@ object IngestBench {
       }
       def r3(v: Double) =
         BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      // the artifact carries its own hardware yardstick (the Bench
+      // convention): per-batch ingest numbers from a latency-sick host
+      // (r16: 98–190 ms empty-job round-trips vs ~20 ms healthy) are
+      // not comparable across rounds without it
+      val (st, mt) = HostProbe.cpuProbes()
+      val (jobMs, _) = HostProbe.jobProbeMs(spark)
+      val bandSuspect =
+        math.max(mt, Bench.CanonicalMtRefSec) /
+          math.min(mt, Bench.CanonicalMtRefSec) > 1.25 ||
+          jobMs > Bench.CanonicalJobLatMs * 2.5
       val json = s"""{"metric":"ingest_bench","build_sec":${r3(buildSec)},""" +
         s""""ingest_total_sec":${r3(perBatch.sum)},""" +
         s""""ingest_per_batch_sec":[${perBatch.map(r3).mkString(",")}],""" +
         s""""read_final_sec":${r3(foldSec)},"n_batches":$nBatches,""" +
-        s""""batch_docs":$batchDocs,"n_appended":$appended,"sf":"$sfDir"}"""
+        s""""batch_docs":$batchDocs,"n_appended":$appended,""" +
+        s""""cpu_probe_st_sec":${r3(st)},"cpu_probe_mt_sec":${r3(mt)},""" +
+        s""""job_probe_ms":${r3(jobMs)},"band_suspect":$bandSuspect,""" +
+        s""""sf":"$sfDir"}"""
+      // persist next to BENCH.json so every certified session commits
+      // the delta-ingest trend row alongside the query-bench artifact
+      try {
+        val w = new java.io.PrintWriter(
+          Bench.benchJsonPath.resolveSibling("INGEST.json").toFile)
+        try w.println(json) finally w.close()
+      } catch { case _: Throwable => () }
       spark.stop()
       Thread.sleep(300)
       System.out.flush(); System.err.flush()
