@@ -78,10 +78,59 @@ case class MinHashBands(child: Expression, offsets: Seq[Int], width: Int)
 
   @transient private lazy val hexChars = "0123456789abcdef".toCharArray
 
+  /** The registered bands (offsets 1/9/17/25, width 8) are byte-aligned
+    * slices of the digest, and fixed-width lowercase hex compares
+    * lexicographically exactly like the unsigned integer it spells — so
+    * the per-band minimum can be tracked as a plain long and formatted
+    * to hex ONCE per row instead of allocating a 32-char hex string plus
+    * `k` substrings per SHINGLE (r17: the signature pass is the hottest
+    * per-row loop in the dedup family; identical bytes out, ~7 fewer
+    * allocations per shingle). Non-aligned offsets (none registered)
+    * take the original string path. */
+  @transient private lazy val aligned =
+    width % 2 == 0 && width <= 14 && offsets.forall(o => (o - 1) % 2 == 0)
+
   override def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
     if (n == 0) return null
+    if (aligned) evalAligned(shingles, n) else evalGeneric(shingles, n)
+  }
+
+  private def evalAligned(shingles: ArrayData, n: Int): Any = {
+    val k = offsets.size
+    val bytesPer = width / 2
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val digest = md.digest(shingles.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < k) {
+        val start = (offsets(b) - 1) / 2
+        var v = 0L
+        var j = 0
+        while (j < bytesPer) { v = (v << 8) | (digest(start + j) & 0xffL); j += 1 }
+        if (v < mins(b)) mins(b) = v
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var b = 0
+    while (b < k) {
+      val hex = new Array[Byte](width)
+      var v = mins(b)
+      var j = width - 1
+      while (j >= 0) { hex(j) = hexChars((v & 0xfL).toInt).toByte; v >>>= 4; j -= 1 }
+      out(b) = UTF8String.fromBytes(hex)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def evalGeneric(shingles: ArrayData, n: Int): Any = {
     val mins = new Array[String](offsets.size)
     val md = MessageDigest.getInstance("MD5")
     var i = 0

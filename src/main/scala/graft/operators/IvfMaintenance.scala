@@ -839,17 +839,36 @@ object IvfMaintenance {
     val q = queries.select(col("query_id"),
       col("embedding").cast("array<double>").as("qe"))
     val wq = Window.partitionBy("query_id").orderBy(col("dst"), col("cell"))
-    val probes = q.crossJoin(broadcast(cents.select("cell", "c")))
-      .select(col("query_id"), col("qe"), col("cell"),
-        d2(col("qe"), col("c")).as("dst"))
-      .withColumn("prk", row_number().over(wq)).where(col("prk") <= nprobe)
-      .select("query_id", "qe", "cell")
-      .localCheckpoint(true) // the cells collect below would otherwise recompute the argmin for the scored join
-    val cells = probes.select("cell").distinct().collect()
-      .map(_.getLong(0)).toSeq
+    val (probes, cells) = ckptCollectingIds(
+      q.crossJoin(broadcast(cents.select("cell", "c")))
+        .select(col("query_id"), col("qe"), col("cell"),
+          d2(col("qe"), col("c")).as("dst"))
+        .withColumn("prk", row_number().over(wq)).where(col("prk") <= nprobe)
+        .select("query_id", "qe", "cell"),
+      "cell")
     val nsh = layoutShards(s, outDir)
     val shards = cells.map(c => (c % nsh).toInt).distinct
     (probes, cells, shards)
+  }
+
+  /** Materialize `df` to an eager localCheckpoint while collecting the
+    * DISTINCT values of long column `keyCol` through the SAME action —
+    * df.observe metrics are delivered by the checkpoint's withAction,
+    * so the probe prefix pays ONE job where it paid a checkpoint job
+    * plus a separate distinct().collect() job (r17, the NOTES "fuse
+    * the probe collects" item: the fixed per-call overhead of the
+    * serve paths was two driver round-trips per probe stage). The ids
+    * are sorted so downstream In-pruning lists — and therefore plan
+    * strings — are deterministic regardless of task completion order
+    * (the old collect()'s order was partition-arrival order). */
+  private def ckptCollectingIds(df: DataFrame,
+      keyCol: String): (DataFrame, Seq[Long]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, collect_set(col(keyCol)).as("ids"))
+      .localCheckpoint(true)
+    val ids = obs.get("ids").asInstanceOf[scala.collection.Seq[Long]]
+      .toSeq.sorted
+    (out, ids)
   }
 
   // ---------------------------------------------------------------
@@ -1099,14 +1118,13 @@ object IvfMaintenance {
   private def probeCellsHier(s: SparkSession, outDir: String,
       queries: DataFrame, nprobe: Int, sprobe: Int,
       allowed: Set[Long]): (DataFrame, Seq[Long], Seq[Int]) = {
-    val sProbes = hierStage1(s, outDir, queries, sprobe)
-      .localCheckpoint(true) // collected twice below (ids, then join)
-    val supIds = sProbes.select("super_id").distinct().collect()
-      .map(_.getLong(0)).toSeq
-    val probes = hierStage2(s, outDir, sProbes, supIds, nprobe, allowed)
-      .localCheckpoint(true) // same recompute guard as probeCells
-    val cells = probes.select("cell").distinct().collect()
-      .map(_.getLong(0)).toSeq
+    // each stage's id collect rides its checkpoint's own action
+    // (ckptCollectingIds) — 2 jobs per probe call instead of 4 (r17;
+    // the NOTES "hier probe fixed overhead" item)
+    val (sProbes, supIds) = ckptCollectingIds(
+      hierStage1(s, outDir, queries, sprobe), "super_id")
+    val (probes, cells) = ckptCollectingIds(
+      hierStage2(s, outDir, sProbes, supIds, nprobe, allowed), "cell")
     val nsh = layoutShards(s, outDir)
     val shards = cells.map(c => (c % nsh).toInt).distinct
     (probes, cells, shards)

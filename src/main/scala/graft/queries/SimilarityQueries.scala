@@ -84,8 +84,18 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("c_label"),
         (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("c")) +
           dot(col("c"), col("c"))).as("dist2"))
+    // Every consumer reads rk = 1 (the assignment) or rk <= 2 (the
+    // nprobe=2 probe lists), so the corpus × nlist scored frame is
+    // heap-pruned to 2 rows per vector BEFORE any exchange or sort
+    // (TopKPerKey partial+final, the bruteTop5 idiom) — the old
+    // row_number window sorted every vector's full nlist candidate
+    // list, a corpus-sized sort that grows with nlist at scale (r17).
+    // (dist2, c_label) is a total order per vector (one row per
+    // centroid), so the surviving rows and their ranks are identical.
+    val top2 = graft.plans.GraftOps.topKPerKey(
+      scored, Seq("vec_id"), 2, "+dist2", "+c_label")
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_label").asc)
-    scored.withColumn("rk", row_number().over(w))
+    top2.withColumn("rk", row_number().over(w))
   }
 
   /** IVF coarse assignment (shared by sim_ivf_assign / sim_ivf_knn):
@@ -160,9 +170,15 @@ object SimilarityQueries {
     val scored = cands.join(broadcast(q), "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+    // heap-prune each query's cell-bounded candidate list to 5 BEFORE
+    // the exchange/sort (bruteTop5 idiom; r17) — the window then ranks
+    // only the survivors; rows and ranks identical ((cos, neighbor_id)
+    // is a total order)
+    val top = graft.plans.GraftOps.topKPerKey(
+      scored, Seq("query_id"), 5, "-cos", "+neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+    top.withColumn("rk", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rk").cast("int").as("rk"))
   }
@@ -193,9 +209,13 @@ object SimilarityQueries {
     val scored = cands.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+    // heap-prune before the exchange/sort (bruteTop5 idiom; r17) —
+    // identical rows and ranks, no full candidate-list sort
+    val top = graft.plans.GraftOps.topKPerKey(
+      scored, Seq("query_id"), 5, "-cos", "+neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+    top.withColumn("rk", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rk").cast("int").as("rk"))
   }
