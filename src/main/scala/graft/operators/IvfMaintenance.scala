@@ -512,17 +512,30 @@ object IvfMaintenance {
     if (presentSegs(s, asgRoot(outDir)).count(committedSegs(s, outDir))
         > CompactAfterSegments) compact(s, outDir)
     val seg = committedSegs(s, outDir).max + 1
-    val cents = centroids(s, outDir).localCheckpoint(true)
-    val nCellsBefore = cents.count()
+    // cell count AND the published occupancy total ride the snapshot
+    // checkpoint's own action (r18, the r17 observe-fusion applied to
+    // the ingest path: this was a checkpoint + count + a separate
+    // sum-collect — three driver round-trips for one id-width frame)
+    val obsC = org.apache.spark.sql.Observation()
+    val cents = centroids(s, outDir)
+      .observe(obsC, count(lit(1)).as("n"), sum("n_assigned").as("occ"),
+        max("cell").as("mx"))
+      .localCheckpoint(true)
+    val mC = obsC.get
+    val nCellsBefore = mC("n").asInstanceOf[Long]
+    val baseOcc = Option(mC("occ")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxCellId = Option(mC("mx")).map(_.asInstanceOf[Long]).getOrElse(0L)
     // dedup within the batch: a duplicated vec_id row would count
     // twice in the occupancy increment while folding to ONE live list
     // row — permanently desynchronizing n_assigned from the lists.
     // Deterministic pick: the max embedding array (ties are identical)
+    val obsD = org.apache.spark.sql.Observation()
     val d = delta
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .groupBy("vec_id").agg(max(col("e")).as("e"))
+      .observe(obsD, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val nDelta = d.count()
+    val nDelta = obsD.get("n").asInstanceOf[Long]
     val dAsg = assign(d, cents).join(d, "vec_id")
       .select(col("vec_id"), col("cell"), col("e"))
       .localCheckpoint(true)
@@ -533,14 +546,21 @@ object IvfMaintenance {
       .select(col("cell"), col("c"),
         (col("n_assigned") + coalesce(col("dn"), lit(0L))).as("n_assigned"))
       .localCheckpoint(true)
-    val nTotal = cents.agg(sum("n_assigned")).collect()(0).getLong(0) + nDelta
-    val flagged = occAfter.where(needsSplit(col("n_assigned"), lit(nTotal),
+    val nTotal = baseOcc + nDelta
+    // the flagged-cell ids ride the checkpoint action too (the split
+    // path used to pay a separate collect for the very same ids)
+    val (flagged, flaggedCells) = ckptCollectingIds(
+      occAfter.where(needsSplit(col("n_assigned"), lit(nTotal),
         lit(nCellsBefore), lit(layoutTargetOcc(s, outDir))))
-      .select("cell").localCheckpoint(true)
-    val nSplit = flagged.count()
-    val (centsSeg, asgInc) =
+        .select("cell"),
+      "cell")
+    val nSplit = flaggedCells.size.toLong
+    val (centsSeg, asgInc, nCellsAfter) =
       if (nSplit == 0)
-        (occAfter, dAsg.withColumn("dead", lit(false)))
+        // occAfter is cents left-joined on its unique cell key: exactly
+        // one row per snapshot cell, so the published count IS
+        // nCellsBefore — no count job on the common (no-split) path
+        (occAfter, dAsg.withColumn("dead", lit(false)), nCellsBefore)
       else {
         // flagged cells' members ONLY: committed rows via the pruned
         // cell-keyed fold (bound first — the fold commutes with the
@@ -550,7 +570,6 @@ object IvfMaintenance {
         // row-group skipping on the sorted cell column — the log read
         // touches only the split cells' bytes.
         val nsh = layoutShards(s, outDir)
-        val flaggedCells = flagged.collect().map(_.getLong(0)).toSeq
         val flaggedShards = flaggedCells.map(c => (c % nsh).toInt).distinct
         val baseMembers = foldAsg(
           readAsgLog(s, outDir)
@@ -578,8 +597,9 @@ object IvfMaintenance {
           subbed.select(col("cell"), col("sub"), col("e")),
           Seq(col("cell"), col("sub")), Seq("cell", "sub"))
         // sub 0 keeps the parent id; sub 1 gets max_cell_id + dense rank
-        // over the split cells — deterministic, collision-free
-        val maxCell = cents.agg(max("cell")).collect()(0).getLong(0)
+        // over the split cells — deterministic, collision-free. The max
+        // rode the snapshot checkpoint's observe (one collect job gone)
+        val maxCell = maxCellId
         val w = org.apache.spark.sql.expressions.Window.orderBy("cell")
         val renames = flagged
           .select(col("cell"), (lit(maxCell) + row_number().over(w))
@@ -610,8 +630,14 @@ object IvfMaintenance {
           .unionAll(subbedJ.where(col("sub") === 1)
             .select(col("vec_id"), col("sub1_cell").as("cell"), col("e"),
               lit(false).as("dead")))
-        (keptCents.unionAll(splitCents).localCheckpoint(true),
-          inc.localCheckpoint(true))
+        // the published-cell count rides the checkpoint (a flagged
+        // single-member / one-sided cell publishes no sub-1 centroid,
+        // so it must be COUNTED from the snapshot, not inferred)
+        val obsA = org.apache.spark.sql.Observation()
+        val cs = keptCents.unionAll(splitCents)
+          .observe(obsA, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        (cs, inc.localCheckpoint(true), obsA.get("n").asInstanceOf[Long])
       }
     // PQ: encode the delta against the FIXED committed codebooks inside
     // this same commit (codes are cell-independent, so split movers —
@@ -622,10 +648,7 @@ object IvfMaintenance {
         Some(encode(d, cb, m, subLen))
       } else None
     writeSegment(s, outDir, seg, centsSeg, asgInc, key, codesInc)
-    // counted from the published snapshot, not nCellsBefore + nSplit:
-    // a flagged single-member (or one-sided) cell publishes no sub-1
-    // centroid, and the report must not claim a cell that isn't there
-    IngestReport(nDelta, nCellsBefore, nSplit, centsSeg.count())
+    IngestReport(nDelta, nCellsBefore, nSplit, nCellsAfter)
   }
 
   /** Tombstone a set of vectors (vec_id) from the lists and commit the
@@ -653,10 +676,14 @@ object IvfMaintenance {
       } else {
         val seg = committedSegs(s, outDir).max + 1
         val cents = centroids(s, outDir).localCheckpoint(true)
+        // the tombstoned-row count rides the fold's checkpoint action
+        // (r18 observe-fusion: checkpoint + count was two jobs)
+        val obsL = org.apache.spark.sql.Observation()
         val live = foldAsg(readAsgLog(s, outDir)
             .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+          .observe(obsL, count(lit(1)).as("n"))
           .localCheckpoint(true)
-        val nLive = live.count()
+        val nLive = obsL.get("n").asInstanceOf[Long]
         val inc = live.select(col("vec_id"), col("cell"),
           lit(null).cast(ArrayType(DoubleType)).as("e"), lit(true).as("dead"))
         val centsSeg = cents

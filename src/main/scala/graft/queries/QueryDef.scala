@@ -62,9 +62,27 @@ object Tables {
   private val floorDecision =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Layout fingerprint of the table: every plain file under the path
+    * (recursive — partition subdirs included), by name, size and mtime.
+    * A rewrite that swaps files in place without bumping the DIRECTORY
+    * mtime still changes this stamp, so the decision re-probes; keying
+    * on the dir mtime alone missed exactly that case. */
+  private[graft] def layoutStamp(root: java.io.File): Long = {
+    def walk(d: java.io.File): Iterator[java.io.File] = {
+      val cs = Option(d.listFiles()).map(_.iterator).getOrElse(Iterator.empty)
+      cs.flatMap(c => if (c.isDirectory) walk(c) else Iterator.single(c))
+    }
+    val files = if (root.isDirectory) walk(root) else Iterator.single(root)
+    // order-insensitive combine so OS listing order cannot move the key
+    files.map { c =>
+      scala.util.hashing.MurmurHash3
+        .stringHash(s"${c.getName}@${c.length}@${c.lastModified}").toLong
+    }.sum
+  }
+
   private def needsFloor(df: DataFrame, path: String, target: Int): Boolean = {
     val f = new java.io.File(path)
-    val key = s"${f.getAbsolutePath}@${f.lastModified}#$target"
+    val key = s"${f.getAbsolutePath}@${layoutStamp(f)}#$target"
     floorDecision.computeIfAbsent(key,
       _ => df.rdd.getNumPartitions * 4 <= target).booleanValue()
   }
